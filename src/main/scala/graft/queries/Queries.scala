@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.EpochFunctions
+
+/** The SURVEY §2 operator inventory restated as named queries over the
+  * driver's TPC-H-ish testdata, each with a DuckDB oracle (SparkEntry).
+  *
+  * Numeric discipline for oracle hash-matching: every floating-point
+  * aggregate is computed over `decimal(12,2)`-cast inputs (exact
+  * arithmetic, deterministic in both engines regardless of summation
+  * order) and surfaced as double only through an exact decimal→double
+  * final cast. No raw double sums, no double division, deterministic
+  * ORDER BY tiebreaks on unique keys everywhere a LIMIT appears.
+  */
+object Queries {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark only reads via the nanosAsLong legacy conf. Normalize `ts` back
+    * to a micros TimestampType column with exact integer arithmetic
+    * (`div`, not double division — ns-since-epoch exceeds double's 2^53
+    * exact range). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  /** A1/A5 + F-pushdown — pricing summary (TPC-H Q1 shape).
+    * reference analog: the COUNT/MAX telemetry aggregates
+    * (backend/lib/deal-observer.js:46-60). */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_discount"))).cast("double").as("sum_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** W1 — top-1 by event time with unique-key tiebreak
+    * (reference: fetchDealWithHighestActivatedEpoch,
+    * backend/lib/deal-observer.js:46-50). Plans as TakeOrderedAndProject. */
+  def q02LatestEventTop1(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_unix"))
+
+  /** W2+F2 — oldest-first bounded work queue
+    * (reference: fetchDealsWithUnresolvedPayloadCid,
+    * backend/lib/resolve-payload-cids.js:63-66). */
+  def q03WorkQueue(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type").isin("click", "error") && col("value") > 50)
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .limit(1000)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** A4 — one grouped count replacing four per-state scans
+    * (reference: countStoredActiveDealsWithPayloadState,
+    * backend/lib/resolve-payload-cids.js:93-97). */
+  def q04StateCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+
+  /** A2/A3 — filtered counts in one pass
+    * (reference: countStoredActiveDealsWithUnresolvedPayloadCid /
+    * countRevertedActiveDeals, resolve-payload-cids.js:72-86). */
+  def q05FilteredCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("event_type") === "error", 1)).as("n_error"),
+      count(when(col("value") > 90, 1)).as("n_high_value"),
+      count(when(col("event_type") === "error" && col("value") > 90, 1))
+        .as("n_error_high"))
+
+  /** J1 — left-anti "insert dedup": orders with no high-quantity line
+    * (reference: ON CONFLICT DO NOTHING restated as an anti-join,
+    * backend/lib/deal-observer.js:102). */
+  def q06AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem").filter(col("l_quantity") > 45)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** J2 — broadcast dimension join chain: revenue per nation
+    * (reference: the minerId→peerId broadcast dimension,
+    * backend/lib/resolve-payload-cids.js:162-181). */
+  def q07DimJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    val n = table(spark, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** U1/U2 — Filecoin epoch column algebra over event time
+    * (reference: db/migrations/005/006 SQL UDFs → pure expressions). */
+  def q08EpochBuckets(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("epoch", EpochFunctions.timestampToEpoch(col("ts")))
+      .withColumn("epoch_day", floor(col("epoch") / 2880).cast("long"))
+      .groupBy("epoch_day")
+      .agg(count(lit(1)).as("n"),
+        min("epoch").cast("long").as("first_epoch"),
+        max("epoch").cast("long").as("last_epoch"))
+
+  /** F3 — the submit-eligibility predicate shape: time-delayed lower
+    * bound + not-yet-expired upper bound
+    * (reference: backend/lib/spark-api-submit-deals.js:53-72). */
+  def q09Eligibility(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O" &&
+        col("o_orderdate") < lit("1998-01-01") &&
+        col("o_totalprice") > 50000)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+
+  /** Window ranking — latest event per user (the per-key top-1 the
+    * reference does as ORDER BY…LIMIT 1, generalized per key). */
+  def q10LatestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_unix"))
+  }
+
+  /** ST-analog in batch — tumbling 1-hour window aggregation
+    * (Structured Streaming's windowed agg, run over bounded input). */
+  def q11TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("hour_ts")).as("hour_unix"),
+        col("n"), col("sum_value"))
+
+  /** T5/T6 — external payload rendering: f0 prefixing + numeric→string
+    * (reference: spark-api-submit-deals.js:119-126). */
+  def q12SubmitPayload(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 100)
+      .select(
+        concat(lit("f0"), col("o_custkey")).as("miner_id"),
+        col("o_orderkey").cast("string").as("order_key_str"),
+        dec(col("o_totalprice")).cast("string").as("total_price_str"))
+}
