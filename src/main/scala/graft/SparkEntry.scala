@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.Queries
+import graft.queries.{OpsQueries, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,7 +21,18 @@ object SparkEntry {
     "q09_eligibility" -> (Queries.q09Eligibility _),
     "q10_latest_per_user" -> (Queries.q10LatestPerUser _),
     "q11_tumbling_window" -> (Queries.q11TumblingWindow _),
-    "q12_submit_payload" -> (Queries.q12SubmitPayload _)
+    "q12_submit_payload" -> (Queries.q12SubmitPayload _),
+    "q13_doc_tokens" -> (OpsQueries.q13DocTokens _),
+    "q14_text_quality" -> (OpsQueries.q14TextQuality _),
+    "q15_exact_dedup" -> (OpsQueries.q15ExactDedup _),
+    "q16_ngram_jaccard" -> (OpsQueries.q16NgramJaccard _),
+    "q17_minhash_pairs" -> (OpsQueries.q17MinhashPairs _),
+    "q18_simhash" -> (OpsQueries.q18Simhash _),
+    "q19_cosine_topk" -> (OpsQueries.q19CosineTopK _),
+    "q20_lsh_topk" -> (OpsQueries.q20LshTopK _),
+    "q21_langid" -> (OpsQueries.q21LangId _),
+    "q22_fingerprint" -> (OpsQueries.q22Fingerprint _),
+    "q23_embedding_neardup" -> (OpsQueries.q23EmbeddingNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,6 +100,49 @@ object SparkEntry {
       """SELECT 'f0' || CAST(o_custkey AS VARCHAR) AS miner_id,
         |  CAST(o_orderkey AS VARCHAR) AS order_key_str,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS total_price_str
-        |FROM orders WHERE o_orderkey <= 100""".stripMargin
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin,
+    "q13_doc_tokens" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q14_text_quality" ->
+      """SELECT doc_id,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) / 4 AS BIGINT) AS n_stopword_the,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' '))) / 2 AS BIGINT) AS n_stopword_a,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' spark ', ' '))) / 6 AS BIGINT) AS n_word_spark
+        |FROM documents""".stripMargin,
+    "q15_exact_dedup" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS rep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q16_ngram_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS set_n FROM grams GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter_n
+        |  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8)
+        |SELECT id1, id2, inter_n, s1.set_n + s2.set_n - inter_n AS union_n
+        |FROM pairs
+        |JOIN sizes s1 ON pairs.id1 = s1.doc_id
+        |JOIN sizes s2 ON pairs.id2 = s2.doc_id""".stripMargin,
+    "q19_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nid,
+        |        list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+        |      FROM embeddings, q WHERE vec_id <> qid)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM s)
+        |WHERE rank <= 5""".stripMargin,
+    "q23_embedding_neardup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
   )
 }

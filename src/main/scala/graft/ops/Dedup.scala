@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for a training-data pipeline, in increasing
+  * sophistication: exact (content hash), n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB):
+  *   - exact dedup is one hash-shuffle on a 16-byte key (not the text);
+  *   - pairwise ops never cross-join the corpus — candidate generation
+  *     goes through LSH band buckets or blocking keys, so the shuffle
+  *     carries (band, signature) pairs, not documents;
+  *   - all hashes are Spark-built-in xxhash64 / murmur3 — codegen'd,
+  *     no UDF in the hot path.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on a content hash: keep the lowest-id representative
+    * per distinct text. One shuffle on the md5, no text comparison. */
+  def exactDedup(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated view itself (rows whose id is the representative). */
+  def exactDedupRows(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Word n-gram (shingle) set per document, as an exploded (id, shingle)
+    * relation — the shape every set-similarity op here builds on. */
+  def shingles(df: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams =
+      if (n == 1) array_distinct(words)
+      else array_distinct(
+        filter(
+          transform(words, (_, i) =>
+            when(i <= size(words) - n,
+              concat_ws(" ", slice(words, i + lit(1), lit(n))))),
+          g => g.isNotNull))
+    df.select(col(idCol).as("id"), explode(grams).as("shingle"))
+  }
+
+  /** Exact pairwise n-gram Jaccard for candidate pairs sharing a
+    * blocking key. Emits integer intersection/union sizes (exact
+    * arithmetic — ratios left to the caller) for pairs with
+    * inter_n >= minIntersect, id1 < id2.
+    *
+    * The join is shingle-to-shingle *within* documents that share at
+    * least one shingle — never a document cross join. */
+  def ngramJaccardPairs(
+      df: DataFrame, n: Int, minIntersect: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(df, n, idCol, textCol).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_n"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter_n"))
+      .filter(col("inter_n") >= minIntersect)
+    pairs
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("set_n", "n1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("set_n", "n2"), "id2")
+      .select(col("id1"), col("id2"), col("inter_n"),
+        (col("n1") + col("n2") - col("inter_n")).as("union_n"))
+  }
+
+  // --------------------------------------------------------- MinHash/LSH
+
+  /** MinHash signature: numHashes permutations simulated as
+    * (a_i * h + b_i) mod p over xxhash64(shingle), min per doc.
+    * Pure built-ins → whole-stage codegen, one shuffle (the groupBy). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int, seed: Long = 42L): DataFrame = {
+    // 2^31-1 keeps a*h < 2^62: no Long overflow under ANSI mode, and a
+    // 2^31 hash space is ample for minhash rank comparisons.
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    val rnd = new scala.util.Random(seed)
+    val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+      math.abs(rnd.nextLong()) % p))
+    val h = pmod(xxhash64(col("shingle")), lit(p))
+    val mins = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(h * lit(a) + lit(b), lit(p))).as(s"mh_$i")
+    }
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` rows of size
+    * numHashes/bands; docs sharing any full band land in one bucket.
+    * Candidate pairs come from bucket-local joins — the classic
+    * sub-quadratic near-dup path. */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*)
+          .as("bucket"))
+    }
+    val banded = signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    * candidates → exact Jaccard verification ≥ threshold. */
+  def minhashDedupPairs(
+      df: DataFrame, n: Int, numHashes: Int, bands: Int, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(df, n, idCol, textCol).cache()
+    val sigs = minhashSignatures(sh, numHashes)
+    val cands = lshCandidatePairs(sigs, numHashes, bands)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_n"))
+    // exact Jaccard recomputed only for the LSH candidates
+    val inter = cands
+      .join(sh.as("s1"), col("id1") === col("s1.id"))
+      .join(sh.as("s2"), col("id2") === col("s2.id") && col("s1.shingle") === col("s2.shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("set_n").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("set_n").as("n2")), "id2")
+      .withColumn("union_n", col("n1") + col("n2") - col("inter_n"))
+      .filter(col("inter_n") >= col("union_n") * minJaccard)
+      .select("id1", "id2", "inter_n", "union_n")
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word hashes: per bit, sum ±1 across the doc's
+    * words; fingerprint bit = sign. Expressed as 64 codegen'd conditional
+    * sums — no UDF, one aggregation. */
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$b")
+    }
+    val agg = words.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using the
+    * 4×16-bit chunk pigeonhole: any pair within distance ≤ 3 shares at
+    * least one exact 16-bit chunk → bucket-join per chunk, then verify.
+    * Sub-quadratic like LSH banding. */
+  def simhashPairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
+    }
+    val keyed = fps.select(col("id"), col("simhash"),
+        explode(array(chunks: _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.chunk"), col("ck.key"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        hammingDist(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Cosine similarity between two float-vector columns, computed in
+    * double with index-order summation (deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold, blocked by a
+    * coarse LSH key (sign bits of seeded random projections) so the
+    * pair join is bucket-local, not a cross join. */
+  def embeddingNearDupPairs(
+      emb: DataFrame, dim: Int, minCosine: Double, planes: Int = 8, seed: Long = 7L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      SimilaritySearch.hyperplaneKey(col(vecCol), dim, planes, seed).as("bucket"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        cosine(col("x.vec"), col("y.vec")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - brute-force cosine top-k: broadcast the (small) query set, one
+  *     pass over the corpus, per-query top-k — the exact baseline;
+  *   - LSH-bucketed (random hyperplane signs): corpus and queries share
+  *     sign-pattern buckets with multi-probe (flip one bit), so each
+  *     query scores only its bucket neighborhood — the 100 TB path,
+  *     where the corpus side stays partitioned by bucket and never
+  *     broadcasts or cross-joins.
+  */
+object SimilaritySearch {
+
+  /** Deterministic pseudo-random projection vectors (seeded). */
+  private def planeVectors(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern LSH key: bit b = sign(vec · plane_b). Pure column
+    * algebra (the plane constants are literals folded into codegen). */
+  def hyperplaneKey(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val pvs = planeVectors(dim, planes, seed)
+    val bits = pvs.zipWithIndex.map { case (pv, b) =>
+      val dot = (0 until dim).map(i => element_at(vec, i + 1).cast("double") * lit(pv(i)))
+        .reduce(_ + _)
+      when(dot >= 0, shiftleft(lit(1), b)).otherwise(0)
+    }
+    bits.reduce(_.bitwiseOR(_)).cast("int")
+  }
+
+  /** Exact brute-force cosine top-k. `queries` is expected to be small
+    * (it is broadcast); the corpus is streamed once. Output:
+    * (query_id, neighbor_id, rank) with rank 1..k, self-matches
+    * excluded, ties broken by neighbor id. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** LSH-bucketed ANN top-k with one-bit multi-probe: each query probes
+    * its own bucket plus the `planes` single-bit-flip neighbors, then
+    * scores only those corpus rows. Recall < 1 by construction; the
+    * bench pairing is recall vs the brute-force baseline. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      planes: Int = 8, seed: Long = 7L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      hyperplaneKey(col(vecCol), dim, planes, seed).as("bucket"))
+    val qKey = hyperplaneKey(col(vecCol), dim, planes, seed)
+    val probes = array((lit(0) +: (0 until planes).map(b => shiftleft(lit(1), b))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(transform(probes, m => qKey.bitwiseXOR(m))).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+      .select("query_id", "neighbor_id", "cos").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

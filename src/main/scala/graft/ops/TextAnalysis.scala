@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, document fingerprinting, language ID.
+  *
+  * Everything oracle-checkable is pure column algebra (portable integer
+  * arithmetic — identical semantics in DuckDB); the two genuinely
+  * procedural pieces (rolling-hash fingerprint, n-gram language ID) are
+  * deterministic Scala functions exposed as UDFs with their own specs.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count as portable arithmetic: for single-space
+    * separated text, tokens = spaces + 1. (A regex split would differ
+    * between engines on edge cases; this is exact in both.) */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** BPE-ish token estimate: ~4 chars/token, ceiling division. */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text).cast("double") / 4).cast("long")
+
+  /** Occurrences of a word (non-overlapping, space-delimited semantics
+    * via replace-length arithmetic — portable to ANSI SQL). */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val needle = " " + word + " "
+    val padded = concat(lit(" "), text, lit(" "))
+    ((length(padded) - length(regexp_replace(padded, needle, " ")))
+      / (needle.length - 1)).cast("long")
+  }
+
+  /** Quality metrics per document — integer-exact, oracle-friendly. */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_actual", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpe_tokens", bpeTokenEstimate(t))
+      .withColumn("n_stopword_the", wordOccurrences(t, "the"))
+      .withColumn("n_stopword_a", wordOccurrences(t, "a"))
+  }
+
+  /** 64-bit Karp-Rabin rolling-hash fingerprint of a string. The same
+    * polynomial (base 257, implicit mod 2^64) evaluated left-to-right —
+    * deterministic, order-sensitive, collision-resistant enough for
+    * content fingerprinting at 100 TB (birthday bound ~2^32 docs). */
+  def fingerprint64(s: String): Long = {
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < s.length) { h = h * 257 + s.charAt(i); i += 1 }
+    h
+  }
+
+  private val fingerprintUdf = udf((s: String) => if (s == null) null else Long.box(fingerprint64(s)))
+
+  def fingerprint(text: Column): Column = fingerprintUdf(text)
+
+  /** Character-bigram language profiles for the n-gram language-ID
+    * heuristic. Profiles are the highest-frequency bigrams of each
+    * language (derived from public Universal Declaration of Human Rights
+    * translations — common knowledge n-gram statistics). */
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "nd", "on", "en", "at",
+      "ou", "ed", "ha", "to", "or", "it", "is", "hi", "es", "ng"),
+    "de" -> Seq("en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge",
+      "un", "he", "st", "be", "sc", "an", "di", "ic", "es", "ne"),
+    "fr" -> Seq("es", "le", "de", "en", "on", "nt", "re", "ou", "ai", "ti",
+      "an", "it", "qu", "la", "et", "io", "ns", "ur", "em", "us"),
+    "es" -> Seq("de", "es", "en", "el", "la", "os", "ar", "ue", "ra", "re",
+      "er", "as", "on", "st", "ad", "al", "or", "ta", "ci", "io"),
+    "it" -> Seq("di", "to", "er", "re", "la", "on", "co", "ti", "no", "le",
+      "in", "ne", "ri", "el", "ta", "al", "en", "io", "an", "il"))
+
+  /** Score a text against each profile: sum of (rank weight) for each
+    * profile bigram occurrence; highest score wins. Deterministic;
+    * ties broken by language code order. */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val lower = text.toLowerCase
+    val bigrams = new scala.collection.mutable.HashMap[String, Int]()
+    var i = 0
+    while (i < lower.length - 1) {
+      val b = lower.substring(i, i + 2)
+      if (b.forall(c => c.isLetter)) bigrams.update(b, bigrams.getOrElse(b, 0) + 1)
+      i += 1
+    }
+    if (bigrams.isEmpty) return "und"
+    val scored = langProfiles.toSeq.map { case (lang, profile) =>
+      val score = profile.zipWithIndex.map { case (bg, rank) =>
+        bigrams.getOrElse(bg, 0).toLong * (profile.size - rank)
+      }.sum
+      (lang, score)
+    }
+    val best = scored.maxBy { case (lang, s) => (s, lang) }
+    if (best._2 == 0L) "und" else best._1
+  }
+
+  private val langUdf = udf((s: String) => detectLanguage(s))
+
+  def languageId(text: Column): Column = langUdf(text)
+}

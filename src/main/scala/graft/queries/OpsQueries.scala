@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, SimilaritySearch, TextAnalysis}
+
+/** The training-data-pipeline operators (SURVEY extended surface) as
+  * driver-checkable queries over the documents/embeddings tables. */
+object OpsQueries {
+  import Queries.table
+
+  /** Token counting + BPE estimate (integer-exact, oracle-matched). */
+  def q13DocTokens(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe_tokens"))
+
+  /** Quality scoring: stopword occurrence counts (integer-exact). */
+  def q14TextQuality(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wordOccurrences(col("text"), "the").as("n_stopword_the"),
+        TextAnalysis.wordOccurrences(col("text"), "a").as("n_stopword_a"),
+        TextAnalysis.wordOccurrences(col("text"), "spark").as("n_word_spark"))
+
+  /** Exact dedup via content hash (md5 identical in both engines). */
+  def q15ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(table(spark, dir, "documents"))
+
+  /** Pairwise word-bigram Jaccard, integer intersection/union counts,
+    * for pairs sharing ≥ 8 bigrams. */
+  def q16NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(table(spark, dir, "documents"), n = 2, minIntersect = 8)
+
+  /** MinHash+LSH near-dup candidates (bigram shingles) verified at
+    * Jaccard ≥ 0.5 (approximate candidate generation → no SQL oracle;
+    * rows-only; recall gate lives in MinHashSpec). */
+  def q17MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(table(spark, dir, "documents"),
+      n = 2, numHashes = 64, bands = 16, minJaccard = 0.5)
+
+  /** SimHash fingerprints (xxhash64-based; rows-only). */
+  def q18Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(table(spark, dir, "documents"))
+
+  /** Brute-force cosine top-5 for the first 10 vectors (exact baseline). */
+  def q19CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    SimilaritySearch.bruteForceTopK(
+      emb.filter(col("vec_id") < 10), emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN top-5 (approximate; rows-only — its quality gate
+    * is the recall spec against q19's baseline). */
+  def q20LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    SimilaritySearch.lshTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** n-gram language ID over documents (heuristic; rows-only). */
+  def q21LangId(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+
+  /** Rolling-hash document fingerprints (rows-only). */
+  def q22Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp64"))
+
+  /** Embedding near-dup pairs above cosine 0.45, blocked by the label
+    * column (exact within block — deterministic double arithmetic, so
+    * DuckDB-oracle-checkable; the LSH-blocked variant is the unlabeled
+    * scale path, gated by its recall spec). */
+  def q23EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("label"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("label"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", Dedup.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= 0.45)
+      .select(col("id1"), col("id2"))
+  }
+}

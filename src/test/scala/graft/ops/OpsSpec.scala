@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for the approximate operators: planted near-duplicates
+  * must be found, exact baselines must bound the approximations. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 30 base docs of 60 random words from a 50-word vocab, plus planted
+  // near-dups: one word changed (high jaccard), and one full copy.
+  lazy val docs = {
+    val rnd = new scala.util.Random(7)
+    // vocab large enough that unrelated docs share few words — with a
+    // tiny vocab every pair is genuinely similar and near-dup separation
+    // doesn't exist in the data itself
+    val vocab = (0 until 2000).map(i => s"w$i")
+    val base = (0 until 30).map { id =>
+      (id.toLong, (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDup = {
+      val (_, t) = base(3)
+      val words = t.split(" "); words(10) = "CHANGED"
+      (100L, words.mkString(" "))
+    }
+    val exactDup = (101L, base(5)._2)
+    (base :+ nearDup :+ exactDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup collapses the planted copy") {
+    val groups = Dedup.exactDedup(docs)
+    assert(groups.count() == 31) // 32 docs, one exact dup
+    assert(groups.filter(col("n_copies") === 2).count() == 1)
+    val reps = Dedup.exactDedupRows(docs)
+    assert(reps.count() == 31)
+    assert(reps.filter(col("doc_id") === 101L).count() == 0) // rep is id 5
+  }
+
+  test("ngram jaccard finds the planted near-dup with high similarity") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 2, minIntersect = 2)
+      .withColumn("j", col("inter_n").cast("double") / col("union_n"))
+    val planted = pairs.filter(col("id1") === 3 && col("id2") === 100).collect()
+    assert(planted.length == 1)
+    assert(planted(0).getAs[Double]("j") > 0.8, s"jaccard=${planted(0)}")
+    val copy = pairs.filter(col("id1") === 5 && col("id2") === 101).collect()
+    assert(copy(0).getAs[Double]("j") == 1.0)
+  }
+
+  test("minhash LSH recovers every high-jaccard pair the exact scan finds") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 2, minIntersect = 2)
+      .filter(col("inter_n") >= col("union_n") * 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedupPairs(docs, n = 2, numHashes = 64, bands = 16,
+      minJaccard = 0.5).select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted pairs should exist at jaccard >= 0.5")
+    // verification step makes precision exact; banding 64/16 at j>=0.5
+    // has >99.9% per-pair recall — planted pairs must all surface
+    assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
+    assert(lsh.subsetOf(exact), s"false positives survived verify: ${lsh -- exact}")
+  }
+
+  test("simhash: near-dup within small hamming distance, random docs far") {
+    val fps = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val planted = ham(fps(3L), fps(100L))
+    assert(ham(fps(5L), fps(101L)) == 0)
+    val others = for (i <- 0 until 30 if i != 3; j <- i + 1 until 30 if j != 3)
+      yield ham(fps(i.toLong), fps(j.toLong))
+    // the planted near-dup must be strictly separated from unrelated pairs
+    assert(planted < others.min,
+      s"no separation: planted=$planted unrelated_min=${others.min}")
+  }
+
+  test("simhashPairs surfaces exactly the planted pairs at maxDist 3") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs), maxDist = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 101L)))
+    assert(pairs.forall { case (a, b) => Set((5L, 101L), (3L, 100L)).contains((a, b)) })
+  }
+
+  test("LSH ANN achieves high recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    // 10 cluster centers, 30 points each = 300 vectors with real structure
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(queries, vecs, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.lshTopK(queries, vecs, dim = 64, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("language ID recognizes real multilingual text") {
+    // public-domain sentence fragments, one per supported language
+    val samples = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and then it runs into the hills where the other animals are waiting"),
+      ("de", "der schnelle braune fuchs springt über den faulen hund und die anderen tiere warten in den bergen auf ihn und sie schauen zu"),
+      ("fr", "le renard brun rapide saute par dessus le chien paresseux et les autres animaux attendent dans les montagnes en le regardant"),
+      ("es", "el rápido zorro marrón salta sobre el perro perezoso y los demás animales esperan en las montañas mirando la escena"),
+      ("it", "la rapida volpe marrone salta sopra il cane pigro e gli altri animali aspettano nelle montagne guardando la scena"))
+    samples.foreach { case (lang, text) =>
+      assert(TextAnalysis.detectLanguage(text) == lang, s"misclassified $lang")
+    }
+    assert(TextAnalysis.detectLanguage("") == "und")
+    assert(TextAnalysis.detectLanguage("12345 67890") == "und")
+  }
+
+  test("fingerprint is deterministic, order-sensitive, distinct on corpus") {
+    assert(TextAnalysis.fingerprint64("hello world") ==
+      TextAnalysis.fingerprint64("hello world"))
+    assert(TextAnalysis.fingerprint64("hello world") !=
+      TextAnalysis.fingerprint64("world hello"))
+    val fps = docs.select(TextAnalysis.fingerprint(col("text"))).distinct().count()
+    assert(fps == 31) // 32 docs, 1 exact dup
+  }
+
+  test("token counting matches a reference split on the test corpus") {
+    val got = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.collect().foreach { r =>
+      val expected = r.getString(1).split(" ").length.toLong
+      assert(got(r.getLong(0)) == expected)
+    }
+  }
+}
