@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.ingest.DealIngest
+import graft.model.RawActorEvent
+import graft.state.DealStateStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The observe loop as a Structured Streaming job.
+  *
+  * The reference polls the chain head every 10 s and ingests finalized
+  * epochs (backend/bin/deal-observer-backend.js:43-74). Here the event
+  * log is the streaming source (epoch-keyed files; a custom
+  * MicroBatchStream RPC source slots in behind the same DataFrame), the
+  * 10 s loop is `Trigger.ProcessingTime`, and each micro-batch runs the
+  * same idempotent decode→dedup→append used in batch — so replay after
+  * failure is safe with OR without the checkpoint (ST2/ST5: the natural
+  * key dedup makes re-processing an epoch a no-op).
+  *
+  * Finality (ST3) is modeled where the reference models it: a gate at
+  * the source on `height ≤ head − finality`, not an event-time
+  * watermark — un-finalized epochs must not enter the plan at all.
+  */
+object DealObserverStream {
+
+  /** Start the streaming observe loop.
+    *
+    * @param eventsPath  directory of raw-event JSON files (epoch-keyed log)
+    * @param storeRoot   DealStateStore root
+    * @param chainHead   head-height supplier, consulted per micro-batch
+    *                    (the reference's ChainHead RPC, service.js:92-99)
+    */
+  def start(
+      spark: SparkSession,
+      eventsPath: String,
+      storeRoot: String,
+      checkpoint: String,
+      chainHead: () => Int,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      finalityEpochs: Int = DealIngest.FinalityEpochs,
+      maxPastEpochs: Int = DealIngest.MaxPastEpochs): StreamingQuery = {
+
+    val raw = spark.readStream
+      .schema(RawActorEvent.schema)
+      .json(eventsPath)
+
+    raw.writeStream
+      .queryName("deal-observer")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val head = chainHead()
+        val store = new DealStateStore(batch.sparkSession, storeRoot)
+        val existing = store.read()
+        val appended = DealIngest.observe(
+          batch, existing, head, maxPastEpochs, finalityEpochs)
+        val n = appended.cache().count()
+        if (n > 0) store.write(existing.unionByName(appended.drop("epoch_day")))
+        appended.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming telemetry: per-trigger counts by retrievability state over
+    * the event stream — the reference's four COUNT(*) telemetry queries
+    * as one windowed grouped count (ST1 + A4). */
+  def stateCountsStream(spark: SparkSession, eventsPath: String): DataFrame =
+    spark.readStream
+      .schema(RawActorEvent.schema)
+      .json(eventsPath)
+      .groupBy(col("height"))
+      .agg(count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+  import spark.implicits._
+
+  private def header(w: Int, h: Int): Array[Byte] =
+    Array((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+      (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte)
+
+  private def asset(id: Long, kind: String, w: Int, h: Int,
+      durMs: Long = 0L, extra: Int = 64) = {
+    val rnd = new scala.util.Random(id)
+    val payload = new Array[Byte](extra)
+    rnd.nextBytes(payload)
+    MediaAsset(id, kind, header(w, h) ++ payload,
+      MediaMeta(0, 0, durMs, 0, if (kind == "image") "png" else "mp4"))
+  }
+
+  lazy val assets = Seq(
+    asset(1, "image", 640, 480),
+    asset(2, "image", 4000, 3000),
+    asset(3, "video", 1920, 1080, durMs = 10000),
+    MediaAsset(4, "image", Array[Byte](1, 2, 3), MediaMeta(0, 0, 0, 0, "bad"))
+  ).toDS()
+
+  test("decode fills meta from payload and dead-letters undecodable assets") {
+    val decoded = decodeImages(assets).collect().map(a => a.asset_id -> a.meta).toMap
+    assert(decoded.keySet == Set(1L, 2L, 3L)) // asset 4 dropped (3 bytes)
+    assert(decoded(1L).width == 640 && decoded(1L).height == 480)
+    assert(decoded(2L).width == 4000 && decoded(2L).height == 3000)
+  }
+
+  test("resizeMeta computes targets without touching bytes") {
+    val out = resizeMeta(decodeImages(assets).toDF(), maxDim = 1000)
+      .select("asset_id", "target_width", "target_height", "needs_resize")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((640, 480, false)))
+    assert(out(2L) == ((1000, 750, true)))
+  }
+
+  test("feature extraction is deterministic with the declared shape") {
+    val f1 = extractFeatures(assets, dim = 8).collect().sortBy(_.asset_id)
+    val f2 = extractFeatures(assets, dim = 8).collect().sortBy(_.asset_id)
+    assert(f1.map(_.features.toList).toList == f2.map(_.features.toList).toList)
+    assert(f1.forall(_.features.size == 8))
+    assert(f1.map(_.n_bytes).toList == List(72L, 72L, 72L, 3L))
+  }
+
+  test("frame sampling yields one row per interval, video only") {
+    val frames = sampleFrames(decodeImages(assets), everyMs = 1000).collect()
+    assert(frames.forall(_.asset_id == 3L))
+    assert(frames.length == 10) // 10 s / 1 s
+    assert(frames.map(_.offset_ms).sorted.toList == (0 until 10).map(_ * 1000L).toList)
+    assert(frames.forall(_.frame_bytes.length <= 16))
+  }
+
+  test("binary round-trips through parquet with the declared schema") {
+    val dir = java.nio.file.Files.createTempDirectory("mm").toString
+    assets.toDF().write.mode("overwrite").parquet(dir)
+    val back = spark.read.schema(Multimodal.assetSchema).parquet(dir)
+    assert(back.count() == 4)
+    assert(back.filter(length(col("bytes")) > 8).count() == 3)
+  }
+}

@@ -49,6 +49,47 @@ object PipelineDemo {
     println(s"SUBMIT submitted=${sr.submitted} batches=$batches")
     store.write(sr.newState)
     println(s"FINAL submitted_rows=${store.read().filter(col("submitted_at").isNotNull).count()} version=${store.latestVersion}")
+
+    // --- streaming drive: same pipeline behind Structured Streaming
+    val evDir = java.nio.file.Files.createTempDirectory("drive-ev").toString
+    val stDir = java.nio.file.Files.createTempDirectory("drive-st").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("drive-ck").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fx/rawActorEvents.json"),
+      java.nio.file.Paths.get(s"$evDir/b0.json"))
+    val q = graft.streaming.DealObserverStream.start(spark, evDir, stDir, ckDir,
+      chainHead = () => 4622139 + 940,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val sstore = new DealStateStore(spark, stDir)
+    println(s"STREAM rows=${sstore.read().count()}")
+    // overlapping replay file → idempotent
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fx/rawActorEvents.json"),
+      java.nio.file.Paths.get(s"$evDir/b1.json"))
+    val q2 = graft.streaming.DealObserverStream.start(spark, evDir, stDir, ckDir,
+      chainHead = () => 4622139 + 940,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    println(s"STREAM_REPLAY rows=${sstore.read().count()}")
+
+    // --- multimodal drive
+    import graft.ops.Multimodal
+    implicit val sp: SparkSession = spark
+    import sp.implicits._
+    def header(w: Int, h: Int): Array[Byte] =
+      Array((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+        (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte)
+    val assets = Seq(
+      Multimodal.MediaAsset(1, "image", header(4000, 3000) ++ Array.fill(64)(7.toByte),
+        Multimodal.MediaMeta(0, 0, 0, 0, "png")),
+      Multimodal.MediaAsset(2, "video", header(1920, 1080) ++ Array.fill(64)(9.toByte),
+        Multimodal.MediaMeta(0, 0, 5000, 0, "mp4"))).toDS()
+    val decoded = Multimodal.decodeImages(assets)
+    val resized = Multimodal.resizeMeta(decoded.toDF(), 1000)
+      .select("asset_id", "target_width", "target_height").collect()
+    println(s"MULTIMODAL resize=${resized.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList}")
+    println(s"MULTIMODAL frames=${Multimodal.sampleFrames(decoded, 1000).count()}")
     spark.stop()
   }
 }
