@@ -116,13 +116,14 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q16_ngram_jaccard" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
-        |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+      """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
         |sizes AS (SELECT doc_id, count(*) AS set_n FROM grams GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter_n
-        |  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM grams a JOIN grams b
+        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8)
         |SELECT id1, id2, inter_n, s1.set_n + s2.set_n - inter_n AS union_n
         |FROM pairs

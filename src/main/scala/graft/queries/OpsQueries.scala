@@ -29,10 +29,12 @@ object OpsQueries {
   def q15ExactDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(table(spark, dir, "documents"))
 
-  /** Pairwise word-bigram Jaccard, integer intersection/union counts,
-    * for pairs sharing ≥ 8 bigrams. */
+  /** Pairwise word-bigram Jaccard within each source shard (blocked
+    * near-dup sweep), integer intersection/union counts, pairs sharing
+    * ≥ 8 bigrams. Cross-shard dedup is q17's MinHash-LSH. */
   def q16NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(table(spark, dir, "documents"), n = 2, minIntersect = 8)
+    Dedup.ngramJaccardPairs(table(spark, dir, "documents"), n = 2, minIntersect = 8,
+      blockCol = Some("source"))
 
   /** MinHash+LSH near-dup candidates (bigram shingles) verified at
     * Jaccard ≥ 0.5 (approximate candidate generation → no SQL oracle;

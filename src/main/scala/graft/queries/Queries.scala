@@ -91,8 +91,12 @@ object Queries {
     * backend/lib/deal-observer.js:102). */
   def q06AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
-    val l = table(spark, dir, "lineitem").filter(col("l_quantity") > 45)
-    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+    // The probe side prunes to one selective column before the anti-join;
+    // broadcast it (same shape as the ingest dedup: the small filtered
+    // side broadcasts, the big side never shuffles).
+    val l = table(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45).select("l_orderkey")
+    o.join(broadcast(l), o("o_orderkey") === l("l_orderkey"), "left_anti")
       .select(col("o_orderkey"), col("o_orderstatus"))
   }
 

@@ -1,0 +1,19 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Print formatted plans for chosen queries: Test/runMain graft.pipeline.ExplainDemo q06_anti_join */
+object ExplainDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    args.foreach { q =>
+      println(s"===== $q")
+      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
