@@ -56,7 +56,8 @@ object SparkEntry {
         |  WHERE event_type IN ('click','error') AND value > 50
         |  ORDER BY ts ASC, event_id ASC LIMIT 1000)""".stripMargin,
     "q04_state_counts" ->
-      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "q05_filtered_counts" ->
       """SELECT count(*) AS n_total,
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,

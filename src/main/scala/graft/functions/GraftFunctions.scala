@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.codec.{DagCbor, EventCodec}
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** The engine's scalar-function surface, registered for `spark.sql` so
+  * every capability is reachable from SQL as well as the DataFrame API.
+  *
+  *   epoch_to_timestamp / timestamp_to_epoch  — U1/U2 column algebra
+  *   cbor_decode_long / cbor_decode_cid       — T1/U7 dag-cbor codec
+  *   graft_language_id / graft_fingerprint64  — text analysis
+  *   vector_dot / vector_sq / cosine_sim      — native embedding math
+  */
+object GraftFunctions {
+
+  def registerAll(spark: SparkSession): Unit = {
+    EpochFunctions.register(spark)
+
+    spark.udf.register("cbor_decode_long", (b64: String) =>
+      DagCbor.decodeBase64(b64) match {
+        case DagCbor.IntVal(v) => v
+        case other => throw new IllegalArgumentException(s"not an int: $other")
+      })
+    spark.udf.register("cbor_decode_cid", (b64: String) =>
+      DagCbor.decodeBase64(b64) match {
+        case DagCbor.CidVal(v) => v
+        case other => throw new IllegalArgumentException(s"not a CID: $other")
+      })
+    spark.udf.register("graft_language_id",
+      (s: String) => TextAnalysis.detectLanguage(s))
+    spark.udf.register("graft_fingerprint64",
+      (s: String) => if (s == null) null else Long.box(TextAnalysis.fingerprint64(s)))
+
+    // native expressions registered straight into the function registry
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot", exprs => VectorExpressions.VectorDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_sq", exprs => VectorExpressions.VectorSq(exprs.head), "scala_udf")
+    spark.udf.register("cosine_sim", (a: Seq[Float], b: Seq[Float]) => {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    })
+  }
+}
+
+/** Session extensions: `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VectorExpressions.VectorDot].getName, "vector_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorExpressions.VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vector_sq"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VectorExpressions.VectorSq].getName, "vector_sq"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorExpressions.VectorSq(exprs.head)))
+  }
+}

