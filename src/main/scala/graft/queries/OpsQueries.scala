@@ -52,7 +52,7 @@ object OpsQueries {
     val emb = table(spark, dir, "embeddings")
     SimilaritySearch.bruteForceTopK(
       emb.filter(col("vec_id") < 10), emb, k = 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
   /** LSH-bucketed ANN top-5 (approximate; rows-only — its quality gate
@@ -60,7 +60,7 @@ object OpsQueries {
   def q20LshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     SimilaritySearch.lshTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
   /** n-gram language ID over documents (heuristic; rows-only). */

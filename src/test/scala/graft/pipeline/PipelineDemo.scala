@@ -111,6 +111,19 @@ object PipelineDemo {
         |       vector_dot(array(1.0f,2.0f), array(3.0f,4.0f)) AS dot""".stripMargin)
       .collect()(0)
     println(s"SQL big=${sqlRow.getLong(0)} roundtrip=${sqlRow.getInt(1)} dot=${sqlRow.getDouble(2)}")
+
+    // --- stateful streaming resolve (flatMapGroupsWithState)
+    import graft.streaming.ResolveStream
+    import graft.streaming.ResolveStream.ResolveAttempt
+    val day = 86400000L
+    val t0 = 1700000000000L
+    val updates = ResolveStream(Seq(
+      ResolveAttempt("dealA", None, t0),
+      ResolveAttempt("dealA", None, t0 + 4 * day),
+      ResolveAttempt("dealB", Some("bafyB"), t0)).toDS())
+      .collect().sortBy(u => (u.dealKey, u.lastAttemptMs))
+      .map(u => s"${u.dealKey}:${u.state.split("_").last}")
+    println(s"RESOLVE_STREAM ${updates.mkString(",")}")
     spark.stop()
   }
 }
