@@ -101,9 +101,9 @@ object Dedup {
 
   // --------------------------------------------------------- MinHash/LSH
 
-  /** MinHash signature: numHashes permutations simulated as
-    * (a_i * h + b_i) mod p over xxhash64(shingle), min per doc.
-    * Pure built-ins → whole-stage codegen, one shuffle (the groupBy). */
+  /** MinHash signature over a hashed-shingle relation (id, sh: long):
+    * numHashes permutations simulated as (a_i * h + b_i) mod p, min per
+    * doc. Pure built-ins → whole-stage codegen, one shuffle (the groupBy). */
   def minhashSignatures(sh: DataFrame, numHashes: Int, seed: Long = 42L): DataFrame = {
     // 2^31-1 keeps a*h < 2^62: no Long overflow under ANSI mode, and a
     // 2^31 hash space is ample for minhash rank comparisons.
@@ -111,7 +111,7 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
       math.abs(rnd.nextLong()) % p))
-    val h = pmod(xxhash64(col("shingle")), lit(p))
+    val h = pmod(col("sh"), lit(p))
     val mins = coefs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(h * lit(a) + lit(b), lit(p))).as(s"mh_$i")
     }
@@ -141,18 +141,47 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    * candidates → exact Jaccard verification ≥ threshold. */
+    * candidates → estimator gate → exact Jaccard verification ≥ threshold.
+    *
+    * The estimator gate is the scale lever: banding alone can emit a
+    * near-quadratic candidate set on a homogeneous corpus, and exact
+    * verification joins shingle sets per pair. Estimating Jaccard from
+    * the already-computed signatures (matching components / numHashes)
+    * is pure column arithmetic per pair — candidates far below the
+    * threshold die before any shingle join. The margin (2.5σ of the
+    * 64-hash estimator) keeps recall; precision stays exact because
+    * survivors are still verified. */
   def minhashDedupPairs(
       df: DataFrame, n: Int, numHashes: Int, bands: Int, minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(df, n, idCol, textCol).cache()
-    val sigs = minhashSignatures(sh, numHashes)
+    val sh = shingles(df, n, idCol, textCol)
+      .withColumn("sh", xxhash64(col("shingle"))).drop("shingle").cache()
+    val sigs = minhashSignatures(sh, numHashes).cache()
     val cands = lshCandidatePairs(sigs, numHashes, bands)
+
+    // estimator gate: est(J) = matching signature components / numHashes
+    val s1 = sigs.toDF("id1" +: (0 until numHashes).map(i => s"a_$i"): _*)
+    val s2 = sigs.toDF("id2" +: (0 until numHashes).map(i => s"b_$i"): _*)
+    val estMatches = (0 until numHashes)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sigma = math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
+    val gate = math.max(0.0, minJaccard - 2.5 * sigma) * numHashes
+    // signatures are one row per doc — broadcast both sides so the
+    // (potentially huge) candidate set is gated map-side, no shuffle
+    val strong = cands.join(broadcast(s1), "id1").join(broadcast(s2), "id2")
+      .withColumn("est_m", estMatches)
+      .filter(col("est_m") >= gate)
+      .select("id1", "id2").cache()
+
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_n"))
-    // exact Jaccard recomputed only for the LSH candidates
-    val inter = cands
-      .join(sh.as("s1"), col("id1") === col("s1.id"))
-      .join(sh.as("s2"), col("id2") === col("s2.id") && col("s1.shingle") === col("s2.shingle"))
+    // exact verification only for gate survivors, on hashed shingles of
+    // just the surviving docs
+    val candIds = strong.select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+    val shC = sh.join(broadcast(candIds), "id").cache()
+    val inter = strong
+      .join(shC.as("s1"), col("id1") === col("s1.id"))
+      .join(shC.as("s2"), col("id2") === col("s2.id") && col("s1.sh") === col("s2.sh"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
     inter
       .join(sizes.select(col("id").as("id1"), col("set_n").as("n1")), "id1")
