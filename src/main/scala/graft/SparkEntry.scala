@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{OpsQueries, Queries}
+import graft.queries.{DealQueries, OpsQueries, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -32,7 +32,10 @@ object SparkEntry {
     "q20_lsh_topk" -> (OpsQueries.q20LshTopK _),
     "q21_langid" -> (OpsQueries.q21LangId _),
     "q22_fingerprint" -> (OpsQueries.q22Fingerprint _),
-    "q23_embedding_neardup" -> (OpsQueries.q23EmbeddingNearDup _)
+    "q23_embedding_neardup" -> (OpsQueries.q23EmbeddingNearDup _),
+    "q24_deal_decode" -> (DealQueries.q24DealDecode _),
+    "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
+    "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
