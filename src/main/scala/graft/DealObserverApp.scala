@@ -1,0 +1,104 @@
+package graft
+
+import graft.ingest.DealIngest
+import graft.state.{DealStateStore, ResolvePayloadCids, SubmitDeals}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** The reference backend binary restated: three loops over one state
+  * store (reference: backend/bin/deal-observer-backend.js:165-173).
+  *
+  *   observe — streaming query over the epoch event source
+  *   resolve — per-tick batch: work queue → lookups → state machine
+  *   submit  — per-tick batch: eligibility → POST batches → flag
+  *
+  * Resolve and submit run as timed ticks between micro-batches (they
+  * touch disjoint columns from observe's appends; the snapshot store
+  * serializes writers). Transports (peerId dim, payload lookup, POST)
+  * are injected, mirroring the reference's DI style
+  * (resolve-payload-cids.js:32, spark-api-submit-deals.js:15).
+  *
+  * Run: `runMain graft.DealObserverApp <eventLog> <headFile> <storeRoot>
+  * <checkpoint> [maxTicks]` — file-transport demo wiring; a deployment
+  * swaps the lambdas.
+  */
+object DealObserverApp {
+
+  final case class Config(
+      eventLog: String,
+      headFile: String,
+      storeRoot: String,
+      checkpoint: String,
+      loopIntervalSecs: Int = 10, // reference LOOP_INTERVAL, bin:27
+      maxDeals: Int = 1000, // resolutions per tick, bin:128
+      submitBatchSize: Int = 100) // bin:18
+
+  def observeQuery(spark: SparkSession, cfg: Config, chainHead: () => Int,
+      trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.DealObserverStream.start(
+      spark, cfg.eventLog, cfg.storeRoot, cfg.checkpoint, chainHead, trigger)
+
+  def resolveTick(
+      spark: SparkSession, cfg: Config,
+      peerIds: DataFrame, payloadLookup: DataFrame,
+      now: java.sql.Timestamp): Unit = {
+    val store = new DealStateStore(spark, cfg.storeRoot)
+    val state = store.read()
+    if (!state.isEmpty)
+      store.write(ResolvePayloadCids.resolve(
+        state, peerIds, payloadLookup, now, cfg.maxDeals))
+  }
+
+  def submitTick(
+      spark: SparkSession, cfg: Config,
+      post: Seq[Row] => (Long, Long),
+      now: java.sql.Timestamp): SubmitDeals.SubmitResult = {
+    val store = new DealStateStore(spark, cfg.storeRoot)
+    val state = store.read()
+    val res = SubmitDeals.submit(state, now, cfg.submitBatchSize, post)
+    if (res.submitted > 0) store.write(res.newState)
+    res
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = Config(args(0), args(1), args(2), args(3))
+    val maxTicks = if (args.length > 4) args(4).toInt else 1
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("deal-observer")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.registerAll(spark)
+
+    def chainHead(): Int = {
+      val src = scala.io.Source.fromFile(cfg.headFile)
+      try com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(src.mkString).get("Height").asInt
+      finally src.close()
+    }
+
+    // demo transports: dimension/lookup tables beside the event log,
+    // stdout "POST" — a deployment injects HTTP clients here
+    val peer = spark.read.json(s"${cfg.eventLog}/../minerPeerIds.json")
+    val pay = spark.read.json(s"${cfg.eventLog}/../payloadCids.json")
+
+    var tick = 0
+    while (tick < maxTicks) {
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val q = observeQuery(spark, cfg, chainHead _, Trigger.AvailableNow())
+      q.awaitTermination()
+      resolveTick(spark, cfg, peer, pay, now)
+      val sub = submitTick(spark, cfg,
+        rows => { println(s"[submit] POST batch of ${rows.length}"); (rows.length.toLong, 0L) },
+        now)
+      val store = new DealStateStore(spark, cfg.storeRoot)
+      println(s"[tick $tick] state=${store.read().count()} submitted=${sub.submitted}")
+      tick += 1
+      if (tick < maxTicks) Thread.sleep(cfg.loopIntervalSecs * 1000L)
+    }
+    spark.stop()
+  }
+}
