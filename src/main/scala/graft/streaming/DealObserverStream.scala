@@ -72,4 +72,26 @@ object DealObserverStream {
       .json(eventsPath)
       .groupBy(col("height"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** ST5, fully-streaming variant: decode the event stream and drop
+    * natural-key duplicates inside the engine's dedup state instead of
+    * anti-joining the store. The watermark on epoch-derived event time
+    * bounds that state — duplicates can only arrive within the finality
+    * window, so `withWatermark(finality)` + dropDuplicatesWithinWatermark
+    * is exactly the reference's uniqueness guarantee with O(window)
+    * state instead of O(table). The snapshot-store anti-join path
+    * (`start`) remains the replay-safe batch formulation. */
+  def dedupedDealStream(
+      spark: SparkSession,
+      eventsPath: String,
+      watermark: String = "8 hours"): DataFrame = {
+    val decoded = graft.codec.EventCodec.toActiveDeals(
+      graft.codec.EventCodec.decodeBlockEvents(
+        spark.readStream.schema(RawActorEvent.schema).json(eventsPath)))
+    decoded
+      .withColumn("event_time",
+        graft.functions.EpochFunctions.epochToTimestamp(col("activated_at_epoch")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(graft.model.ActiveDeal.naturalKey)
+  }
 }

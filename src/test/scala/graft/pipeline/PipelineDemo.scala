@@ -72,6 +72,15 @@ object PipelineDemo {
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q2.awaitTermination(120000)
     println(s"STREAM_REPLAY rows=${sstore.read().count()}")
+    // watermark-state dedup variant over a log containing full duplicates
+    val wq = graft.streaming.DealObserverStream.dedupedDealStream(spark, evDir)
+      .writeStream.format("memory").queryName("demo_wmk")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("drive-wmk").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    wq.awaitTermination(120000)
+    println(s"STREAM_WMK_DEDUP rows=${spark.table("demo_wmk").count()}")
 
     // --- multimodal drive
     import graft.ops.Multimodal

@@ -39,6 +39,26 @@ class StreamingSpec extends SparkSpec {
     assert(st.read().dropDuplicates(ActiveDeal.naturalKey).count() == 360)
   }
 
+  test("dropDuplicatesWithinWatermark dedupes the stream without the store") {
+    val events = tmp("stream-wmk")
+    // the fixture twice = every deal duplicated across two files
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.fixtures}/rawActorEvents.json"),
+      java.nio.file.Paths.get(s"$events/a.json"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.fixtures}/rawActorEvents.json"),
+      java.nio.file.Paths.get(s"$events/b.json"))
+    val q = DealObserverStream.dedupedDealStream(spark, events)
+      .writeStream.format("memory").queryName("wmk_deals")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("stream-wmk-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("wmk_deals").count() == 360)
+    assert(spark.table("wmk_deals")
+      .dropDuplicates(ActiveDeal.naturalKey).count() == 360)
+  }
+
   test("finality gate holds in streaming: young epochs never enter the store") {
     val events = tmp("stream-events2")
     val store = tmp("stream-store2")
