@@ -1,6 +1,5 @@
 package graft.functions
 
-import graft.codec.{DagCbor, EventCodec}
 import graft.ops.TextAnalysis
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -18,16 +17,11 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     EpochFunctions.register(spark)
 
-    spark.udf.register("cbor_decode_long", (b64: String) =>
-      DagCbor.decodeBase64(b64) match {
-        case DagCbor.IntVal(v) => v
-        case other => throw new IllegalArgumentException(s"not an int: $other")
-      })
-    spark.udf.register("cbor_decode_cid", (b64: String) =>
-      DagCbor.decodeBase64(b64) match {
-        case DagCbor.CidVal(v) => v
-        case other => throw new IllegalArgumentException(s"not a CID: $other")
-      })
+    // native expressions (null on non-matching shape, dead-letter style)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cbor_decode_long", exprs => graft.codec.CborExpressions.CborLong(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cbor_decode_cid", exprs => graft.codec.CborExpressions.CborCid(exprs.head), "scala_udf")
     spark.udf.register("graft_language_id",
       (s: String) => TextAnalysis.detectLanguage(s))
     spark.udf.register("graft_fingerprint64",
