@@ -23,13 +23,15 @@ object SimilaritySearch {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-pattern LSH key: bit b = sign(vec · plane_b). Pure column
-    * algebra (the plane constants are literals folded into codegen). */
+  /** Sign-pattern LSH key: bit b = sign(vec · plane_b). Each dot is one
+    * native VectorDot against a literal plane vector — 8 fused loops,
+    * not an 8×dim element_at expression tree (which made janino compile
+    * time the dominant cost). */
   def hyperplaneKey(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
     val pvs = planeVectors(dim, planes, seed)
     val bits = pvs.zipWithIndex.map { case (pv, b) =>
-      val dot = (0 until dim).map(i => element_at(vec, i + 1).cast("double") * lit(pv(i)))
-        .reduce(_ + _)
+      val plane = typedLit[Seq[Float]](pv.map(_.toFloat).toSeq)
+      val dot = graft.functions.VectorExpressions.vectorDot(vec, plane)
       when(dot >= 0, shiftleft(lit(1), b)).otherwise(0)
     }
     bits.reduce(_.bitwiseOR(_)).cast("int")
