@@ -33,6 +33,9 @@ object SparkEntry {
     "q21_langid" -> (OpsQueries.q21LangId _),
     "q22_fingerprint" -> (OpsQueries.q22Fingerprint _),
     "q23_embedding_neardup" -> (OpsQueries.q23EmbeddingNearDup _),
+    "q27_vocab_topk" -> (OpsQueries.q27VocabTopK _),
+    "q28_rollup" -> (OpsQueries.q28Rollup _),
+    "q29_set_ops" -> (OpsQueries.q29SetOps _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -148,6 +151,25 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    "q27_vocab_topk" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+    "q28_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q29_set_ops" ->
+      """SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin
   )
 }

@@ -73,6 +73,44 @@ object OpsQueries {
     table(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp64"))
 
+  /** Generator (UDTF-analog) coverage: explode the token stream and
+    * rank the vocabulary — top 100 words by frequency, deterministic
+    * tiebreak on the word. */
+  def q27VocabTopK(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(100)
+
+  /** Rollup coverage (§2.5 extension): revenue by region/nation with
+    * subtotals and a grand total. */
+  def q28Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    val n = table(spark, dir, "nation")
+    val r = table(spark, dir, "region")
+    import org.apache.spark.sql.types.DecimalType
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Set-operation coverage (§2.7): INTERSECT of open-order and
+    * recent-order customers, EXCEPT those with a high-value order. */
+  def q29SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val recent = o.filter(col("o_orderdate") >= lit("1999-01-01")).select(col("o_custkey"))
+    val big = o.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+    open.intersect(recent).except(big)
+      .select(col("o_custkey").as("cust_key"))
+  }
+
   /** Embedding near-dup pairs above cosine 0.45, blocked by the label
     * column (exact within block — deterministic double arithmetic, so
     * DuckDB-oracle-checkable; the LSH-blocked variant is the unlabeled
