@@ -33,6 +33,7 @@ object SparkEntry {
     "q21_langid" -> (OpsQueries.q21LangId _),
     "q22_fingerprint" -> (OpsQueries.q22Fingerprint _),
     "q23_embedding_neardup" -> (OpsQueries.q23EmbeddingNearDup _),
+    "q30_ivf_topk" -> (OpsQueries.q30IvfTopK _),
     "q27_vocab_topk" -> (OpsQueries.q27VocabTopK _),
     "q28_rollup" -> (OpsQueries.q28Rollup _),
     "q29_set_ops" -> (OpsQueries.q29SetOps _),

@@ -54,6 +54,52 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF (inverted-file) ANN top-k: a KMeans coarse quantizer assigns
+    * every corpus vector to its nearest of `nlist` centroids; each
+    * query scores only the vectors in its `nprobe` closest cells. The
+    * index build is one KMeans fit + one assignment pass; the search
+    * shuffle is bounded by cell membership, never the corpus square.
+    * Deterministic via fixed seed. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, seed: Long = 13L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val train = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(train.select("features"))
+    val assigned = model.transform(train)
+      .select(col("neighbor_id"), col("cvec"), col("prediction").as("cell"))
+
+    val centroids = model.clusterCenters.zipWithIndex
+    // nprobe nearest cells per query, computed driver-side per row via a
+    // UDF over the tiny centroid set (nlist × dim doubles, broadcast)
+    val probeCells = udf { (v: Seq[Float]) =>
+      centroids.map { case (c: Vector, i: Int) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.size) { val t = c(j) - v(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(probeCells(col(vecCol))).as("cell"))
+
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+      .select("query_id", "neighbor_id", "cos").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** LSH-bucketed ANN top-k with one-bit multi-probe: each query probes
     * its own bucket plus the `planes` single-bit-flip neighbors, then
     * scores only those corpus rows. Recall < 1 by construction; the

@@ -63,6 +63,14 @@ object OpsQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF ANN top-5 (KMeans coarse quantizer; approximate, rows-only —
+    * gated by its recall spec like q20). */
+  def q30IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** n-gram language ID over documents (heuristic; rows-only). */
   def q21LangId(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")

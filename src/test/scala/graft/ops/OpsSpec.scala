@@ -99,6 +99,24 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF ANN achieves high recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(queries, vecs, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilaritySearch.ivfTopK(queries, vecs, k = 10, nlist = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("language ID recognizes real multilingual text") {
     // public-domain sentence fragments, one per supported language
     val samples = Seq(
