@@ -34,6 +34,7 @@ object SparkEntry {
     "q22_fingerprint" -> (OpsQueries.q22Fingerprint _),
     "q23_embedding_neardup" -> (OpsQueries.q23EmbeddingNearDup _),
     "q30_ivf_topk" -> (OpsQueries.q30IvfTopK _),
+    "q31_asof_join" -> (OpsQueries.q31AsofJoin _),
     "q27_vocab_topk" -> (OpsQueries.q27VocabTopK _),
     "q28_rollup" -> (OpsQueries.q28Rollup _),
     "q29_set_ops" -> (OpsQueries.q29SetOps _),
@@ -171,6 +172,12 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
         |EXCEPT
-        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
+    "q31_asof_join" ->
+      """SELECT e.event_id AS error_id, e.user_id,
+        |  c.event_id AS last_click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts""".stripMargin
   )
 }

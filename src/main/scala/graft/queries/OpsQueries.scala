@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, SimilaritySearch, TextAnalysis}
 
 /** The training-data-pipeline operators (SURVEY extended surface) as
   * driver-checkable queries over the documents/embeddings tables. */
@@ -69,6 +69,20 @@ object OpsQueries {
     val emb = table(spark, dir, "embeddings")
     SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** As-of join: for each error event, the most recent click of the
+    * same user at or before it (DuckDB's native ASOF JOIN is the
+    * oracle). */
+  def q31AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOfJoin.lastRightAsOfLeft(errors, clicks,
+        keyCol = "user_id", tsCol = "ts",
+        leftIdCol = "event_id", rightIdCol = "event_id")
+      .select(col("lid").as("error_id"), col("k").as("user_id"),
+        col("asof_rid").as("last_click_id"))
   }
 
   /** n-gram language ID over documents (heuristic; rows-only). */
