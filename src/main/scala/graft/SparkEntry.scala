@@ -35,6 +35,8 @@ object SparkEntry {
     "q23_embedding_neardup" -> (OpsQueries.q23EmbeddingNearDup _),
     "q30_ivf_topk" -> (OpsQueries.q30IvfTopK _),
     "q31_asof_join" -> (OpsQueries.q31AsofJoin _),
+    "q32_sessionize" -> (OpsQueries.q32Sessionize _),
+    "q33_percentiles" -> (OpsQueries.q33Percentiles _),
     "q27_vocab_topk" -> (OpsQueries.q27VocabTopK _),
     "q28_rollup" -> (OpsQueries.q28Rollup _),
     "q29_set_ops" -> (OpsQueries.q29SetOps _),
@@ -178,6 +180,24 @@ object SparkEntry {
         |  c.event_id AS last_click_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON e.user_id = c.user_id AND c.ts <= e.ts""".stripMargin
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts""".stripMargin,
+    "q32_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (SELECT user_id,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC) AS session_id
+        |      FROM g)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin,
+    "q33_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

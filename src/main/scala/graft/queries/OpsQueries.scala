@@ -85,6 +85,34 @@ object OpsQueries {
         col("asof_rid").as("last_click_id"))
   }
 
+  /** Sessionization via gap-and-islands: a new session starts after a
+    * 30-minute silence; per user emit session count and total events —
+    * lag + conditional cumulative sum, the batch formulation of a
+    * streaming session window. */
+  def q32Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Queries.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy("user_id")
+      .agg(max(col("session_id")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Exact percentiles per group (linear interpolation — identical
+    * arithmetic in both engines). */
+  def q33Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Queries.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+
   /** n-gram language ID over documents (heuristic; rows-only). */
   def q21LangId(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
