@@ -40,14 +40,18 @@ final class DealStateStore(spark: SparkSession, root: String) {
       finally in.close()
     }
 
-  /** Current state snapshot; empty (with schema) when uninitialized. */
+  private def emptyState: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ActiveDeal.schema)
+
+  /** Current state snapshot; empty (with schema) when uninitialized.
+    * Chain-aware: full snapshots resolve to themselves, delta versions
+    * resolve each epoch_day to the newest version that wrote it. */
   def read(): DataFrame = latestVersion match {
-    case Some(v) =>
-      spark.read.schema(ActiveDeal.schema.add("epoch_day", "int"))
-        .parquet(new Path(rootPath, s"v=$v").toString)
-        .drop("epoch_day")
-    case None =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ActiveDeal.schema)
+    case Some(_) =>
+      val (days, _) = resolveChain()
+      if (days.isEmpty) emptyState
+      else spark.read.schema(ActiveDeal.schema).parquet(days.values.toSeq: _*)
+    case None => emptyState
   }
 
   /** Write a full replacement snapshot and flip the pointer. */
@@ -59,12 +63,98 @@ final class DealStateStore(spark: SparkSession, root: String) {
       .partitionBy("epoch_day")
       .mode("overwrite")
       .parquet(new Path(rootPath, s"v=$next").toString)
-    val out = fs.create(latestPtr, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    // Retain only the previous snapshot for rollback; drop older ones.
+    flipPointer(next)
+    // GC: keep the new snapshot and everything reachable from the
+    // previous latest (rollback path, incl. its delta parents).
+    val keep = chainVersions(Some(next)) ++ chainVersions(Some(next - 1).filter(_ >= 0))
     val stale = fs.globStatus(new Path(rootPath, "v=*")).map(_.getPath)
-      .filter { p => p.getName.stripPrefix("v=").toLong < next - 1 }
+      .filter { p => !keep.contains(p.getName.stripPrefix("v=").toLong) }
     stale.foreach(p => fs.delete(p, true))
     next
   }
+
+  private def chainVersions(from: Option[Long]): Set[Long] = {
+    var cur = from.filter(v => fs.exists(new Path(rootPath, s"v=$v")))
+    var acc = Set.empty[Long]
+    while (cur.isDefined) { acc += cur.get; cur = parentOf(cur.get) }
+    acc
+  }
+
+  private def flipPointer(next: Long): Unit = {
+    val out = fs.create(latestPtr, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Delta write: replace ONLY the epoch_day partitions present in
+    * `changed`, carrying every other partition forward from the current
+    * snapshot by reference (filesystem copy of untouched day dirs is
+    * avoided; the new version stores just the changed days plus a
+    * `_PARENT` pointer, and `read()` resolves days newest-first).
+    *
+    * This is the 100 TB write path: an ingest tick touches a handful of
+    * recent epoch-days; rewriting them costs O(changed), not O(table).
+    * `compact()` folds a chain back into a full snapshot.
+    *
+    * Limitation: a delta can replace or add days, not tombstone one —
+    * deleting every row of a day requires a full `write()` (the deal
+    * pipeline never deletes, so this never binds here). */
+  def writeDelta(changed: DataFrame): Long = {
+    val next = latestVersion.getOrElse(-1L) + 1
+    val parent = latestVersion
+    val vdir = new Path(rootPath, s"v=$next")
+    changed
+      .withColumn("epoch_day", (col("activated_at_epoch") / EpochsPerDay).cast("int"))
+      .write
+      .partitionBy("epoch_day")
+      .mode("overwrite")
+      .parquet(vdir.toString)
+    parent.foreach { p =>
+      val out = fs.create(new Path(vdir, "_PARENT"), true)
+      try out.write(p.toString.getBytes("UTF-8")) finally out.close()
+    }
+    flipPointer(next)
+    next
+  }
+
+  private def parentOf(version: Long): Option[Long] = {
+    val p = new Path(rootPath, s"v=$version/_PARENT")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def dayDirs(version: Long): Map[Int, String] = {
+    val vdir = new Path(rootPath, s"v=$version")
+    fs.globStatus(new Path(vdir, "epoch_day=*")).map { st =>
+      st.getPath.getName.stripPrefix("epoch_day=").toInt -> st.getPath.toString
+    }.toMap
+  }
+
+  /** Resolve the chain: for each epoch_day take the NEWEST version that
+    * wrote it. Returns the resolved day→path map and the chain length. */
+  private def resolveChain(): (Map[Int, String], Int) = {
+    var days = Map.empty[Int, String]
+    var cur = latestVersion
+    var depth = 0
+    while (cur.isDefined) {
+      val v = cur.get
+      dayDirs(v).foreach { case (d, p) =>
+        if (!days.contains(d)) days += d -> p
+      }
+      cur = parentOf(v)
+      depth += 1
+    }
+    (days, depth)
+  }
+
+  /** Length of the current delta chain (1 = full snapshot). */
+  def chainDepth(): Int =
+    if (latestVersion.isEmpty) 0 else resolveChain()._2
+
+  /** Fold the delta chain into one full snapshot (run when the chain
+    * outgrows the read-amplification budget). */
+  def compact(): Long = write(read())
 }

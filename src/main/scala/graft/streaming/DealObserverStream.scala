@@ -56,7 +56,21 @@ object DealObserverStream {
         val appended = DealIngest.observe(
           batch, existing, head, maxPastEpochs, finalityEpochs)
         val n = appended.cache().count()
-        if (n > 0) store.write(existing.unionByName(appended.drop("epoch_day")))
+        if (n > 0) {
+          // delta write: replace only the epoch-days this batch touched
+          // (existing rows of those days + the new rows) — an ingest
+          // tick costs O(touched days), never O(table)
+          val r = appended.agg(
+            min("activated_at_epoch").as("lo"), max("activated_at_epoch").as("hi"))
+            .collect()(0)
+          val loDay = r.getInt(0) / store.EpochsPerDay
+          val hiDay = r.getInt(1) / store.EpochsPerDay
+          val touched = existing.filter(
+            (col("activated_at_epoch") / store.EpochsPerDay).cast("int")
+              .between(loDay, hiDay))
+          store.writeDelta(touched.unionByName(appended))
+          if (store.chainDepth() > 32) store.compact()
+        }
         appended.unpersist()
         ()
       }

@@ -1,0 +1,72 @@
+package graft.state
+
+import graft.{SparkSpec, TestSpark}
+import graft.ingest.DealIngest
+import graft.model.{ActiveDeal, RawActorEvent}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DeltaStoreSpec extends SparkSpec {
+
+  lazy val raw: DataFrame = spark.read
+    .schema(RawActorEvent.schema)
+    .json(s"${TestSpark.fixtures}/rawActorEvents.json")
+
+  def emptyState: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      ActiveDeal.schema)
+
+  def deals(lo: Int, hi: Int): DataFrame =
+    DealIngest.dedupeAgainst(DealIngest.decodeRange(raw, lo, hi), emptyState)
+
+  test("delta writes replace only touched epoch-days; read resolves the chain") {
+    val dir = java.nio.file.Files.createTempDirectory("delta-store").toString
+    val store = new DealStateStore(spark, dir)
+
+    // two-day state: the fixture day plus a copy shifted one epoch-day
+    val day1 = deals(4622129, 4622139)
+    val day2 = day1.withColumn("activated_at_epoch", col("activated_at_epoch") + 2880)
+    store.write(day1.unionByName(day2))
+    assert(store.read().count() == 720)
+    assert(store.chainDepth() == 1)
+
+    // delta touching ONLY day 2: resolve its payloads
+    val day2Updated = store.read()
+      .filter(col("activated_at_epoch") >= 4622129 + 2880)
+      .withColumn("payload_cid", lit("bafyX"))
+    store.writeDelta(day2Updated)
+    assert(store.chainDepth() == 2)
+    // day 1 carried forward from the base version, day 2 from the delta
+    assert(store.read().count() == 720)
+    assert(store.read().filter(col("payload_cid") === "bafyX").count() == 360)
+    assert(store.read().filter(col("activated_at_epoch") < 4622129 + 2880 &&
+      col("payload_cid").isNotNull).count() == 0)
+
+    // second delta on day 1: each day resolves to its newest version
+    store.writeDelta(store.read()
+      .filter(col("activated_at_epoch") < 4622129 + 2880)
+      .withColumn("submitted_at", lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))))
+    assert(store.chainDepth() == 3)
+    assert(store.read().filter(col("submitted_at").isNotNull).count() == 360)
+    assert(store.read().filter(col("payload_cid") === "bafyX").count() == 360)
+    assert(store.read().dropDuplicates(ActiveDeal.naturalKey).count() == 720)
+
+    // compaction folds the chain into one full snapshot, same content
+    store.compact()
+    assert(store.chainDepth() == 1)
+    assert(store.read().count() == 720)
+    assert(store.read().filter(col("payload_cid") === "bafyX").count() == 360)
+    assert(store.read().filter(col("submitted_at").isNotNull).count() == 360)
+  }
+
+  test("full write GC keeps the rollback chain intact") {
+    val dir = java.nio.file.Files.createTempDirectory("delta-gc").toString
+    val store = new DealStateStore(spark, dir)
+    store.write(deals(4622129, 4622138))      // v0 full
+    store.writeDelta(deals(4622139, 4622139)) // v1 delta (new day rows in same day... same day actually)
+    val before = store.read().count()
+    store.write(store.read())                 // v2 full; GC must keep v1 AND its parent v0
+    assert(store.read().count() == before)
+    assert(store.chainDepth() == 1)
+  }
+}
