@@ -38,15 +38,36 @@ object DealObserverApp {
     graft.streaming.DealObserverStream.start(
       spark, cfg.eventLog, cfg.storeRoot, cfg.checkpoint, chainHead, trigger)
 
+  /** Delta-write helper: persist only the epoch-days `touched` rows
+    * live in, carrying the rest of the table forward by reference. */
+  private def writeTouchedDays(
+      store: DealStateStore, newState: DataFrame, touched: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val days = touched
+      .select((col("activated_at_epoch") / store.EpochsPerDay).cast("int").as("d"))
+      .distinct().collect().map(_.getInt(0))
+    if (days.isEmpty) return
+    val daySet = days.toSet
+    val dayCol = (col("activated_at_epoch") / store.EpochsPerDay).cast("int")
+    store.writeDelta(newState.filter(dayCol.isInCollection(daySet)))
+    if (store.chainDepth() > 32) store.compact()
+  }
+
   def resolveTick(
       spark: SparkSession, cfg: Config,
       peerIds: DataFrame, payloadLookup: DataFrame,
       now: java.sql.Timestamp): Unit = {
     val store = new DealStateStore(spark, cfg.storeRoot)
     val state = store.read()
-    if (!state.isEmpty)
-      store.write(ResolvePayloadCids.resolve(
-        state, peerIds, payloadLookup, now, cfg.maxDeals))
+    if (!state.isEmpty) {
+      val queue = ResolvePayloadCids.workQueue(state, now, cfg.maxDeals).cache()
+      if (queue.count() > 0) {
+        val merged = ResolvePayloadCids.resolve(
+          state, peerIds, payloadLookup, now, cfg.maxDeals)
+        writeTouchedDays(store, merged, queue)
+      }
+      queue.unpersist()
+    }
   }
 
   def submitTick(
@@ -56,7 +77,9 @@ object DealObserverApp {
     val store = new DealStateStore(spark, cfg.storeRoot)
     val state = store.read()
     val res = SubmitDeals.submit(state, now, cfg.submitBatchSize, post)
-    if (res.submitted > 0) store.write(res.newState)
+    if (res.submitted > 0)
+      writeTouchedDays(store, res.newState,
+        res.newState.filter(org.apache.spark.sql.functions.col("submitted_at").isNotNull))
     res
   }
 

@@ -34,7 +34,10 @@ object ResolvePayloadCids {
         col("payload_retrievability_state").isin(St.NotQueried, St.Unresolved) &&
         (col("last_payload_retrieval_attempt").isNull ||
           col("last_payload_retrieval_attempt") < lit(now) - ThreeDays))
-      .orderBy(col("activated_at_epoch").asc)
+      // full-key tiebreak: the limit boundary must be deterministic
+      // across recomputations (delta writes re-derive the touched set)
+      .orderBy(col("activated_at_epoch").asc, col("miner_id").asc,
+        col("piece_cid").asc, col("sector_id").asc)
       .limit(maxDeals)
 
   /** One resolve tick.
