@@ -227,6 +227,24 @@ class DealPipelineSpec extends SparkSpec {
     assert(store.read().count() == 336)
   }
 
+  test("reverted events are stored with the flag and countable (ST4/A3/F5)") {
+    import spark.implicits._
+    // fixture has zero reverted events; synthesize a reverted copy of
+    // one event (reference stores + counts, no reorg logic — same TODO)
+    val one = raw.limit(1).as[RawActorEvent].collect()(0)
+    val revertedRaw = Seq(one.copy(reverted = true, height = one.height + 1))
+      .toDS().toDF()
+    val deals = DealIngest.dedupeAgainst(
+      DealIngest.decodeRange(raw.unionByName(revertedRaw), 4622129, 4622140),
+      emptyState)
+    assert(deals.count() == 361)
+    assert(deals.filter(col("reverted")).count() == 1)
+    // the reverted copy is a distinct natural key (different epoch) and
+    // flows through resolve untouched
+    val counts = ResolvePayloadCids.countsByState(deals).collect()
+    assert(counts.map(_.getLong(1)).sum == 361)
+  }
+
   test("counts by state replaces four per-state scans with one groupBy") {
     val deals = DealIngest.dedupeAgainst(
       DealIngest.decodeRange(raw, 4622129, 4622139), emptyState)
