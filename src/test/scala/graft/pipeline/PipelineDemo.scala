@@ -100,6 +100,22 @@ object PipelineDemo {
     println(s"MULTIMODAL resize=${resized.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList}")
     println(s"MULTIMODAL frames=${Multimodal.sampleFrames(decoded, 1000).count()}")
 
+    // --- ingest throughput at 100x fixture volume (reference baseline:
+    // ~1.1 events/s, BASELINE.md "Observed event rate")
+    val wide = (0 until 100).map { i =>
+      raw.withColumn("height", col("height") + lit(i * 2880))
+    }.reduce(_ unionByName _).cache()
+    val nEvents = wide.count() // materialize outside the timed section
+    val tpStart = System.nanoTime()
+    val decoded100 = DealIngest.dedupeAgainst(
+      DealIngest.decodeRange(wide, 4622129, 4622129 + 100 * 2880),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.ActiveDeal.schema))
+    val nDeals = decoded100.count()
+    val dt = (System.nanoTime() - tpStart) / 1e9
+    println(f"THROUGHPUT events=$nEvents deals=$nDeals rate=${nEvents / dt}%.0f events/s")
+    wide.unpersist()
+
     // --- custom DSv2 epoch source drive
     val srcEv = java.nio.file.Files.createTempDirectory("drive-src").toString
     java.nio.file.Files.copy(
