@@ -35,18 +35,28 @@ object Dedup {
   // ------------------------------------------------------ n-gram Jaccard
 
   /** Word n-gram (shingle) set per document, as an exploded (id, shingle)
-    * relation — the shape every set-similarity op here builds on. */
-  def shingles(df: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val words = split(col(textCol), " ")
-    val grams =
-      if (n == 1) array_distinct(words)
-      else array_distinct(
-        filter(
-          transform(words, (_, i) =>
-            when(i <= size(words) - n,
-              concat_ws(" ", slice(words, i + lit(1), lit(n))))),
-          g => g.isNotNull))
-    df.select(col(idCol).as("id"), explode(grams).as("shingle"))
+    * relation — the shape every set-similarity op here builds on.
+    * Bigrams (the common case) build via one zip_with against the
+    * shifted array — a single pass, no per-index slice allocation. */
+  def shingles(df: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"), explode(gramArray(col(textCol), n)).as("shingle"))
+
+  private[ops] def gramArray(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val words = split(text, " ")
+    if (n == 1) array_distinct(words)
+    else if (n == 2) array_distinct(
+      filter(
+        // zip_with pads the shorter (shifted) side with null; the final
+        // (last-word, null) pair filters out
+        zip_with(words, slice(words, lit(2), size(words)),
+          (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
+        g => g.isNotNull))
+    else array_distinct(
+      filter(
+        transform(words, (_, i) =>
+          when(i <= size(words) - n,
+            concat_ws(" ", slice(words, i + lit(1), lit(n))))),
+        g => g.isNotNull))
   }
 
   /** Exact pairwise n-gram Jaccard for candidate pairs sharing a
@@ -86,18 +96,9 @@ object Dedup {
   }
 
   private def shinglesWithBlock(
-      df: DataFrame, n: Int, idCol: String, textCol: String, blockCol: String): DataFrame = {
-    val words = split(col(textCol), " ")
-    val grams =
-      if (n == 1) array_distinct(words)
-      else array_distinct(
-        filter(
-          transform(words, (_, i) =>
-            when(i <= size(words) - n,
-              concat_ws(" ", slice(words, i + lit(1), lit(n))))),
-          g => g.isNotNull))
-    df.select(col(idCol).as("id"), col(blockCol).as("block"), explode(grams).as("shingle"))
-  }
+      df: DataFrame, n: Int, idCol: String, textCol: String, blockCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      explode(gramArray(col(textCol), n)).as("shingle"))
 
   // --------------------------------------------------------- MinHash/LSH
 
