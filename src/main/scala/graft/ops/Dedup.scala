@@ -195,21 +195,16 @@ object Dedup {
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word hashes: per bit, sum ±1 across the doc's
-    * words; fingerprint bit = sign. Expressed as 64 codegen'd conditional
-    * sums — no UDF, one aggregation. */
-  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val words = df.select(col(idCol).as("id"),
-      explode(array_distinct(split(col(textCol), " "))).as("word"))
+    * words; fingerprint bit = sign. One pass through the custom
+    * SimHashAgg aggregate (64-counter primitive buffer) — replaces the
+    * 64-conditional-SUM formulation, which planned 64 accumulators and
+    * 64 branches per row. */
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), " "))).as("word"))
       .withColumn("h", xxhash64(col("word")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$b")
-    }
-    val agg = words.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { b =>
-      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("id"), fp.as("simhash"))
-  }
+      .groupBy("id")
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
