@@ -122,8 +122,18 @@ object Dedup {
   /** LSH banding: split the signature into `bands` rows of size
     * numHashes/bands; docs sharing any full band land in one bucket.
     * Candidate pairs come from bucket-local joins — the classic
-    * sub-quadratic near-dup path. */
-  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    * sub-quadratic near-dup path.
+    *
+    * `hotBucketCap` guards the worst case: a bucket with B members
+    * emits B² pairs, so one degenerate bucket (boilerplate text, empty
+    * docs) can swamp a 100 TB sweep. Buckets above the cap are dropped
+    * — their members are near-identical to *many* documents and any of
+    * their pairs that matter will surface through the other bands. The
+    * cap is not silent: `hotBuckets(signatures, …)` reports the dropped
+    * buckets for operational monitoring. */
+  def lshCandidatePairs(
+      signatures: DataFrame, numHashes: Int, bands: Int,
+      hotBucketCap: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -134,11 +144,32 @@ object Dedup {
     val banded = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    banded.as("x").join(banded.as("y"),
+    val sized = banded
+      .withColumn("bsize", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+    val cool = sized.filter(col("bsize") <= hotBucketCap).drop("bsize")
+    cool.as("x").join(cool.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
+  }
+
+  /** Monitoring companion to the hot-bucket cap: the (band, bucket,
+    * members) rows that `lshCandidatePairs` would drop at this cap. */
+  def hotBuckets(signatures: DataFrame, numHashes: Int, bands: Int,
+      hotBucketCap: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*)
+          .as("bucket"))
+    }
+    signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("members"))
+      .filter(col("members") > hotBucketCap)
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →

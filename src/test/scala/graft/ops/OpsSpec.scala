@@ -61,6 +61,22 @@ class OpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"false positives survived verify: ${lsh -- exact}")
   }
 
+  test("hot-bucket cap drops degenerate buckets and reports them") {
+    // 40 identical docs: every band bucket holds all 40 members
+    val identical = (0 until 40).map(i => (i.toLong, "same words every time here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(identical, 2).withColumn("sh", xxhash64(col("shingle")))
+      .drop("shingle")
+    val sigs = Dedup.minhashSignatures(sh, 64)
+    // uncapped: quadratic candidates
+    assert(Dedup.lshCandidatePairs(sigs, 64, 16).count() == 40L * 39 / 2)
+    // capped below the bucket size: all buckets dropped, zero candidates
+    assert(Dedup.lshCandidatePairs(sigs, 64, 16, hotBucketCap = 10).count() == 0)
+    val hot = Dedup.hotBuckets(sigs, 64, 16, hotBucketCap = 10)
+    assert(hot.count() == 16) // one hot bucket per band
+    assert(hot.agg(max("members")).collect()(0).getLong(0) == 40)
+  }
+
   test("simhash: near-dup within small hamming distance, random docs far") {
     val fps = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
