@@ -36,6 +36,7 @@ object SparkEntry {
     "q30_ivf_topk" -> (OpsQueries.q30IvfTopK _),
     "q31_asof_join" -> (OpsQueries.q31AsofJoin _),
     "q32_sessionize" -> (OpsQueries.q32Sessionize _),
+    "q34_heavy_hitters" -> (OpsQueries.q34HeavyHitters _),
     "q33_percentiles" -> (OpsQueries.q33Percentiles _),
     "q27_vocab_topk" -> (OpsQueries.q27VocabTopK _),
     "q28_rollup" -> (OpsQueries.q28Rollup _),
@@ -198,6 +199,10 @@ object SparkEntry {
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.95) AS p95
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q34_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT word, count(*) AS n FROM w
+        |GROUP BY word HAVING count(*) * 50 >= (SELECT count(*) FROM w)""".stripMargin
   )
 }

@@ -113,6 +113,23 @@ object OpsQueries {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.95)").as("p95"))
 
+  /** Heavy hitters via Misra-Gries sketch + exact verification: words
+    * appearing in ≥ 1/50 of all token positions. The sketch (k=200,
+    * 4× the guarantee margin) finds every candidate in O(k) memory per
+    * partition; candidates are then counted exactly, so the final
+    * output is deterministic and DuckDB-oracle-checkable. */
+  def q34HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word")).cache()
+    val total = words.count()
+    val candidates = words
+      .agg(graft.functions.FreqItemsAgg.freqItems(col("word"), 200).as("cands"))
+      .collect()(0).getSeq[String](0)
+    words.filter(col("word").isInCollection(candidates))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 50 >= lit(total))
+  }
+
   /** n-gram language ID over documents (heuristic; rows-only). */
   def q21LangId(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
