@@ -37,6 +37,8 @@ object SparkEntry {
     "q31_asof_join" -> (OpsQueries.q31AsofJoin _),
     "q32_sessionize" -> (OpsQueries.q32Sessionize _),
     "q34_heavy_hitters" -> (OpsQueries.q34HeavyHitters _),
+    "q35_returned_revenue" -> (OpsQueries.q35ReturnedRevenue _),
+    "q36_above_avg_orders" -> (OpsQueries.q36AboveAvgOrders _),
     "q33_percentiles" -> (OpsQueries.q33Percentiles _),
     "q27_vocab_topk" -> (OpsQueries.q27VocabTopK _),
     "q28_rollup" -> (OpsQueries.q28Rollup _),
@@ -203,6 +205,26 @@ object SparkEntry {
     "q34_heavy_hitters" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |SELECT word, count(*) AS n FROM w
-        |GROUP BY word HAVING count(*) * 50 >= (SELECT count(*) FROM w)""".stripMargin
+        |GROUP BY word HAVING count(*) * 50 >= (SELECT count(*) FROM w)""".stripMargin,
+    "q35_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q36_above_avg_orders" ->
+      """WITH ca AS (
+        |  SELECT o_custkey AS ck,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_orderkey, o_custkey
+        |FROM orders JOIN ca ON o_custkey = ck
+        |WHERE CAST(o_totalprice AS DECIMAL(14,2)) * n_orders > sum_price * 2""".stripMargin
   )
 }

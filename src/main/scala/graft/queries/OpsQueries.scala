@@ -130,6 +130,41 @@ object OpsQueries {
       .filter(col("n") * 50 >= lit(total))
   }
 
+  /** Multiway join (TPC-H Q10 shape): revenue from returned items per
+    * customer/nation — 4 tables, Catalyst picks the join order, top-20
+    * with unique-key tiebreak. */
+  def q35ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val l = table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) -
+            col("l_discount").cast(DecimalType(12, 2))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** Correlated-subquery shape: orders priced above 2× their customer's
+    * average (exact arithmetic via cross-multiplication — no division). */
+  def q36AboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = table(spark, dir, "orders")
+    val custAgg = o.groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+    o.join(custAgg, o("o_custkey") === custAgg("ck"))
+      .filter(col("o_totalprice").cast(DecimalType(14, 2)) * col("n_orders") >
+        col("sum_price") * 2)
+      .select(col("o_orderkey"), col("o_custkey"))
+  }
+
   /** n-gram language ID over documents (heuristic; rows-only). */
   def q21LangId(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
