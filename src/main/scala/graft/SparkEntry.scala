@@ -38,6 +38,8 @@ object SparkEntry {
     "q32_sessionize" -> (OpsQueries.q32Sessionize _),
     "q34_heavy_hitters" -> (OpsQueries.q34HeavyHitters _),
     "q35_returned_revenue" -> (OpsQueries.q35ReturnedRevenue _),
+    "q37_running_sum" -> (OpsQueries.q37RunningSum _),
+    "q38_pivot" -> (OpsQueries.q38Pivot _),
     "q36_above_avg_orders" -> (OpsQueries.q36AboveAvgOrders _),
     "q33_percentiles" -> (OpsQueries.q33Percentiles _),
     "q27_vocab_topk" -> (OpsQueries.q27VocabTopK _),
@@ -225,6 +227,20 @@ object SparkEntry {
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_orderkey, o_custkey
         |FROM orders JOIN ca ON o_custkey = ck
-        |WHERE CAST(o_totalprice AS DECIMAL(14,2)) * n_orders > sum_price * 2""".stripMargin
+        |WHERE CAST(o_totalprice AS DECIMAL(14,2)) * n_orders > sum_price * 2""".stripMargin,
+    "q37_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+    "q38_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }

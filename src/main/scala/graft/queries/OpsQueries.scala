@@ -165,6 +165,29 @@ object OpsQueries {
       .select(col("o_orderkey"), col("o_custkey"))
   }
 
+  /** Running-frame window: cumulative spend per user over event time
+    * (rowsBetween unboundedPreceding..current), decimal-exact. */
+  def q37RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Queries.events(spark, dir)
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(12, 2))).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("running_value"))
+  }
+
+  /** Pivot: per-user event-type count matrix (groupBy.pivot in Spark,
+    * portable CASE aggregation as the oracle). */
+  def q38Pivot(spark: SparkSession, dir: String): DataFrame =
+    Queries.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** n-gram language ID over documents (heuristic; rows-only). */
   def q21LangId(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
