@@ -33,12 +33,24 @@ final class DealStateStore(spark: SparkSession, root: String) {
   val EpochsPerDay = 2880
 
   def latestVersion: Option[Long] =
-    if (!fs.exists(latestPtr)) None
+    if (!fs.exists(latestPtr)) recoverLatest()
     else {
       val in = fs.open(latestPtr)
       try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
       finally in.close()
     }
+
+  /** Pointer-loss recovery: a crash between the snapshot write and the
+    * pointer flip (or a lost pointer file) must not read as an empty
+    * table. The newest version directory whose write completed
+    * (_SUCCESS present) is the recovered head. */
+  private def recoverLatest(): Option[Long] = {
+    if (!fs.exists(rootPath)) return None
+    val complete = fs.globStatus(new Path(rootPath, "v=*")).map(_.getPath)
+      .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("v=").toLong)
+    if (complete.isEmpty) None else Some(complete.max)
+  }
 
   private def emptyState: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ActiveDeal.schema)

@@ -59,6 +59,21 @@ class DeltaStoreSpec extends SparkSpec {
     assert(store.read().filter(col("submitted_at").isNotNull).count() == 360)
   }
 
+  test("lost _LATEST pointer recovers from the newest complete version") {
+    val dir = java.nio.file.Files.createTempDirectory("ptr-loss").toString
+    val store = new DealStateStore(spark, dir)
+    store.write(deals(4622129, 4622138))
+    // delta carries the COMPLETE content of the touched day (the
+    // fixture spans one epoch_day): previous rows + the new epoch
+    store.writeDelta(deals(4622129, 4622139))
+    assert(store.read().count() == 360)
+    // simulate crash losing the pointer
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_LATEST"))
+    val recovered = new DealStateStore(spark, dir)
+    assert(recovered.latestVersion.contains(1L))
+    assert(recovered.read().count() == 360)
+  }
+
   test("full write GC keeps the rollback chain intact") {
     val dir = java.nio.file.Files.createTempDirectory("delta-gc").toString
     val store = new DealStateStore(spark, dir)
