@@ -39,6 +39,7 @@ object SparkEntry {
     "q34_heavy_hitters" -> (OpsQueries.q34HeavyHitters _),
     "q35_returned_revenue" -> (OpsQueries.q35ReturnedRevenue _),
     "q37_running_sum" -> (OpsQueries.q37RunningSum _),
+    "q39_sliding_window" -> (OpsQueries.q39SlidingWindow _),
     "q38_pivot" -> (OpsQueries.q38Pivot _),
     "q36_above_avg_orders" -> (OpsQueries.q36AboveAvgOrders _),
     "q33_percentiles" -> (OpsQueries.q33Percentiles _),
@@ -241,6 +242,16 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q39_sliding_window" ->
+      """WITH starts AS (
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+        |         value FROM events
+        |  UNION ALL
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) - 3600 AS window_start,
+        |         value FROM events)
+        |SELECT window_start, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM starts GROUP BY window_start""".stripMargin
   )
 }

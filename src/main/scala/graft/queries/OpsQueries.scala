@@ -188,6 +188,20 @@ object OpsQueries {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** Sliding-window aggregation with Spark's window() primitive
+    * (2-hour windows, 1-hour slide — each event lands in two windows).
+    * The oracle replicates the semantics by unioning the two shifted
+    * window starts per event. */
+  def q39SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Queries.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("n"), col("sum_value"))
+  }
+
   /** n-gram language ID over documents (heuristic; rows-only). */
   def q21LangId(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
