@@ -40,8 +40,11 @@ object OpsQueries {
     * Jaccard ≥ 0.5 (approximate candidate generation → no SQL oracle;
     * rows-only; recall gate lives in MinHashSpec). */
   def q17MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    // 32 bands × 2 rows: ~99.99% banding recall at j=0.5 (16×4 would
+    // miss ~36% of pairs sitting exactly at the threshold); the
+    // estimator gate + exact verify keep precision regardless
     Dedup.minhashDedupPairs(table(spark, dir, "documents"),
-      n = 2, numHashes = 64, bands = 16, minJaccard = 0.5)
+      n = 2, numHashes = 64, bands = 32, minJaccard = 0.5)
 
   /** SimHash fingerprints (xxhash64-based; rows-only). */
   def q18Simhash(spark: SparkSession, dir: String): DataFrame =

@@ -51,7 +51,7 @@ class OpsSpec extends SparkSpec {
     val exact = Dedup.ngramJaccardPairs(docs, n = 2, minIntersect = 2)
       .filter(col("inter_n") >= col("union_n") * 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.minhashDedupPairs(docs, n = 2, numHashes = 64, bands = 16,
+    val lsh = Dedup.minhashDedupPairs(docs, n = 2, numHashes = 64, bands = 32,
       minJaccard = 0.5).select("id1", "id2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "planted pairs should exist at jaccard >= 0.5")
