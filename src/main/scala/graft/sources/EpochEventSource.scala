@@ -80,7 +80,7 @@ final class EpochEventScan(options: CaseInsensitiveStringMap) extends Scan {
   private def hadoopConf = new SerializableConfiguration(
     spark.sparkContext.hadoopConfiguration)
 
-  private def readHead(): Int = {
+  private def readHead(): Int = Retry.withRetries() {
     val p = new Path(headFile)
     val fs = p.getFileSystem(hadoopConf.value)
     val in = fs.open(p)
