@@ -56,6 +56,36 @@ class EpochEventSourceSpec extends SparkSpec {
     assert(df.count() == 360)
   }
 
+  test("live polling: ProcessingTime trigger picks up an advancing head mid-run") {
+    val events = tmp("src-live")
+    val head = stage(events, 4622134 + 940) // only epochs <= 4622134 finalized
+    val headPath = java.nio.file.Paths.get(head)
+
+    val raw = spark.readStream.format("graft.sources.EpochEventSource")
+      .option("path", events).option("headFile", head).load()
+    val q = raw.writeStream.format("memory").queryName("live_events")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("src-live-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      // first window lands
+      var waited = 0
+      while (spark.table("live_events").count() < 228 && waited < 60000) {
+        Thread.sleep(500); waited += 500
+      }
+      assert(spark.table("live_events").count() == 228)
+      // head advances while the query keeps running: the next poll's
+      // latestOffset exposes the remaining epochs, no restart needed
+      java.nio.file.Files.writeString(headPath, s"""{"Height":${4622139 + 940}}""")
+      waited = 0
+      while (spark.table("live_events").count() < 360 && waited < 60000) {
+        Thread.sleep(500); waited += 500
+      }
+      assert(spark.table("live_events").count() == 360)
+    } finally q.stop()
+  }
+
   test("streaming: epoch offsets checkpoint and resume as the head advances") {
     val events = tmp("src-stream")
     val store = tmp("src-store")
