@@ -188,7 +188,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingles(df, n, idCol, textCol)
       .withColumn("sh", xxhash64(col("shingle"))).drop("shingle").cache()
-    val sigs = minhashSignatures(sh, numHashes).cache()
+    val sigs = minhashSignatures(sh, numHashes)
     val cands = lshCandidatePairs(sigs, numHashes, bands)
 
     // estimator gate: est(J) = matching signature components / numHashes
@@ -199,21 +199,23 @@ object Dedup {
       .reduce(_ + _)
     val sigma = math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
     val gate = math.max(0.0, minJaccard - 2.5 * sigma) * numHashes
-    // signatures are one row per doc — broadcast both sides so the
-    // (potentially huge) candidate set is gated map-side, no shuffle
-    val strong = cands.join(broadcast(s1), "id1").join(broadcast(s2), "id2")
+    // The signature relation is one row per DOCUMENT — corpus-sized at
+    // scale, so it must never be broadcast or forced resident. Plain
+    // shuffle joins here; AQE downgrades to broadcast when a side is
+    // measured to actually be small.
+    val strong = cands.join(s1, "id1").join(s2, "id2")
       .withColumn("est_m", estMatches)
       .filter(col("est_m") >= gate)
-      .select("id1", "id2").cache()
+      .select("id1", "id2")
 
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_n"))
-    // exact verification only for gate survivors, on hashed shingles of
-    // just the surviving docs
-    val candIds = strong.select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
-    val shC = sh.join(broadcast(candIds), "id").cache()
+    // exact verification only for gate survivors: join the surviving
+    // pair relation straight into the hashed-shingle relation — the
+    // join itself restricts sh to surviving docs, no materialized id
+    // set and no per-doc broadcast.
     val inter = strong
-      .join(shC.as("s1"), col("id1") === col("s1.id"))
-      .join(shC.as("s2"), col("id2") === col("s2.id") && col("s1.sh") === col("s2.sh"))
+      .join(sh.as("s1"), col("id1") === col("s1.id"))
+      .join(sh.as("s2"), col("id2") === col("s2.id") && col("s1.sh") === col("s2.sh"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
     inter
       .join(sizes.select(col("id").as("id1"), col("set_n").as("n1")), "id1")
@@ -245,6 +247,12 @@ object Dedup {
     * least one exact 16-bit chunk → bucket-join per chunk, then verify.
     * Sub-quadratic like LSH banding. */
   def simhashPairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
+    // pigeonhole soundness: k equal-width chunks guarantee a shared
+    // chunk only for Hamming distance <= k-1; 4 chunks of a 64-bit
+    // fingerprint cover maxDist <= 3. Larger distances need more
+    // (narrower) chunks — reject rather than silently lose pairs.
+    require(maxDist <= 3,
+      s"simhashPairs' 4x16-bit pigeonhole only guarantees recall for maxDist <= 3 (got $maxDist)")
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))

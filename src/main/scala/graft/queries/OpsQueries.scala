@@ -122,12 +122,17 @@ object OpsQueries {
     * partition; candidates are then counted exactly, so the final
     * output is deterministic and DuckDB-oracle-checkable. */
   def q34HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val words = table(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("word")).cache()
-    val total = words.count()
-    val candidates = words
-      .agg(graft.functions.FreqItemsAgg.freqItems(col("word"), 200).as("cands"))
-      .collect()(0).getSeq[String](0)
+    def words = table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+    // one pass produces BOTH the total position count and the sketch —
+    // no cache of the exploded token stream (a memory tax at scale),
+    // and no second scan for the denominator
+    val row = words
+      .agg(count(lit(1)).as("total"),
+        graft.functions.FreqItemsAgg.freqItems(col("word"), 200).as("cands"))
+      .collect()(0)
+    val total = row.getLong(0)
+    val candidates = row.getSeq[String](1)
     words.filter(col("word").isInCollection(candidates))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .filter(col("n") * 50 >= lit(total))

@@ -1,9 +1,8 @@
 package graft.sources
 
 import java.util
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import graft.model.{EventEntry, RawActorEvent}
-import org.apache.hadoop.fs.{FileSystem, Path}
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.model.RawActorEvent
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -33,15 +32,21 @@ import org.apache.spark.util.SerializableConfiguration
   *   - **lookback cap (ST2)**: the initial offset starts at
   *     `head − maxPastEpochs`.
   *   - **pushdown**: each input partition carries its epoch sub-range;
-  *     readers drop events outside it at the source, and files named
-  *     `epochs-<lo>-<hi>.json` are pruned without being opened.
+  *     the transport fetches only that range (RPC: node-side range +
+  *     `$type` filter; files: name-pruning + row filter).
   *
-  * The backing transport here is NDJSON files (the test/backfill path);
-  * a live deployment swaps the file iterator for the RPC client with
-  * the same offset/partition mechanics.
+  * Transport is pluggable (S3, [[EventTransport]]):
+  *   - `transport=file` (default) — NDJSON log files; options `path`
+  *     (log dir) and `headFile` (JSON `{"Height": N}`, re-read every
+  *     poll).
+  *   - `transport=rpc` — live Filecoin JSON-RPC; options
+  *     `rpcEndpoints` (comma-separated, random pick per request) and
+  *     optional `rpcAuthToken`.
   *
-  * Options: `path` (log dir), `headFile` (JSON `{"Height": N}`,
-  * re-read every poll), `finalityEpochs`, `maxPastEpochs`.
+  * Parallelism: `epochsPerPartition` sets the epoch-range chunk handled
+  * by one input partition (one transport fetch). Unset, the range is
+  * split into `defaultParallelism` chunks — NOT a hard-coded constant,
+  * so a 1000-executor cluster fans out 1000-wide automatically.
   */
 class EpochEventSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -69,10 +74,9 @@ final case class EpochOffset(epoch: Int) extends Offset {
 }
 
 final class EpochEventScan(options: CaseInsensitiveStringMap) extends Scan {
-  private val path = options.get("path")
-  private val headFile = options.get("headFile")
   private val finality = options.getInt("finalityEpochs", 940)
   private val maxPast = options.getInt("maxPastEpochs", 1999)
+  private val epochsPerPartition = options.getInt("epochsPerPartition", 0)
 
   override def readSchema(): StructType = RawActorEvent.schema
 
@@ -80,20 +84,32 @@ final class EpochEventScan(options: CaseInsensitiveStringMap) extends Scan {
   private def hadoopConf = new SerializableConfiguration(
     spark.sparkContext.hadoopConfiguration)
 
-  private def readHead(): Int = Retry.withRetries() {
-    val p = new Path(headFile)
-    val fs = p.getFileSystem(hadoopConf.value)
-    val in = fs.open(p)
-    try new ObjectMapper().readTree(in).get("Height").asInt
-    finally in.close()
-  }
+  /** The serializable transport recipe shipped in every partition. */
+  private def transportConfig: TransportConfig =
+    Option(options.get("transport")).getOrElse("file") match {
+      case "rpc" =>
+        RpcTransportConfig(
+          endpoints = options.get("rpcEndpoints").split(",").map(_.trim).toSeq,
+          authToken = Option(options.get("rpcAuthToken")))
+      case "file" =>
+        FileTransportConfig(options.get("path"), options.get("headFile"), hadoopConf)
+      case other =>
+        throw new IllegalArgumentException(s"unknown transport '$other'")
+    }
 
-  /** Epoch range → one partition per `epochsPerPartition` chunk. */
-  private def partitions(fromEpoch: Int, toEpoch: Int): Array[InputPartition] = {
+  private def readHead(): Int = transportConfig.create().chainHead()
+
+  /** Epoch range → one partition per `epochsPerPartition` chunk (or
+    * `defaultParallelism` chunks when the option is unset). */
+  private[sources] def partitions(fromEpoch: Int, toEpoch: Int): Array[InputPartition] = {
     if (fromEpoch > toEpoch) return Array.empty
-    val per = math.max(1, (toEpoch - fromEpoch + 1) / 32)
+    val range = toEpoch - fromEpoch + 1
+    val per =
+      if (epochsPerPartition > 0) epochsPerPartition
+      else math.max(1, range / math.max(1, spark.sparkContext.defaultParallelism))
+    val tc = transportConfig
     (fromEpoch to toEpoch by per).map { lo =>
-      EpochRangePartition(path, lo, math.min(lo + per - 1, toEpoch), hadoopConf)
+      EpochRangePartition(lo, math.min(lo + per - 1, toEpoch), tc)
         .asInstanceOf[InputPartition]
     }.toArray
   }
@@ -135,8 +151,7 @@ final class EpochEventScan(options: CaseInsensitiveStringMap) extends Scan {
 }
 
 final case class EpochRangePartition(
-    path: String, fromEpoch: Int, toEpoch: Int,
-    conf: SerializableConfiguration) extends InputPartition
+    fromEpoch: Int, toEpoch: Int, transport: TransportConfig) extends InputPartition
 
 final case class EpochEventReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -146,66 +161,19 @@ final case class EpochEventReaderFactory() extends PartitionReaderFactory {
 final class EpochEventPartitionReader(p: EpochRangePartition)
     extends PartitionReader[InternalRow] {
 
-  private val mapper = new ObjectMapper()
   private val serializer = ExpressionEncoder(
     org.apache.spark.sql.catalyst.encoders.AgnosticEncoders.agnosticEncoderFor(
       org.apache.spark.sql.Encoders.product[RawActorEvent])).createSerializer()
 
-  /** Files named `epochs-<lo>-<hi>.json` are range-pruned without being
-    * opened; other names are scanned and row-filtered. */
-  private val files: Array[Path] = {
-    val dir = new Path(p.path)
-    val fs = dir.getFileSystem(p.conf.value)
-    val namePat = "epochs-(\\d+)-(\\d+)\\.json".r
-    fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".json"))
-      .filter { f =>
-        f.getName match {
-          case namePat(lo, hi) => lo.toInt <= p.toEpoch && hi.toInt >= p.fromEpoch
-          case _ => true
-        }
-      }
-  }
-
-  private val rows: Iterator[InternalRow] = files.iterator.flatMap { f =>
-    val fs = f.getFileSystem(p.conf.value)
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(f), "UTF-8"))
-    Iterator.continually(in.readLine()).takeWhile { l =>
-      if (l == null) in.close(); l != null
-    }.flatMap { line =>
-      // dead-letter malformed lines / foreign files instead of failing
-      // the partition (one bad record must not poison a backfill)
-      try {
-        val node = mapper.readTree(line)
-        val hNode = node.get("height")
-        if (hNode == null || node.get("entries") == null) None
-        else {
-          val h = hNode.asInt
-          if (h < p.fromEpoch || h > p.toEpoch) None
-          else Some(serializer(toEvent(node, h)).copy())
-        }
-      } catch {
-        case _: com.fasterxml.jackson.core.JacksonException => None
-      }
-    }
-  }
-
-  private def toEvent(node: JsonNode, height: Int): RawActorEvent = {
-    val entries = Vector.newBuilder[EventEntry]
-    val it = node.get("entries").elements()
-    while (it.hasNext) {
-      val e = it.next()
-      entries += EventEntry(e.get("Codec").asInt, e.get("Flags").asInt,
-        e.get("Key").asText, e.get("Value").asText)
-    }
-    RawActorEvent(node.get("emitter").asText, height,
-      node.get("reverted").asBoolean, entries.result())
-  }
+  private val cursor: EventCursor =
+    p.transport.create().actorEvents(p.fromEpoch, p.toEpoch)
 
   private var current: InternalRow = _
   override def next(): Boolean =
-    if (rows.hasNext) { current = rows.next(); true } else false
+    if (cursor.hasNext) { current = serializer(cursor.next()).copy(); true }
+    else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  // releases any stream the transport still holds when the task ends
+  // early (failure, kill, limit) — not just at iterator EOF
+  override def close(): Unit = cursor.close()
 }

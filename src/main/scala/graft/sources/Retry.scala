@@ -17,7 +17,13 @@ object Retry {
     while (true) {
       try return f
       catch {
-        case e: Exception =>
+        // never swallow task cancellation: an interrupt means Spark is
+        // killing this task — restore the flag and propagate instead of
+        // converting it into backoff sleeps
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(e) =>
           tries += 1
           if (tries >= attempts) throw e
           sleep(backoff)
