@@ -59,18 +59,28 @@ object DealIngest {
   /** One observe tick: compute the epoch window from the chain head and
     * the stored high-watermark, ingest it, and return the appended rows.
     * reference: backend/lib/deal-observer.js:17-28 */
+  /** @param storedWatermark the store's high-watermark when the caller
+    *   already knows it (DealStateStore.maxEpoch reads it O(1) from the
+    *   `_META` sidecar). `None` falls back to a distributed `agg(max)`
+    *   over `existing` — correct but a full state scan per tick, so the
+    *   streaming loop always passes the sidecar value. */
   def observe(
       raw: DataFrame,
       existing: DataFrame,
       chainHeadHeight: Int,
       maxPastEpochs: Int = MaxPastEpochs,
-      finalityEpochs: Int = FinalityEpochs): DataFrame = {
+      finalityEpochs: Int = FinalityEpochs,
+      storedWatermark: Option[Option[Int]] = None): DataFrame = {
     // When finality exceeds the lookback cap the window is empty and the
     // tick is a no-op (reference deal-observer.test.js:274-277; the main
     // binary separately asserts the invariant at startup,
     // deal-observer-backend.js:34).
-    val watermark = existing.agg(max("activated_at_epoch")).collect()(0)
-    val lastStored = if (watermark.isNullAt(0)) Int.MinValue else watermark.getInt(0)
+    val lastStored = storedWatermark match {
+      case Some(wm) => wm.getOrElse(Int.MinValue)
+      case None =>
+        val watermark = existing.agg(max("activated_at_epoch")).collect()(0)
+        if (watermark.isNullAt(0)) Int.MinValue else watermark.getInt(0)
+    }
     val startEpoch = math.max(chainHeadHeight - maxPastEpochs, lastStored + 1)
     val endEpoch = chainHeadHeight - finalityEpochs
     if (startEpoch > endEpoch) existing.limit(0)

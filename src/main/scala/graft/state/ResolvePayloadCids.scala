@@ -53,13 +53,100 @@ object ResolvePayloadCids {
       peerIds: DataFrame,
       payloadLookup: DataFrame,
       now: java.sql.Timestamp,
-      maxDeals: Int = 1000): DataFrame = {
-    val queue = workQueue(state, now, maxDeals)
+      maxDeals: Int = 1000): DataFrame =
+    resolveWithFallback(state, peerIds, None, payloadLookup, now, maxDeals)
 
-    val withPeer = queue
+  /** One resolve tick with the full peerId fallback chain: the primary
+    * dimension (the miner→peerId smart contract) coalesced with a
+    * fallback dimension (the `Filecoin.StateMinerInfo` RPC) — the Spark
+    * restatement of `getIndexProviderPeerId`'s try-contract-then-RPC
+    * chain (reference resolve-payload-cids.js:125-155 via the
+    * index-provider-peer-id package). Both dims are broadcast; the
+    * resulting `peer_source` column mirrors the reference's
+    * `{ peerId, source }` pair. */
+  def resolveWithFallback(
+      state: DataFrame,
+      peerIdsPrimary: DataFrame,
+      peerIdsFallback: Option[DataFrame],
+      payloadLookup: DataFrame,
+      now: java.sql.Timestamp,
+      maxDeals: Int = 1000): DataFrame =
+    applyTick(state, workQueue(state, now, maxDeals),
+      peerIdsPrimary, peerIdsFallback, payloadLookup, now, excludePairs = None)
+
+  /** Live resolve tick (S4): the payload-lookup side is fetched from the
+    * piece-indexer HTTP service for exactly this tick's distinct
+    * (peerId, pieceCid) pairs via the bounded-concurrency
+    * `mapPartitions` client ([[graft.sources.PieceIndexer]]).
+    *
+    * Failure isolation: a pair whose request still fails after the
+    * retries gets NO state advance this tick (it stays in the queue for
+    * the next one) — the reference instead aborts the whole loop
+    * iteration on a persistent error (piece-indexer-service.js:43-45);
+    * isolating the failing rows keeps one bad CID from stalling the
+    * other ≤ maxDeals−1 resolutions. A clean `PROVIDER_OR_PIECE_NOT_
+    * FOUND` miss advances the retry state machine exactly like the
+    * injected-lookup path. */
+  def resolveLive(
+      state: DataFrame,
+      peerIdsPrimary: DataFrame,
+      peerIdsFallback: Option[DataFrame],
+      pieceIndexerUrl: String,
+      now: java.sql.Timestamp,
+      maxDeals: Int = 1000,
+      concurrency: Int = 4,
+      retries: Int = 5): DataFrame = {
+    val queue = workQueue(state, now, maxDeals).cache()
+    val pairs = joinPeer(queue, peerIdsPrimary, peerIdsFallback)
+      .filter(col("peerId").isNotNull)
+      .select(col("peerId"), col("piece_cid").as("pieceCid"))
+      .distinct()
+    val looked = graft.sources.PieceIndexer
+      .lookup(pairs, pieceIndexerUrl, concurrency, retries).cache()
+    val hits = looked.filter(col("payloadCid").isNotNull)
+      .select("peerId", "pieceCid", "payloadCid")
+    val errored = looked.filter(col("error").isNotNull)
+      .select(col("peerId"), col("pieceCid").as("piece_cid"))
+    applyTick(state, queue, peerIdsPrimary, peerIdsFallback, hits, now,
+      excludePairs = Some(errored))
+  }
+
+  /** The peerId fallback chain as joins: primary (smart contract) dim
+    * coalesced with the optional fallback (StateMinerInfo) dim. */
+  private def joinPeer(
+      queue: DataFrame,
+      peerIdsPrimary: DataFrame,
+      peerIdsFallback: Option[DataFrame]): DataFrame = {
+    val primaryJoined = queue
       .withColumn("f0_miner", concat(lit("f0"), col("miner_id")))
-      .join(broadcast(peerIds.select(col("minerId").as("f0_miner"), col("peerId"))),
+      .join(broadcast(peerIdsPrimary.select(
+          col("minerId").as("f0_miner"), col("peerId").as("peer_primary"))),
         Seq("f0_miner"), "left")
+    (peerIdsFallback match {
+      case Some(fb) => primaryJoined
+        .join(broadcast(fb.select(
+            col("minerId").as("f0_miner"), col("peerId").as("peer_fallback"))),
+          Seq("f0_miner"), "left")
+      case None => primaryJoined.withColumn("peer_fallback", lit(null).cast("string"))
+    })
+      .withColumn("peerId", coalesce(col("peer_primary"), col("peer_fallback")))
+      .drop("peer_primary", "peer_fallback")
+  }
+
+  private def applyTick(
+      state: DataFrame,
+      queue: DataFrame,
+      peerIdsPrimary: DataFrame,
+      peerIdsFallback: Option[DataFrame],
+      payloadLookup: DataFrame,
+      now: java.sql.Timestamp,
+      excludePairs: Option[DataFrame]): DataFrame = {
+    val withPeerAll = joinPeer(queue, peerIdsPrimary, peerIdsFallback)
+    val withPeer = excludePairs match {
+      case Some(ex) =>
+        withPeerAll.join(broadcast(ex), Seq("peerId", "piece_cid"), "left_anti")
+      case None => withPeerAll
+    }
 
     val looked = withPeer
       .join(broadcast(payloadLookup.select(

@@ -56,34 +56,43 @@ object SubmitDeals {
     * skipped without aborting the run (failure isolation, reference
     * spark-api-submit-deals.js:26-28).
     *
-    * Batching note: eligibility yields a bounded work set (the 2-day
-    * delay + term window caps it), so batching happens on collected
-    * rows like the reference's pg-cursor batches — the heavy lifting
-    * (the eligibility scan) stays distributed, only the outbox POST is
-    * driver-side, exactly like the reference's singleton submitter.
+    * Batching note: the eligible set streams to the driver one batch at
+    * a time via `toLocalIterator` — the Spark analog of the reference's
+    * pg-cursor outbox (spark-api-submit-deals.js:56-63). Driver memory
+    * holds ONE batch of full rows at a time (plus the natural keys of
+    * successfully POSTed rows for the flag merge); the heavy lifting
+    * (the eligibility scan + sort) stays distributed. F3's bound is
+    * data-dependent — after a resolve backlog flush the set can be
+    * millions of rows — so a full `collect()` here would be a
+    * driver-OOM at scale.
     */
   def submit(
       state: DataFrame,
       now: java.sql.Timestamp,
       batchSize: Int,
       post: Seq[Row] => (Long, Long)): SubmitResult = {
-    // Collect natural keys + payload per eligible deal, oldest first for
-    // deterministic batch composition.
-    val rows = eligible(state, now)
+    // Oldest first for deterministic batch composition. toLocalIterator
+    // on the range-partitioned sort preserves global order and computes
+    // one partition at a time.
+    val it = eligible(state, now)
       .orderBy(col("activated_at_epoch").asc, col("miner_id"), col("piece_cid"))
-      .collect()
+      .toLocalIterator()
 
+    val keyIdx = ActiveDeal.naturalKey.map(state.schema.fieldIndex)
     var submitted = 0L
     var ingested = 0L
     var skipped = 0L
+    // Only the 9-column natural key of each POSTed row is retained —
+    // the full payload rows are released batch by batch.
     val okKeys = Seq.newBuilder[Row]
-    rows.grouped(batchSize).foreach { batch =>
+    import scala.jdk.CollectionConverters._
+    it.asScala.grouped(batchSize).foreach { batch =>
       try {
-        val (i, s) = post(batch.toSeq)
+        val (i, s) = post(batch)
         submitted += batch.length
         ingested += i
         skipped += s
-        okKeys ++= batch
+        okKeys ++= batch.map(r => Row.fromSeq(keyIdx.map(r.get)))
       } catch {
         case e: Exception =>
           System.err.println(s"[submit] batch failed, continuing: ${e.getMessage}")
@@ -95,10 +104,11 @@ object SubmitDeals {
       if (doneKeys.isEmpty) state
       else {
         val spark = state.sparkSession
+        val keySchema = org.apache.spark.sql.types.StructType(
+          ActiveDeal.naturalKey.map(n => state.schema(state.schema.fieldIndex(n))))
         val keyDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(doneKeys),
-          state.schema).select(
-            (ActiveDeal.naturalKey.map(col) :+ lit(now).as("new_submitted_at")): _*)
+          spark.sparkContext.parallelize(doneKeys), keySchema)
+          .withColumn("new_submitted_at", lit(now))
         state.join(broadcast(keyDf), ActiveDeal.naturalKey, "left")
           .withColumn("submitted_at", coalesce(col("new_submitted_at"), col("submitted_at")))
           .drop("new_submitted_at")

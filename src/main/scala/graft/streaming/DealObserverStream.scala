@@ -53,8 +53,11 @@ object DealObserverStream {
         val head = chainHead()
         val store = new DealStateStore(batch.sparkSession, storeRoot)
         val existing = store.read()
+        // O(1) watermark from the _META sidecar — never agg(max) over
+        // the state table inside a 10 s tick
         val appended = DealIngest.observe(
-          batch, existing, head, maxPastEpochs, finalityEpochs)
+          batch, existing, head, maxPastEpochs, finalityEpochs,
+          storedWatermark = Some(store.maxEpoch()))
         val n = appended.cache().count()
         if (n > 0) {
           // delta write: replace only the epoch-days this batch touched

@@ -116,6 +116,63 @@ class DealPipelineSpec extends SparkSpec {
       .count() == 336)
   }
 
+  test("peerId fallback chain: primary misses resolve via the fallback dim (golden 85)") {
+    // split the fixture dimension in two: half the miners only known to
+    // the smart contract, half only to StateMinerInfo — the coalesce of
+    // the two lookups must reproduce the golden resolve exactly
+    val primary = peerIds.filter(abs(hash(col("minerId"))) % 2 === 0)
+    val fallback = peerIds.filter(abs(hash(col("minerId"))) % 2 =!= 0)
+    assert(primary.count() > 0 && fallback.count() > 0)
+    val state = DealIngest.dedupeAgainst(
+      DealIngest.decodeRange(raw, 4622129, 4622138), emptyState).cache()
+    val now = java.sql.Timestamp.valueOf("2025-01-15 00:00:00")
+    val resolved = ResolvePayloadCids.resolveWithFallback(
+      state, primary, Some(fallback), payloadCids, now, maxDeals = 10000).cache()
+    assert(resolved.count() == 336)
+    assert(resolved.filter(col("payload_cid").isNull).count() == 85)
+    assert(resolved.filter(col("payload_retrievability_state") === St.Resolved)
+      .count() == 336 - 85)
+    // primary-only dim with no fallback: the fallback-half miners miss
+    val partial = ResolvePayloadCids.resolveWithFallback(
+      state, primary, None, payloadCids, now, maxDeals = 10000)
+    assert(partial.filter(col("payload_cid").isNotNull).count() < 336 - 85)
+  }
+
+  test("PeerIdDirectory: contract→StateMinerInfo chain, 1h TTL, LRU cap") {
+    var contractCalls = 0
+    var rpcCalls = 0
+    val dir = new graft.state.PeerIdDirectory(
+      contractLookup = m => { contractCalls += 1
+        if (m == "f01000") Some("peerA") else None },
+      stateMinerInfoLookup = m => { rpcCalls += 1
+        if (m == "f02000") Some("peerB") else None },
+      ttlMillis = 1000L, maxEntries = 2)
+
+    val t0 = 1000000L
+    assert(dir.lookup("f01000", t0).contains(("peerA", "smartContract")))
+    assert(dir.lookup("f02000", t0).contains(("peerB", "stateMinerInfo")))
+    assert(dir.lookup("f09999", t0).isEmpty) // both sources miss
+    assert((contractCalls, rpcCalls) == (3, 2))
+
+    // cache hit inside TTL: no new lookups
+    assert(dir.lookup("f01000", t0 + 500).contains(("peerA", "smartContract")))
+    assert(contractCalls == 3)
+    // TTL expiry forces a refetch
+    assert(dir.lookup("f01000", t0 + 1500).contains(("peerA", "smartContract")))
+    assert(contractCalls == 4)
+
+    // LRU cap 2: a third distinct entry evicts the oldest
+    val dir2 = new graft.state.PeerIdDirectory(
+      m => Some(s"peer-$m"), _ => None, ttlMillis = 1000000L, maxEntries = 2)
+    dir2.lookup("f01", t0); dir2.lookup("f02", t0); dir2.lookup("f03", t0)
+    assert(dir2.size == 2)
+
+    // refreshed() warms the queue's miners and yields the join dim
+    val dim = dir.refreshed(spark, Seq("f01000", "f02000"), t0 + 5000)
+    assert(dim.columns.toSeq == Seq("minerId", "peerId", "peer_source"))
+    assert(dim.count() == 2)
+  }
+
   test("resolve state machine: miss → Unresolved → TerminallyUnretrievable; 3-day gate") {
     val now0 = java.sql.Timestamp.valueOf("2025-01-15 00:00:00")
     val deal = DealIngest.dedupeAgainst(

@@ -74,6 +74,52 @@ class DeltaStoreSpec extends SparkSpec {
     assert(recovered.read().count() == 360)
   }
 
+  test("maxEpoch watermark: O(1) sidecar read, no Spark job, no regression on old-day deltas") {
+    val dir = java.nio.file.Files.createTempDirectory("meta-wm").toString
+    val store = new DealStateStore(spark, dir)
+    assert(store.maxEpoch().isEmpty)
+
+    store.write(deals(4622129, 4622135))
+    assert(store.maxEpoch().contains(4622135))
+
+    store.writeDelta(deals(4622129, 4622139))
+    assert(store.maxEpoch().contains(4622139))
+
+    // a delta rewriting ONLY older epochs must not move the table-level
+    // watermark backwards (parent max carries forward)
+    store.writeDelta(deals(4622129, 4622130))
+    assert(store.maxEpoch().contains(4622139))
+
+    // the sidecar read is metadata-only: zero Spark jobs
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      store.maxEpoch()
+      Thread.sleep(500) // listener bus is async
+      assert(jobs == 0, "maxEpoch() must not launch a Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("observe with the stored watermark matches the agg(max) path") {
+    val existing = deals(4622129, 4622135)
+    val head = 4622139 + DealIngest.FinalityEpochs // endEpoch == 4622139
+    val viaAgg = DealIngest.observe(raw, existing, head)
+      .orderBy(ActiveDeal.naturalKey.map(col): _*).collect()
+    val viaMeta = DealIngest.observe(raw, existing, head,
+      storedWatermark = Some(Some(4622135)))
+      .orderBy(ActiveDeal.naturalKey.map(col): _*).collect()
+    assert(viaAgg.nonEmpty)
+    assert(viaAgg.toSeq == viaMeta.toSeq)
+    // empty-store watermark ingests from the lookback cap
+    val fresh = DealIngest.observe(raw, emptyState, head,
+      storedWatermark = Some(None))
+    assert(fresh.count() == 360)
+  }
+
   test("full write GC keeps the rollback chain intact") {
     val dir = java.nio.file.Files.createTempDirectory("delta-gc").toString
     val store = new DealStateStore(spark, dir)
