@@ -31,12 +31,16 @@ object DealObserverApp {
       checkpoint: String,
       loopIntervalSecs: Int = 10, // reference LOOP_INTERVAL, bin:27
       maxDeals: Int = 1000, // resolutions per tick, bin:128
-      submitBatchSize: Int = 100) // bin:18
+      submitBatchSize: Int = 100) { // bin:18
+    /** S12: the metrics table lives beside the store's version dirs. */
+    def metricsRoot: String = s"$storeRoot/_metrics"
+  }
 
   def observeQuery(spark: SparkSession, cfg: Config, chainHead: () => Int,
       trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.DealObserverStream.start(
-      spark, cfg.eventLog, cfg.storeRoot, cfg.checkpoint, chainHead, trigger)
+      spark, cfg.eventLog, cfg.storeRoot, cfg.checkpoint, chainHead, trigger,
+      metrics = Some(new graft.streaming.MetricsSink(spark, cfg.metricsRoot)))
 
   /** Delta-write helper: persist only the epoch-days `touched` rows
     * live in, carrying the rest of the table forward by reference. */
@@ -61,10 +65,16 @@ object DealObserverApp {
     val state = store.read()
     if (!state.isEmpty) {
       val queue = ResolvePayloadCids.workQueue(state, now, cfg.maxDeals).cache()
-      if (queue.count() > 0) {
+      val queued = queue.count()
+      if (queued > 0) {
         val merged = ResolvePayloadCids.resolve(
           state, peerIds, payloadLookup, now, cfg.maxDeals)
         writeTouchedDays(store, merged, queue)
+        // S12: reference resolve loop telemetry (resolve-payload-cids.js:93-97)
+        val counts = ResolvePayloadCids.countsByState(store.read()).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        new graft.streaming.MetricsSink(spark, cfg.metricsRoot)
+          .record("resolve", counts + ("queued" -> queued), now)
       }
       queue.unpersist()
     }
@@ -77,9 +87,14 @@ object DealObserverApp {
     val store = new DealStateStore(spark, cfg.storeRoot)
     val state = store.read()
     val res = SubmitDeals.submit(state, now, cfg.submitBatchSize, post)
-    if (res.submitted > 0)
+    if (res.submitted > 0) {
       writeTouchedDays(store, res.newState,
         res.newState.filter(org.apache.spark.sql.functions.col("submitted_at").isNotNull))
+      // S12: reference submit loop telemetry (spark-api-submit-deals.js:23-25)
+      new graft.streaming.MetricsSink(spark, cfg.metricsRoot).record("submit",
+        Map("submitted" -> res.submitted, "ingested" -> res.ingested,
+          "skipped" -> res.skipped), now)
+    }
     res
   }
 
@@ -95,6 +110,13 @@ object DealObserverApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.registerAll(spark)
+
+    // S13: liveness route (reference api/lib/app.js:16-18)
+    val health = new HealthServer(
+      port = sys.env.getOrElse("GRAFT_HEALTH_PORT", "0").toInt,
+      healthy = () => !spark.sparkContext.isStopped)
+    val healthPort = health.start()
+    println(s"[health] listening on :$healthPort")
 
     def chainHead(): Int = {
       val src = scala.io.Source.fromFile(cfg.headFile)
@@ -122,6 +144,7 @@ object DealObserverApp {
       tick += 1
       if (tick < maxTicks) Thread.sleep(cfg.loopIntervalSecs * 1000L)
     }
+    health.stop()
     spark.stop()
   }
 }

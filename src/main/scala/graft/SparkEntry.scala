@@ -243,6 +243,44 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q24_deal_decode" ->
+      """SELECT activated_at_epoch, miner_id, client_id, piece_cid,
+        |  piece_size, term_start_epoch, sector_id, reverted
+        |FROM read_parquet('/root/repo/src/test/resources/fixtures/decoded_deals.parquet')""".stripMargin,
+    "q25_deal_state_counts" ->
+      """WITH deals AS (SELECT * FROM read_parquet('/root/repo/src/test/resources/fixtures/decoded_deals.parquet')),
+        |peer AS (SELECT minerId, peerId FROM read_json('/root/repo/src/test/resources/fixtures/minerPeerIds.json')),
+        |pay AS (SELECT peerId, pieceCid, payloadCid FROM read_json('/root/repo/src/test/resources/fixtures/payloadCids.json')),
+        |resolved AS (
+        |  SELECT d.*, y.payloadCid AS found
+        |  FROM deals d
+        |  LEFT JOIN peer p ON p.minerId = 'f0' || CAST(d.miner_id AS VARCHAR)
+        |  LEFT JOIN pay y ON y.peerId = p.peerId AND y.pieceCid = d.piece_cid)
+        |SELECT CASE WHEN found IS NOT NULL THEN 'PAYLOAD_CID_RESOLVED'
+        |            ELSE 'PAYLOAD_CID_UNRESOLVED' END AS payload_retrievability_state,
+        |  count(*) AS count
+        |FROM resolved GROUP BY 1""".stripMargin,
+    "q26_deal_submittable" ->
+      """WITH deals AS (SELECT * FROM read_parquet('/root/repo/src/test/resources/fixtures/decoded_deals.parquet')),
+        |peer AS (SELECT minerId, peerId FROM read_json('/root/repo/src/test/resources/fixtures/minerPeerIds.json')),
+        |pay AS (SELECT peerId, pieceCid, payloadCid FROM read_json('/root/repo/src/test/resources/fixtures/payloadCids.json')),
+        |resolved AS (
+        |  SELECT d.*, y.payloadCid AS found
+        |  FROM deals d
+        |  LEFT JOIN peer p ON p.minerId = 'f0' || CAST(d.miner_id AS VARCHAR)
+        |  LEFT JOIN pay y ON y.peerId = p.peerId AND y.pieceCid = d.piece_cid)
+        |SELECT 'f0' || CAST(miner_id AS VARCHAR) AS minerId,
+        |  'f0' || CAST(client_id AS VARCHAR) AS clientId,
+        |  piece_cid AS pieceCid,
+        |  CAST(piece_size AS VARCHAR) AS pieceSize,
+        |  found AS payloadCid,
+        |  CAST(term_start_epoch + term_min AS BIGINT) * 30 + 1598306400 AS expires_at_unix
+        |FROM resolved
+        |WHERE found IS NOT NULL
+        |  AND activated_at_epoch <
+        |    CAST(floor((epoch(TIMESTAMP '2025-06-13 00:00:00') - 1598306400) / 30.0) AS INT)
+        |  AND CAST(term_start_epoch + term_min AS BIGINT) * 30 + 1598306400 >
+        |    epoch(TIMESTAMP '2025-06-15 00:00:00')""".stripMargin,
     "q39_sliding_window" ->
       """WITH starts AS (
         |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,

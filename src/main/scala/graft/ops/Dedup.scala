@@ -188,7 +188,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingles(df, n, idCol, textCol)
       .withColumn("sh", xxhash64(col("shingle"))).drop("shingle").cache()
+    // Three consumers (banding + both sides of the estimator gate) would
+    // re-run the 64-min aggregation three times; persist the one-pass
+    // result instead. MEMORY_AND_DISK, not broadcast: one row per doc,
+    // so at corpus scale it spills — never OOMs an executor/driver.
     val sigs = minhashSignatures(sh, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(sigs, numHashes, bands)
 
     // estimator gate: est(J) = matching signature components / numHashes

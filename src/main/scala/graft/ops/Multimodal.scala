@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample operators.
   *
   * The Spark-side plumbing — schemas, partition-batched iteration, column
-  * contracts — is real and tested. The codec innards are STUBS (this
-  * container has no image/audio libraries): `decodeHeaderStub` parses a
-  * deterministic fake header instead of libjpeg/ffmpeg. Each stub is a
-  * single function swap away from a real codec; the dataflow around it
-  * does not change.
+  * contracts — is real and tested. Image HEADER decode is also real:
+  * [[ImageCodecs]] parses PNG/BMP/GIF/JPEG dimensions from raw bytes
+  * (pure JVM, no library). What remains deterministic stand-ins (this
+  * container has no ML/media libraries): `extractFeatures`' model
+  * forward pass and `sampleFrames`' container seeking — each one
+  * function swap away from a real implementation; the dataflow around
+  * them does not change.
   *
   * Scale notes: per-row work runs in `mapPartitions` so a real decoder
   * amortizes init per partition (the moral equivalent of a batched
@@ -47,9 +49,9 @@ object Multimodal {
       StructField("format", StringType, nullable = false))), nullable = false)
   ))
 
-  /** STUB codec: reads (width, height) from the first 8 bytes big-endian.
-    * A real implementation calls the image library here; the surrounding
-    * plumbing (schema, null policy, batching) is production-shaped. */
+  /** Raw-dims fallback for synthetic/headerless payloads: (width,
+    * height) as the first 8 bytes big-endian. Real containers are
+    * handled by [[ImageCodecs]] first. */
   def decodeHeaderStub(bytes: Array[Byte]): Option[(Int, Int)] =
     if (bytes == null || bytes.length < 8) None
     else {
@@ -59,17 +61,22 @@ object Multimodal {
       if (w <= 0 || h <= 0) None else Some((w, h))
     }
 
-  /** Decode pass: fill meta.width/height from the payload header, dead-
-    * lettering undecodable assets (null meta → filtered), partition-
-    * batched so a real codec initializes once per partition. */
+  /** Decode pass: fill meta.width/height/format from the payload header
+    * — REAL codecs for PNG/BMP/GIF/JPEG containers
+    * ([[ImageCodecs.decodeHeader]], pure JVM, no library), the raw-dims
+    * fallback for headerless synthetic payloads. Undecodable assets
+    * dead-letter (dropped from the typed output); partition-batched so
+    * per-codec setup amortizes like a batched Pandas UDF. */
   def decodeImages(assets: Dataset[MediaAsset])(implicit spark: SparkSession): Dataset[MediaAsset] = {
     import spark.implicits._
     assets.mapPartitions { it =>
-      // real codec init would happen here, once per partition
       it.flatMap { a =>
-        decodeHeaderStub(a.bytes).map { case (w, h) =>
-          a.copy(meta = a.meta.copy(width = w, height = h))
-        }
+        ImageCodecs.decodeHeader(a.bytes)
+          .map(d => a.copy(meta =
+            a.meta.copy(width = d.width, height = d.height, format = d.format)))
+          .orElse(decodeHeaderStub(a.bytes).map { case (w, h) =>
+            a.copy(meta = a.meta.copy(width = w, height = h))
+          })
       }
     }
   }

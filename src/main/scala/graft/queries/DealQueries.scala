@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
 
 /** The deal-observation pipeline itself as driver-checkable queries.
   * These run over the golden fixture (the reference's captured mainnet
-  * events), not the sfDir tables, so they carry no SQL oracle — the
-  * driver's rows>0 check plus the golden-count specs gate them.
+  * events), not the sfDir tables. The Spark side computes decode →
+  * resolve → submit LIVE from the raw CBOR fixture; the DuckDB oracles
+  * re-derive the same results in ANSI SQL over the pre-decoded
+  * `fixtures/decoded_deals.parquet` (regenerate with
+  * `Test/runMain graft.pipeline.DumpDecodedFixture`; the decode step
+  * itself is validated by the golden 360/25/336 count specs), so a
+  * decode or state-machine regression breaks the hash match.
   * Deterministic by construction (fixed fixture, fixed `now`). */
 object DealQueries {
 
@@ -51,7 +56,11 @@ object DealQueries {
     val pay = spark.read.json(s"$fixtures/payloadCids.json")
     val now = java.sql.Timestamp.valueOf("2025-01-15 00:00:00")
     val resolved = ResolvePayloadCids.resolve(state, peer, pay, now, maxDeals = 10000)
+    // expiresAt rendered as unix seconds: the oracle-compare contract
+    // normalizes timestamps as epoch integers (see q02/q08)
     SubmitDeals.toSubmittable(
       SubmitDeals.eligible(resolved, java.sql.Timestamp.valueOf("2025-06-15 00:00:00")))
+      .withColumn("expires_at_unix", unix_timestamp(col("expiresAt")))
+      .drop("expiresAt")
   }
 }

@@ -39,7 +39,8 @@ object DealObserverStream {
       chainHead: () => Int,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       finalityEpochs: Int = DealIngest.FinalityEpochs,
-      maxPastEpochs: Int = DealIngest.MaxPastEpochs): StreamingQuery = {
+      maxPastEpochs: Int = DealIngest.MaxPastEpochs,
+      metrics: Option[MetricsSink] = None): StreamingQuery = {
 
     val raw = spark.readStream
       .schema(RawActorEvent.schema)
@@ -74,6 +75,11 @@ object DealObserverStream {
           store.writeDelta(touched.unionByName(appended))
           if (store.chainDepth() > 32) store.compact()
         }
+        // S12: per-tick counters to the metrics table (the reference's
+        // recordTelemetry call at the end of each loop body)
+        metrics.foreach(_.record("observe", Map(
+          "ingested" -> n,
+          "last_searched_epoch" -> (head - finalityEpochs).toLong)))
         appended.unpersist()
         ()
       }

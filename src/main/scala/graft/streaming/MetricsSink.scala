@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Telemetry sink (S12). The reference pushes InfluxDB points per loop
+  * tick — measurement name + fields, ms precision, periodic flush
+  * (backend/lib/telemetry.js:10-39; recorded by all three loops, e.g.
+  * deal-observer.js's `last_searched_epoch`).
+  *
+  * Spark restatement: metrics are a TABLE, not a push client — an
+  * append-only parquet of (ts, loop, metric, value) points partitioned
+  * by day, plus a [[StreamingQueryListener]] bridging engine progress
+  * events (rows/batch, duration) into the same table. At 100 TB a
+  * metrics table beats an external push: it is written by the same
+  * committed batch that produced the numbers (no drift), joins directly
+  * with the data it describes, and day-partitions prune retention
+  * sweeps to file deletes.
+  */
+final class MetricsSink(spark: SparkSession, root: String) {
+
+  /** Record one point: a named counter set for a loop tick (the
+    * reference's `recordTelemetry(name, p => p.intField(...))`). */
+  def record(loop: String, counters: Map[String, Long],
+      ts: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
+    if (counters.isEmpty) return
+    import spark.implicits._
+    counters.toSeq.toDF("metric", "value")
+      .withColumn("ts", lit(ts))
+      .withColumn("loop", lit(loop))
+      .withColumn("day", to_date(col("ts")))
+      .select("ts", "loop", "metric", "value", "day")
+      .coalesce(1) // a tick's counters are a handful of rows — one file
+      .write.mode("append").partitionBy("day").parquet(root)
+  }
+
+  /** The metrics table (empty-schema DataFrame when nothing recorded). */
+  def table(): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(root)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("loop", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType))))
+  }
+
+  /** Engine-level bridge: one point per finished micro-batch with the
+    * progress counters every streaming loop shares. Register with
+    * `spark.streams.addListener(sink.progressListener())`. */
+  def progressListener(): StreamingQueryListener = new StreamingQueryListener {
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      import scala.jdk.CollectionConverters._
+      record(
+        loop = Option(p.name).getOrElse("unnamed"),
+        counters = Map(
+          "batchId" -> p.batchId,
+          "numInputRows" -> p.numInputRows,
+          "durationMs" -> p.durationMs.values().asScala.map(_.longValue()).sum))
+    }
+  }
+}

@@ -29,6 +29,42 @@ class MultimodalSpec extends SparkSpec {
     MediaAsset(4, "image", Array[Byte](1, 2, 3), MediaMeta(0, 0, 0, 0, "bad"))
   ).toDS()
 
+  /** Real container bytes via the JDK's own encoder (javax.imageio). */
+  private def realImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8040)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK can't encode $fmt")
+    out.toByteArray
+  }
+
+  test("real PNG/JPEG/BMP/GIF bytes decode end-to-end through decodeImages") {
+    val real = Seq(
+      MediaAsset(10, "image", realImage("png", 7, 5), MediaMeta(0, 0, 0, 0, "?")),
+      MediaAsset(11, "image", realImage("jpg", 31, 17), MediaMeta(0, 0, 0, 0, "?")),
+      MediaAsset(12, "image", realImage("bmp", 9, 3), MediaMeta(0, 0, 0, 0, "?")),
+      MediaAsset(13, "image", realImage("gif", 4, 6), MediaMeta(0, 0, 0, 0, "?"))
+    ).toDS()
+    val decoded = decodeImages(real).collect().map(a => a.asset_id -> a.meta).toMap
+    assert(decoded(10L) == MediaMeta(7, 5, 0, 0, "png"))
+    assert(decoded(11L) == MediaMeta(31, 17, 0, 0, "jpeg"))
+    assert(decoded(12L) == MediaMeta(9, 3, 0, 0, "bmp"))
+    assert(decoded(13L) == MediaMeta(4, 6, 0, 0, "gif"))
+  }
+
+  test("ImageCodecs rejects truncated and corrupt headers") {
+    import ImageCodecs._
+    val png = realImage("png", 7, 5)
+    assert(decodeHeader(png.take(12)).isEmpty) // truncated before IHDR dims
+    assert(decodeHeader(Array[Byte](0, 1, 2, 3, 4, 5, 6, 7, 8)).isEmpty)
+    assert(decodeHeader(null).isEmpty)
+    val corrupt = png.clone(); corrupt(12) = 'X'.toByte // IHDR tag broken
+    assert(decodeHeader(corrupt).isEmpty)
+    // JPEG with EOI before any SOF frame header
+    assert(decodeJpeg(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
   test("decode fills meta from payload and dead-letters undecodable assets") {
     val decoded = decodeImages(assets).collect().map(a => a.asset_id -> a.meta).toMap
     assert(decoded.keySet == Set(1L, 2L, 3L)) // asset 4 dropped (3 bytes)
