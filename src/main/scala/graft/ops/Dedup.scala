@@ -144,15 +144,20 @@ object Dedup {
     val banded = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val sized = banded
-      .withColumn("bsize", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bucket"))))
-    val cool = sized.filter(col("bsize") <= hotBucketCap).drop("bsize")
-    cool.as("x").join(cool.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"))
-      .distinct()
+    // Bucket-local pair generation: ONE shuffle (the groupBy) instead of
+    // the window-count + two-sided self-join + distinct formulation
+    // (three shuffles of the banded relation). Buckets are capped, so
+    // the per-bucket combination expression is bounded quadratic work
+    // inside a codegen'd projection — no join, no sort.
+    val pairs = banded
+      .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, hotBucketCap))
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+    pairs.distinct() // the same pair can collide in several bands
   }
 
   /** Monitoring companion to the hot-bucket cap: the (band, bucket,

@@ -71,7 +71,12 @@ object SimilaritySearch {
     val train = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cvec"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // random init, not k-means||: the parallel init runs ~2 jobs per
+    // init round over the corpus, and a coarse IVF quantizer doesn't
+    // need init quality — Lloyd iterations converge it regardless
+    // (recall is gated by the spec either way)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setInitMode("random")
       .fit(train.select("features"))
     val assigned = model.transform(train)
       .select(col("neighbor_id"), col("cvec"), col("prediction").as("cell"))
