@@ -46,6 +46,9 @@ object SparkEntry {
     "q27_vocab_topk" -> (OpsQueries.q27VocabTopK _),
     "q28_rollup" -> (OpsQueries.q28Rollup _),
     "q29_set_ops" -> (OpsQueries.q29SetOps _),
+    "q40_distinctive_terms" -> (OpsQueries.q40DistinctiveTerms _),
+    "q41_hash_sample" -> (OpsQueries.q41HashSample _),
+    "q42_quota_pack" -> (OpsQueries.q42QuotaPack _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -243,6 +246,33 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q40_distinctive_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id AS id, word, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
+        |SELECT id AS doc_id, word, tf, df, rank FROM (
+        |  SELECT tf.id, tf.word, tf.tf, dfreq.df,
+        |    row_number() OVER (PARTITION BY tf.id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.word ASC) AS rank
+        |  FROM tf JOIN dfreq ON tf.word = dfreq.word)
+        |WHERE rank <= 3""".stripMargin,
+    "q41_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+        |  < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 600 ELSE 250 END""".stripMargin,
+    "q42_quota_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |laid AS (
+        |  SELECT doc_id, source,
+        |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM toks)
+        |SELECT doc_id, source, start // 2048 AS pack_id, start % 2048 AS pack_offset
+        |FROM laid""".stripMargin,
     "q24_deal_decode" ->
       """SELECT activated_at_epoch, miner_id, client_id, piece_cid,
         |  piece_size, term_start_epoch, sector_id, reverted

@@ -82,10 +82,20 @@ object Dedup {
     }
     val sh = keyed.withColumn("sh", xxhash64(col("shingle"))).drop("shingle").cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_n"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.block") === col("b.block") && col("a.sh") === col("b.sh") &&
-        col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+    // Pair generation via posting lists: ONE shuffle of the shingle
+    // relation (the groupBy) instead of a two-sided self-join; each
+    // shingle's doc list expands to its id<id' combinations inside a
+    // codegen'd projection, then one pair-shuffle counts intersections.
+    // Per-shingle fan-out is doc frequency — the same quadratic the
+    // join had, minus one full shuffle of `sh`.
+    val pairs = sh
+      .groupBy("block", "sh").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("inter_n"))
       .filter(col("inter_n") >= minIntersect)
     pairs

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for a training-data pipeline: token counting,
   * quality scoring, document fingerprinting, language ID.
@@ -40,6 +41,45 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens", bpeTokenEstimate(t))
       .withColumn("n_stopword_the", wordOccurrences(t, "the"))
       .withColumn("n_stopword_a", wordOccurrences(t, "a"))
+  }
+
+  /** The exploded (id, word, tf) term-frequency relation plus corpus
+    * document frequency per word — the base relation for TF-IDF and
+    * vocabulary analytics. Two aggregations, both on the hashed word
+    * shuffle key. */
+  def termStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("word"))
+    val tf = words.groupBy("id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "word")
+  }
+
+  /** Smoothed TF-IDF score per (doc, term): `tf × (ln((N+1)/(df+1))+1)`.
+    * Library surface for ranking/weighting; floating-point, so spec-
+    * gated rather than cross-engine hash-gated. */
+  def tfidf(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = df.count()
+    termStats(df, idCol, textCol)
+      .withColumn("tfidf",
+        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+  }
+
+  /** Top-k distinctive terms per document, ranked by (tf DESC, df ASC,
+    * word ASC) — highest-frequency rarest-in-corpus terms first. The
+    * ordering is pure integer lexicographic comparison, so the result
+    * is hash-identical across engines (the float-free companion of
+    * [[tfidf]] for the oracle gate). */
+  def distinctiveTerms(
+      df: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("id")
+      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+    termStats(df, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("word"), col("tf"), col("df"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** 64-bit Karp-Rabin rolling-hash fingerprint of a string. The same

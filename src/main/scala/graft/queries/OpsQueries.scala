@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Dedup, SimilaritySearch, TextAnalysis}
+import graft.ops.{AsOfJoin, Corpus, Dedup, SimilaritySearch, TextAnalysis}
 
 /** The training-data-pipeline operators (SURVEY extended surface) as
   * driver-checkable queries over the documents/embeddings tables. */
@@ -257,6 +257,28 @@ object OpsQueries {
     open.intersect(recent).except(big)
       .select(col("o_custkey").as("cust_key"))
   }
+
+  /** Top-3 distinctive terms per document: (tf DESC, df ASC, word ASC)
+    * ranking — the integer-exact companion of `TextAnalysis.tfidf`
+    * (whose float scores are spec-gated, not hash-gated). */
+  def q40DistinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctiveTerms(table(spark, dir, "documents"), k = 3)
+
+  /** Deterministic stratified hash-sample: even-numbered sources keep
+    * 600‰, the rest 250‰ — membership is a pure function of doc_id. */
+  def q41HashSample(spark: SparkSession, dir: String): DataFrame = {
+    val quotas = (0 until 20 by 2).map(i => s"src$i" -> 600).toMap
+    Corpus.hashSample(table(spark, dir, "documents"), "source", quotas,
+      defaultPermille = 250)
+      .select("doc_id", "source")
+  }
+
+  /** Token-budget sequence packing: 2048-BPE-token packs per source,
+    * docs laid head-to-tail in id order. */
+  def q42QuotaPack(spark: SparkSession, dir: String): DataFrame =
+    Corpus.quotaPack(table(spark, dir, "documents"), "source",
+      TextAnalysis.bpeTokenEstimate(col("text")), budgetTokens = 2048)
+      .select("doc_id", "source", "pack_id", "pack_offset")
 
   /** Embedding near-dup pairs above cosine 0.45, blocked by the label
     * column (exact within block — deterministic double arithmetic, so

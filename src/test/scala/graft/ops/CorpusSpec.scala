@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly (hash sampling, quota packing) + TF-IDF invariants. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+
+  test("hash sample is deterministic, partition-independent, and quota-monotone") {
+    val q = Map("src0" -> 600)
+    val s1 = Corpus.hashSample(docs, "source", q, 250).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.hashSample(docs.repartition(13), "source", q, 250).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "membership must not depend on partitioning")
+
+    // a doc kept at 250 permille stays kept at every higher quota
+    val at250 = Corpus.hashSample(docs, "source", Map.empty, 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at600 = Corpus.hashSample(docs, "source", Map.empty, 600)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(at250.subsetOf(at600))
+    assert(at250.nonEmpty && at600.size < docs.count())
+
+    // growing the corpus never flips an existing decision
+    val half = docs.filter(col("doc_id") < 250)
+    val fromHalf = Corpus.hashSample(half, "source", Map.empty, 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromHalf == at250.filter(_ < 250))
+  }
+
+  test("quota packing: contiguous packs, offsets within budget, token-exact layout") {
+    val budget = 2048
+    val packed = Corpus.quotaPack(docs, "source",
+      TextAnalysis.bpeTokenEstimate(col("text")), budget)
+      .withColumn("n_tok", TextAnalysis.bpeTokenEstimate(col("text")))
+      .select("source", "doc_id", "pack_id", "pack_offset", "n_tok")
+      .collect()
+      .groupBy(_.getString(0))
+
+    packed.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      var running = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(2) == running / budget, "pack = floor(start/budget)")
+        assert(r.getLong(3) == running % budget, "offset = start % budget")
+        running += r.getLong(4)
+      }
+      // pack ids are contiguous from 0
+      val ids = ordered.map(_.getLong(2)).distinct
+      assert(ids.head == 0L && ids.toList == (ids.head to ids.last).toList)
+    }
+  }
+
+  test("tfidf: rarer terms score higher at equal tf; distinctiveTerms agrees") {
+    val tiny = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "alpha gamma"),
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val scores = TextAnalysis.tfidf(tiny).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("word")) ->
+        r.getAs[Double]("tfidf")).toMap
+    // 'alpha' is in every doc (df=3), 'gamma' in one (df=1): same tf=1
+    assert(scores((2L, "gamma")) > scores((2L, "alpha")))
+    // tf dominates at equal df: beta(tf=2,df=1) > gamma(tf=1,df=1)
+    assert(scores((1L, "beta")) > scores((2L, "gamma")))
+
+    val top = TextAnalysis.distinctiveTerms(tiny, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "beta") // highest tf wins
+    assert(top(2L) == "gamma" && top(3L) == "delta") // rarest wins over alpha
+  }
+}
