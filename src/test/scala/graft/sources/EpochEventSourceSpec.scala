@@ -42,6 +42,25 @@ class EpochEventSourceSpec extends SparkSpec {
     assert(df2.count() == 228)
   }
 
+  test("epochsPerPartition controls input-partition fan-out; default tracks parallelism") {
+    val scan = new EpochEventScan(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", "/nonexistent", "epochsPerPartition", "10")))
+    // 100-epoch range / 10 per partition = 10 partitions, last one short
+    val parts = scan.partitions(1000, 1099)
+    assert(parts.length == 10)
+    val ranges = parts.map(_.asInstanceOf[EpochRangePartition]).map(p => (p.fromEpoch, p.toEpoch))
+    assert(ranges.head == ((1000, 1009)) && ranges.last == ((1090, 1099)))
+    assert(scan.partitions(1000, 1004).length == 1) // range smaller than chunk
+    assert(scan.partitions(1000, 999).isEmpty)      // empty window
+
+    // unset: the range splits ~defaultParallelism-wide, never hard-coded
+    val auto = new EpochEventScan(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", "/nonexistent")))
+    val dp = spark.sparkContext.defaultParallelism
+    val n = auto.partitions(1000, 1000 + dp * 10 - 1).length
+    assert(n >= dp && n <= dp + 1)
+  }
+
   test("file-name range pruning skips files outside the epoch window") {
     val events = tmp("src-prune")
     val head = stage(events, 4622139 + 940)
