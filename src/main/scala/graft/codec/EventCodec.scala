@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * (rpc-service/service.js:59-85), then project to an ActiveDeal
   * (backend/lib/utils.js:11-27).
   *
-  * Spark restatement: one narrow map stage — a single UDF pivots the
-  * entries array straight to a ClaimEvent struct (no explode, no
-  * shuffle), followed by a declarative projection Catalyst can prune.
+  * Spark restatement: one narrow map stage — the native [[ClaimPivot]]
+  * expression pivots the entries array straight to a ClaimEvent struct
+  * (no explode, no shuffle, no catalyst→Scala conversion), followed by
+  * a declarative projection Catalyst can prune.
   * Rows whose `$type` is not "claim" or whose values don't decode are
   * dead-lettered (null struct + filter) instead of throwing, so one bad
   * event can't poison a 100 TB backfill.
@@ -88,14 +89,18 @@ object EventCodec {
     }
 
   /** UDF: array<struct<Codec,Flags,Key,Value>> → ClaimEvent struct (null
-    * when not a valid claim event). */
-  private val decodeClaimUdf = udf { (entries: Seq[Row]) =>
+    * when not a valid claim event). Kept as the readable reference
+    * formulation and for the property spec's equivalence check; the
+    * pipeline runs the native expression below. */
+  private[codec] val decodeClaimUdf = udf { (entries: Seq[Row]) =>
     if (entries == null) None
     else toClaimEvent(entries.map(r => (r.getAs[String]("Key"), r.getAs[String]("Value"))))
   }
 
-  /** Column expression: decoded claim event struct for a raw event row. */
-  def claimEvent(entries: Column): Column = decodeClaimUdf(entries)
+  /** Column expression: decoded claim event struct for a raw event row.
+    * Native Catalyst expression ([[ClaimPivot]]) — no catalyst→Scala Row
+    * conversion, stays inside whole-stage codegen on the ingest map. */
+  def claimEvent(entries: Column): Column = ClaimPivot.decodeClaimEvent(entries)
 
   /** Raw events (RawActorEvent schema) → decoded block events.
     * Output: height, emitter, reverted, event(struct of ClaimEvent). */

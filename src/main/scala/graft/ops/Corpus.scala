@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Corpus-assembly operators for a training-data pipeline: deterministic
   * stratified sampling and token-budget sequence packing — the two steps
@@ -79,5 +80,51 @@ object Corpus {
     val start = coalesce(sum(tokensCol).over(w), lit(0L))
     df.withColumn("pack_id", floor(start / budgetTokens).cast("long"))
       .withColumn("pack_offset", (start % budgetTokens).cast("long"))
+  }
+
+  /** TRUE greedy packing (close-on-overflow): within each stratum, docs
+    * in id order are appended while they fit; a doc that would overflow
+    * CLOSES the current pack and opens the next, so no pack ever
+    * exceeds `budgetTokens` — except a single document that alone
+    * exceeds the budget, which gets a pack to itself.
+    *
+    * Greedy bin state is inherently sequential PER STRATUM, so the plan
+    * is `repartition(stratum)` + `sortWithinPartitions(stratum, id)` +
+    * one `mapPartitions` scan: strata pack in parallel across the
+    * cluster, each stratum in one streamed pass (no window buffering,
+    * no driver involvement). The closed-form [[quotaPack]] stays the
+    * shuffle-light default when tail-overflow is acceptable. */
+  def greedyPack(
+      df: DataFrame,
+      strataCol: String,
+      tokensCol: Column,
+      budgetTokens: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val withTok = df.withColumn("_n_tok", tokensCol.cast("long"))
+    val schema = StructType(withTok.schema.fields ++ Seq(
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_offset", LongType, nullable = false)))
+    val si = withTok.schema.fieldIndex(strataCol)
+    val ti = withTok.schema.fieldIndex("_n_tok")
+    withTok
+      .repartition(col(strataCol))
+      .sortWithinPartitions(col(strataCol), col(idCol))
+      .mapPartitions { it =>
+        var stratum: Any = null
+        var first = true
+        var pack = 0L
+        var fill = 0L
+        it.map { r =>
+          val s = r.get(si)
+          if (first || s != stratum) { stratum = s; first = false; pack = 0L; fill = 0L }
+          val n = r.getLong(ti)
+          if (fill > 0 && fill + n > budgetTokens) { pack += 1; fill = 0L }
+          val out = Row.fromSeq(r.toSeq :+ pack :+ fill)
+          fill += n
+          out
+        }
+      }(Encoders.row(schema))
+      .drop("_n_tok")
   }
 }

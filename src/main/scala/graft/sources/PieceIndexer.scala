@@ -39,6 +39,11 @@ object PieceIndexer {
 
   private val NotFound = "PROVIDER_OR_PIECE_NOT_FOUND"
 
+  // ObjectMapper is thread-safe after configuration; one per JVM, not
+  // one per request (per-request allocation is measurable churn at
+  // thousands of lookups per partition)
+  private lazy val mapper = new ObjectMapper()
+
   /** One request through the retry wrapper. Some(cid) = hit,
     * None = clean miss; throws after exhausted retries / parse failure. */
   def request(
@@ -54,7 +59,7 @@ object PieceIndexer {
         .timeout(Duration.ofSeconds(60))
         .GET().build()
       val body = http.send(req, HttpResponse.BodyHandlers.ofString()).body()
-      val node = new ObjectMapper().readTree(body)
+      val node = mapper.readTree(body)
       val err = node.get("error")
       if (err != null && err.asText() == NotFound) None
       else {

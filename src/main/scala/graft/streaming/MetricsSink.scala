@@ -22,7 +22,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 final class MetricsSink(spark: SparkSession, root: String) {
 
   /** Record one point: a named counter set for a loop tick (the
-    * reference's `recordTelemetry(name, p => p.intField(...))`). */
+    * reference's `recordTelemetry(name, p => p.intField(...))`).
+    *
+    * File-count note: one small file per tick ≈ 8.6k files/day/loop at
+    * a 10 s cadence. Day partitioning keeps reads pruned; fold closed
+    * days with `spark.read.parquet(day).coalesce(1)` overwrite in the
+    * retention sweep (same pattern as `DealStateStore.compact`). */
   def record(loop: String, counters: Map[String, Long],
       ts: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     if (counters.isEmpty) return

@@ -55,6 +55,45 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("greedy packing: budget never exceeded, oversized docs isolated, partition-independent") {
+    val budget = 2048
+    def check(input: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] = {
+      val rows = Corpus.greedyPack(input, "source",
+        TextAnalysis.bpeTokenEstimate(col("text")), budget)
+        .withColumn("n_tok", TextAnalysis.bpeTokenEstimate(col("text")))
+        .select("source", "doc_id", "pack_id", "pack_offset", "n_tok")
+        .collect()
+      rows.groupBy(r => (r.getString(0), r.getLong(2))).map { case (key, members) =>
+        val total = members.map(_.getLong(4)).sum
+        // a pack larger than budget must be a single oversized doc
+        assert(total <= budget || members.length == 1,
+          s"pack $key holds $total tokens over ${members.length} docs")
+        // offsets are the exact head-to-tail layout within the pack
+        val ordered = members.sortBy(_.getLong(1))
+        var fill = 0L
+        ordered.foreach { m => assert(m.getLong(3) == fill); fill += m.getLong(4) }
+        key -> total
+      }
+    }
+    val a = check(docs)
+    val b = check(docs.repartition(17)) // layout must not depend on partitioning
+    assert(a == b)
+    assert(a.keys.map(_._1).toSet == Set((0 until 20).map(i => s"src$i"): _*))
+
+    // oversized single doc gets its own pack; neighbors pack normally
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "srcX", "a " * 100),     // ~50 BPE tokens
+      (2L, "srcX", "b " * 20000),   // ~10000 tokens > budget
+      (3L, "srcX", "c " * 100)
+    ).toDF("doc_id", "source", "text")
+    val packed = Corpus.greedyPack(tiny, "source",
+      TextAnalysis.bpeTokenEstimate(col("text")), budget)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed(1L) == 0L && packed(2L) == 1L && packed(3L) == 2L)
+  }
+
   test("tfidf: rarer terms score higher at equal tf; distinctiveTerms agrees") {
     val tiny = Seq(
       (1L, "alpha beta beta"),
