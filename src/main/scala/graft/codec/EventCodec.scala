@@ -92,7 +92,7 @@ object EventCodec {
     * when not a valid claim event). Kept as the readable reference
     * formulation and for the property spec's equivalence check; the
     * pipeline runs the native expression below. */
-  private[codec] val decodeClaimUdf = udf { (entries: Seq[Row]) =>
+  private[graft] val decodeClaimUdf = udf { (entries: Seq[Row]) =>
     if (entries == null) None
     else toClaimEvent(entries.map(r => (r.getAs[String]("Key"), r.getAs[String]("Value"))))
   }
