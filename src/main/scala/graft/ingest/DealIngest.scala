@@ -56,6 +56,25 @@ object DealIngest {
       .join(broadcast(pruned), key, "left_anti")
   }
 
+  /** BEYOND-REFERENCE: reorg retraction. The reference stores reverted
+    * events flagged and keeps a TODO for true reorg handling
+    * (rpc-service/service.js:57-58) — parity mode does the same (ST4).
+    * This operator implements the retraction the TODO describes: a
+    * `reverted=true` observation for a natural key removes the
+    * previously stored un-reverted row (the chain reorg un-happened the
+    * claim), and the reverted observation itself is not ingested.
+    *
+    * Scale shape: the reverted key set of one finality window is tiny —
+    * broadcast anti-join against the state pruned to the affected
+    * epoch range; persisted via the store's day-partition rewrite
+    * (replacing a day's files CAN drop rows; only a day going
+    * completely empty needs the full-write fallback, see
+    * DealStateStore.writeDelta's tombstone note). */
+  def retractReverted(existing: DataFrame, revertedDeals: DataFrame): DataFrame = {
+    val keys = revertedDeals.select(ActiveDeal.naturalKey.map(col): _*)
+    existing.join(broadcast(keys), ActiveDeal.naturalKey, "left_anti")
+  }
+
   /** One observe tick: compute the epoch window from the chain head and
     * the stored high-watermark, ingest it, and return the appended rows.
     * reference: backend/lib/deal-observer.js:17-28 */

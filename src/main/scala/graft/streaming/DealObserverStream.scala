@@ -40,7 +40,8 @@ object DealObserverStream {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       finalityEpochs: Int = DealIngest.FinalityEpochs,
       maxPastEpochs: Int = DealIngest.MaxPastEpochs,
-      metrics: Option[MetricsSink] = None): StreamingQuery = {
+      metrics: Option[MetricsSink] = None,
+      retractReverts: Boolean = false): StreamingQuery = {
 
     val raw = spark.readStream
       .schema(RawActorEvent.schema)
@@ -54,33 +55,61 @@ object DealObserverStream {
         val head = chainHead()
         val store = new DealStateStore(batch.sparkSession, storeRoot)
         val existing = store.read()
+        // BEYOND-REFERENCE opt-in (ST4+): a reverted re-delivery carries
+        // the ORIGINAL epoch (≤ the stored watermark), so it is decoded
+        // from the full batch, not the new-epoch window
+        val reverts =
+          if (retractReverts)
+            graft.codec.EventCodec.toActiveDeals(
+              graft.codec.EventCodec.decodeBlockEvents(
+                batch.filter(col("reverted") &&
+                  col("height") <= head - finalityEpochs))).cache()
+          else batch.sparkSession.createDataFrame(
+            batch.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            graft.model.ActiveDeal.schema)
+        val nr = if (retractReverts) reverts.count() else 0L
         // O(1) watermark from the _META sidecar — never agg(max) over
         // the state table inside a 10 s tick
         val appended = DealIngest.observe(
-          batch, existing, head, maxPastEpochs, finalityEpochs,
+          if (retractReverts) batch.filter(!col("reverted")) else batch,
+          existing, head, maxPastEpochs, finalityEpochs,
           storedWatermark = Some(store.maxEpoch()))
         val n = appended.cache().count()
-        if (n > 0) {
+        if (n > 0 || nr > 0) {
           // delta write: replace only the epoch-days this batch touched
-          // (existing rows of those days + the new rows) — an ingest
-          // tick costs O(touched days), never O(table)
-          val r = appended.agg(
+          // (existing rows of those days, minus retracted keys, plus the
+          // new rows) — an ingest tick costs O(touched days), never
+          // O(table)
+          val dayOf = (col("activated_at_epoch") / store.EpochsPerDay).cast("int")
+          val r = appended.unionByName(reverts).agg(
             min("activated_at_epoch").as("lo"), max("activated_at_epoch").as("hi"))
             .collect()(0)
           val loDay = r.getInt(0) / store.EpochsPerDay
           val hiDay = r.getInt(1) / store.EpochsPerDay
-          val touched = existing.filter(
-            (col("activated_at_epoch") / store.EpochsPerDay).cast("int")
-              .between(loDay, hiDay))
-          store.writeDelta(touched.unionByName(appended))
+          val touched = existing.filter(dayOf.between(loDay, hiDay))
+          val newDays = DealIngest.retractReverted(touched, reverts)
+            .unionByName(appended)
+          // the delta layout cannot tombstone a day that ends empty —
+          // fall back to a full rewrite for that (rare) reorg shape
+          val emptied = nr > 0 && {
+            val before = touched.select(dayOf.as("d")).distinct()
+            val after = newDays.select(dayOf.as("d")).distinct()
+            before.join(after, Seq("d"), "left_anti").limit(1).count() > 0
+          }
+          if (emptied)
+            store.write(DealIngest.retractReverted(existing, reverts)
+              .unionByName(appended))
+          else store.writeDelta(newDays)
           if (store.chainDepth() > 32) store.compact()
         }
         // S12: per-tick counters to the metrics table (the reference's
         // recordTelemetry call at the end of each loop body)
         metrics.foreach(_.record("observe", Map(
           "ingested" -> n,
+          "retracted" -> nr,
           "last_searched_epoch" -> (head - finalityEpochs).toLong)))
         appended.unpersist()
+        if (retractReverts) reverts.unpersist()
         ()
       }
       .start()

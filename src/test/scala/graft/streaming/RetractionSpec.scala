@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.{SparkSpec, TestSpark}
+import graft.model.RawActorEvent
+import graft.state.DealStateStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** BEYOND-REFERENCE reorg retraction (the reference's service.js:57-58
+  * TODO): a reverted re-delivery removes the stored un-reverted row. */
+class RetractionSpec extends SparkSpec {
+
+  private def stage(): (String, String, String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("retract").toString
+    val events = s"$root/events"
+    new java.io.File(events).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.fixtures}/rawActorEvents.json"),
+      java.nio.file.Paths.get(s"$events/epochs-4622129-4622139.json"))
+    (events, s"$root/store", s"$root/ckpt", s"$root/metrics")
+  }
+
+  /** Write reverted copies of the fixture events in [lo, hi] as one new
+    * NDJSON file in the stream directory. */
+  private def stageReverts(events: String, lo: Int, hi: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("reverts").toString
+    spark.read.schema(RawActorEvent.schema)
+      .json(s"${TestSpark.fixtures}/rawActorEvents.json")
+      .filter(col("height").between(lo, hi))
+      .withColumn("reverted", lit(true))
+      .coalesce(1).write.mode("overwrite").json(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$events/reverts-$lo-$hi.json"))
+  }
+
+  private def runTick(events: String, store: String, ckpt: String,
+      sink: MetricsSink): Unit = {
+    val q = DealObserverStream.start(
+      spark, events, store, ckpt,
+      chainHead = () => 4622139 + 940,
+      trigger = Trigger.AvailableNow(),
+      metrics = Some(sink),
+      retractReverts = true)
+    q.awaitTermination()
+  }
+
+  test("a reverted re-delivery retracts the stored rows (day rewrite)") {
+    val (events, storeRoot, ckpt, metricsRoot) = stage()
+    val sink = new MetricsSink(spark, metricsRoot)
+    runTick(events, storeRoot, ckpt, sink)
+    val store = new DealStateStore(spark, storeRoot)
+    assert(store.read().count() == 360)
+
+    // reorg un-happens the newest epoch's 24 claims
+    stageReverts(events, 4622139, 4622139)
+    runTick(events, storeRoot, ckpt, sink)
+    assert(store.read().count() == 336)
+    assert(store.read().filter(col("activated_at_epoch") === 4622139).count() == 0)
+    // retraction went through the day-rewrite path, not a full snapshot
+    assert(store.chainDepth() > 1)
+    val retracted = sink.table().filter(col("metric") === "retracted")
+      .agg(sum("value")).collect()(0).getLong(0)
+    assert(retracted == 24L)
+
+    // replaying the same stream is a no-op (idempotent either path)
+    runTick(events, storeRoot, ckpt, sink)
+    assert(store.read().count() == 336)
+  }
+
+  test("a reorg emptying a whole epoch-day falls back to the full rewrite") {
+    val (events, storeRoot, ckpt, metricsRoot) = stage()
+    val sink = new MetricsSink(spark, metricsRoot)
+    runTick(events, storeRoot, ckpt, sink)
+    val store = new DealStateStore(spark, storeRoot)
+    assert(store.read().count() == 360)
+
+    // the whole fixture lives in one epoch_day: reverting everything
+    // empties it — the delta layout can't tombstone a day, so the loop
+    // must fall back to a full snapshot write
+    stageReverts(events, 4622129, 4622139)
+    runTick(events, storeRoot, ckpt, sink)
+    assert(store.read().count() == 0)
+    assert(store.chainDepth() <= 1) // full write folded the chain
+  }
+}
