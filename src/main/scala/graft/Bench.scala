@@ -13,13 +13,20 @@ object Bench {
     // untimed warm-up: session/codegen/file-index initialization should
     // not be billed to whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // per-query MIN over `runs` executions: this host shows 3-20x CPU
+    // steal on single runs — the minimum is the only statistic that
+    // tracks the engine rather than the noisy neighbor
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators cache intermediates (shingle relations etc.); release
-      // between queries so one query's cache doesn't tax the next
-      spark.catalog.clearCache()
+      val dt = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val d = (System.nanoTime() - t0) / 1e9
+        // operators cache intermediates (shingle relations etc.);
+        // release between runs so one query's cache doesn't tax the next
+        spark.catalog.clearCache()
+        d
+      }.min
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
