@@ -109,10 +109,13 @@ final class DealStateStore(spark: SparkSession, root: String) {
     * recent epoch-days; rewriting them costs O(changed), not O(table).
     * `compact()` folds a chain back into a full snapshot.
     *
-    * Limitation: a delta can replace or add days, not tombstone one —
-    * deleting every row of a day requires a full `write()` (the deal
-    * pipeline never deletes, so this never binds here). */
-  def writeDelta(changed: DataFrame): Long = {
+    * `tombstoneDays` deletes whole epoch-days by reference: the version
+    * records the day numbers in a `_TOMBSTONES` sidecar and `read()`
+    * stops resolving them in older versions — so even a reorg that
+    * empties a day costs O(changed), never a full rewrite. A tombstoned
+    * day can be re-created by a later delta (the newest writer of a day
+    * always wins). */
+  def writeDelta(changed: DataFrame, tombstoneDays: Set[Int] = Set.empty): Long = {
     val next = latestVersion.getOrElse(-1L) + 1
     val parent = latestVersion
     val vdir = new Path(rootPath, s"v=$next")
@@ -126,9 +129,25 @@ final class DealStateStore(spark: SparkSession, root: String) {
       val out = fs.create(new Path(vdir, "_PARENT"), true)
       try out.write(p.toString.getBytes("UTF-8")) finally out.close()
     }
+    if (tombstoneDays.nonEmpty) {
+      val out = fs.create(new Path(vdir, "_TOMBSTONES"), true)
+      try out.write(tombstoneDays.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     writeMeta(vdir, parentMax = parent.flatMap(metaMaxOf))
     flipPointer(next)
     next
+  }
+
+  private def tombstonesOf(version: Long): Set[Int] = {
+    val p = new Path(rootPath, s"v=$version/_TOMBSTONES")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      txt.split("\n").filter(_.nonEmpty).map(_.trim.toInt).toSet
+    }
   }
 
   /** Per-version metadata sidecar (`v=N/_META`): the table-level
@@ -204,16 +223,22 @@ final class DealStateStore(spark: SparkSession, root: String) {
   }
 
   /** Resolve the chain: for each epoch_day take the NEWEST version that
-    * wrote it. Returns the resolved day→path map and the chain length. */
+    * wrote it; a day tombstoned by a newer version stops resolving in
+    * older ones. Returns the resolved day→path map and the chain length. */
   private def resolveChain(): (Map[Int, String], Int) = {
     var days = Map.empty[Int, String]
+    var dead = Set.empty[Int]
     var cur = latestVersion
     var depth = 0
     while (cur.isDefined) {
       val v = cur.get
       dayDirs(v).foreach { case (d, p) =>
-        if (!days.contains(d)) days += d -> p
+        if (!days.contains(d) && !dead.contains(d)) days += d -> p
       }
+      // this version's tombstones hide the day in ALL older versions
+      // (its own day dirs were already considered above, so a later
+      // re-creation of a tombstoned day still wins)
+      dead ++= tombstonesOf(v)
       cur = parentOf(v)
       depth += 1
     }

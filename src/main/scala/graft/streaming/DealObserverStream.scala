@@ -89,17 +89,18 @@ object DealObserverStream {
           val touched = existing.filter(dayOf.between(loDay, hiDay))
           val newDays = DealIngest.retractReverted(touched, reverts)
             .unionByName(appended)
-          // the delta layout cannot tombstone a day that ends empty —
-          // fall back to a full rewrite for that (rare) reorg shape
-          val emptied = nr > 0 && {
-            val before = touched.select(dayOf.as("d")).distinct()
-            val after = newDays.select(dayOf.as("d")).distinct()
-            before.join(after, Seq("d"), "left_anti").limit(1).count() > 0
-          }
-          if (emptied)
-            store.write(DealIngest.retractReverted(existing, reverts)
-              .unionByName(appended))
-          else store.writeDelta(newDays)
+          // a reorg that empties a whole epoch-day deletes it by
+          // TOMBSTONE (day-number sidecar), so even that shape costs
+          // O(changed days) — never a full rewrite
+          val emptiedDays: Set[Int] =
+            if (nr == 0) Set.empty
+            else {
+              val before = touched.select(dayOf.as("d")).distinct()
+              val after = newDays.select(dayOf.as("d")).distinct()
+              before.join(after, Seq("d"), "left_anti")
+                .collect().map(_.getInt(0)).toSet
+            }
+          store.writeDelta(newDays, tombstoneDays = emptiedDays)
           if (store.chainDepth() > 32) store.compact()
         }
         // S12: per-tick counters to the metrics table (the reference's

@@ -120,6 +120,33 @@ class DeltaStoreSpec extends SparkSpec {
     assert(fresh.count() == 360)
   }
 
+  test("day tombstones: delete by reference, same-version write wins, recovery intact") {
+    val dir = java.nio.file.Files.createTempDirectory("tombstone").toString
+    val store = new DealStateStore(spark, dir)
+    val day1 = deals(4622129, 4622139)
+    val day2 = day1.withColumn("activated_at_epoch", col("activated_at_epoch") + 2880)
+    store.write(day1.unionByName(day2))
+    val d1 = 4622129 / store.EpochsPerDay
+    assert(store.read().count() == 720)
+
+    // tombstone day 1 with no replacement rows: O(changed) delete
+    store.writeDelta(day2.limit(0), tombstoneDays = Set(d1))
+    assert(store.read().count() == 360)
+    assert(store.read().agg(min("activated_at_epoch")).collect()(0).getInt(0)
+      >= 4622129 + 2880)
+
+    // a version that writes AND tombstones the same day: its own write wins
+    val replacement = day1.limit(0).unionByName(day1.filter(col("activated_at_epoch") === 4622129))
+    store.writeDelta(replacement, tombstoneDays = Set(d1))
+    assert(store.read().filter((col("activated_at_epoch") / store.EpochsPerDay)
+      .cast("int") === d1).count() == 25)
+    assert(store.read().count() == 360 + 25)
+
+    // pointer-loss recovery resolves tombstones identically
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_LATEST"))
+    assert(new DealStateStore(spark, dir).read().count() == 360 + 25)
+  }
+
   test("full write GC keeps the rollback chain intact") {
     val dir = java.nio.file.Files.createTempDirectory("delta-gc").toString
     val store = new DealStateStore(spark, dir)

@@ -69,7 +69,7 @@ class RetractionSpec extends SparkSpec {
     assert(store.read().count() == 336)
   }
 
-  test("a reorg emptying a whole epoch-day falls back to the full rewrite") {
+  test("a reorg emptying a whole epoch-day tombstones it — still a delta write") {
     val (events, storeRoot, ckpt, metricsRoot) = stage()
     val sink = new MetricsSink(spark, metricsRoot)
     runTick(events, storeRoot, ckpt, sink)
@@ -77,11 +77,26 @@ class RetractionSpec extends SparkSpec {
     assert(store.read().count() == 360)
 
     // the whole fixture lives in one epoch_day: reverting everything
-    // empties it — the delta layout can't tombstone a day, so the loop
-    // must fall back to a full snapshot write
+    // empties it — the day is deleted by tombstone, NOT a full rewrite
     stageReverts(events, 4622129, 4622139)
     runTick(events, storeRoot, ckpt, sink)
     assert(store.read().count() == 0)
-    assert(store.chainDepth() <= 1) // full write folded the chain
+    assert(store.chainDepth() > 1, "tombstone delete must stay a delta write")
+
+    // a later ingest can re-create the tombstoned day (newest wins)
+    val store2 = new DealStateStore(spark, storeRoot)
+    val raw = spark.read.schema(RawActorEvent.schema)
+      .json(s"${TestSpark.fixtures}/rawActorEvents.json")
+    val fresh = graft.ingest.DealIngest.dedupeAgainst(
+      graft.ingest.DealIngest.decodeRange(raw, 4622129, 4622130),
+      store2.read())
+    store2.writeDelta(fresh)
+    assert(store2.read().count() == fresh.count())
+    assert(store2.read().count() > 0)
+
+    // compact() folds tombstones away into one clean snapshot
+    store2.compact()
+    assert(store2.chainDepth() == 1)
+    assert(store2.read().count() == fresh.count())
   }
 }
