@@ -16,16 +16,19 @@ object Bench {
     // per-query MIN over `runs` executions: this host shows 3-20x CPU
     // steal on single runs — the minimum is the only statistic that
     // tracks the engine rather than the noisy neighbor
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dt = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a failed run must never win the min — it would report a
+        // fast-failing execution as the query's official time
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val d = (System.nanoTime() - t0) / 1e9
         // operators cache intermediates (shingle relations etc.);
         // release between runs so one query's cache doesn't tax the next
         spark.catalog.clearCache()
-        d
+        if (ok) d else Double.MaxValue
       }.min
       name -> dt
     }.toMap

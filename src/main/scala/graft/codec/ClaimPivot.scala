@@ -71,13 +71,25 @@ object ClaimPivot extends Serializable {
             case DagCbor.TextVal("claim") => isClaim = true
             case _ => return null
           }
-        } else wireKeys.get(key).foreach { name =>
-          val slot = slots(name)
-          DagCbor.decodeBase64(b64) match {
-            case DagCbor.IntVal(v) if name != "pieceCid" => out(slot) = v
-            case DagCbor.CidVal(s) if name == "pieceCid" =>
-              out(slot) = UTF8String.fromString(s)
-            case _ => return null
+        } else {
+          // UNKNOWN keys are decoded and validated too (not skipped):
+          // the reference's pivot dead-letters the whole event when any
+          // entry value is not an int/CID or fails to decode
+          // (utils.js:29-49) — the UDF equivalence spec relies on this.
+          val decoded = DagCbor.decodeBase64(b64)
+          wireKeys.get(key) match {
+            case Some(name) =>
+              val slot = slots(name)
+              decoded match {
+                case DagCbor.IntVal(v) if name != "pieceCid" => out(slot) = v
+                case DagCbor.CidVal(s) if name == "pieceCid" =>
+                  out(slot) = UTF8String.fromString(s)
+                case _ => return null
+              }
+            case None => decoded match {
+              case DagCbor.IntVal(_) | DagCbor.CidVal(_) => () // valid, ignored
+              case _ => return null
+            }
           }
         }
         i += 1

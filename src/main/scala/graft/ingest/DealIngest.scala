@@ -67,9 +67,12 @@ object DealIngest {
     * Scale shape: the reverted key set of one finality window is tiny —
     * broadcast anti-join against the state pruned to the affected
     * epoch range; persisted via the store's day-partition rewrite
-    * (replacing a day's files CAN drop rows; only a day going
-    * completely empty needs the full-write fallback, see
-    * DealStateStore.writeDelta's tombstone note). */
+    * (replacing a day's files CAN drop rows; a day going completely
+    * empty is deleted by a `_TOMBSTONES` sidecar, still O(changed) —
+    * see DealStateStore.writeDelta). The caller must also roll the
+    * ingest watermark back below the lowest retracted epoch
+    * (writeDelta's `capWatermarkEpoch`) so the replacement chain's
+    * events can re-enter the observe window. */
   def retractReverted(existing: DataFrame, revertedDeals: DataFrame): DataFrame = {
     val keys = revertedDeals.select(ActiveDeal.naturalKey.map(col): _*)
     existing.join(broadcast(keys), ActiveDeal.naturalKey, "left_anti")

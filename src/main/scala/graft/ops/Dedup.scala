@@ -84,18 +84,22 @@ object Dedup {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_n"))
     // Pair generation via posting lists: ONE shuffle of the shingle
     // relation (the groupBy) instead of a two-sided self-join; each
-    // shingle's doc list expands to its id<id' combinations inside a
-    // codegen'd projection, then one pair-shuffle counts intersections.
-    // Per-shingle fan-out is doc frequency — the same quadratic the
-    // join had, minus one full shuffle of `sh`.
+    // shingle's id<id' combinations stream out of two nested
+    // generators, so memory per row is the O(df) posting list, never
+    // the O(df²) pair set. The emitted pair COUNT is still quadratic in
+    // document frequency — exactly the self-join's output — which is
+    // why `blockCol` bounds df for shard-local sweeps and the unblocked
+    // global form is documented as MinHash territory. array_distinct
+    // guards duplicate ids (dirty input / hash collision): no
+    // self-pairs, each shared shingle counted once per pair.
     val pairs = sh
       .groupBy("block", "sh").agg(collect_list(col("id")).as("ids"))
+      .withColumn("ids", array_sort(array_distinct(col("ids"))))
       .filter(size(col("ids")) >= 2)
-      .withColumn("ids", array_sort(col("ids")))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id1")))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as("id2"))
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter_n"))
       .filter(col("inter_n") >= minIntersect)
     pairs
@@ -156,17 +160,20 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     // Bucket-local pair generation: ONE shuffle (the groupBy) instead of
     // the window-count + two-sided self-join + distinct formulation
-    // (three shuffles of the banded relation). Buckets are capped, so
-    // the per-bucket combination expression is bounded quadratic work
-    // inside a codegen'd projection — no join, no sort.
+    // (three shuffles of the banded relation). Pairs stream out of two
+    // nested generators — memory per row is the O(members) posting
+    // list, never the O(members²) pair set (a flatten(transform(...))
+    // array would materialize the square before exploding).
+    // array_distinct guards dirty input: a duplicated id in a bucket
+    // must not emit an (id, id) self-pair.
     val pairs = banded
       .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, hotBucketCap))
-      .withColumn("ids", array_sort(col("ids")))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-      .select(col("p.id1"), col("p.id2"))
+      .withColumn("ids", array_sort(array_distinct(col("ids"))))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id1")))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as("id2"))
     pairs.distinct() // the same pair can collide in several bands
   }
 

@@ -114,8 +114,18 @@ final class DealStateStore(spark: SparkSession, root: String) {
     * stops resolving them in older versions — so even a reorg that
     * empties a day costs O(changed), never a full rewrite. A tombstoned
     * day can be re-created by a later delta (the newest writer of a day
-    * always wins). */
-  def writeDelta(changed: DataFrame, tombstoneDays: Set[Int] = Set.empty): Long = {
+    * always wins).
+    *
+    * `capWatermarkEpoch` bounds the `_META` watermark from above: the
+    * sidecar max is normally monotone (max of own and parent), but a
+    * RETRACTION must roll it back to just below the lowest retracted
+    * epoch — otherwise the replacement chain's re-delivered events at
+    * those epochs sit below the watermark and can never re-enter
+    * `DealIngest.observe`'s window. */
+  def writeDelta(
+      changed: DataFrame,
+      tombstoneDays: Set[Int] = Set.empty,
+      capWatermarkEpoch: Option[Int] = None): Long = {
     val next = latestVersion.getOrElse(-1L) + 1
     val parent = latestVersion
     val vdir = new Path(rootPath, s"v=$next")
@@ -134,7 +144,7 @@ final class DealStateStore(spark: SparkSession, root: String) {
       try out.write(tombstoneDays.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
-    writeMeta(vdir, parentMax = parent.flatMap(metaMaxOf))
+    writeMeta(vdir, parentMax = parent.flatMap(metaMaxOf), cap = capWatermarkEpoch)
     flipPointer(next)
     next
   }
@@ -157,7 +167,8 @@ final class DealStateStore(spark: SparkSession, root: String) {
     * just-written files (O(changed) for deltas), so ingest ticks read
     * the watermark in O(1) instead of `agg(max)` over the table — at
     * 100 TB that agg is a full state scan every 10 s tick. */
-  private def writeMeta(vdir: Path, parentMax: Option[Int]): Unit = {
+  private def writeMeta(
+      vdir: Path, parentMax: Option[Int], cap: Option[Int] = None): Unit = {
     val written = fs.globStatus(new Path(vdir, "epoch_day=*"))
     val stats: Array[(Int, Long, Int)] =
       if (written.isEmpty) Array.empty
@@ -168,6 +179,7 @@ final class DealStateStore(spark: SparkSession, root: String) {
         .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
     val ownMax = if (stats.isEmpty) None else Some(stats.map(_._3).max)
     val tableMax = (ownMax.toSeq ++ parentMax.toSeq).reduceOption(_ max _)
+      .map(m => cap.fold(m)(math.min(m, _)))
     val dayRows = stats.sortBy(_._1)
       .map { case (d, n, _) => s""""$d":$n""" }.mkString("{", ",", "}")
     val json =

@@ -57,13 +57,15 @@ object DealObserverStream {
         val existing = store.read()
         // BEYOND-REFERENCE opt-in (ST4+): a reverted re-delivery carries
         // the ORIGINAL epoch (≤ the stored watermark), so it is decoded
-        // from the full batch, not the new-epoch window
+        // from the full batch, not the new-epoch window. The lookback
+        // cap bounds it below — one bogus ancient height must not widen
+        // the touched-day range to the whole table.
         val reverts =
           if (retractReverts)
             graft.codec.EventCodec.toActiveDeals(
               graft.codec.EventCodec.decodeBlockEvents(
-                batch.filter(col("reverted") &&
-                  col("height") <= head - finalityEpochs))).cache()
+                batch.filter(col("reverted") && col("height")
+                  .between(head - maxPastEpochs, head - finalityEpochs)))).cache()
           else batch.sparkSession.createDataFrame(
             batch.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             graft.model.ActiveDeal.schema)
@@ -87,8 +89,11 @@ object DealObserverStream {
           val loDay = r.getInt(0) / store.EpochsPerDay
           val hiDay = r.getInt(1) / store.EpochsPerDay
           val touched = existing.filter(dayOf.between(loDay, hiDay))
-          val newDays = DealIngest.retractReverted(touched, reverts)
-            .unionByName(appended)
+          // parity default: plain append path, no retraction plan nodes
+          val newDays =
+            if (nr > 0) DealIngest.retractReverted(touched, reverts)
+              .unionByName(appended)
+            else touched.unionByName(appended)
           // a reorg that empties a whole epoch-day deletes it by
           // TOMBSTONE (day-number sidecar), so even that shape costs
           // O(changed days) — never a full rewrite
@@ -100,7 +105,16 @@ object DealObserverStream {
               before.join(after, Seq("d"), "left_anti")
                 .collect().map(_.getInt(0)).toSet
             }
-          store.writeDelta(newDays, tombstoneDays = emptiedDays)
+          // retraction rolls the ingest watermark back below the lowest
+          // retracted epoch, so the replacement chain's events at those
+          // heights re-enter the next observe window (re-scans of
+          // already-stored epochs are no-ops via the natural-key dedup)
+          val wmCap =
+            if (nr == 0) None
+            else Some(reverts.agg(min("activated_at_epoch"))
+              .collect()(0).getInt(0) - 1)
+          store.writeDelta(newDays, tombstoneDays = emptiedDays,
+            capWatermarkEpoch = wmCap)
           if (store.chainDepth() > 32) store.compact()
         }
         // S12: per-tick counters to the metrics table (the reference's

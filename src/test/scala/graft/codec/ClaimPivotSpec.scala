@@ -51,6 +51,33 @@ class ClaimPivotSpec extends SparkSpec {
     assert(out.count() == 3) // nothing threw
   }
 
+  test("unknown entry keys are validated like the reference pivot (dead-letter on bad values)") {
+    import spark.implicits._
+    // a complete valid claim event taken from the fixture...
+    val good = raw.limit(1).as[RawActorEvent].collect()(0)
+    assert(ClaimPivot.decodeClaimEvent _ != null)
+    def decodeOne(e: RawActorEvent): Long = {
+      Seq(e).toDS().toDF()
+        .withColumn("ev", ClaimPivot.decodeClaimEvent(col("entries")))
+        .filter(col("ev").isNotNull).count()
+    }
+    assert(decodeOne(good) == 1)
+    // ...plus an unknown key with garbage → whole event dead-letters
+    // (reference utils.js decodes every entry value; UDF path agrees)
+    val extraBad = good.copy(entries = good.entries :+
+      graft.model.EventEntry(81, 0, "mystery", "!!garbage!!"))
+    assert(decodeOne(extraBad) == 0)
+    val viaUdf = Seq(extraBad).toDS().toDF()
+      .withColumn("ev", EventCodec.decodeClaimUdf(col("entries")))
+      .filter(col("ev").isNotNull).count()
+    assert(viaUdf == 0)
+    // an unknown key with a VALID int value is ignored, event decodes
+    val extraOk = good.copy(entries = good.entries :+
+      graft.model.EventEntry(81, 0, "mystery",
+        java.util.Base64.getEncoder.encodeToString(Array(0x05.toByte)))) // CBOR uint 5
+    assert(decodeOne(extraOk) == 1)
+  }
+
   test("codegen and interpreted paths agree") {
     // force the interpreted path via eval on the expression directly
     val entriesCol = col("entries")

@@ -67,6 +67,23 @@ class RetractionSpec extends SparkSpec {
     // replaying the same stream is a no-op (idempotent either path)
     runTick(events, storeRoot, ckpt, sink)
     assert(store.read().count() == 336)
+
+    // the watermark rolled back below the retracted epoch, so the
+    // REPLACEMENT chain's events at that height can re-enter the window
+    assert(store.maxEpoch().contains(4622138))
+    val tmp = java.nio.file.Files.createTempDirectory("replacement").toString
+    spark.read.schema(RawActorEvent.schema)
+      .json(s"${TestSpark.fixtures}/rawActorEvents.json")
+      .filter(col("height") === 4622139)
+      .limit(10) // the canonical chain re-confirms 10 of the 24 claims
+      .coalesce(1).write.mode("overwrite").json(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$events/replacement-4622139.json"))
+    runTick(events, storeRoot, ckpt, sink)
+    assert(store.read().count() == 346)
+    assert(store.read().filter(col("activated_at_epoch") === 4622139).count() == 10)
   }
 
   test("a reorg emptying a whole epoch-day tombstones it — still a delta write") {
