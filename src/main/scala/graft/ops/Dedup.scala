@@ -160,21 +160,29 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     // Bucket-local pair generation: ONE shuffle (the groupBy) instead of
     // the window-count + two-sided self-join + distinct formulation
-    // (three shuffles of the banded relation). Pairs stream out of two
-    // nested generators — memory per row is the O(members) posting
-    // list, never the O(members²) pair set (a flatten(transform(...))
-    // array would materialize the square before exploding).
+    // (three shuffles of the banded relation). Size-split execution:
+    // the overwhelmingly common SMALL buckets expand their pair set in
+    // one codegen'd projection (cheap, bounded by 512²/2 elements);
+    // rare HOT buckets stream pairs from two nested generators so
+    // per-row memory stays O(members), never O(members²).
     // array_distinct guards dirty input: a duplicated id in a bucket
     // must not emit an (id, id) self-pair.
-    val pairs = banded
+    val buckets = banded
       .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, hotBucketCap))
       .withColumn("ids", array_sort(array_distinct(col("ids"))))
       .filter(size(col("ids")) >= 2)
+    val small = buckets.filter(size(col("ids")) <= 512)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+    val large = buckets.filter(size(col("ids")) > 512)
       .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id1")))
       .select(col("id1"),
         explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as("id2"))
-    pairs.distinct() // the same pair can collide in several bands
+    small.unionByName(large)
+      .distinct() // the same pair can collide in several bands
   }
 
   /** Monitoring companion to the hot-bucket cap: the (band, bucket,
