@@ -72,10 +72,17 @@ object Dedup {
     * xxhash64(shingle), an 8-byte long instead of the shingle text —
     * the shuffle carries hashes, not strings. Cross-block global dedup
     * is MinHash-LSH territory (minhashDedupPairs). */
+  /** @param maxDocFrequency optional cap on a shingle's per-block doc
+    *   frequency: a shingle shared by more docs than this emits NO
+    *   pairs (its df² pair fan-out would dominate the sweep, and a
+    *   shingle that common carries no similarity signal). None = exact
+    *   (oracle-parity) semantics. Not silent: `hotShingles` reports
+    *   what a given cap would drop. */
   def ngramJaccardPairs(
       df: DataFrame, n: Int, minIntersect: Int = 1,
       idCol: String = "doc_id", textCol: String = "text",
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None,
+      maxDocFrequency: Option[Int] = None): DataFrame = {
     val keyed = blockCol match {
       case Some(bc) => shinglesWithBlock(df, n, idCol, textCol, bc)
       case None => shingles(df, n, idCol, textCol).withColumn("block", lit(0))
@@ -95,7 +102,8 @@ object Dedup {
     val pairs = sh
       .groupBy("block", "sh").agg(collect_list(col("id")).as("ids"))
       .withColumn("ids", array_sort(array_distinct(col("ids"))))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 &&
+        maxDocFrequency.map(size(col("ids")) <= _).getOrElse(lit(true)))
       .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id1")))
       .select(col("id1"),
         explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as("id2"))
@@ -107,6 +115,22 @@ object Dedup {
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("set_n", "n2"), "id2")
       .select(col("id1"), col("id2"), col("inter_n"),
         (col("n1") + col("n2") - col("inter_n")).as("union_n"))
+  }
+
+  /** Monitoring companion to `maxDocFrequency`: the (block, sh, df)
+    * rows whose shingles `ngramJaccardPairs` would drop at this cap —
+    * the same no-silent-truncation contract as `hotBuckets`. */
+  def hotShingles(
+      df: DataFrame, n: Int, maxDocFrequency: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      blockCol: Option[String] = None): DataFrame = {
+    val keyed = blockCol match {
+      case Some(bc) => shinglesWithBlock(df, n, idCol, textCol, bc)
+      case None => shingles(df, n, idCol, textCol).withColumn("block", lit(0))
+    }
+    keyed.withColumn("sh", xxhash64(col("shingle"))).drop("shingle")
+      .groupBy("block", "sh").agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") > maxDocFrequency)
   }
 
   private def shinglesWithBlock(

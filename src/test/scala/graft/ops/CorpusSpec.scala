@@ -94,6 +94,22 @@ class CorpusSpec extends SparkSpec {
     assert(packed(1L) == 0L && packed(2L) == 1L && packed(3L) == 2L)
   }
 
+  test("ngram doc-frequency cap drops exactly what hotShingles reports") {
+    import spark.implicits._
+    // 6 docs sharing one boilerplate bigram; 2 docs sharing a rare one
+    val boiler = "common header text"
+    val tiny = (1 to 6).map(i => (i.toLong, s"$boiler unique$i filler$i")) ++
+      Seq((7L, "rare pair alpha"), (8L, "rare pair beta"))
+    val docs8 = tiny.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs8, n = 2).count()
+    val capped = Dedup.ngramJaccardPairs(docs8, n = 2, maxDocFrequency = Some(4))
+    // the 6-doc boilerplate shingles die; the rare 2-doc pair survives
+    assert(capped.filter(col("id1") === 7 && col("id2") === 8).count() == 1)
+    assert(capped.count() < uncapped)
+    val hot = Dedup.hotShingles(docs8, n = 2, maxDocFrequency = 4).collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(2) > 4))
+  }
+
   test("tfidf: rarer terms score higher at equal tf; distinctiveTerms agrees") {
     val tiny = Seq(
       (1L, "alpha beta beta"),
