@@ -30,11 +30,14 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) d else Double.MaxValue
       }.min
-      name -> dt
+      // every run failed → report the -1 sentinel, not Double.MaxValue
+      name -> (if (dt == Double.MaxValue) -1.0 else dt)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries (-1 sentinel) stay visible per-query but are
+    // excluded from the total
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -87,26 +87,31 @@ object Dedup {
       case Some(bc) => shinglesWithBlock(df, n, idCol, textCol, bc)
       case None => shingles(df, n, idCol, textCol).withColumn("block", lit(0))
     }
-    val sh = keyed.withColumn("sh", xxhash64(col("shingle"))).drop("shingle").cache()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_n"))
+    val sh = keyed.withColumn("sh", xxhash64(col("shingle"))).drop("shingle")
     // Pair generation via posting lists: ONE shuffle of the shingle
-    // relation (the groupBy) instead of a two-sided self-join; each
-    // shingle's id<id' combinations stream out of two nested
-    // generators, so memory per row is the O(df) posting list, never
-    // the O(df²) pair set. The emitted pair COUNT is still quadratic in
-    // document frequency — exactly the self-join's output — which is
-    // why `blockCol` bounds df for shard-local sweeps and the unblocked
+    // relation (the groupBy) instead of a two-sided self-join; the
+    // i<j combinations come from the size-split `pairCombinations`
+    // helper. The emitted pair COUNT is still quadratic in document
+    // frequency — exactly the self-join's output — which is why
+    // `blockCol` bounds df for shard-local sweeps and the unblocked
     // global form is documented as MinHash territory. array_distinct
     // guards duplicate ids (dirty input / hash collision): no
     // self-pairs, each shared shingle counted once per pair.
-    val pairs = sh
+    //
+    // With `maxDocFrequency`, BOTH the pair counts and the set sizes
+    // come from the same cap-filtered relation — Jaccard is computed
+    // over the effective (non-hot) shingle universe. Mixing capped
+    // intersections with uncapped sizes would bias boilerplate-heavy
+    // near-dups far below their true similarity.
+    val bucketed = sh
       .groupBy("block", "sh").agg(collect_list(col("id")).as("ids"))
       .withColumn("ids", array_sort(array_distinct(col("ids"))))
-      .filter(size(col("ids")) >= 2 &&
-        maxDocFrequency.map(size(col("ids")) <= _).getOrElse(lit(true)))
-      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id1")))
-      .select(col("id1"),
-        explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as("id2"))
+    val kept = maxDocFrequency
+      .map(c => bucketed.filter(size(col("ids")) <= c)).getOrElse(bucketed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("set_n"))
+    val pairs = pairCombinations(kept.filter(size(col("ids")) >= 2))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter_n"))
       .filter(col("inter_n") >= minIntersect)
@@ -115,6 +120,25 @@ object Dedup {
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("set_n", "n2"), "id2")
       .select(col("id1"), col("id2"), col("inter_n"),
         (col("n1") + col("n2") - col("inter_n")).as("union_n"))
+  }
+
+  /** (…, `ids`: sorted duplicate-free array) → one (id1, id2) row per
+    * i<j combination, streamed. Size-split execution: small lists (the
+    * common case) expand their pair set in one codegen'd projection;
+    * lists past `inlineLimit` go through two nested generators so
+    * per-row memory stays O(len), never O(len²). The caller should
+    * persist its input — both branches of the union scan it. */
+  private def pairCombinations(bucketed: DataFrame, inlineLimit: Int = 512): DataFrame = {
+    val small = bucketed.filter(size(col("ids")) <= inlineLimit)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+    val large = bucketed.filter(size(col("ids")) > inlineLimit)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id1")))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as("id2"))
+    small.unionByName(large)
   }
 
   /** Monitoring companion to `maxDocFrequency`: the (block, sh, df)
@@ -184,28 +208,19 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     // Bucket-local pair generation: ONE shuffle (the groupBy) instead of
     // the window-count + two-sided self-join + distinct formulation
-    // (three shuffles of the banded relation). Size-split execution:
-    // the overwhelmingly common SMALL buckets expand their pair set in
-    // one codegen'd projection (cheap, bounded by 512²/2 elements);
-    // rare HOT buckets stream pairs from two nested generators so
-    // per-row memory stays O(members), never O(members²).
-    // array_distinct guards dirty input: a duplicated id in a bucket
-    // must not emit an (id, id) self-pair.
+    // (three shuffles of the banded relation); pairs come from the
+    // size-split `pairCombinations` helper. The bucketed relation is
+    // persisted because the helper's small/large union scans it twice —
+    // without it the banding explode + aggregation would re-run per
+    // branch. array_distinct guards dirty input: a duplicated id in a
+    // bucket must not emit an (id, id) self-pair.
     val buckets = banded
       .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, hotBucketCap))
       .withColumn("ids", array_sort(array_distinct(col("ids"))))
       .filter(size(col("ids")) >= 2)
-    val small = buckets.filter(size(col("ids")) <= 512)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-      .select(col("p.id1"), col("p.id2"))
-    val large = buckets.filter(size(col("ids")) > 512)
-      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id1")))
-      .select(col("id1"),
-        explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as("id2"))
-    small.unionByName(large)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairCombinations(buckets)
       .distinct() // the same pair can collide in several bands
   }
 

@@ -66,8 +66,12 @@ final class DealStateStore(spark: SparkSession, root: String) {
     case None => emptyState
   }
 
-  /** Write a full replacement snapshot and flip the pointer. */
+  /** Write a full replacement snapshot and flip the pointer. The rescan
+    * floor carries over — compaction must not erase a pending
+    * retraction rollback (the replacement events would be filtered out
+    * of every future observe window). */
   def write(state: DataFrame): Long = {
+    val prevFloor = latestVersion.flatMap(floorOf)
     val next = latestVersion.getOrElse(-1L) + 1
     val vdir = new Path(rootPath, s"v=$next")
     state
@@ -76,7 +80,7 @@ final class DealStateStore(spark: SparkSession, root: String) {
       .partitionBy("epoch_day")
       .mode("overwrite")
       .parquet(vdir.toString)
-    writeMeta(vdir, parentMax = None)
+    writeMeta(vdir, parentMax = None, floor = prevFloor)
     flipPointer(next)
     // GC: keep the new snapshot and everything reachable from the
     // previous latest (rollback path, incl. its delta parents).
@@ -116,16 +120,20 @@ final class DealStateStore(spark: SparkSession, root: String) {
     * day can be re-created by a later delta (the newest writer of a day
     * always wins).
     *
-    * `capWatermarkEpoch` bounds the `_META` watermark from above: the
-    * sidecar max is normally monotone (max of own and parent), but a
-    * RETRACTION must roll it back to just below the lowest retracted
-    * epoch — otherwise the replacement chain's re-delivered events at
-    * those epochs sit below the watermark and can never re-enter
-    * `DealIngest.observe`'s window. */
+    * `lowerRescanFloor` records a RETRACTION: the floor (the lowest
+    * retracted epoch) is persisted in `_META`, inherited by every later
+    * version — appends and compaction cannot erase it — and caps the
+    * watermark `maxEpoch()` reports, so every future observe window
+    * keeps including the retracted epochs until the replacement chain's
+    * re-delivery actually arrives (`clearRescanFloor`). Without the
+    * persistent floor, the replacement events would be filtered out of
+    * the window by any intervening append (which restores the monotone
+    * max) and lost forever. */
   def writeDelta(
       changed: DataFrame,
       tombstoneDays: Set[Int] = Set.empty,
-      capWatermarkEpoch: Option[Int] = None): Long = {
+      lowerRescanFloor: Option[Int] = None,
+      clearRescanFloor: Boolean = false): Long = {
     val next = latestVersion.getOrElse(-1L) + 1
     val parent = latestVersion
     val vdir = new Path(rootPath, s"v=$next")
@@ -144,7 +152,9 @@ final class DealStateStore(spark: SparkSession, root: String) {
       try out.write(tombstoneDays.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
-    writeMeta(vdir, parentMax = parent.flatMap(metaMaxOf), cap = capWatermarkEpoch)
+    val inherited = if (clearRescanFloor) None else parent.flatMap(floorOf)
+    val floor = (inherited.toSeq ++ lowerRescanFloor.toSeq).reduceOption(_ min _)
+    writeMeta(vdir, parentMax = parent.flatMap(metaMaxOf), floor = floor)
     flipPointer(next)
     next
   }
@@ -168,7 +178,7 @@ final class DealStateStore(spark: SparkSession, root: String) {
     * the watermark in O(1) instead of `agg(max)` over the table — at
     * 100 TB that agg is a full state scan every 10 s tick. */
   private def writeMeta(
-      vdir: Path, parentMax: Option[Int], cap: Option[Int] = None): Unit = {
+      vdir: Path, parentMax: Option[Int], floor: Option[Int] = None): Unit = {
     val written = fs.globStatus(new Path(vdir, "epoch_day=*"))
     val stats: Array[(Int, Long, Int)] =
       if (written.isEmpty) Array.empty
@@ -179,18 +189,19 @@ final class DealStateStore(spark: SparkSession, root: String) {
         .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
     val ownMax = if (stats.isEmpty) None else Some(stats.map(_._3).max)
     val tableMax = (ownMax.toSeq ++ parentMax.toSeq).reduceOption(_ max _)
-      .map(m => cap.fold(m)(math.min(m, _)))
     val dayRows = stats.sortBy(_._1)
       .map { case (d, n, _) => s""""$d":$n""" }.mkString("{", ",", "}")
     val json =
-      s"""{"maxEpoch":${tableMax.map(_.toString).getOrElse("null")},"dayRows":$dayRows}"""
+      s"""{"maxEpoch":${tableMax.map(_.toString).getOrElse("null")},""" +
+        s""""rescanFloor":${floor.map(_.toString).getOrElse("null")},""" +
+        s""""dayRows":$dayRows}"""
     val out = fs.create(new Path(vdir, "_META"), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Inner None = sidecar present but table empty; outer None = no
-    * sidecar (pre-sidecar layout). */
-  private def readMetaMax(version: Long): Option[Option[Int]] = {
+  /** Outer None = no sidecar (pre-sidecar layout); inner Nones = empty
+    * table / no floor. */
+  private def readMeta(version: Long): Option[(Option[Int], Option[Int])] = {
     val p = new Path(rootPath, s"v=$version/_META")
     if (!fs.exists(p)) None
     else {
@@ -199,21 +210,41 @@ final class DealStateStore(spark: SparkSession, root: String) {
         try new com.fasterxml.jackson.databind.ObjectMapper().readTree(
           org.apache.commons.io.IOUtils.toByteArray(in))
         finally in.close()
-      val m = node.get("maxEpoch")
-      Some(if (m == null || m.isNull) None else Some(m.asInt))
+      def field(name: String): Option[Int] = {
+        val f = node.get(name)
+        if (f == null || f.isNull) None else Some(f.asInt)
+      }
+      Some((field("maxEpoch"), field("rescanFloor")))
     }
   }
 
-  private def metaMaxOf(version: Long): Option[Int] = readMetaMax(version).flatten
+  private def metaMaxOf(version: Long): Option[Int] = readMeta(version).flatMap(_._1)
+  private def floorOf(version: Long): Option[Int] = readMeta(version).flatMap(_._2)
 
-  /** O(1) ingest watermark: the stored max `activated_at_epoch`, read
-    * from the latest version's `_META` sidecar without any Spark job.
-    * Falls back to a distributed `agg(max)` only for pre-sidecar
-    * layouts. Empty store → None. */
-  def maxEpoch(): Option[Int] = latestVersion.flatMap { v =>
-    readMetaMax(v).getOrElse {
+  /** The raw stored max `activated_at_epoch` (monotone; NOT floor-
+    * capped) — receipt detection compares re-deliveries against it. */
+  def storedMaxEpoch(): Option[Int] = latestVersion.flatMap { v =>
+    readMeta(v).map(_._1).getOrElse {
       val r = read().agg(max("activated_at_epoch")).collect()(0)
       if (r.isNullAt(0)) None else Some(r.getInt(0))
+    }
+  }
+
+  /** The open rescan floor, if a retraction is awaiting its
+    * replacement delivery. */
+  def rescanFloor(): Option[Int] = latestVersion.flatMap(floorOf)
+
+  /** O(1) ingest watermark: the stored max `activated_at_epoch`, read
+    * from the latest version's `_META` sidecar without any Spark job —
+    * capped below any open rescan floor so observe windows keep
+    * including retracted epochs until their replacements arrive. Falls
+    * back to a distributed `agg(max)` only for pre-sidecar layouts.
+    * Empty store → None. */
+  def maxEpoch(): Option[Int] = {
+    val raw = storedMaxEpoch()
+    rescanFloor() match {
+      case Some(f) => raw.map(m => math.min(m, f - 1))
+      case None => raw
     }
   }
 

@@ -70,12 +70,28 @@ object DealObserverStream {
             batch.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             graft.model.ActiveDeal.schema)
         val nr = if (retractReverts) reverts.count() else 0L
-        // O(1) watermark from the _META sidecar — never agg(max) over
-        // the state table inside a 10 s tick
+        // this tick's retraction lowers the observe window IMMEDIATELY:
+        // replacement events delivered in the same batch as the revert
+        // markers must not be filtered out by the pre-rollback watermark
+        // (a file source never re-delivers a batch)
+        val revertLo: Option[Int] =
+          if (nr == 0) None
+          else Some(reverts.agg(min("activated_at_epoch")).collect()(0).getInt(0))
+        // O(1) watermark from the _META sidecar (floor-capped) — never
+        // agg(max) over the state table inside a 10 s tick
+        val effectiveWm = (store.maxEpoch(), revertLo) match {
+          case (Some(w), Some(lo)) => Some(math.min(w, lo - 1))
+          case (w, _) => w
+        }
+        // dedup against the POST-retraction state: a same-batch
+        // replacement carrying the identical natural key must not be
+        // anti-joined away by the row it replaces
+        val baseState =
+          if (nr > 0) DealIngest.retractReverted(existing, reverts) else existing
         val appended = DealIngest.observe(
           if (retractReverts) batch.filter(!col("reverted")) else batch,
-          existing, head, maxPastEpochs, finalityEpochs,
-          storedWatermark = Some(store.maxEpoch()))
+          baseState, head, maxPastEpochs, finalityEpochs,
+          storedWatermark = Some(effectiveWm))
         val n = appended.cache().count()
         if (n > 0 || nr > 0) {
           // delta write: replace only the epoch-days this batch touched
@@ -105,16 +121,21 @@ object DealObserverStream {
               before.join(after, Seq("d"), "left_anti")
                 .collect().map(_.getInt(0)).toSet
             }
-          // retraction rolls the ingest watermark back below the lowest
-          // retracted epoch, so the replacement chain's events at those
-          // heights re-enter the next observe window (re-scans of
-          // already-stored epochs are no-ops via the natural-key dedup)
-          val wmCap =
-            if (nr == 0) None
-            else Some(reverts.agg(min("activated_at_epoch"))
-              .collect()(0).getInt(0) - 1)
+          // A retraction opens a persistent rescan floor: every future
+          // observe window keeps including the retracted epochs —
+          // across appends AND compaction — until the replacement
+          // chain's re-delivery arrives. Receipt = this tick appended a
+          // row at or below the stored (raw) max, which monotone ingest
+          // never does otherwise; re-scans of already-stored epochs
+          // stay no-ops via the natural-key dedup.
+          val receipt = store.rescanFloor().isDefined && n > 0 && {
+            val rawMax = store.storedMaxEpoch()
+            rawMax.exists(m =>
+              appended.filter(col("activated_at_epoch") <= m).limit(1).count() > 0)
+          }
           store.writeDelta(newDays, tombstoneDays = emptiedDays,
-            capWatermarkEpoch = wmCap)
+            lowerRescanFloor = revertLo,
+            clearRescanFloor = receipt && revertLo.isEmpty)
           if (store.chainDepth() > 32) store.compact()
         }
         // S12: per-tick counters to the metrics table (the reference's

@@ -55,7 +55,6 @@ class ClaimPivotSpec extends SparkSpec {
     import spark.implicits._
     // a complete valid claim event taken from the fixture...
     val good = raw.limit(1).as[RawActorEvent].collect()(0)
-    assert(ClaimPivot.decodeClaimEvent _ != null)
     def decodeOne(e: RawActorEvent): Long = {
       Seq(e).toDS().toDF()
         .withColumn("ev", ClaimPivot.decodeClaimEvent(col("entries")))

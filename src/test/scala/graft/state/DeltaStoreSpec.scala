@@ -147,6 +147,35 @@ class DeltaStoreSpec extends SparkSpec {
     assert(new DealStateStore(spark, dir).read().count() == 360 + 25)
   }
 
+  test("rescan floor survives appends and compaction; receipt clears it") {
+    val dir = java.nio.file.Files.createTempDirectory("floor").toString
+    val store = new DealStateStore(spark, dir)
+    store.write(deals(4622129, 4622138))
+    assert(store.rescanFloor().isEmpty)
+
+    // retraction opens the floor: reported watermark drops below it
+    store.writeDelta(deals(4622129, 4622130), lowerRescanFloor = Some(4622135))
+    assert(store.rescanFloor().contains(4622135))
+    assert(store.storedMaxEpoch().contains(4622138))
+    assert(store.maxEpoch().contains(4622134))
+
+    // an append raises the raw max but must NOT close the floor
+    store.writeDelta(deals(4622139, 4622139))
+    assert(store.rescanFloor().contains(4622135))
+    assert(store.storedMaxEpoch().contains(4622139))
+    assert(store.maxEpoch().contains(4622134))
+
+    // compaction must not erase a pending rollback either
+    store.compact()
+    assert(store.rescanFloor().contains(4622135))
+    assert(store.maxEpoch().contains(4622134))
+
+    // receipt of the replacement delivery closes it
+    store.writeDelta(deals(4622135, 4622136), clearRescanFloor = true)
+    assert(store.rescanFloor().isEmpty)
+    assert(store.maxEpoch().contains(4622139))
+  }
+
   test("full write GC keeps the rollback chain intact") {
     val dir = java.nio.file.Files.createTempDirectory("delta-gc").toString
     val store = new DealStateStore(spark, dir)

@@ -86,6 +86,33 @@ class RetractionSpec extends SparkSpec {
     assert(store.read().filter(col("activated_at_epoch") === 4622139).count() == 10)
   }
 
+  test("same-batch revert + replacement: both apply in one tick (identical keys)") {
+    val (events, storeRoot, ckpt, metricsRoot) = stage()
+    val sink = new MetricsSink(spark, metricsRoot)
+    runTick(events, storeRoot, ckpt, sink)
+    val store = new DealStateStore(spark, storeRoot)
+    assert(store.read().count() == 360)
+
+    // ONE file: reverted copies of all 24 epoch-4622139 events PLUS
+    // non-reverted re-deliveries of 10 of them (the canonical chain
+    // re-confirms 10 claims under the same natural keys)
+    val tmp = java.nio.file.Files.createTempDirectory("mixed").toString
+    val newest = spark.read.schema(RawActorEvent.schema)
+      .json(s"${TestSpark.fixtures}/rawActorEvents.json")
+      .filter(col("height") === 4622139)
+    newest.withColumn("reverted", lit(true))
+      .unionByName(newest.limit(10))
+      .coalesce(1).write.mode("overwrite").json(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$events/mixed-4622139.json"))
+
+    runTick(events, storeRoot, ckpt, sink)
+    assert(store.read().count() == 346)
+    assert(store.read().filter(col("activated_at_epoch") === 4622139).count() == 10)
+  }
+
   test("a reorg emptying a whole epoch-day tombstones it — still a delta write") {
     val (events, storeRoot, ckpt, metricsRoot) = stage()
     val sink = new MetricsSink(spark, metricsRoot)
