@@ -49,6 +49,7 @@ object SparkEntry {
     "q40_distinctive_terms" -> (OpsQueries.q40DistinctiveTerms _),
     "q41_hash_sample" -> (OpsQueries.q41HashSample _),
     "q42_quota_pack" -> (OpsQueries.q42QuotaPack _),
+    "q43_contamination" -> (OpsQueries.q43Contamination _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -273,6 +274,19 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, source, start // 2048 AS pack_id, start % 2048 AS pack_offset
         |FROM laid""".stripMargin,
+    "q43_contamination" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+        |bench AS (SELECT * FROM grams WHERE doc_id % 50 = 0),
+        |corp AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+        |sizes AS (SELECT doc_id AS bench_id, count(*) AS bench_n FROM bench GROUP BY 1),
+        |pairs AS (
+        |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS inter_n
+        |  FROM corp c JOIN bench b ON c.shingle = b.shingle
+        |  GROUP BY 1, 2 HAVING count(*) >= 4)
+        |SELECT corpus_id, bench_id, inter_n, bench_n
+        |FROM pairs JOIN sizes USING (bench_id)""".stripMargin,
     "q24_deal_decode" ->
       """SELECT activated_at_epoch, miner_id, client_id, piece_cid,
         |  piece_size, term_start_epoch, sector_id, reverted

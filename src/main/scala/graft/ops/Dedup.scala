@@ -141,6 +141,33 @@ object Dedup {
     small.unionByName(large)
   }
 
+  /** Cross-corpus contamination check (decontamination): corpus
+    * documents sharing ≥ `minIntersect` word n-gram shingles with any
+    * benchmark document, with the overlap and benchmark set size for
+    * containment scoring (`inter_n / bench_n` is the standard
+    * benchmark-contamination metric).
+    *
+    * Scale shape: this is NOT a self-join — the benchmark side (eval
+    * sets, a few thousand docs) is orders of magnitude smaller than a
+    * 100 TB corpus, so its hashed-shingle relation is broadcast and the
+    * corpus streams through map-side; the only shuffle is the per-pair
+    * count. Join key is xxhash64(shingle) — 8 bytes, not text. */
+  def contaminationPairs(
+      corpus: DataFrame, benchmark: DataFrame, n: Int, minIntersect: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val c = shingles(corpus, n, idCol, textCol)
+      .select(col("id").as("corpus_id"), xxhash64(col("shingle")).as("sh"))
+    val b = shingles(benchmark, n, idCol, textCol)
+      .select(col("id").as("bench_id"), xxhash64(col("shingle")).as("sh"))
+    val bSizes = b.groupBy("bench_id").agg(count(lit(1)).as("bench_n"))
+    c.join(broadcast(b), "sh")
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("inter_n"))
+      .filter(col("inter_n") >= minIntersect)
+      .join(broadcast(bSizes), "bench_id")
+      .select(col("corpus_id"), col("bench_id"), col("inter_n"), col("bench_n"))
+  }
+
   /** Monitoring companion to `maxDocFrequency`: the (block, sh, df)
     * rows whose shingles `ngramJaccardPairs` would drop at this cap —
     * the same no-silent-truncation contract as `hotBuckets`. */

@@ -280,6 +280,17 @@ object OpsQueries {
       TextAnalysis.bpeTokenEstimate(col("text")), budgetTokens = 2048)
       .select("doc_id", "source", "pack_id", "pack_offset")
 
+  /** Decontamination sweep: corpus docs sharing ≥ 4 bigram shingles
+    * with any "benchmark" doc (every 50th document plays the benchmark
+    * set). Benchmark side broadcast; corpus never self-joins. */
+  def q43Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Dedup.contaminationPairs(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      n = 2, minIntersect = 4)
+  }
+
   /** Embedding near-dup pairs above cosine 0.45, blocked by the label
     * column (exact within block — deterministic double arithmetic, so
     * DuckDB-oracle-checkable; the LSH-blocked variant is the unlabeled

@@ -94,6 +94,25 @@ class CorpusSpec extends SparkSpec {
     assert(packed(1L) == 0L && packed(2L) == 1L && packed(3L) == 2L)
   }
 
+  test("contamination check surfaces a planted benchmark passage") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog again"
+    val benchmark = Seq(
+      (1000L, passage),
+      (1001L, "completely unrelated benchmark question here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"intro text $passage trailing words"),        // contaminated
+      (2L, "clean document about something else entirely"),
+      (3L, "quick brown material but only a fox fragment") // below threshold
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminationPairs(corpus, benchmark, n = 2, minIntersect = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((1L, 1000L)))
+    val (_, _, inter, benchN) = hits.head
+    // the full passage is contained: overlap equals the benchmark size
+    assert(inter == benchN)
+  }
+
   test("ngram doc-frequency cap drops exactly what hotShingles reports") {
     import spark.implicits._
     // 6 docs sharing one boilerplate bigram; 2 docs sharing a rare one
