@@ -50,6 +50,7 @@ object SparkEntry {
     "q41_hash_sample" -> (OpsQueries.q41HashSample _),
     "q42_quota_pack" -> (OpsQueries.q42QuotaPack _),
     "q43_contamination" -> (OpsQueries.q43Contamination _),
+    "q44_repetition" -> (OpsQueries.q44Repetition _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -287,6 +288,14 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= 4)
         |SELECT corpus_id, bench_id, inter_n, bench_n
         |FROM pairs JOIN sizes USING (bench_id)""".stripMargin,
+    "q44_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+        |  CAST(list_max(list_transform(list_distinct(ws),
+        |    w -> len(list_filter(ws, x -> x = w)))) AS BIGINT) AS top_word_n,
+        |  CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_word_len
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin,
     "q24_deal_decode" ->
       """SELECT activated_at_epoch, miner_id, client_id, piece_cid,
         |  piece_size, term_start_epoch, sector_id, reverted

@@ -82,6 +82,28 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Gopher-style repetition/quality signals, all integer-exact column
+    * algebra (portable to ANSI SQL for the oracle gate):
+    *   - `n_words` / `n_distinct_words`: a low distinct ratio flags
+    *     degenerate repetition;
+    *   - `top_word_n`: occurrences of the single most frequent word
+    *     (boilerplate/spam indicator);
+    *   - `sum_word_len`: total characters across words (mean word
+    *     length = sum/n in the caller's precision).
+    * The thresholding itself is left to the caller — cut-offs are
+    * corpus policy, the signals are the operator. */
+  def repetitionMetrics(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    df.select(
+      col(idCol),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct_words"),
+      array_max(transform(array_distinct(words),
+        w => size(filter(words, x => x === w)))).cast("long").as("top_word_n"),
+      aggregate(transform(words, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("sum_word_len"))
+  }
+
   /** 64-bit Karp-Rabin rolling-hash fingerprint of a string. The same
     * polynomial (base 257, implicit mod 2^64) evaluated left-to-right —
     * deterministic, order-sensitive, collision-resistant enough for

@@ -280,6 +280,10 @@ object OpsQueries {
       TextAnalysis.bpeTokenEstimate(col("text")), budgetTokens = 2048)
       .select("doc_id", "source", "pack_id", "pack_offset")
 
+  /** Gopher-style repetition signals per document (integer-exact). */
+  def q44Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(table(spark, dir, "documents"))
+
   /** Decontamination sweep: corpus docs sharing ≥ 4 bigram shingles
     * with any "benchmark" doc (every 50th document plays the benchmark
     * set). Benchmark side broadcast; corpus never self-joins. */

@@ -94,6 +94,19 @@ class CorpusSpec extends SparkSpec {
     assert(packed(1L) == 0L && packed(2L) == 1L && packed(3L) == 2L)
   }
 
+  test("repetition metrics flag degenerate docs and agree with hand counts") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "four distinct healthy words")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(1L) == ((4L, 1L, 4L, 16L))) // 4 words, 1 distinct, top=4, 4*4 chars
+    assert(m(2L) == ((4L, 4L, 1L, 24L)))
+    // the repetition ratio separates the degenerate doc
+    assert(m(1L)._2 * 2 < m(1L)._1 && m(2L)._2 == m(2L)._1)
+  }
+
   test("contamination check surfaces a planted benchmark passage") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog again"
