@@ -157,10 +157,18 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val c = shingles(corpus, n, idCol, textCol)
       .select(col("id").as("corpus_id"), xxhash64(col("shingle")).as("sh"))
+    // benchmark side is tiny: full set-dedup is free and protects
+    // bench_n/inter_n against duplicated eval rows
     val b = shingles(benchmark, n, idCol, textCol)
       .select(col("id").as("bench_id"), xxhash64(col("shingle")).as("sh"))
+      .dropDuplicates("bench_id", "sh")
     val bSizes = b.groupBy("bench_id").agg(count(lit(1)).as("bench_n"))
     c.join(broadcast(b), "sh")
+      // set semantics under dirty input: dedup on the HIT rows (small),
+      // never a corpus-wide shingle shuffle — a duplicated corpus doc
+      // row or an intra-doc hash collision must not double-count a
+      // shared shingle and halve the effective threshold
+      .dropDuplicates("corpus_id", "bench_id", "sh")
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("inter_n"))
       .filter(col("inter_n") >= minIntersect)

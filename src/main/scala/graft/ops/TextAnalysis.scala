@@ -98,8 +98,20 @@ object TextAnalysis {
       col(idCol),
       size(words).cast("long").as("n_words"),
       size(array_distinct(words)).cast("long").as("n_distinct_words"),
-      array_max(transform(array_distinct(words),
-        w => size(filter(words, x => x === w)))).cast("long").as("top_word_n"),
+      // top word frequency = longest equal run of the sorted array:
+      // O(n log n) per row, where the naive per-distinct-word rescan is
+      // O(distinct × n) — quadratic on exactly the long boilerplate
+      // documents this operator exists to flag
+      aggregate(
+        array_sort(words),
+        struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+        (acc, w) => {
+          val cur = when(w === acc.getField("prev"), acc.getField("cur") + 1L)
+            .otherwise(lit(1L))
+          struct(w.as("prev"), cur.as("cur"),
+            greatest(acc.getField("best"), cur).as("best"))
+        },
+        acc => acc.getField("best")).as("top_word_n"),
       aggregate(transform(words, w => length(w).cast("long")),
         lit(0L), (acc, x) => acc + x).as("sum_word_len"))
   }

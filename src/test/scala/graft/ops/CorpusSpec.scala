@@ -124,6 +124,13 @@ class CorpusSpec extends SparkSpec {
     val (_, _, inter, benchN) = hits.head
     // the full passage is contained: overlap equals the benchmark size
     assert(inter == benchN)
+
+    // dirty input: duplicated rows on either side must not double-count
+    // shingles (set semantics — otherwise the threshold silently halves)
+    val dirty = Dedup.contaminationPairs(
+      corpus.union(corpus), benchmark.union(benchmark), n = 2, minIntersect = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dirty.toSet == hits.toSet)
   }
 
   test("ngram doc-frequency cap drops exactly what hotShingles reports") {
