@@ -51,6 +51,7 @@ object SparkEntry {
     "q42_quota_pack" -> (OpsQueries.q42QuotaPack _),
     "q43_contamination" -> (OpsQueries.q43Contamination _),
     "q44_repetition" -> (OpsQueries.q44Repetition _),
+    "q45_pq_topk" -> (OpsQueries.q45PqTopK _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)

@@ -105,6 +105,130 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Product-quantization ANN top-k (the IVF-PQ compressed-codes path):
+    * vectors are L2-normalized, split into `m` subspaces, each subspace
+    * k-means-quantized to 16 centroids (4 bits), so a corpus vector
+    * compresses to `m` bytes. Search scores codes against a per-query
+    * ADC (asymmetric distance computation) lookup table — `m` array
+    * reads per corpus row instead of a `dim`-length dot product.
+    *
+    * Scale shape: the codebook is m×16 small centroids (broadcast); the
+    * encoded corpus is ~dim×4/m smaller than the raw vectors (16× at
+    * m=dim/4), which is the point — at 10⁹ vectors the CODES fit where
+    * the floats cannot. Encode and scoring run in `mapPartitions` with
+    * the broadcast codebook/tables: per-row argmin over 16 centroids is
+    * imperative inner-loop work, the documented last-resort tier.
+    * Deterministic via fixed seed; recall is spec-gated vs brute force
+    * (approximation error is inherent to PQ).
+    *
+    * `rerank` > 0 enables the standard two-stage search: ADC produces a
+    * shortlist of `rerank` candidates per query (cheap, code-domain),
+    * which are then re-scored against their RAW vectors (exact cosine)
+    * — quantization cannot preserve ordering among near-equal
+    * neighbors, so production IVF-PQ always re-ranks; the extra cost is
+    * a join bounded by queries × rerank, never corpus-sized. */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      m: Int = 8, seed: Long = 29L, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val nCentroids = 16
+
+    val unit = udf { (v: Seq[Float]) =>
+      var s = 0.0
+      v.foreach(x => s += x.toDouble * x)
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      v.map(x => (x * inv).toFloat)
+    }
+    val c = corpus.select(col(idCol).as("nid"), unit(col(vecCol)).as("v")).cache()
+
+    // codebook fit: one tiny KMeans per subspace over the sub-vectors
+    val codebook: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      val train = c.select(array_to_vector(
+        slice(col("v"), j * sub + 1, sub).cast("array<double>")).as("features"))
+      new KMeans().setK(nCentroids).setSeed(seed + j).setMaxIter(8)
+        .setInitMode("random").fit(train)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    val bc = spark.sparkContext.broadcast(codebook)
+
+    // encode: corpus vector -> m byte codes (argmin centroid / subspace)
+    val encoded = c.mapPartitions { it =>
+      val cb = bc.value
+      it.map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1)
+        val codes = Array.tabulate(m) { j =>
+          var best = 0; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cb(j).length) {
+            var d = 0.0; var t = 0
+            while (t < sub) {
+              val diff = v(j * sub + t) - cb(j)(ci)(t); d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          best.toByte
+        }
+        (id, codes)
+      }
+    }.toDF("nid", "codes")
+
+    // search: per-query ADC table (m × 16 inner products), score codes
+    val qs = queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qBc = spark.sparkContext.broadcast(qs)
+    val scored = encoded.mapPartitions { it =>
+      val cb = bc.value
+      val qts = qBc.value.map { case (qid, qv) =>
+        // table(j)(c) = <q_subj, centroid_jc>: sum over j approximates <q, v>
+        val table = Array.tabulate(m, nCentroids) { (j, ci) =>
+          var s = 0.0; var t = 0
+          while (t < sub) { s += qv(j * sub + t) * cb(j)(ci)(t); t += 1 }
+          s
+        }
+        (qid, table)
+      }
+      it.flatMap { r =>
+        val nid = r.getLong(0)
+        val codes = r.getAs[Array[Byte]](1)
+        qts.iterator.collect { case (qid, table) if qid != nid =>
+          var s = 0.0; var j = 0
+          while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
+          (qid, nid, s)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id").asc)
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    } else {
+      // stage 2: exact cosine over the ADC shortlist's raw vectors
+      val shortlist = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= math.max(rerank, k))
+        .select("query_id", "neighbor_id")
+      val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      val exact = shortlist
+        .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+          "neighbor_id")
+        .join(broadcast(qRaw), "query_id")
+        .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    }
+  }
+
   /** LSH-bucketed ANN top-k with one-bit multi-probe: each query probes
     * its own bucket plus the `planes` single-bit-flip neighbors, then
     * scores only those corpus rows. Recall < 1 by construction; the

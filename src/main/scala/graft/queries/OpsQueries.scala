@@ -280,6 +280,17 @@ object OpsQueries {
       TextAnalysis.bpeTokenEstimate(col("text")), budgetTokens = 2048)
       .select("doc_id", "source", "pack_id", "pack_offset")
 
+  /** PQ (product-quantization) ANN top-5: m=8 subspaces × 16 centroids,
+    * ADC scoring over byte codes (approximate → rows-only; recall gate
+    * lives in OpsSpec). */
+  def q45PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    SimilaritySearch.pqTopK(
+      emb.filter(col("vec_id") < 10), emb, dim = dim, k = 5, rerank = 50)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** Gopher-style repetition signals per document (integer-exact). */
   def q44Repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(table(spark, dir, "documents"))

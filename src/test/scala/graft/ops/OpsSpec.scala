@@ -133,6 +133,43 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("PQ ANN achieves reasonable recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(queries, vecs, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // raw ADC path: quantization can't order near-equal cluster
+    // siblings, so the gate is CLUSTER recall — every retrieved
+    // neighbor must come from the query's own cluster (i % 10)
+    val adc = SimilaritySearch.pqTopK(queries, vecs, dim = 64, k = 10, m = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusterOk = adc.count { case (q, n) => q % 10 == n % 10 }
+    assert(clusterOk.toDouble / adc.length >= 0.9,
+      s"cluster recall=${clusterOk.toDouble / adc.length}")
+
+    // two-stage (ADC shortlist + exact re-rank): near-exact top-k
+    val reranked = SimilaritySearch.pqTopK(
+      queries, vecs, dim = 64, k = 10, m = 16, rerank = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect reranked).size.toDouble / exact.size
+    assert(recall >= 0.9, s"reranked recall=$recall")
+
+    // determinism: same seed, same codes, same ranking
+    val again = SimilaritySearch.pqTopK(
+      queries, vecs, dim = 64, k = 10, m = 16, rerank = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reranked == again)
+  }
+
   test("language ID recognizes real multilingual text") {
     // public-domain sentence fragments, one per supported language
     val samples = Seq(
