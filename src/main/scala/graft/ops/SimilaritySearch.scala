@@ -147,14 +147,21 @@ object SimilaritySearch {
     }
     val c = corpus.select(col(idCol).as("nid"), unit(col(vecCol)).as("v")).cache()
 
-    // codebook fit: one tiny KMeans per subspace over the sub-vectors
-    val codebook: Array[Array[Array[Double]]] = (0 until m).map { j =>
-      val train = c.select(array_to_vector(
-        slice(col("v"), j * sub + 1, sub).cast("array<double>")).as("features"))
-      new KMeans().setK(nCentroids).setSeed(seed + j).setMaxIter(8)
-        .setInitMode("random").fit(train)
-        .clusterCenters.map(_.toArray)
-    }.toArray
+    // codebook fit: one tiny KMeans per subspace over the sub-vectors.
+    // The m fits are independent and seeded per subspace — submit them
+    // from parallel driver threads so their (small) jobs interleave
+    // instead of paying m sequential rounds of scheduling latency.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val codebook: Array[Array[Array[Double]]] = Await.result(
+      Future.sequence((0 until m).map { j => Future {
+        val train = c.select(array_to_vector(
+          slice(col("v"), j * sub + 1, sub).cast("array<double>")).as("features"))
+        new KMeans().setK(nCentroids).setSeed(seed + j).setMaxIter(8)
+          .setInitMode("random").fit(train)
+          .clusterCenters.map(_.toArray)
+      }}), Duration.Inf).toArray
     val bc = spark.sparkContext.broadcast(codebook)
 
     // encode: corpus vector -> m byte codes (argmin centroid / subspace)
