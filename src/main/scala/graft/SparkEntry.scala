@@ -168,6 +168,45 @@ object SparkEntry {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    // q22's Karp-Rabin polynomial (base 257, implicit mod 2^64) restated
+    // over HUGEINT: prepend the seed, fold `(acc*257 + codepoint) % 2^64`,
+    // then two's-complement back to signed BIGINT. Exact for this data:
+    // Java charAt (UTF-16 units) == unicode() (codepoints) on ASCII text.
+    "q22_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |       THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp64
+        |FROM h""".stripMargin,
+    // q21's n-gram heuristic: overlapping letter-bigram counts joined to
+    // the SAME profile table the Scala scorer uses (interpolated below,
+    // so the two sides cannot drift), weight = 20−rank, winner by
+    // (score DESC, lang DESC), zero score → 'und'.
+    "q21_langid" -> {
+      val prof = graft.ops.TextAnalysis.langProfiles.toSeq.sortBy(_._1)
+        .flatMap { case (lang, bgs) =>
+          bgs.zipWithIndex.map { case (bg, r) => s"('$lang','$bg',${bgs.size - r})" }
+        }.mkString(",")
+      s"""WITH chars AS (SELECT doc_id, string_split(lower(text), '') AS cs FROM documents),
+         |idx AS (SELECT doc_id, cs, unnest(range(1, len(cs))) AS i FROM chars),
+         |bg AS (SELECT doc_id, cs[i] || cs[i+1] AS b FROM idx
+         |       WHERE regexp_matches(cs[i] || cs[i+1], '^[a-z][a-z]$$')),
+         |cnt AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+         |prof(lang, b, w) AS (VALUES $prof),
+         |sc AS (SELECT doc_id, lang, sum(n * w) AS score
+         |       FROM cnt JOIN prof ON cnt.b = prof.b GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang, score, row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+         |         FROM sc)
+         |SELECT d.doc_id,
+         |  CASE WHEN b.score IS NULL OR b.score = 0 THEN 'und' ELSE b.lang END AS lang_pred
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
+    },
     "q27_vocab_topk" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -271,10 +310,11 @@ object SparkEntry {
         |  FROM documents),
         |laid AS (
         |  SELECT doc_id, source,
-        |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
         |  FROM toks)
-        |SELECT doc_id, source, start // 2048 AS pack_id, start % 2048 AS pack_offset
+        |SELECT doc_id, source, CAST(start // 2048 AS BIGINT) AS pack_id,
+        |  CAST(start % 2048 AS BIGINT) AS pack_offset
         |FROM laid""".stripMargin,
     "q43_contamination" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

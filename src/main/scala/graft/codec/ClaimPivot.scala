@@ -58,7 +58,10 @@ object ClaimPivot extends Serializable {
     if (entries == null) return null
     try {
       val out = new Array[Any](9)
-      var isClaim = false
+      // last-wins like the UDF path (pivotEntries): a later duplicate
+      // `$type` entry overwrites an earlier one, so validation happens
+      // AFTER the loop; only a non-text `$type` dead-letters immediately
+      var lastType: String = null
       var i = 0
       val n = entries.numElements()
       while (i < n) {
@@ -68,7 +71,7 @@ object ClaimPivot extends Serializable {
         val b64 = e.getUTF8String(3).toString
         if (key == "$type") {
           DagCbor.decodeBase64(b64) match {
-            case DagCbor.TextVal("claim") => isClaim = true
+            case DagCbor.TextVal(t) => lastType = t
             case _ => return null
           }
         } else {
@@ -94,7 +97,7 @@ object ClaimPivot extends Serializable {
         }
         i += 1
       }
-      if (!isClaim) return null
+      if (lastType != "claim") return null
       var s = 0
       while (s < 9) { if (out(s) == null) return null; s += 1 }
       new GenericInternalRow(out)

@@ -15,6 +15,16 @@ import org.apache.spark.sql.expressions.Window
   *     carries (band, signature) pairs, not documents;
   *   - all hashes are Spark-built-in xxhash64 / murmur3 — codegen'd,
   *     no UDF in the hot path.
+  *
+  * CACHE LIFECYCLE CONTRACT: the pairwise operators (ngramJaccardPairs,
+  * lshCandidatePairs, minhashDedupPairs) persist intermediate relations
+  * (shingles/buckets/signatures) that are consumed more than once in
+  * the SAME returned plan, so they cannot unpersist before the caller's
+  * action runs. A long-lived session invoking them repeatedly must
+  * release those blocks after consuming each result —
+  * `spark.catalog.clearCache()` between operator calls (what Bench and
+  * Verify do) or `unpersist()` on the returned plan's sources. A
+  * one-shot job can ignore this (executor teardown frees the blocks).
   */
 object Dedup {
 

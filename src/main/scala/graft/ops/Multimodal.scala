@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample operators.
   *
   * The Spark-side plumbing — schemas, partition-batched iteration, column
-  * contracts — is real and tested. Image HEADER decode is also real:
+  * contracts — is real and tested. Image HEADER decode is real:
   * [[ImageCodecs]] parses PNG/BMP/GIF/JPEG dimensions from raw bytes
-  * (pure JVM, no library). What remains deterministic stand-ins (this
-  * container has no ML/media libraries): `extractFeatures`' model
-  * forward pass and `sampleFrames`' container seeking — each one
-  * function swap away from a real implementation; the dataflow around
-  * them does not change.
+  * (pure JVM, no library). Feature extraction is real: folded byte
+  * histogram + exact Shannon entropy ([[extractFeatures]]), the
+  * classical content features for binary near-dup and corruption
+  * triage. The one remaining deterministic stand-in (this container has
+  * no media libraries) is `sampleFrames`' container seeking — one
+  * function swap away from a real demuxer; the dataflow around it does
+  * not change.
   *
   * Scale notes: per-row work runs in `mapPartitions` so a real decoder
   * amortizes init per partition (the moral equivalent of a batched
@@ -81,27 +83,52 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction: deterministic per-asset feature vector (STUB —
-    * a real extractor would run the model forward pass per batch). */
+  /** Feature extraction: REAL classical content features from the
+    * payload bytes — no stand-ins.
+    *
+    *   - `features`: the byte histogram folded into `dim` equal bucket
+    *     ranges and L1-normalized (each entry = fraction of bytes whose
+    *     value falls in that range). The standard cheap content signal
+    *     for binary near-dup, format clustering, and corruption triage;
+    *     directly consumable by [[SimilaritySearch]] cosine operators.
+    *   - `byte_entropy_q`: exact Shannon entropy of the byte
+    *     distribution, quantized to milli-bits (0 for a constant
+    *     payload, 8000 for uniform bytes) — the classic
+    *     compressibility / encrypted-vs-text discriminator.
+    *
+    * A learned embedding would replace the per-asset computation with a
+    * batched model forward pass; the mapPartitions dataflow (batch the
+    * partition, amortize setup, never shuffle the bytes) is unchanged. */
   def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 8)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    require(dim > 0 && 256 % dim == 0, s"dim must divide 256, got $dim")
     import spark.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        var h = 1469598103934665603L
+        val hist = new Array[Long](256)
         var i = 0
-        var histNonZero = 0L
-        val seen = new Array[Boolean](256)
-        while (i < a.bytes.length) {
-          h = (h ^ (a.bytes(i) & 0xffL)) * 1099511628211L
-          if (!seen(a.bytes(i) & 0xff)) { seen(a.bytes(i) & 0xff) = true; histNonZero += 1 }
-          i += 1
+        while (i < a.bytes.length) { hist(a.bytes(i) & 0xff) += 1; i += 1 }
+        val n = a.bytes.length.toDouble
+        var entropyBits = 0.0
+        if (n > 0) {
+          var b = 0
+          while (b < 256) {
+            if (hist(b) > 0) {
+              val p = hist(b) / n
+              entropyBits -= p * (math.log(p) / math.log(2.0))
+            }
+            b += 1
+          }
         }
+        val span = 256 / dim
         val feats = (0 until dim).map { d =>
-          val x = h * (d * 2 + 1)
-          (x.toDouble / Long.MaxValue).toFloat
+          var s = 0L
+          var b = d * span
+          while (b < (d + 1) * span) { s += hist(b); b += 1 }
+          if (n == 0) 0f else (s / n).toFloat
         }
-        MediaFeatures(a.asset_id, a.bytes.length.toLong, histNonZero, feats)
+        MediaFeatures(a.asset_id, a.bytes.length.toLong,
+          math.round(entropyBits * 1000.0), feats)
       }
     }
   }

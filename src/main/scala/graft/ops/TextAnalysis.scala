@@ -135,7 +135,7 @@ object TextAnalysis {
     * heuristic. Profiles are the highest-frequency bigrams of each
     * language (derived from public Universal Declaration of Human Rights
     * translations — common knowledge n-gram statistics). */
-  private val langProfiles: Map[String, Seq[String]] = Map(
+  private[graft] val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("th", "he", "in", "er", "an", "re", "nd", "on", "en", "at",
       "ou", "ed", "ha", "to", "or", "it", "is", "hi", "es", "ng"),
     "de" -> Seq("en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge",

@@ -210,12 +210,15 @@ object OpsQueries {
         col("n"), col("sum_value"))
   }
 
-  /** n-gram language ID over documents (heuristic; rows-only). */
+  /** n-gram language ID over documents. Deterministic integer scoring,
+    * so DuckDB-oracled: the oracle SQL joins the same profile table
+    * (interpolated from [[TextAnalysis.langProfiles]]). */
   def q21LangId(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
 
-  /** Rolling-hash document fingerprints (rows-only). */
+  /** Rolling-hash document fingerprints. DuckDB-oracled via a HUGEINT
+    * restatement of the mod-2^64 polynomial. */
   def q22Fingerprint(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp64"))

@@ -38,12 +38,17 @@ final class PeerIdDirectory(
       return Some((hit.peerId, hit.source))
     val fetched = contractLookup(f0Miner).map((_, "smartContract"))
       .orElse(stateMinerInfoLookup(f0Miner).map((_, "stateMinerInfo")))
-    fetched.foreach { case (pid, src) =>
-      cache.remove(f0Miner)
-      cache.put(f0Miner, Entry(pid, src, nowMs))
-      // LRU bound: evict the oldest insertions beyond the cap
-      val it = cache.entrySet().iterator()
-      while (cache.size() > maxEntries && it.hasNext) { it.next(); it.remove() }
+    fetched match {
+      case Some((pid, src)) =>
+        cache.remove(f0Miner)
+        cache.put(f0Miner, Entry(pid, src, nowMs))
+        // LRU bound: evict the oldest insertions beyond the cap
+        val it = cache.entrySet().iterator()
+        while (cache.size() > maxEntries && it.hasNext) { it.next(); it.remove() }
+      case None =>
+        // failed refresh of an expired entry must not leave the stale
+        // peerId servable — the reference's TTL'd LRU would miss here
+        if (hit != null) cache.remove(f0Miner)
     }
     fetched
   }
@@ -54,14 +59,17 @@ final class PeerIdDirectory(
     * `(minerId, peerId, peer_source)` for the resolve tick's join. */
   def refreshed(spark: SparkSession, miners: Seq[String], nowMs: Long): DataFrame = {
     miners.distinct.foreach(lookup(_, nowMs))
-    snapshot(spark)
+    snapshot(spark, nowMs)
   }
 
-  /** Current directory as a dimension DataFrame (no lookups). */
-  def snapshot(spark: SparkSession): DataFrame = synchronized {
+  /** Current directory as a dimension DataFrame (no lookups). Entries
+    * past their TTL are withheld — an expired peerId must never reach
+    * the resolve tick's join, matching the reference LRU's TTL miss. */
+  def snapshot(spark: SparkSession, nowMs: Long): DataFrame = synchronized {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     cache.entrySet().iterator().asScala
+      .filter(e => nowMs - e.getValue.fetchedAtMs < ttlMillis)
       .map(e => (e.getKey, e.getValue.peerId, e.getValue.source))
       .toSeq.toDF("minerId", "peerId", "peer_source")
   }

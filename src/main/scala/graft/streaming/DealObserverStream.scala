@@ -123,19 +123,25 @@ object DealObserverStream {
             }
           // A retraction opens a persistent rescan floor: every future
           // observe window keeps including the retracted epochs —
-          // across appends AND compaction — until the replacement
-          // chain's re-delivery arrives. Receipt = this tick appended a
-          // row at or below the stored (raw) max, which monotone ingest
-          // never does otherwise; re-scans of already-stored epochs
-          // stay no-ops via the natural-key dedup.
-          val receipt = store.rescanFloor().isDefined && n > 0 && {
-            val rawMax = store.storedMaxEpoch()
-            rawMax.exists(m =>
-              appended.filter(col("activated_at_epoch") <= m).limit(1).count() > 0)
-          }
+          // across appends AND compaction. Clearing is AGE-based, not
+          // receipt-based: a "first re-delivery arrived" signal is
+          // unsafe (a replacement chain spread over several
+          // micro-batches would close the floor after the first one and
+          // lose the rest), and no per-batch signal can prove the LAST
+          // replacement arrived. The floor simply stays open — holding
+          // the observe window down to the retracted epochs, where
+          // natural-key dedup makes re-scans no-ops — until the
+          // lookback bound passes it: once floor < head − maxPastEpochs
+          // those epochs can no longer enter any window (observe clamps
+          // at head − maxPastEpochs), so the floor is moot and dropped.
+          // Cost while open ≤ the same maxPastEpochs window a cold
+          // start scans. A same-batch NEW retraction still lowers the
+          // next floor via lowerRescanFloor after the aged one clears.
+          val floorAgedOut =
+            store.rescanFloor().exists(f => f < head - maxPastEpochs)
           store.writeDelta(newDays, tombstoneDays = emptiedDays,
             lowerRescanFloor = revertLo,
-            clearRescanFloor = receipt && revertLo.isEmpty)
+            clearRescanFloor = floorAgedOut)
           if (store.chainDepth() > 32) store.compact()
         }
         // S12: per-tick counters to the metrics table (the reference's

@@ -86,6 +86,25 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.features.toList).toList == f2.map(_.features.toList).toList)
     assert(f1.forall(_.features.size == 8))
     assert(f1.map(_.n_bytes).toList == List(72L, 72L, 72L, 3L))
+    // features are a real L1-normalized histogram: buckets sum to 1
+    assert(f1.forall(f => math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-6))
+  }
+
+  test("feature values are the actual byte statistics") {
+    val known = Seq(
+      // constant payload: zero entropy, all mass in bucket 0 (byte 0x00)
+      MediaAsset(10L, "image", Array.fill[Byte](64)(0),
+        MediaMeta(0, 0, 0L, 0, "raw")),
+      // one byte of every value: exactly 8 bits = 8000 milli-bits,
+      // perfectly uniform buckets
+      MediaAsset(11L, "image", Array.tabulate[Byte](256)(_.toByte),
+        MediaMeta(0, 0, 0L, 0, "raw"))).toDS()
+    val out = extractFeatures(known, dim = 8).collect().sortBy(_.asset_id)
+    assert(out(0).byte_entropy_q == 0L)
+    assert(out(0).features.head == 1.0f)
+    assert(out(0).features.tail.forall(_ == 0.0f))
+    assert(out(1).byte_entropy_q == 8000L)
+    assert(out(1).features.forall(_ == 0.125f))
   }
 
   test("frame sampling yields one row per interval, video only") {

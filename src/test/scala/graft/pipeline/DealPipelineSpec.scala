@@ -171,6 +171,24 @@ class DealPipelineSpec extends SparkSpec {
     val dim = dir.refreshed(spark, Seq("f01000", "f02000"), t0 + 5000)
     assert(dim.columns.toSeq == Seq("minerId", "peerId", "peer_source"))
     assert(dim.count() == 2)
+
+    // expired entries are never served: when the refresh for an expired
+    // miner fails (both lookups miss), the stale peerId must not appear
+    // in lookup results OR the snapshot dim (reference 1h-TTL LRU)
+    var healthy = true
+    val dir3 = new graft.state.PeerIdDirectory(
+      m => if (healthy) Some(s"peer-$m") else None, _ => None,
+      ttlMillis = 1000L)
+    assert(dir3.lookup("f05", t0).contains(("peer-f05", "smartContract")))
+    healthy = false
+    assert(dir3.lookup("f05", t0 + 500).isDefined) // inside TTL: cache hit
+    assert(dir3.lookup("f05", t0 + 1500).isEmpty)  // expired + refresh fails
+    assert(dir3.refreshed(spark, Seq("f05"), t0 + 1500).count() == 0)
+    assert(dir3.size == 0, "failed refresh evicts the expired entry")
+    // an un-refreshed expired entry is withheld from the snapshot too
+    healthy = true
+    dir3.lookup("f06", t0)
+    assert(dir3.snapshot(spark, t0 + 1500).count() == 0)
   }
 
   test("resolve state machine: miss → Unresolved → TerminallyUnretrievable; 3-day gate") {

@@ -86,6 +86,84 @@ class RetractionSpec extends SparkSpec {
     assert(store.read().filter(col("activated_at_epoch") === 4622139).count() == 10)
   }
 
+  test("replacement chain spread over several micro-batches is fully ingested") {
+    val (events, storeRoot, ckpt, metricsRoot) = stage()
+    val sink = new MetricsSink(spark, metricsRoot)
+    runTick(events, storeRoot, ckpt, sink)
+    val store = new DealStateStore(spark, storeRoot)
+    assert(store.read().count() == 360)
+
+    // reorg un-happens the TWO newest epochs; floor = the lower one
+    stageReverts(events, 4622138, 4622139)
+    runTick(events, storeRoot, ckpt, sink)
+    assert(store.read().filter(col("activated_at_epoch") >= 4622138).count() == 0)
+    assert(store.rescanFloor().contains(4622138))
+
+    def stageReplacement(height: Int, n: Int, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(tag).toString
+      spark.read.schema(RawActorEvent.schema)
+        .json(s"${TestSpark.fixtures}/rawActorEvents.json")
+        .filter(col("height") === height)
+        .limit(n)
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$events/$tag.json"))
+    }
+
+    // batch A: the replacement chain's 4622139 slice arrives FIRST.
+    // A first-receipt heuristic would close the floor here and lose
+    // batch B; the age-based floor must stay open.
+    stageReplacement(4622139, 10, "replacementA")
+    runTick(events, storeRoot, ckpt, sink)
+    assert(store.read().filter(col("activated_at_epoch") === 4622139).count() == 10)
+    assert(store.rescanFloor().contains(4622138),
+      "floor must survive the first replacement batch")
+
+    // batch B: the 4622138 slice arrives a tick later — it must land
+    stageReplacement(4622138, 8, "replacementB")
+    runTick(events, storeRoot, ckpt, sink)
+    assert(store.read().filter(col("activated_at_epoch") === 4622138).count() == 8)
+    assert(store.read().filter(col("activated_at_epoch") === 4622139).count() == 10)
+  }
+
+  test("the floor clears once it ages out of the lookback window") {
+    val (events, storeRoot, ckpt, metricsRoot) = stage()
+    val sink = new MetricsSink(spark, metricsRoot)
+    runTick(events, storeRoot, ckpt, sink)
+    val store = new DealStateStore(spark, storeRoot)
+
+    stageReverts(events, 4622139, 4622139)
+    runTick(events, storeRoot, ckpt, sink)
+    assert(store.rescanFloor().contains(4622139))
+
+    // the chain advances 2000 epochs: new finalized events arrive at
+    // heights the floor can no longer reach (observe clamps at
+    // head − maxPastEpochs = 4623090 > floor) — the tick that writes
+    // them drops the moot floor
+    val tmp = java.nio.file.Files.createTempDirectory("future").toString
+    spark.read.schema(RawActorEvent.schema)
+      .json(s"${TestSpark.fixtures}/rawActorEvents.json")
+      .filter(col("height") === 4622139)
+      .limit(5)
+      .withColumn("height", col("height") + 2000)
+      .coalesce(1).write.mode("overwrite").json(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$events/future-4624139.json"))
+    val q = DealObserverStream.start(
+      spark, events, storeRoot, ckpt,
+      chainHead = () => 4622139 + 2000 + 950,
+      trigger = Trigger.AvailableNow(),
+      metrics = Some(sink),
+      retractReverts = true)
+    q.awaitTermination()
+    assert(store.read().filter(col("activated_at_epoch") === 4624139).count() == 5)
+    assert(store.rescanFloor().isEmpty, "aged-out floor must clear")
+  }
+
   test("same-batch revert + replacement: both apply in one tick (identical keys)") {
     val (events, storeRoot, ckpt, metricsRoot) = stage()
     val sink = new MetricsSink(spark, metricsRoot)

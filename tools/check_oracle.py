@@ -59,6 +59,23 @@ def main(sf_dir, out_dir):
             res = con.execute(sql)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            # Arrow-level type lint: fetchall() folds HUGEINT/DECIMAL into
+            # Python ints, but the driver's compare does not — an oracle
+            # column that is not plain int/float/string/bool/date at the
+            # arrow layer (e.g. an un-cast window SUM → decimal128) can
+            # hash-mismatch driver-side while passing here. Surface it.
+            d_arrow = con.execute(sql).arrow()
+            import pyarrow as pa
+            for f in d_arrow.schema:
+                t = f.type
+                ok = (pa.types.is_integer(t) or pa.types.is_floating(t)
+                      or pa.types.is_string(t) or pa.types.is_large_string(t)
+                      or pa.types.is_boolean(t) or pa.types.is_temporal(t)
+                      or pa.types.is_list(t) or pa.types.is_large_list(t))
+                if not ok:
+                    print(f"TYPEWARN {name}: oracle column '{f.name}' is "
+                          f"{t} at the arrow layer — CAST it in the SQL "
+                          f"(driver compare may render it differently)")
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
