@@ -52,6 +52,7 @@ object SparkEntry {
     "q43_contamination" -> (OpsQueries.q43Contamination _),
     "q44_repetition" -> (OpsQueries.q44Repetition _),
     "q45_pq_topk" -> (OpsQueries.q45PqTopK _),
+    "q46_dup_clusters" -> (OpsQueries.q46DupClusters _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -316,6 +317,26 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(start // 2048 AS BIGINT) AS pack_id,
         |  CAST(start % 2048 AS BIGINT) AS pack_offset
         |FROM laid""".stripMargin,
+    // q46: the q16 pair graph (≥8 shared bigrams per source block)
+    // closed transitively with a recursive CTE; component = min
+    // reachable id. Matches the engine's large-star/small-star
+    // contraction exactly (both compute min-labelled components).
+    "q46_dup_clusters" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM grams a JOIN grams b
+        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
     "q43_contamination" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair graph — the step that turns
+  * near-dup PAIRS (n-gram Jaccard, MinHash, SimHash, embedding cosine)
+  * into dedup CLUSTERS, so "keep one representative per cluster" is one
+  * more groupBy.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC '14) — the
+  * published shuffle-only formulation that converges in O(log² n)
+  * rounds on any graph shape (min-label propagation needs O(diameter)
+  * rounds, which a 100 TB chain-shaped dup graph cannot afford).
+  *
+  * Scale design: each round is two min-aggregations and two joins on
+  * the edge relation — never a `collect_set` of a node's adjacency, so
+  * a hot node (a boilerplate document paired with millions) never
+  * materializes its neighbor list in one task; the edge relation stays
+  * hash-partitioned by node throughout. Convergence is detected by an
+  * order-insensitive (count, sum-of-hash) checksum — one tiny agg per
+  * round, no edge-set diff join. Each round the edge set is
+  * `localCheckpoint`ed: caching alone is NOT enough for an iterative
+  * plan — every round's logical plan references the previous round's
+  * several times (sym + both stars), so without lineage truncation the
+  * analyzer re-walks an exponentially growing tree and the job stalls
+  * long before the data does. (A production deployment on unreliable
+  * executors would use reliable `checkpoint` to durable storage
+  * instead; same call site.)
+  */
+object ConnectedComponents {
+
+  /** Undirected-symmetric closure of an edge relation. */
+  private def sym(e: DataFrame): DataFrame =
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+
+  /** Large-star: every node u points its LARGER neighbors at
+    * m(u) = min(N(u) ∪ {u}). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    e.join(m, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** Small-star: every node u points its SMALLER neighbors (and itself)
+    * at m(u) = min of those neighbors. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val small = e.filter(col("dst") < col("src"))
+    val m = small.groupBy("src").agg(min("dst").as("m"))
+    val leaves = small.join(m, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val self = m.select(col("src"), col("m").as("dst"))
+    leaves.union(self)
+  }
+
+  /** Component label (= the component's minimum node id) for every node
+    * that appears in `edges`. Output columns: (id, component).
+    *
+    * @param edges pair relation; self-pairs and duplicates tolerated
+    * @param maxIter hard cap (well above the O(log² n) bound; hitting
+    *   it throws rather than returning a half-contracted labelling)
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      idCol1: String = "id1",
+      idCol2: String = "id2",
+      maxIter: Int = 50): DataFrame = {
+    var e = sym(
+      edges.select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .filter(col("src") =!= col("dst")))
+      .localCheckpoint(true)
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      // mod keeps each addend under 2^30 so the ANSI-mode sum stays
+      // exact (no overflow) up to ~2^33 edges; order-insensitive,
+      // paired with the exact count
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")) % 1000000007L)).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prevSum = checksum(e)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      if (iter > maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds")
+      // eager localCheckpoint: materializes the round AND truncates the
+      // logical plan so the next round starts from a leaf relation
+      val next = sym(smallStar(sym(largeStar(e)))).localCheckpoint(true)
+      val nextSum = checksum(next)
+      e = next // previous round's checkpoint RDD is released by the ContextCleaner
+      converged = nextSum == prevSum
+      prevSum = nextSum
+    }
+    // final star: every non-min node has its component min as a smaller
+    // neighbor; the min node maps to itself
+    val out = e.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("component"))
+    out
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Corpus, Dedup, SimilaritySearch, TextAnalysis}
+import graft.ops.{AsOfJoin, ConnectedComponents, Corpus, Dedup, SimilaritySearch, TextAnalysis}
 
 /** The training-data-pipeline operators (SURVEY extended surface) as
   * driver-checkable queries over the documents/embeddings tables. */
@@ -307,6 +307,24 @@ object OpsQueries {
       docs.filter(col("doc_id") % 50 =!= 0),
       docs.filter(col("doc_id") % 50 === 0),
       n = 2, minIntersect = 4)
+  }
+
+  /** Near-dup CLUSTERS: the q16 pair graph (≥ 8 shared bigrams within a
+    * source block) contracted to connected components via
+    * large-star/small-star; every document labelled with its cluster
+    * minimum, singletons labelling themselves. The step that turns
+    * pairwise dedup output into "keep one representative per cluster".
+    * At sf0.01 this contracts 24 multi-document clusters (largest 18)
+    * through genuine multi-hop chains. */
+  def q46DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val edges = Dedup.ngramJaccardPairs(docs, n = 2, minIntersect = 8,
+      blockCol = Some("source"))
+    val comp = ConnectedComponents.connectedComponents(edges, "id1", "id2")
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
   }
 
   /** Embedding near-dup pairs above cosine 0.45, blocked by the label

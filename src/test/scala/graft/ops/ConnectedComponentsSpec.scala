@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.connectedComponents(edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference labelling: driver-side union-find. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // normalize every root to the component MINIMUM
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }.toMap
+  }
+
+  test("chain graph contracts to the minimum label (worst case for propagation)") {
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+  }
+
+  test("disjoint components keep separate labels; self-pairs and dups tolerated") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (21L, 20L), (30L, 30L), (10L, 11L))
+    val got = run(edges)
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L)
+    assert(got(20L) == 20L && got(21L) == 20L)
+    // a pure self-pair carries no edge: node 30 does not appear
+    assert(!got.contains(30L))
+  }
+
+  test("matches union-find on seeded random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(edges) == unionFind(edges), s"seed $seed")
+    }
+  }
+}
