@@ -53,6 +53,7 @@ object SparkEntry {
     "q44_repetition" -> (OpsQueries.q44Repetition _),
     "q45_pq_topk" -> (OpsQueries.q45PqTopK _),
     "q46_dup_clusters" -> (OpsQueries.q46DupClusters _),
+    "q47_stratified_topk" -> (OpsQueries.q47StratifiedTopK _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -317,6 +318,13 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(start // 2048 AS BIGINT) AS pack_id,
         |  CAST(start % 2048 AS BIGINT) AS pack_offset
         |FROM laid""".stripMargin,
+    "q47_stratified_topk" ->
+      """SELECT doc_id, source, rn AS draw_rank FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
     // q46: the q16 pair graph (≥8 shared bigrams per source block)
     // closed transitively with a recursive CTE; component = min
     // reachable id. Matches the engine's large-star/small-star

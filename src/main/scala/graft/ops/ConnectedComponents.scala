@@ -31,9 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Undirected-symmetric closure of an edge relation. */
-  private def sym(e: DataFrame): DataFrame =
-    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  /** Both directions of an edge relation, duplicates kept — the stars'
+    * min-aggregations are duplicate-insensitive, so the mid-round
+    * symmetrization skips the distinct (one less shuffle per round). */
+  private def symAll(e: DataFrame): DataFrame =
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Canonical undirected-symmetric closure (deduplicated) — used once
+    * per round so the convergence checksum compares canonical sets. */
+  private def sym(e: DataFrame): DataFrame = symAll(e).distinct()
 
   /** Large-star: every node u points its LARGER neighbors at
     * m(u) = min(N(u) ∪ {u}). */
@@ -95,7 +101,7 @@ object ConnectedComponents {
           s"connectedComponents did not converge in $maxIter rounds")
       // eager localCheckpoint: materializes the round AND truncates the
       // logical plan so the next round starts from a leaf relation
-      val next = sym(smallStar(sym(largeStar(e)))).localCheckpoint(true)
+      val next = sym(smallStar(symAll(largeStar(e)))).localCheckpoint(true)
       val nextSum = checksum(next)
       e = next // previous round's checkpoint RDD is released by the ContextCleaner
       converged = nextSum == prevSum

@@ -82,6 +82,26 @@ object Corpus {
       .withColumn("pack_offset", (start % budgetTokens).cast("long"))
   }
 
+  /** Deterministic EXACT-size stratified subset: the k docs per stratum
+    * with the smallest md5(id) — a uniform "random" draw that is a pure
+    * function of the ids, so growing the corpus or re-running never
+    * swaps a chosen doc for an unchosen one arbitrarily (membership
+    * changes only where new ids genuinely displace larger hashes).
+    * [[hashSample]] gives a RATE per stratum; this gives a COUNT — the
+    * knob a fixed-token-budget mixture needs. One shuffle (the window
+    * partition); ties broken by id so the result is total-ordered. */
+  def stratifiedTopK(
+      df: DataFrame,
+      strataCol: String,
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= k)
+  }
+
   /** TRUE greedy packing (close-on-overflow): within each stratum, docs
     * in id order are appended while they fit; a doc that would overflow
     * CLOSES the current pack and opens the next, so no pack ever

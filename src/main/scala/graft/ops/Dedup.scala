@@ -344,6 +344,19 @@ object Dedup {
       .select("id1", "id2", "inter_n", "union_n")
   }
 
+  /** The complete scale dedup recipe in one call: MinHash+LSH pairs
+    * (sub-quadratic candidates, estimator-gated, exactly verified)
+    * contracted to CLUSTERS, every clustered doc labelled with its
+    * cluster minimum — `component` is the representative to keep.
+    * Output: (id, component), only for docs in some near-dup cluster
+    * (everything else is its own implicit singleton). */
+  def minhashClusters(
+      df: DataFrame, n: Int, numHashes: Int, bands: Int, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ConnectedComponents.connectedComponents(
+      minhashDedupPairs(df, n, numHashes, bands, minJaccard, idCol, textCol),
+      "id1", "id2")
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word hashes: per bit, sum ±1 across the doc's

@@ -309,6 +309,12 @@ object OpsQueries {
       n = 2, minIntersect = 4)
   }
 
+  /** Deterministic 20-per-source draw (corpus mixture with exact
+    * per-stratum counts; smallest-md5 order, id tiebreak). */
+  def q47StratifiedTopK(spark: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedTopK(table(spark, dir, "documents"), "source", k = 20)
+      .select(col("doc_id"), col("source"), col("draw_rank"))
+
   /** Near-dup CLUSTERS: the q16 pair graph (≥ 8 shared bigrams within a
     * source block) contracted to connected components via
     * large-star/small-star; every document labelled with its cluster

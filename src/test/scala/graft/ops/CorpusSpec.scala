@@ -32,6 +32,41 @@ class CorpusSpec extends SparkSpec {
     assert(fromHalf == at250.filter(_ < 250))
   }
 
+  test("stratified top-k: exact count per stratum, deterministic, displacement-only growth") {
+    val k = 20
+    val picked = Corpus.stratifiedTopK(docs, "source", k)
+    val perStratum = picked.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val available = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (s, n) => assert(n == math.min(k.toLong, available(s))) }
+    assert(perStratum.keySet == available.keySet)
+
+    // partition-independent
+    val ids1 = picked.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Corpus.stratifiedTopK(docs.repartition(17), "source", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+
+    // growing the corpus can only DISPLACE picks (new smaller hashes),
+    // never reshuffle survivors' relative order: picks from a subset
+    // that survive in the full draw keep their relative rank order
+    def draws(df: org.apache.spark.sql.DataFrame): Map[String, Seq[(Long, Long)]] =
+      Corpus.stratifiedTopK(df, "source", k)
+        .select("source", "doc_id", "draw_rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toSeq).toMap
+    val half = draws(docs.filter(col("doc_id") % 2 === 0))
+    val full = draws(docs)
+    half.foreach { case (src, hd) =>
+      val fullRank = full(src).toMap
+      val survivors = hd.filter { case (id, _) => fullRank.contains(id) }
+      val byHalf = survivors.sortBy(_._2).map(_._1)
+      val byFull = survivors.sortBy { case (id, _) => fullRank(id) }.map(_._1)
+      assert(byHalf == byFull, s"relative draw order must be stable under growth ($src)")
+    }
+  }
+
   test("quota packing: contiguous packs, offsets within budget, token-exact layout") {
     val budget = 2048
     val packed = Corpus.quotaPack(docs, "source",

@@ -59,6 +59,18 @@ class OpsSpec extends SparkSpec {
     // has >99.9% per-pair recall — planted pairs must all surface
     assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
     assert(lsh.subsetOf(exact), s"false positives survived verify: ${lsh -- exact}")
+
+    // the one-call recipe contracts those same pairs to clusters:
+    // every pair endpoint is labelled, pair members share a component,
+    // and the component is the cluster's minimum id
+    val clusters = Dedup.minhashClusters(docs, n = 2, numHashes = 64,
+      bands = 32, minJaccard = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= math.min(a, b))
+    }
+    assert(clusters.keySet == exact.flatMap(p => Set(p._1, p._2)))
   }
 
   test("hot-bucket cap drops degenerate buckets and reports them") {
