@@ -174,12 +174,18 @@ object SparkEntry {
     // over HUGEINT: prepend the seed, fold `(acc*257 + codepoint) % 2^64`,
     // then two's-complement back to signed BIGINT. Exact for this data:
     // Java charAt (UTF-16 units) == unicode() (codepoints) on ASCII text.
+    // NULL → NULL and '' → bare seed mirror the UDF exactly (DuckDB's
+    // string_split('','') is [''] with unicode('') = -1, so the empty
+    // case must bypass the fold).
     "q22_fingerprint" ->
       """WITH h AS (
-        |  SELECT doc_id, list_reduce(
-        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
-        |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
-        |    (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT) AS h
+        |  SELECT doc_id, CASE
+        |    WHEN text IS NULL THEN NULL
+        |    WHEN length(text) = 0 THEN 1125899906842597::HUGEINT
+        |    ELSE list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT) END AS h
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT

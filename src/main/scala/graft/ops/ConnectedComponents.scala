@@ -68,14 +68,18 @@ object ConnectedComponents {
     * that appears in `edges`. Output columns: (id, component).
     *
     * @param edges pair relation; self-pairs and duplicates tolerated
-    * @param maxIter hard cap (well above the O(log² n) bound; hitting
-    *   it throws rather than returning a half-contracted labelling)
+    * @param maxIter hard cap — hitting it throws rather than returning
+    *   a half-contracted labelling. The default covers the ~2·log₂ n
+    *   rounds seen in practice with a wide margin (n = 2^30 ⇒ ~60);
+    *   the PROVEN worst-case bound is O(log² n), so an adversarially
+    *   deep graph may need the cap raised — the exception says so
+    *   rather than guessing.
     */
   def connectedComponents(
       edges: DataFrame,
       idCol1: String = "id1",
       idCol2: String = "id2",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 100): DataFrame = {
     var e = sym(
       edges.select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -98,7 +102,8 @@ object ConnectedComponents {
       iter += 1
       if (iter > maxIter)
         throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds")
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "still contracting; re-run with a larger maxIter")
       // eager localCheckpoint: materializes the round AND truncates the
       // logical plan so the next round starts from a leaf relation
       val next = sym(smallStar(symAll(largeStar(e)))).localCheckpoint(true)

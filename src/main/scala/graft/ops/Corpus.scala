@@ -88,18 +88,34 @@ object Corpus {
     * swaps a chosen doc for an unchosen one arbitrarily (membership
     * changes only where new ids genuinely displace larger hashes).
     * [[hashSample]] gives a RATE per stratum; this gives a COUNT — the
-    * knob a fixed-token-budget mixture needs. One shuffle (the window
-    * partition); ties broken by id so the result is total-ordered. */
+    * knob a fixed-token-budget mixture needs. Ties broken by id so the
+    * result is total-ordered.
+    *
+    * Two-phase top-k, because a single `Window.partitionBy(stratum)`
+    * would funnel an entire stratum through ONE task's sort — a
+    * billion-doc 'web' stratum is an OOM/straggler. Phase 1 winnows to
+    * the k smallest per (input-partition, stratum) — shuffle on the
+    * salted key is balanced by construction; phase 2 ranks only the
+    * ≤ k × numPartitions survivors per stratum. The winnow cannot drop
+    * a global top-k row (each survivor set contains its partition's
+    * candidates), so the result is identical to the one-window form. */
   def stratifiedTopK(
       df: DataFrame,
       strataCol: String,
       k: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    df.withColumn("draw_rank", row_number().over(w).cast("long"))
+    val draw = md5(col(idCol).cast("string"))
+    val local = Window.partitionBy(col(strataCol), col("_salt"))
+      .orderBy(draw.asc, col(idCol).asc)
+    val global = Window.partitionBy(col(strataCol))
+      .orderBy(draw.asc, col(idCol).asc)
+    df.withColumn("_salt", spark_partition_id())
+      .withColumn("_lr", row_number().over(local))
+      .filter(col("_lr") <= k)
+      .withColumn("draw_rank", row_number().over(global).cast("long"))
       .filter(col("draw_rank") <= k)
+      .drop("_salt", "_lr")
   }
 
   /** TRUE greedy packing (close-on-overflow): within each stratum, docs

@@ -152,7 +152,9 @@ object TextAnalysis {
     * ties broken by language code order. */
   def detectLanguage(text: String): String = {
     if (text == null || text.isEmpty) return "und"
-    val lower = text.toLowerCase
+    // Locale.ROOT: default-locale lowercasing diverges under tr/az
+    // (dotless ı) and would break the q21 oracle's lower() parity
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val bigrams = new scala.collection.mutable.HashMap[String, Int]()
     var i = 0
     while (i < lower.length - 1) {

@@ -72,6 +72,7 @@ final class DealStateStore(spark: SparkSession, root: String) {
     * of every future observe window). */
   def write(state: DataFrame): Long = {
     val prevFloor = latestVersion.flatMap(floorOf)
+    val prevCeil = latestVersion.flatMap(ceilOf)
     val next = latestVersion.getOrElse(-1L) + 1
     val vdir = new Path(rootPath, s"v=$next")
     state
@@ -80,7 +81,7 @@ final class DealStateStore(spark: SparkSession, root: String) {
       .partitionBy("epoch_day")
       .mode("overwrite")
       .parquet(vdir.toString)
-    writeMeta(vdir, parentMax = None, floor = prevFloor)
+    writeMeta(vdir, parentMax = None, floor = prevFloor, ceil = prevCeil)
     flipPointer(next)
     // GC: keep the new snapshot and everything reachable from the
     // previous latest (rollback path, incl. its delta parents).
@@ -120,19 +121,23 @@ final class DealStateStore(spark: SparkSession, root: String) {
     * day can be re-created by a later delta (the newest writer of a day
     * always wins).
     *
-    * `lowerRescanFloor` records a RETRACTION: the floor (the lowest
-    * retracted epoch) is persisted in `_META`, inherited by every later
-    * version — appends and compaction cannot erase it — and caps the
-    * watermark `maxEpoch()` reports, so every future observe window
-    * keeps including the retracted epochs until the replacement chain's
-    * re-delivery actually arrives (`clearRescanFloor`). Without the
-    * persistent floor, the replacement events would be filtered out of
-    * the window by any intervening append (which restores the monotone
-    * max) and lost forever. */
+    * `lowerRescanFloor` / `raiseRescanCeil` record a RETRACTION: the
+    * floor (lowest retracted epoch) and ceiling (highest) are persisted
+    * in `_META`, inherited by every later version — appends and
+    * compaction cannot erase them. The floor caps the watermark
+    * `maxEpoch()` reports, so every future observe window keeps
+    * including the retracted epochs; the ceiling is what age-out
+    * clearing must test (`clearRescanFloor`) — the floor alone would
+    * clear while the TOP of the retracted span is still inside the
+    * lookback window, losing late replacement re-deliveries for those
+    * epochs. Without the persistent floor, the replacement events would
+    * be filtered out of the window by any intervening append (which
+    * restores the monotone max) and lost forever. */
   def writeDelta(
       changed: DataFrame,
       tombstoneDays: Set[Int] = Set.empty,
       lowerRescanFloor: Option[Int] = None,
+      raiseRescanCeil: Option[Int] = None,
       clearRescanFloor: Boolean = false): Long = {
     val next = latestVersion.getOrElse(-1L) + 1
     val parent = latestVersion
@@ -152,9 +157,16 @@ final class DealStateStore(spark: SparkSession, root: String) {
       try out.write(tombstoneDays.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
-    val inherited = if (clearRescanFloor) None else parent.flatMap(floorOf)
-    val floor = (inherited.toSeq ++ lowerRescanFloor.toSeq).reduceOption(_ min _)
-    writeMeta(vdir, parentMax = parent.flatMap(metaMaxOf), floor = floor)
+    val inheritedFloor = if (clearRescanFloor) None else parent.flatMap(floorOf)
+    val inheritedCeil = if (clearRescanFloor) None else parent.flatMap(ceilOf)
+    val floor = (inheritedFloor.toSeq ++ lowerRescanFloor.toSeq).reduceOption(_ min _)
+    // a retraction with no explicit ceiling still records one (its own
+    // floor): pre-ceiling layouts must never age out early
+    val ceil = (inheritedCeil.toSeq ++ raiseRescanCeil.toSeq ++
+      (if (inheritedCeil.isEmpty && raiseRescanCeil.isEmpty) lowerRescanFloor.toSeq
+       else Nil)).reduceOption(_ max _)
+    writeMeta(vdir, parentMax = parent.flatMap(metaMaxOf), floor = floor,
+      ceil = if (floor.isEmpty) None else ceil)
     flipPointer(next)
     next
   }
@@ -178,7 +190,8 @@ final class DealStateStore(spark: SparkSession, root: String) {
     * the watermark in O(1) instead of `agg(max)` over the table — at
     * 100 TB that agg is a full state scan every 10 s tick. */
   private def writeMeta(
-      vdir: Path, parentMax: Option[Int], floor: Option[Int] = None): Unit = {
+      vdir: Path, parentMax: Option[Int], floor: Option[Int] = None,
+      ceil: Option[Int] = None): Unit = {
     val written = fs.globStatus(new Path(vdir, "epoch_day=*"))
     val stats: Array[(Int, Long, Int)] =
       if (written.isEmpty) Array.empty
@@ -194,14 +207,16 @@ final class DealStateStore(spark: SparkSession, root: String) {
     val json =
       s"""{"maxEpoch":${tableMax.map(_.toString).getOrElse("null")},""" +
         s""""rescanFloor":${floor.map(_.toString).getOrElse("null")},""" +
+        s""""rescanCeil":${ceil.map(_.toString).getOrElse("null")},""" +
         s""""dayRows":$dayRows}"""
     val out = fs.create(new Path(vdir, "_META"), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Outer None = no sidecar (pre-sidecar layout); inner Nones = empty
-    * table / no floor. */
-  private def readMeta(version: Long): Option[(Option[Int], Option[Int])] = {
+    * table / no floor / no ceiling. */
+  private def readMeta(
+      version: Long): Option[(Option[Int], Option[Int], Option[Int])] = {
     val p = new Path(rootPath, s"v=$version/_META")
     if (!fs.exists(p)) None
     else {
@@ -214,12 +229,13 @@ final class DealStateStore(spark: SparkSession, root: String) {
         val f = node.get(name)
         if (f == null || f.isNull) None else Some(f.asInt)
       }
-      Some((field("maxEpoch"), field("rescanFloor")))
+      Some((field("maxEpoch"), field("rescanFloor"), field("rescanCeil")))
     }
   }
 
   private def metaMaxOf(version: Long): Option[Int] = readMeta(version).flatMap(_._1)
   private def floorOf(version: Long): Option[Int] = readMeta(version).flatMap(_._2)
+  private def ceilOf(version: Long): Option[Int] = readMeta(version).flatMap(_._3)
 
   /** The raw stored max `activated_at_epoch` (monotone; NOT floor-
     * capped) — receipt detection compares re-deliveries against it. */
@@ -233,6 +249,13 @@ final class DealStateStore(spark: SparkSession, root: String) {
   /** The open rescan floor, if a retraction is awaiting its
     * replacement delivery. */
   def rescanFloor(): Option[Int] = latestVersion.flatMap(floorOf)
+
+  /** The open rescan span's HIGHEST retracted epoch — what age-out
+    * clearing must compare against the lookback bound (the floor alone
+    * would clear while higher retracted epochs are still reachable).
+    * Falls back to the floor for pre-ceiling layouts. */
+  def rescanCeil(): Option[Int] =
+    latestVersion.flatMap(v => ceilOf(v).orElse(floorOf(v)))
 
   /** O(1) ingest watermark: the stored max `activated_at_epoch`, read
     * from the latest version's `_META` sidecar without any Spark job —

@@ -74,9 +74,13 @@ object DealObserverStream {
         // replacement events delivered in the same batch as the revert
         // markers must not be filtered out by the pre-rollback watermark
         // (a file source never re-delivers a batch)
-        val revertLo: Option[Int] =
-          if (nr == 0) None
-          else Some(reverts.agg(min("activated_at_epoch")).collect()(0).getInt(0))
+        val (revertLo, revertHi): (Option[Int], Option[Int]) =
+          if (nr == 0) (None, None)
+          else {
+            val r = reverts.agg(min("activated_at_epoch"),
+              max("activated_at_epoch")).collect()(0)
+            (Some(r.getInt(0)), Some(r.getInt(1)))
+          }
         // O(1) watermark from the _META sidecar (floor-capped) — never
         // agg(max) over the state table inside a 10 s tick
         val effectiveWm = (store.maxEpoch(), revertLo) match {
@@ -130,18 +134,22 @@ object DealObserverStream {
           // lose the rest), and no per-batch signal can prove the LAST
           // replacement arrived. The floor simply stays open — holding
           // the observe window down to the retracted epochs, where
-          // natural-key dedup makes re-scans no-ops — until the
-          // lookback bound passes it: once floor < head − maxPastEpochs
-          // those epochs can no longer enter any window (observe clamps
-          // at head − maxPastEpochs), so the floor is moot and dropped.
+          // natural-key dedup makes re-scans no-ops — until the span is
+          // provably unreachable: the test is the span's CEILING (the
+          // highest retracted epoch, persisted beside the floor), since
+          // the floor alone would age out while higher retracted epochs
+          // were still inside the lookback window. Once ceil < head −
+          // maxPastEpochs no retracted epoch can enter any window
+          // (observe clamps at head − maxPastEpochs) — moot, dropped.
           // Cost while open ≤ the same maxPastEpochs window a cold
-          // start scans. A same-batch NEW retraction still lowers the
-          // next floor via lowerRescanFloor after the aged one clears.
-          val floorAgedOut =
-            store.rescanFloor().exists(f => f < head - maxPastEpochs)
+          // start scans. A same-batch NEW retraction still records its
+          // own floor/ceiling via lower/raise after the aged one clears.
+          val spanAgedOut =
+            store.rescanCeil().exists(c => c < head - maxPastEpochs)
           store.writeDelta(newDays, tombstoneDays = emptiedDays,
             lowerRescanFloor = revertLo,
-            clearRescanFloor = floorAgedOut)
+            raiseRescanCeil = revertHi,
+            clearRescanFloor = spanAgedOut)
           if (store.chainDepth() > 32) store.compact()
         }
         // S12: per-tick counters to the metrics table (the reference's

@@ -164,6 +164,55 @@ class RetractionSpec extends SparkSpec {
     assert(store.rescanFloor().isEmpty, "aged-out floor must clear")
   }
 
+  test("floor holds while the retracted span's CEILING is still inside the lookback") {
+    val (events, storeRoot, ckpt, metricsRoot) = stage()
+    val sink = new MetricsSink(spark, metricsRoot)
+    runTick(events, storeRoot, ckpt, sink)
+    val store = new DealStateStore(spark, storeRoot)
+
+    // reorg spans the WHOLE fixture: floor 4622129, ceiling 4622139
+    stageReverts(events, 4622129, 4622139)
+    runTick(events, storeRoot, ckpt, sink)
+    assert(store.rescanFloor().contains(4622129))
+    assert(store.rescanCeil().contains(4622139))
+
+    def stageShifted(shift: Int, n: Int, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(tag).toString
+      spark.read.schema(RawActorEvent.schema)
+        .json(s"${TestSpark.fixtures}/rawActorEvents.json")
+        .filter(col("height") === 4622139)
+        .limit(n)
+        .withColumn("height", col("height") + shift)
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$events/$tag.json"))
+    }
+    def tickAt(head: Int): Unit = {
+      val q = DealObserverStream.start(
+        spark, events, storeRoot, ckpt, chainHead = () => head,
+        trigger = Trigger.AvailableNow(), metrics = Some(sink),
+        retractReverts = true)
+      q.awaitTermination()
+    }
+
+    // head = 4624130: the FLOOR (4622129) is below head − 1999 = 4622131,
+    // but the ceiling (4622139) is still inside the lookback — a
+    // floor-only age-out would clear here and lose late replacements
+    // for the span's upper epochs. The span test must hold the floor.
+    stageShifted(500, 5, "mid-span-append")
+    tickAt(4622139 + 1991)
+    assert(store.rescanFloor().contains(4622129),
+      "floor must hold while any retracted epoch is still reachable")
+
+    // once the CEILING ages out too, the next writing tick clears
+    stageShifted(2000, 5, "post-span-append")
+    tickAt(4622139 + 2000 + 950)
+    assert(store.rescanFloor().isEmpty, "whole span aged out → cleared")
+    assert(store.rescanCeil().isEmpty)
+  }
+
   test("same-batch revert + replacement: both apply in one tick (identical keys)") {
     val (events, storeRoot, ckpt, metricsRoot) = stage()
     val sink = new MetricsSink(spark, metricsRoot)
