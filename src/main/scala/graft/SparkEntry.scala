@@ -54,6 +54,10 @@ object SparkEntry {
     "q45_pq_topk" -> (OpsQueries.q45PqTopK _),
     "q46_dup_clusters" -> (OpsQueries.q46DupClusters _),
     "q47_stratified_topk" -> (OpsQueries.q47StratifiedTopK _),
+    "q48_span_dedup" -> (OpsQueries.q48SpanDedup _),
+    "q49_shuffle_shards" -> (OpsQueries.q49ShuffleShards _),
+    "q50_cube" -> (OpsQueries.q50Cube _),
+    "q51_lag_delta" -> (OpsQueries.q51LagDelta _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -331,6 +335,52 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
+    // q48: spans = consecutive 10-word windows (1-based inclusive list
+    // slice, like Spark's slice(ws, i*10+1, 10)); keeper of a span hash
+    // = the lowest doc_id containing it.
+    "q48_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |e AS (SELECT doc_id, ws,
+        |        unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i
+        |      FROM w),
+        |c AS (SELECT doc_id,
+        |        array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS span
+        |      FROM e),
+        |f AS (SELECT doc_id, md5(span) AS h, length(span) AS plen
+        |      FROM c WHERE length(span) > 0),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM f GROUP BY 1),
+        |k AS (SELECT h, min(doc_id) AS doc_id, max(plen) AS plen FROM f GROUP BY 1),
+        |kd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         CAST(sum(plen) AS BIGINT) AS kept_chars FROM k GROUP BY 1)
+        |SELECT d.doc_id, d.n_spans,
+        |  coalesce(kd.n_kept, 0) AS n_kept,
+        |  coalesce(kd.kept_chars, 0) AS kept_chars
+        |FROM d LEFT JOIN kd USING (doc_id)""".stripMargin,
+    // q49: the engine's range-partitioned two-phase global index equals
+    // one total-order row_number by construction
+    "q49_shuffle_shards" ->
+      """SELECT doc_id,
+        |  CAST((rn - 1) // 64 AS BIGINT) AS shard_id,
+        |  CAST((rn - 1) % 64 AS BIGINT) AS pos_in_shard
+        |FROM (SELECT doc_id, row_number() OVER (
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |      FROM documents)""".stripMargin,
+    "q50_cube" ->
+      """SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(grouping(source) AS BIGINT) AS g_source,
+        |  CAST(grouping(lang) AS BIGINT) AS g_lang
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
+    "q51_lag_delta" ->
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |    AS prev_value,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |    AS value_delta,
+        |  CAST(epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |    - epoch_us(ts) AS BIGINT) AS next_gap_us
+        |FROM events""".stripMargin,
     // q46: the q16 pair graph (≥8 shared bigrams per source block)
     // closed transitively with a recursive CTE; component = min
     // reachable id. Matches the engine's large-star/small-star

@@ -118,6 +118,59 @@ object Corpus {
       .drop("_salt", "_lr")
   }
 
+  /** Deterministic global shuffle + EXACT fixed-size shard assignment:
+    * order the whole corpus by (md5(id), id) — a uniform, re-run-stable
+    * "random" permutation — and cut it into consecutive shards of
+    * `shardSize` docs: the "shuffle then write N-doc training shards"
+    * step at the end of every corpus build. Output adds
+    * (shard_id, pos_in_shard), both 0-based.
+    *
+    * A global `row_number()` window would funnel 100 TB through ONE
+    * task's sort. Instead, the classic scalable global-index recipe:
+    * range-partition on the draw key (partition p then holds a
+    * contiguous slice of the global order), sort within partitions,
+    * derive each row's partition-local ordinal from
+    * `monotonically_increasing_id` (pid ⋘ 33 | local counter), count
+    * rows per partition (a numPartitions-row aggregate), and add the
+    * exclusive prefix-sum offset via a broadcast join on pid. Two jobs,
+    * no single-task stage, shuffle carries each row once.
+    *
+    * The input is persisted between the two jobs so both observe the
+    * SAME physical partitioning (same cache-lifecycle contract as the
+    * Dedup pairwise ops: callers in a long-lived session clearCache
+    * after consuming the result). */
+  def shuffleShards(
+      df: DataFrame,
+      shardSize: Int,
+      idCol: String = "doc_id",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    // explicit partition count: AQE must not re-coalesce between the
+    // count job and the assignment job
+    val keyed = df.withColumn("_draw", md5(col(idCol).cast("string")))
+      .repartitionByRange(n, col("_draw"), col(idCol))
+      .sortWithinPartitions(col("_draw"), col(idCol))
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
+      .withColumn("_loc", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_pid")).collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("_pid", "_off")
+    keyed.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_rank", col("_off") + col("_loc"))
+      .withColumn("shard_id", (col("_rank") / shardSize).cast("long"))
+      .withColumn("pos_in_shard", (col("_rank") % shardSize).cast("long"))
+      .drop("_draw", "_mid", "_pid", "_loc", "_off", "_rank")
+  }
+
   /** TRUE greedy packing (close-on-overflow): within each stratum, docs
     * in id order are appended while they fit; a doc that would overflow
     * CLOSES the current pack and opens the next, so no pack ever

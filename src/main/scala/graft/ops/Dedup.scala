@@ -42,6 +42,48 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Span-level (sub-document) dedup — the paragraph-removal step of a
+    * CCNet-style pipeline, adapted to unstructured text: each document
+    * is cut into consecutive non-overlapping `windowWords`-word spans,
+    * and a span that occurs anywhere else in the corpus is kept ONLY in
+    * the lowest-id document that contains it. Returns per-document
+    * stats: (id, n_spans, n_kept, kept_chars) where n_kept counts the
+    * distinct spans this document is the global representative of.
+    *
+    * Scale shape: the only relations shuffled are (id, md5, len)
+    * triples — 28 bytes/span, never the text — through two hash
+    * aggregations (per-hash keeper, per-doc rollup) and one join on the
+    * id. Span chunking itself is codegen'd array algebra
+    * (`transform`/`slice`/`array_join`) inside the scan stage; no UDF,
+    * no window over a global key. */
+  def spanDedup(
+      df: DataFrame,
+      windowWords: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    val ws = split(col(textCol), " ")
+    // ceil(size/W) chunk starts; greatest(,1) guards sequence(0,-1)
+    // (Spark would count DOWN) — the lone empty span filters out below
+    val nChunks = greatest(ceil(size(ws) / lit(windowWords.toDouble)).cast("int"), lit(1))
+    val spans = df.select(
+        col(idCol).as("id"),
+        explode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(ws, i * windowWords + 1, lit(windowWords)), " "))).as("span"))
+      .filter(length(col("span")) > 0)
+      .select(col("id"), md5(col("span")).as("h"), length(col("span")).as("len"))
+    val perDoc = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
+    // identical span text ⇒ identical length, so max(len) is THE length
+    val keepers = spans.groupBy("h")
+      .agg(min(col("id")).as("id"), max(col("len")).as("len"))
+    val keptPerDoc = keepers.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"), sum(col("len")).cast("long").as("kept_chars"))
+    perDoc.join(keptPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+  }
+
   // ------------------------------------------------------ n-gram Jaccard
 
   /** Word n-gram (shingle) set per document, as an exploded (id, shingle)

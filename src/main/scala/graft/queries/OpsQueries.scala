@@ -333,6 +333,46 @@ object OpsQueries {
         coalesce(col("component"), col("doc_id")).as("component"))
   }
 
+  /** Span-level dedup (CCNet-style paragraph removal on word windows):
+    * 10-word spans, global keeper = lowest doc_id; per-doc counts of
+    * total vs. kept spans and surviving characters. */
+  def q48SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(table(spark, dir, "documents"), windowWords = 10)
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_kept"), col("kept_chars"))
+
+  /** Deterministic corpus shuffle + exact 64-doc training shards
+    * (scalable global index — no single-task global window). */
+  def q49ShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shuffleShards(table(spark, dir, "documents"), shardSize = 64)
+      .select(col("doc_id"), col("shard_id"), col("pos_in_shard"))
+
+  /** CUBE over (source, lang): all four grouping-set combinations in
+    * one pass, with GROUPING flags disambiguating subtotal rows from
+    * genuine NULL group values (§2.5's grouping-sets surface beside
+    * q28's ROLLUP). */
+  def q50Cube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        grouping(col("source")).cast("long").as("g_source"),
+        grouping(col("lang")).cast("long").as("g_lang"))
+
+  /** Per-user event deltas: lag/lead over the (ts, event_id) order —
+    * value change since the previous event and gap-to-next in
+    * microseconds (window navigation functions, §2.6). */
+  def q51LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Queries.events(spark, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("value_delta", col("value") - col("prev_value"))
+      .withColumn("next_gap_us",
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))))
+      .select(col("event_id"), col("user_id"), col("prev_value"),
+        col("value_delta"), col("next_gap_us"))
+  }
+
   /** Embedding near-dup pairs above cosine 0.45, blocked by the label
     * column (exact within block — deterministic double arithmetic, so
     * DuckDB-oracle-checkable; the LSH-blocked variant is the unlabeled
