@@ -9,15 +9,15 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample operators.
   *
   * The Spark-side plumbing — schemas, partition-batched iteration, column
-  * contracts — is real and tested. Image HEADER decode is real:
-  * [[ImageCodecs]] parses PNG/BMP/GIF/JPEG dimensions from raw bytes
-  * (pure JVM, no library). Feature extraction is real: folded byte
-  * histogram + exact Shannon entropy ([[extractFeatures]]), the
-  * classical content features for binary near-dup and corruption
-  * triage. The one remaining deterministic stand-in (this container has
-  * no media libraries) is `sampleFrames`' container seeking — one
-  * function swap away from a real demuxer; the dataflow around it does
-  * not change.
+  * contracts — is real and tested, and so are the codecs (pure JVM, no
+  * library): [[ImageCodecs]] parses PNG/BMP/GIF/JPEG dimensions,
+  * [[RiffCodecs]] demuxes AVI frames and reads WAV format/duration,
+  * and [[extractFeatures]] computes folded byte histograms + exact
+  * Shannon entropy — the classical content features for binary
+  * near-dup and corruption triage. Only headerless synthetic payloads
+  * fall back to deterministic stand-ins (raw-dims header, proportional
+  * byte slices), keeping the dataflow exercised without a media
+  * library.
   *
   * Scale notes: per-row work runs in `mapPartitions` so a real decoder
   * amortizes init per partition (the moral equivalent of a batched
@@ -147,24 +147,63 @@ object Multimodal {
       .withColumn("needs_resize", scale < 1.0)
   }
 
+  /** Audio decode pass: fill meta.sampleRate/durationMs from the WAV
+    * header ([[RiffCodecs.decodeWav]] — real RIFF walk, pure JVM).
+    * Undecodable audio dead-letters, mirroring [[decodeImages]]. */
+  def decodeAudio(assets: Dataset[MediaAsset])(implicit spark: SparkSession): Dataset[MediaAsset] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        RiffCodecs.decodeWav(a.bytes).map(w => a.copy(meta = a.meta.copy(
+          durationMs = w.durationMs, sampleRate = w.sampleRate, format = "wav")))
+      }
+    }
+  }
+
   /** Frame sampling for video-kind assets: one output row per sampled
-    * frame at `everyMs` intervals (STUB slices payload bytes; a real
-    * implementation seeks the container). Explode happens row-wise in
-    * mapPartitions — no array materialization of all frames in memory. */
+    * frame at `everyMs` intervals.
+    *
+    * REAL for AVI containers ([[RiffCodecs.decodeAvi]]): one header
+    * walk indexes every `##dc`/`##db` frame chunk, then each sampled
+    * offset maps to its frame via the `avih` µs-per-frame clock and the
+    * payload slice is the actual frame bytes (for MJPEG, a complete
+    * JPEG). Non-AVI payloads (headerless synthetic fixtures) keep the
+    * proportional byte-slice stand-in so the dataflow stays exercised
+    * end-to-end without a second container format.
+    *
+    * Explode happens row-wise in mapPartitions — no materialized
+    * all-frames array; at 100 TB the demux reads each asset's bytes
+    * once and emits only sampled frames into the downstream plan. */
   def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long)(
       implicit spark: SparkSession): Dataset[DecodedFrame] = {
     import spark.implicits._
     assets.filter(_.kind == "video").mapPartitions { it =>
       it.flatMap { a =>
-        val n = math.max(1L, a.meta.durationMs / everyMs).toInt
-        (0 until n).iterator.map { f =>
-          val off = f.toLong * everyMs
-          val sliceStart = if (a.bytes.length == 0) 0
-            else ((off.toDouble / math.max(1L, a.meta.durationMs)) * a.bytes.length).toInt
-          val slice = java.util.Arrays.copyOfRange(
-            a.bytes, math.min(sliceStart, a.bytes.length),
-            math.min(sliceStart + 16, a.bytes.length))
-          DecodedFrame(a.asset_id, f, off, slice)
+        RiffCodecs.decodeAvi(a.bytes) match {
+          case Some(avi) =>
+            val durMs = math.max(1L, avi.durationMs)
+            val n = math.max(1L, durMs / everyMs).toInt
+            (0 until n).iterator.flatMap { f =>
+              val off = f.toLong * everyMs
+              val idx = (off * 1000L / avi.usPerFrame).toInt
+              if (idx >= avi.frames.size) Iterator.empty
+              else {
+                val (fo, fl) = avi.frames(idx)
+                Iterator.single(DecodedFrame(a.asset_id, idx, off,
+                  java.util.Arrays.copyOfRange(a.bytes, fo, fo + fl)))
+              }
+            }
+          case None =>
+            val n = math.max(1L, a.meta.durationMs / everyMs).toInt
+            (0 until n).iterator.map { f =>
+              val off = f.toLong * everyMs
+              val sliceStart = if (a.bytes.length == 0) 0
+                else ((off.toDouble / math.max(1L, a.meta.durationMs)) * a.bytes.length).toInt
+              val slice = java.util.Arrays.copyOfRange(
+                a.bytes, math.min(sliceStart, a.bytes.length),
+                math.min(sliceStart + 16, a.bytes.length))
+              DecodedFrame(a.asset_id, f, off, slice)
+            }
         }
       }
     }

@@ -115,6 +115,79 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_bytes.length <= 16))
   }
 
+  // -------------------------------------------------- RIFF containers
+
+  private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32b(v: Int) =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def cc(s: String) = s.getBytes("US-ASCII")
+  private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    cc(id) ++ le32b(payload.length) ++ payload ++ pad
+  }
+  private def list(listType: String, payload: Array[Byte]): Array[Byte] =
+    cc("LIST") ++ le32b(payload.length + 4) ++ cc(listType) ++ payload
+
+  /** Minimal MJPEG AVI: avih header + movi list of 00dc JPEG chunks. */
+  private def mjpegAvi(jpegs: Seq[Array[Byte]], usPerFrame: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val avih = le32b(usPerFrame) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(jpegs.length) ++ le32b(0) ++ le32b(1) ++ le32b(0) ++
+      le32b(w) ++ le32b(h) ++ Array.fill[Byte](16)(0)
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32b(body.length) ++ body
+  }
+
+  private def wav(rate: Int, bits: Int, channels: Int, nBytes: Int): Array[Byte] = {
+    val byteRate = rate * channels * bits / 8
+    val fmt = le16b(1) ++ le16b(channels) ++ le32b(rate) ++ le32b(byteRate) ++
+      le16b(channels * bits / 8) ++ le16b(bits)
+    val body = cc("WAVE") ++ chunk("fmt ", fmt) ++
+      chunk("data", Array.fill[Byte](nBytes)(7))
+    cc("RIFF") ++ le32b(body.length) ++ body
+  }
+
+  test("AVI demux: sampled frames are the container's actual JPEG payloads") {
+    // 6 MJPEG frames at 2 fps (500 ms/frame) → 3 s of video, each frame
+    // a real JDK-encoded JPEG with distinct dimensions
+    val jpegs = (0 until 6).map(i => realImage("jpg", 16 + i, 8 + i))
+    val avi = mjpegAvi(jpegs, usPerFrame = 500000, w = 21, h = 13)
+    val info = RiffCodecs.decodeAvi(avi).get
+    assert(info.width == 21 && info.height == 13)
+    assert(info.frames.size == 6 && info.durationMs == 3000)
+
+    val ds = Seq(MediaAsset(30L, "video", avi,
+      MediaMeta(0, 0, 0L, 0, "avi"))).toDS()
+    // every 1000 ms over 3 s → frames at 0/1000/2000 ms = indices 0/2/4
+    val frames = sampleFrames(ds, everyMs = 1000).collect().sortBy(_.offset_ms)
+    assert(frames.map(_.frame_index).toList == List(0, 2, 4))
+    assert(frames.map(_.offset_ms).toList == List(0L, 1000L, 2000L))
+    frames.zip(List(0, 2, 4)).foreach { case (f, i) =>
+      assert(f.frame_bytes.sameElements(jpegs(i)), s"frame $i bytes differ")
+      // the demuxed payload is itself a decodable JPEG
+      val dims = ImageCodecs.decodeJpeg(f.frame_bytes).get
+      assert(dims.width == 16 + i && dims.height == 8 + i)
+    }
+    // truncated container dead-letters instead of throwing
+    assert(RiffCodecs.decodeAvi(avi.take(avi.length / 2)).isEmpty ||
+      RiffCodecs.decodeAvi(avi.take(avi.length / 2)).get.frames.size < 6)
+  }
+
+  test("WAV decode: format + duration from the RIFF walk, audio pass dead-letters junk") {
+    // 16 kHz mono 16-bit, 32000 bytes of data = exactly 1000 ms
+    val good = MediaAsset(40L, "audio", wav(16000, 16, 1, 32000),
+      MediaMeta(0, 0, 0L, 0, "?"))
+    val junk = MediaAsset(41L, "audio", Array[Byte](1, 2, 3, 4),
+      MediaMeta(0, 0, 0L, 0, "?"))
+    val out = decodeAudio(Seq(good, junk).toDS()).collect()
+    assert(out.length == 1 && out(0).asset_id == 40L)
+    assert(out(0).meta.sampleRate == 16000)
+    assert(out(0).meta.durationMs == 1000L)
+    assert(out(0).meta.format == "wav")
+  }
+
   test("binary round-trips through parquet with the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
     assets.toDF().write.mode("overwrite").parquet(dir)
