@@ -74,12 +74,31 @@ object ConnectedComponents {
     *   the PROVEN worst-case bound is O(log² n), so an adversarially
     *   deep graph may need the cap raised — the exception says so
     *   rather than guessing.
+    * @param onRound telemetry hook, called after every contraction round
+    *   with (round, canonical edge count) — the count is the checksum's
+    *   own aggregate, so observing convergence costs nothing extra. A
+    *   100 TB run wires this to its metrics sink; a stalling contraction
+    *   is visible long before maxIter throws.
+    * @param localThreshold adaptive small-graph fast path: when the
+    *   CANONICAL edge count (known from the first checksum, before any
+    *   round runs) is at or under this bound, solve with one collect +
+    *   union-find on the driver instead of paying ~4 Spark jobs ×
+    *   O(log n) rounds of scheduler floor. Same contract as Spark's own
+    *   broadcast-join threshold: a deliberately bounded driver
+    *   materialization (16 bytes/edge ⇒ ≤ ~16 MB at the default 2²⁰)
+    *   that removes the fixed cost exactly where distribution buys
+    *   nothing. A near-dup edge set is tiny relative to its corpus —
+    *   at 100 TB the pair GENERATION is the distributed workload, and
+    *   whichever side of this bound its output lands on gets the right
+    *   execution. Set to 0 to force distributed contraction.
     */
   def connectedComponents(
       edges: DataFrame,
       idCol1: String = "id1",
       idCol2: String = "id2",
-      maxIter: Int = 100): DataFrame = {
+      maxIter: Int = 100,
+      onRound: (Int, Long) => Unit = (_, _) => (),
+      localThreshold: Long = 1L << 20): DataFrame = {
     var e = sym(
       edges.select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -96,6 +115,8 @@ object ConnectedComponents {
     }
 
     var prevSum = checksum(e)
+    if (prevSum._1 <= localThreshold)
+      return localUnionFind(e)
     var iter = 0
     var converged = false
     while (!converged) {
@@ -108,6 +129,7 @@ object ConnectedComponents {
       // logical plan so the next round starts from a leaf relation
       val next = sym(smallStar(symAll(largeStar(e)))).localCheckpoint(true)
       val nextSum = checksum(next)
+      onRound(iter, nextSum._1)
       e = next // previous round's checkpoint RDD is released by the ContextCleaner
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -117,5 +139,34 @@ object ConnectedComponents {
     val out = e.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("component"))
     out
+  }
+
+  /** Small-graph solve: path-halving union-find over the collected edge
+    * list, labels = component minima (identical semantics to the star
+    * contraction). Bounded by `localThreshold` at the call site. */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val pairs = e.select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root so the final label is the component minimum
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keysIterator.map(id => (id, find(id))).toSeq
+    import spark.implicits._
+    rows.toDF("id", "component")
   }
 }

@@ -228,6 +228,44 @@ object Dedup {
       .select(col("corpus_id"), col("bench_id"), col("inter_n"), col("bench_n"))
   }
 
+  /** Bloom-prefiltered contamination sweep — the 100 TB formulation of
+    * [[contaminationPairs]]. At eval-suite scale (10⁶–10⁸ benchmark
+    * shingles) broadcasting the hashed-shingle TABLE costs 8–16 B per
+    * entry plus join-map overhead; a Bloom filter at `fpp` costs ~1.2 B
+    * per entry at 1% — an order of magnitude smaller broadcast, tested
+    * with one codegen-adjacent membership probe per corpus shingle
+    * BEFORE anything shuffles.
+    *
+    * Two-phase exactness: the Bloom pass can only OVER-select (no false
+    * negatives), so the exact [[contaminationPairs]] re-check on the
+    * surviving documents returns precisely the full exact answer —
+    * the spec asserts bit-equality. The corpus is scanned twice
+    * (suspect scan + exact scan of survivors); at real contamination
+    * rates (≪1% of docs) the second scan touches almost nothing, which
+    * is the trade a 100 TB sweep wants. */
+  def contaminationPairsBloom(
+      corpus: DataFrame, benchmark: DataFrame, n: Int, minIntersect: Int = 1,
+      fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
+    val b = shingles(benchmark, n, idCol, textCol)
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    val nItems = math.max(1L, b.count())
+    val bloom = b.stat.bloomFilter("sh", nItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    // suspect docs: ≥ minIntersect shingles that MIGHT be benchmark
+    // shingles (bloom counts are an upper bound of the exact overlap)
+    val suspects = shingles(corpus, n, idCol, textCol)
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+      .filter(mightContain(col("sh")))
+      .groupBy("id").agg(count_distinct(col("sh")).as("n_suspect"))
+      .filter(col("n_suspect") >= minIntersect)
+      .select(col("id").as(idCol))
+    contaminationPairs(
+      corpus.join(suspects, idCol), benchmark, n, minIntersect, idCol, textCol)
+  }
+
   /** Monitoring companion to `maxDocFrequency`: the (block, sh, df)
     * rows whose shingles `ngramJaccardPairs` would drop at this cap —
     * the same no-silent-truncation contract as `hotBuckets`. */

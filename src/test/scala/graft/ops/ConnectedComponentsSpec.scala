@@ -5,8 +5,12 @@ import graft.SparkSpec
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Forces the DISTRIBUTED star contraction (localThreshold = 0) so
+    * these suites keep exercising the scale path; the adaptive local
+    * fast path is covered by its own equivalence test below. */
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.connectedComponents(edges.toDF("id1", "id2"))
+    ConnectedComponents.connectedComponents(edges.toDF("id1", "id2"),
+        localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Reference labelling: driver-side union-find. */
@@ -50,5 +54,25 @@ class ConnectedComponentsSpec extends SparkSpec {
         .filter { case (a, b) => a != b }
       assert(run(edges) == unionFind(edges), s"seed $seed")
     }
+  }
+
+  test("adaptive local fast path equals distributed contraction; telemetry fires distributed-only") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 500).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("id1", "id2")
+    val rounds = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val local = ConnectedComponents.connectedComponents(df,
+        onRound = (i, n) => rounds += ((i, n)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds.isEmpty, "small graph must take the local path — no rounds run")
+    val dist = ConnectedComponents.connectedComponents(df,
+        onRound = (i, n) => rounds += ((i, n)), localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local == unionFind(edges))
+    assert(rounds.nonEmpty, "distributed contraction reports per-round telemetry")
+    assert(rounds.map(_._1).toList == (1 to rounds.size).toList)
+    assert(rounds.forall(_._2 > 0))
   }
 }

@@ -168,6 +168,17 @@ class CorpusSpec extends SparkSpec {
     assert(dirty.toSet == hits.toSet)
   }
 
+  test("bloom-prefiltered contamination equals the exact sweep bit-for-bit") {
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = rows(Dedup.contaminationPairs(corpus, bench, n = 2, minIntersect = 4))
+    val viaBloom = rows(Dedup.contaminationPairsBloom(corpus, bench, n = 2, minIntersect = 4))
+    assert(viaBloom == exact, "bloom prefilter must not change the exact answer")
+    assert(exact.nonEmpty)
+  }
+
   test("ngram doc-frequency cap drops exactly what hotShingles reports") {
     import spark.implicits._
     // 6 docs sharing one boilerplate bigram; 2 docs sharing a rare one
