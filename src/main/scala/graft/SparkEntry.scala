@@ -58,6 +58,7 @@ object SparkEntry {
     "q49_shuffle_shards" -> (OpsQueries.q49ShuffleShards _),
     "q50_cube" -> (OpsQueries.q50Cube _),
     "q51_lag_delta" -> (OpsQueries.q51LagDelta _),
+    "q52_greedy_pack" -> (OpsQueries.q52GreedyPack _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -372,6 +373,31 @@ object SparkEntry {
         |  CAST(grouping(source) AS BIGINT) AS g_source,
         |  CAST(grouping(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
+    // q52: greedy close-on-overflow is a per-stratum recurrence —
+    // state (pack, fill) before doc i, overflow ⇒ pack+1/fill 0, then
+    // offset = fill, fill += tok. The CTE replays it row-by-row in
+    // (source, doc_id) order; recursion depth = max docs per stratum.
+    "q52_greedy_pack" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT doc_id, source,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT source, rn, doc_id, tok,
+        |    CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+        |    tok AS fill
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.source, o.rn, o.doc_id, o.tok,
+        |    CASE WHEN r.fill > 0 AND r.fill + o.tok > 2048
+        |      THEN r.pack_id + 1 ELSE r.pack_id END,
+        |    CASE WHEN r.fill > 0 AND r.fill + o.tok > 2048
+        |      THEN CAST(0 AS BIGINT) ELSE r.fill END,
+        |    CASE WHEN r.fill > 0 AND r.fill + o.tok > 2048
+        |      THEN o.tok ELSE r.fill + o.tok END
+        |  FROM rec r JOIN ordered o ON o.source = r.source AND o.rn = r.rn + 1)
+        |SELECT doc_id, source, pack_id, pack_offset FROM rec""".stripMargin,
     "q51_lag_delta" ->
       """SELECT event_id, user_id,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

@@ -373,6 +373,15 @@ object OpsQueries {
         col("value_delta"), col("next_gap_us"))
   }
 
+  /** TRUE greedy packing (close-on-overflow): sequential per-stratum
+    * bin state via the repartition + sortWithinPartitions +
+    * mapPartitions formulation; the oracle replays the same recurrence
+    * as a recursive CTE. */
+  def q52GreedyPack(spark: SparkSession, dir: String): DataFrame =
+    Corpus.greedyPack(table(spark, dir, "documents"), "source",
+      TextAnalysis.bpeTokenEstimate(col("text")), budgetTokens = 2048)
+      .select(col("doc_id"), col("source"), col("pack_id"), col("pack_offset"))
+
   /** Embedding near-dup pairs above cosine 0.45, blocked by the label
     * column (exact within block — deterministic double arithmetic, so
     * DuckDB-oracle-checkable; the LSH-blocked variant is the unlabeled
