@@ -59,6 +59,7 @@ object SparkEntry {
     "q50_cube" -> (OpsQueries.q50Cube _),
     "q51_lag_delta" -> (OpsQueries.q51LagDelta _),
     "q52_greedy_pack" -> (OpsQueries.q52GreedyPack _),
+    "q53_semantic_dedup" -> (OpsQueries.q53SemanticDedup _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)

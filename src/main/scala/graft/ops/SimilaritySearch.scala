@@ -105,6 +105,65 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** SemDeDup-style semantic near-dup sweep (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then
+    * compare vectors ONLY within their cluster and emit pairs at
+    * cosine ≥ `minCos`, each labelled for keep-lowest-id dedup.
+    *
+    * This is the embedding analog of LSH blocking: the O(n²) cosine
+    * sweep becomes Σ O(|cell|²) with cells sized by `nlist`, and the
+    * pair join shuffles on the cell id, never cross-cluster. Returned
+    * pairs are EXACT cosines (precision 1 by construction); recall is
+    * bounded by cluster purity — near-dups straddling a k-means
+    * boundary are missed, the documented SemDeDup trade (its published
+    * recipe accepts it for the ~n²/nlist cost cut). Feed the pairs to
+    * [[ConnectedComponents]] + keep-min for the deduped corpus.
+    *
+    * Scale: the KMeans fit samples/aggregates the corpus (MLlib
+    * treeAggregate); assignment is one broadcast-centroid pass; the
+    * within-cell self-join is the same bucket-local pair shape as
+    * [[Dedup.lshCandidatePairs]]. Skewed cells (a mode collapse in the
+    * embedding space) are observable via `cellSizes` before the join
+    * runs — the hotBuckets contract. */
+  def semanticNearDupPairs(
+      emb: DataFrame, minCos: Double,
+      nlist: Int = 16, seed: Long = 13L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setInitMode("random")
+      .fit(train.select("features"))
+    val assigned = model.transform(train)
+      .select(col("id"), col("vec"), col("prediction").as("cell"))
+    val a = assigned.select(col("cell"), col("id").as("id1"), col("vec").as("v1"))
+    val b = assigned.select(col("cell"), col("id").as("id2"), col("vec").as("v2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", Dedup.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Cluster-size monitor for [[semanticNearDupPairs]]: (cell, n) rows
+    * — at 100 TB, check the largest cell BEFORE paying its |cell|²
+    * join (same no-silent-hotspot contract as Dedup.hotBuckets). */
+  def cellSizes(
+      emb: DataFrame, nlist: Int = 16, seed: Long = 13L,
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = emb.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setInitMode("random").fit(train)
+    model.transform(train).groupBy(col("prediction").as("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Product-quantization ANN top-k (the IVF-PQ compressed-codes path):
     * vectors are L2-normalized, split into `m` subspaces, each subspace
     * k-means-quantized to 16 centroids (4 bits), so a corpus vector

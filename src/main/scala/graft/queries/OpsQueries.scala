@@ -382,6 +382,14 @@ object OpsQueries {
       TextAnalysis.bpeTokenEstimate(col("text")), budgetTokens = 2048)
       .select(col("doc_id"), col("source"), col("pack_id"), col("pack_offset"))
 
+  /** SemDeDup semantic near-dup pairs: k-means cells block the cosine
+    * sweep (approximate candidate generation → rows-only; the
+    * subset/recall gate lives in OpsSpec). */
+  def q53SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.semanticNearDupPairs(
+      table(spark, dir, "embeddings"), minCos = 0.45, nlist = 8)
+      .select(col("id1"), col("id2"))
+
   /** Embedding near-dup pairs above cosine 0.45, blocked by the label
     * column (exact within block — deterministic double arithmetic, so
     * DuckDB-oracle-checkable; the LSH-blocked variant is the unlabeled

@@ -145,6 +145,35 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("SemDeDup pairs: exact subset of the all-pairs sweep, high recall, deterministic") {
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact reference: full all-pairs cosine at the same threshold
+    val a = vecs.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = vecs.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val exact = pairSet(a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("cos", Dedup.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= 0.8))
+    val sem = pairSet(SimilaritySearch.semanticNearDupPairs(vecs, minCos = 0.8, nlist = 10))
+    assert(sem.subsetOf(exact), "cluster blocking must not invent pairs")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect sem).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // deterministic: same seed, same clusters, same pairs
+    val again = pairSet(SimilaritySearch.semanticNearDupPairs(vecs, minCos = 0.8, nlist = 10))
+    assert(sem == again)
+    // the monitor accounts for every vector exactly once
+    val sizes = SimilaritySearch.cellSizes(vecs, nlist = 10)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(sizes == 300L)
+  }
+
   test("PQ ANN achieves reasonable recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(31)
     val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
