@@ -60,6 +60,8 @@ object SparkEntry {
     "q51_lag_delta" -> (OpsQueries.q51LagDelta _),
     "q52_greedy_pack" -> (OpsQueries.q52GreedyPack _),
     "q53_semantic_dedup" -> (OpsQueries.q53SemanticDedup _),
+    "q54_vocab_by_source" -> (OpsQueries.q54VocabBySource _),
+    "q55_session_range_join" -> (OpsQueries.q55SessionRangeJoin _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -374,6 +376,30 @@ object SparkEntry {
         |  CAST(grouping(source) AS BIGINT) AS g_source,
         |  CAST(grouping(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
+    "q54_vocab_by_source" ->
+      """SELECT source,
+        |  CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
+    // q55: sessions re-derived with q32's recurrence, then a plain
+    // BETWEEN join — the engine's binned equi-join must agree exactly
+    "q55_session_range_join" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC) AS session_id
+        |      FROM g),
+        |iv AS (SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
+        |       FROM s GROUP BY user_id, session_id)
+        |SELECT e.event_id, e.user_id, CAST(iv.session_id AS BIGINT) AS session_id
+        |FROM events e JOIN iv ON e.user_id = iv.user_id
+        |  AND e.ts BETWEEN iv.start_ts AND iv.end_ts""".stripMargin,
     // q52: greedy close-on-overflow is a per-stratum recurrence —
     // state (pack, fill) before doc i, overflow ⇒ pack+1/fill 0, then
     // offset = fill, fill += tok. The CTE replays it row-by-row in

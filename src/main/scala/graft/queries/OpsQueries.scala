@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, ConnectedComponents, Corpus, Dedup, SimilaritySearch, TextAnalysis}
+import graft.ops.{AsOfJoin, ConnectedComponents, Corpus, Dedup, RangeJoin, SimilaritySearch, TextAnalysis}
 
 /** The training-data-pipeline operators (SURVEY extended surface) as
   * driver-checkable queries over the documents/embeddings tables. */
@@ -381,6 +381,43 @@ object OpsQueries {
     Corpus.greedyPack(table(spark, dir, "documents"), "source",
       TextAnalysis.bpeTokenEstimate(col("text")), budgetTokens = 2048)
       .select(col("doc_id"), col("source"), col("pack_id"), col("pack_offset"))
+
+  /** Distinct vocabulary per source: exact count-distinct (two-phase
+    * hash dedup then count — the HLL sketch twin is spec-gated for
+    * error, not oracled). */
+  def q54VocabBySource(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source")
+      .agg(count_distinct(col("word")).as("n_distinct_words"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Point-in-interval range join: every event matched to the session
+    * interval containing it, via [[RangeJoin.binnedIntervalJoin]] —
+    * equi-join on (user, time-bin) + residual BETWEEN, never a
+    * nested-loop plan. Sessions = 30-min-gap windows (q32's recurrence)
+    * reduced to (user, session, start, end) intervals. */
+  def q55SessionRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Queries.events(spark, dir)
+    val sessions = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    RangeJoin.binnedIntervalJoin(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      sessions, keys = Seq("user_id"),
+      pointCol = "ts", startCol = "start_ts", endCol = "end_ts",
+      binSeconds = 3600)
+      .select(col("event_id"), col("user_id"),
+        col("session_id").cast("long").as("session_id"))
+  }
 
   /** SemDeDup semantic near-dup pairs: k-means cells block the cosine
     * sweep (approximate candidate generation → rows-only; the

@@ -168,6 +168,19 @@ class CorpusSpec extends SparkSpec {
     assert(dirty.toSet == hits.toSet)
   }
 
+  test("HLL distinct-vocab sketch lands within 5% of the exact count") {
+    val words = docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val both = words.groupBy("source")
+      .agg(count_distinct(col("word")).as("exact"),
+        approx_count_distinct(col("word"), 0.02).as("approx"))
+      .collect()
+    both.foreach { r =>
+      val (exact, approx) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"${r.getString(0)}: exact=$exact approx=$approx")
+    }
+  }
+
   test("bloom-prefiltered contamination equals the exact sweep bit-for-bit") {
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
     val bench = docs.filter(col("doc_id") % 50 === 0)
