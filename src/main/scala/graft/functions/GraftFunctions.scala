@@ -2,6 +2,9 @@ package graft.functions
 
 import graft.ops.TextAnalysis
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Multiply, ScalaUDF, Sqrt}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** The engine's scalar-function surface, registered for `spark.sql` so
@@ -43,6 +46,42 @@ object GraftFunctions {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     })
+
+    // de-UDF rewrite active even without spark.sql.extensions wiring
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ReplaceCosineUdf.type]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ReplaceCosineUdf
+  }
+}
+
+/** Optimizer rule: rewrite the black-box `cosine_sim` ScalaUDF into the
+  * native codegen'd expression tree
+  * `vector_dot(a,b) / sqrt(vector_sq(a) * vector_sq(b))`.
+  *
+  * A ScalaUDF is an optimization barrier — un-codegen'd (per-row
+  * serialization into Scala), opaque to constant folding, and a
+  * whole-stage-codegen fence. The rewrite keeps the whole projection
+  * inside one codegen span and is numerically IDENTICAL: both sides
+  * compute the same double accumulations in index order (VectorDot /
+  * VectorSq loop exactly like the UDF body), and IEEE division-by-zero
+  * semantics match because doubles never throw under ANSI.
+  *
+  * This is the preference ladder from the survey made executable:
+  * users write the obvious UDF call in SQL; the plan runs the native
+  * expression. (SURVEY §2.10/§4 — custom Rule[LogicalPlan] via
+  * SparkSessionExtensions or `experimental.extraOptimizations`.) */
+object ReplaceCosineUdf extends Rule[LogicalPlan] {
+  private def rewrite(a: Expression, b: Expression): Expression =
+    // sqrt(na) * sqrt(nb), NOT sqrt(na*nb): the two differ by an ulp on
+    // some inputs and the rewrite must be bit-identical to the UDF body
+    Divide(
+      VectorExpressions.VectorDot(a, b),
+      Multiply(Sqrt(VectorExpressions.VectorSq(a)), Sqrt(VectorExpressions.VectorSq(b))),
+      evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case udf: ScalaUDF if udf.udfName.contains("cosine_sim") && udf.children.size == 2 =>
+      rewrite(udf.children(0), udf.children(1))
   }
 }
 
@@ -63,5 +102,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[VectorExpressions.VectorSq].getName, "vector_sq"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorExpressions.VectorSq(exprs.head)))
+    ext.injectOptimizerRule(_ => ReplaceCosineUdf)
   }
 }

@@ -48,4 +48,41 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(EpochFunctions.unixToEpoch(ts + 30) == e + 1)
     }
   }
+
+  test("optimizer rule de-UDFs cosine_sim into the native codegen'd tree") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    val rnd = new scala.util.Random(3)
+    val dir = java.nio.file.Files.createTempDirectory("cosudf").toString
+    (0 until 50).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextFloat()))
+    }.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    // file-backed, so ConvertToLocalRelation cannot pre-evaluate the
+    // projection and hide the rewrite from the plan assertion
+    val df = spark.read.parquet(dir)
+    df.createOrReplaceTempView("vecs")
+    val out = spark.sql("SELECT id, cosine_sim(a, b) AS cos FROM vecs")
+    // the ScalaUDF must be gone from the optimized plan...
+    val udfsLeft = out.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    })
+    assert(udfsLeft.isEmpty, s"ScalaUDF survived optimization: $udfsLeft")
+    assert(out.queryExecution.optimizedPlan.toString.contains("vectordot"))
+    // ...and the native tree must be bit-identical to the UDF body
+    // (same index-order double accumulation, IEEE division)
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1), r.getSeq[Float](2)))
+    rows.foreach { case (id, a, b) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 16).foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      val expect = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(java.lang.Double.doubleToLongBits(got(id)) ==
+        java.lang.Double.doubleToLongBits(expect), s"id=$id")
+    }
+  }
 }
