@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Physical-plan regression guards: the plan SHAPES the scale story
+  * depends on, asserted against the real sf0.001 tables so a future
+  * refactor that silently loses a pushdown, broadcasts the wrong side,
+  * funnels a global sort, or nested-loops a range join fails CI — not
+  * a 100 TB run. */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    // walk into AQE wrappers: executedPlan hides the real operators
+    // behind AdaptiveSparkPlanExec until execution
+    val self = pf.lift(p).toSeq
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case other => other.children
+    }
+    self ++ kids.flatMap(collectAll(_)(pf))
+  }
+
+  test("q01: the shipdate filter reaches the parquet scan (pushdown + pruning)") {
+    val q = Queries.q01PricingSummary(spark, dir)
+    val scans = collectAll(planOf(q)) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      s"no pushed filter: ${scan.metadata("PushedFilters")}")
+    // column pruning: the 16-column lineitem scan reads only what q01 uses
+    assert(scan.schema.fieldNames.length <= 7,
+      s"scan reads too much: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
+  test("q07: dimension joins broadcast (no shuffle of the fact side)") {
+    val joins = collectAll(planOf(Queries.q07DimJoinRevenue(spark, dir))) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "dimension join must be a BroadcastHashJoin")
+  }
+
+  test("q49: global shard assignment contains no GLOBAL sort") {
+    val sorts = collectAll(planOf(OpsQueries.q49ShuffleShards(spark, dir))) {
+      case s: SortExec if s.global => s
+    }
+    assert(sorts.isEmpty, "shuffle-sharding must never sort globally")
+  }
+
+  test("q55: the binned range join is a hash join, never a nested loop") {
+    val p = planOf(OpsQueries.q55SessionRangeJoin(spark, dir))
+    val loops = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(loops.isEmpty, "range join degenerated to BroadcastNestedLoopJoin")
+  }
+
+  test("q48: span dedup scans only (doc_id, text)") {
+    val scans = collectAll(planOf(OpsQueries.q48SpanDedup(spark, dir))) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.schema.fieldNames.toSet.subsetOf(Set("doc_id", "text")),
+        s"span dedup reads extra columns: ${s.schema.fieldNames.mkString(",")}")
+    }
+  }
+}
