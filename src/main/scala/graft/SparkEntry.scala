@@ -62,6 +62,7 @@ object SparkEntry {
     "q53_semantic_dedup" -> (OpsQueries.q53SemanticDedup _),
     "q54_vocab_by_source" -> (OpsQueries.q54VocabBySource _),
     "q55_session_range_join" -> (OpsQueries.q55SessionRangeJoin _),
+    "q56_json_extract" -> (OpsQueries.q56JsonExtract _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -400,6 +401,13 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, CAST(iv.session_id AS BIGINT) AS session_id
         |FROM events e JOIN iv ON e.user_id = iv.user_id
         |  AND e.ts BETWEEN iv.start_ts AND iv.end_ts""".stripMargin,
+    "q56_json_extract" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     // q52: greedy close-on-overflow is a per-stratum recurrence —
     // state (pack, fill) before doc i, overflow ⇒ pack+1/fill 0, then
     // offset = fill, fill += tok. The CTE replays it row-by-row in

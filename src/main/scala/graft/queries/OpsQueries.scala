@@ -419,6 +419,18 @@ object OpsQueries {
         col("session_id").cast("long").as("session_id"))
   }
 
+  /** JSON property extraction + aggregation (§2.8's json surface):
+    * `get_json_object` path extraction inside codegen, integer-exact
+    * aggregates. */
+  def q56JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Queries.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
   /** SemDeDup semantic near-dup pairs: k-means cells block the cosine
     * sweep (approximate candidate generation → rows-only; the
     * subset/recall gate lives in OpsSpec). */
