@@ -160,6 +160,23 @@ object Multimodal {
     }
   }
 
+  /** Video metadata pass: AVI fills dims + frame-clock duration
+    * ([[RiffCodecs.decodeAvi]]); MP4/ISO-BMFF fills duration + brand
+    * ([[RiffCodecs.decodeMp4]] — metadata only, frame demux is the AVI
+    * path). Undecodable video dead-letters. */
+  def decodeVideo(assets: Dataset[MediaAsset])(implicit spark: SparkSession): Dataset[MediaAsset] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        RiffCodecs.decodeAvi(a.bytes).map(v => a.copy(meta = a.meta.copy(
+            width = v.width, height = v.height,
+            durationMs = v.durationMs, format = "avi")))
+          .orElse(RiffCodecs.decodeMp4(a.bytes).map(m => a.copy(meta =
+            a.meta.copy(durationMs = m.durationMs, format = m.brand.trim))))
+      }
+    }
+  }
+
   /** Frame sampling for video-kind assets: one output row per sampled
     * frame at `everyMs` intervals.
     *

@@ -87,6 +87,60 @@ object RiffCodecs {
     else Some(AviInfo(w, h, usPerFrame, if (total > 0) total else fs.size, fs))
   }
 
+  /** MP4 / ISO-BMFF metadata: brand from `ftyp`, duration from `mvhd`.
+    *
+    * ISO-BMFF is a box tree: `size(be32) type(4cc) payload`, `moov`
+    * nests `mvhd` whose version-0 layout carries timescale/duration as
+    * be32 at payload offsets 12/16 (version-1: be32 timescale at 20,
+    * be64 duration at 24). Frame DEMUX for MP4 needs the full
+    * stbl/stsc/stco sample tables — out of scope here (AVI covers real
+    * frame seeking); this parser covers the metadata sweep: kind
+    * detection, duration, brand. A size-0 ("to end of file") or
+    * truncated box stops the walk cleanly. */
+  final case class Mp4Info(brand: String, durationMs: Long)
+
+  def decodeMp4(b: Array[Byte]): Option[Mp4Info] = {
+    if (b == null || b.length < 12) return None
+    def be32(o: Int): Long =
+      ((u8(b, o).toLong << 24) | (u8(b, o + 1) << 16) | (u8(b, o + 2) << 8) | u8(b, o + 3)) & 0xffffffffL
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    if (fourcc(b, 4) != "ftyp") return None
+    var brand = ""
+    var timescale = 0L
+    var duration = -1L
+
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        val size = be32(o)
+        val tpe = fourcc(b, o + 4)
+        val boxEnd = if (size == 0) end else o + size.toInt
+        if (size == 1 || boxEnd > end || (size != 0 && size < 8)) ok = false // 64-bit/lying sizes: stop
+        else {
+          if (tpe == "ftyp" && boxEnd >= o + 12) brand = fourcc(b, o + 8)
+          else if (tpe == "moov") walk(o + 8, boxEnd)
+          else if (tpe == "mvhd" && boxEnd >= o + 8 + 4) {
+            val version = u8(b, o + 8)
+            if (version == 0 && boxEnd >= o + 8 + 20) {
+              timescale = be32(o + 8 + 12)
+              duration = be32(o + 8 + 16)
+            } else if (version == 1 && boxEnd >= o + 8 + 32) {
+              timescale = be32(o + 8 + 20)
+              duration = be64(o + 8 + 24)
+            }
+          }
+          if (size == 0) ok = false else o = boxEnd
+        }
+      }
+    }
+
+    walk(0, b.length)
+    if (brand.isEmpty) None
+    else Some(Mp4Info(brand,
+      if (timescale > 0 && duration >= 0) duration * 1000L / timescale else 0L))
+  }
+
   /** WAV metadata: format chunk + duration from the data chunk size. */
   def decodeWav(b: Array[Byte]): Option[WavInfo] = {
     if (!isRiff(b, "WAVE")) return None

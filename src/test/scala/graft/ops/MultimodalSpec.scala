@@ -175,6 +175,35 @@ class MultimodalSpec extends SparkSpec {
       RiffCodecs.decodeAvi(avi.take(avi.length / 2)).get.frames.size < 6)
   }
 
+  private def be32b(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+    (v >> 8).toByte, v.toByte)
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32b(payload.length + 8L) ++ cc(tpe) ++ payload
+
+  test("MP4 metadata: brand + mvhd duration via the box walk; video pass dispatches by container") {
+    // mvhd v0: version/flags(4) created(4) modified(4) timescale(4) duration(4)
+    val mvhd = box("mvhd", be32b(0) ++ be32b(0) ++ be32b(0) ++
+      be32b(600) ++ be32b(1500) ++ Array.fill[Byte](80)(0))
+    val mp4 = box("ftyp", cc("isom") ++ be32b(512) ++ cc("isomavc1")) ++
+      box("moov", mvhd)
+    val info = RiffCodecs.decodeMp4(mp4).get
+    assert(info.brand == "isom")
+    assert(info.durationMs == 2500L) // 1500 ticks at 600/s
+    assert(RiffCodecs.decodeMp4(mp4.take(10)).isEmpty)
+    assert(RiffCodecs.decodeMp4(wav(16000, 16, 1, 64)).isEmpty)
+
+    val jpegs = (0 until 2).map(_ => realImage("jpg", 8, 8))
+    val avi = mjpegAvi(jpegs, usPerFrame = 500000, w = 8, h = 8)
+    val out = decodeVideo(Seq(
+      MediaAsset(50L, "video", mp4, MediaMeta(0, 0, 0L, 0, "?")),
+      MediaAsset(51L, "video", avi, MediaMeta(0, 0, 0L, 0, "?")),
+      MediaAsset(52L, "video", Array[Byte](9, 9, 9), MediaMeta(0, 0, 0L, 0, "?"))
+    ).toDS()).collect().map(a => a.asset_id -> a.meta).toMap
+    assert(out.keySet == Set(50L, 51L))
+    assert(out(50L).format == "isom" && out(50L).durationMs == 2500L)
+    assert(out(51L).format == "avi" && out(51L).width == 8 && out(51L).durationMs == 1000L)
+  }
+
   test("WAV decode: format + duration from the RIFF walk, audio pass dead-letters junk") {
     // 16 kHz mono 16-bit, 32000 bytes of data = exactly 1000 ms
     val good = MediaAsset(40L, "audio", wav(16000, 16, 1, 32000),
