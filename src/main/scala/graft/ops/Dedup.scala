@@ -318,9 +318,10 @@ object Dedup {
     * their pairs that matter will surface through the other bands. The
     * cap is not silent: `hotBuckets(signatures, …)` reports the dropped
     * buckets for operational monitoring. */
-  def lshCandidatePairs(
-      signatures: DataFrame, numHashes: Int, bands: Int,
-      hotBucketCap: Int = 100000): DataFrame = {
+  /** The (id, band, bucket) LSH banding relation for a signature table
+    * — shared by the batch pair generator and the incremental
+    * streaming dedup (which persists it as its bucket index). */
+  def bandBuckets(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -328,9 +329,15 @@ object Dedup {
         hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*)
           .as("bucket"))
     }
-    val banded = signatures
+    signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def lshCandidatePairs(
+      signatures: DataFrame, numHashes: Int, bands: Int,
+      hotBucketCap: Int = 100000): DataFrame = {
+    val banded = bandBuckets(signatures, numHashes, bands)
     // Bucket-local pair generation: ONE shuffle (the groupBy) instead of
     // the window-count + two-sided self-join + distinct formulation
     // (three shuffles of the banded relation); pairs come from the

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incremental near-dup on ingest: cross-batch detection, no history
+  * re-pairing, agreement with the batch LSH sweep. */
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+
+  private val base = (0 until 40).map(i => s"w${i}x")
+  // near-dup: 36/40 words shared → bigram Jaccard ≈ 0.8
+  private val mutated = base.take(36) ++ Seq("q1", "q2", "q3", "q4")
+
+  test("a near-dup arriving in a later batch is flagged against history, exactly once") {
+    val store = java.nio.file.Files.createTempDirectory("dstore").toString
+    val b1 = Seq(
+      doc(1L, base),
+      doc(2L, (100 until 140).map(i => s"z$i"))).toDF("doc_id", "text")
+    val b2 = Seq(
+      doc(3L, mutated),
+      doc(4L, (200 until 240).map(i => s"y$i"))).toDF("doc_id", "text")
+
+    val p1 = DedupStream.step(b1, store)
+    assert(p1.count() == 0, "unrelated batch-1 docs must not pair")
+    p1.unpersist()
+
+    val p2rows = DedupStream.step(b2, store).collect()
+    val p2 = p2rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((1L, 3L)), s"got ${p2.mkString(",")}")
+    assert(p2rows.head.getDouble(2) >= 0.5)
+
+    // batch 3 re-detects against BOTH history batches, but old×old
+    // pairs (1,3) must not re-emit
+    val b3 = Seq(doc(5L, base.take(38) ++ Seq("r1", "r2"))).toDF("doc_id", "text")
+    val p3 = DedupStream.step(b3, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3 == Set((1L, 5L), (3L, 5L)), s"got ${p3.mkString(",")}")
+  }
+
+  test("incremental sweep over split batches = batch sweep over the union") {
+    val store = java.nio.file.Files.createTempDirectory("dstore2").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val inc1 = DedupStream.step(half1, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc2 = DedupStream.step(half2, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((inc1 & inc2).isEmpty, "a pair must emit in exactly one batch")
+
+    val cfg = DedupStream.Config()
+    val batchPairs = {
+      val sigs = Dedup.minhashSignatures(
+        Dedup.shingles(docs, cfg.n).select(col("id"), xxhash64(col("shingle")).as("sh")),
+        cfg.numHashes, cfg.seed)
+      val cands = Dedup.lshCandidatePairs(sigs, cfg.numHashes, cfg.bands)
+      val s1 = sigs.toDF(sigs.columns.map(c => if (c == "id") "id1" else s"a_$c"): _*)
+      val s2 = sigs.toDF(sigs.columns.map(c => if (c == "id") "id2" else s"b_$c"): _*)
+      val agree = (0 until cfg.numHashes)
+        .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cands.join(s1, "id1").join(s2, "id2")
+        .withColumn("est", agree.cast("double") / cfg.numHashes)
+        .filter(col("est") >= cfg.minAgree)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert((inc1 ++ inc2) == batchPairs,
+      s"incremental=${(inc1 ++ inc2).size} batch=${batchPairs.size}")
+    spark.catalog.clearCache()
+  }
+
+  test("streaming wrapper: files in, pair parquet out") {
+    val root = java.nio.file.Files.createTempDirectory("dstream").toString
+    val docsDir = s"$root/docs"
+    new java.io.File(docsDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$docsDir/$name.parquet"))
+    }
+    def tick(): Unit = {
+      val q = DedupStream.start(spark, docsDir, schema,
+        s"$root/store", s"$root/pairs", s"$root/ckpt",
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    stage("b1", Seq(doc(1L, base), doc(2L, (300 until 340).map(i => s"v$i"))))
+    tick()
+    stage("b2", Seq(doc(3L, mutated)))
+    tick()
+    val pairs = spark.read.parquet(s"$root/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"got ${pairs.mkString(",")}")
+  }
+}
