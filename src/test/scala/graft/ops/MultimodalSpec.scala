@@ -217,6 +217,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).meta.format == "wav")
   }
 
+  test("codecs never throw on fuzzed bytes — corrupt payloads dead-letter") {
+    val rnd = new scala.util.Random(97)
+    val magics = Seq(cc("RIFF"), cc("LIST"), Array[Byte](0xff.toByte, 0xd8.toByte),
+      cc("ftyp"), Array[Byte](0x89.toByte, 'P', 'N', 'G'))
+    (0 until 500).foreach { i =>
+      val len = rnd.nextInt(200)
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      // half the probes get a real magic spliced in to reach deep parse paths
+      if (i % 2 == 0 && len >= 12) {
+        val m = magics(rnd.nextInt(magics.size))
+        System.arraycopy(m, 0, b, 0, math.min(m.length, len))
+      }
+      RiffCodecs.decodeAvi(b); RiffCodecs.decodeWav(b); RiffCodecs.decodeMp4(b)
+      ImageCodecs.decodeHeader(b)
+    }
+    // truncations of VALID containers, every prefix length
+    val avi = mjpegAvi(Seq(realImage("jpg", 8, 8)), 500000, 8, 8)
+    val w = wav(16000, 16, 1, 64)
+    (0 until avi.length).foreach(n => RiffCodecs.decodeAvi(avi.take(n)))
+    (0 until w.length).foreach(n => RiffCodecs.decodeWav(w.take(n)))
+  }
+
   test("binary round-trips through parquet with the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
     assets.toDF().write.mode("overwrite").parquet(dir)
