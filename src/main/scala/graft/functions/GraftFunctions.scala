@@ -69,15 +69,28 @@ object GraftFunctions {
   * This is the preference ladder from the survey made executable:
   * users write the obvious UDF call in SQL; the plan runs the native
   * expression. (SURVEY §2.10/§4 — custom Rule[LogicalPlan] via
-  * SparkSessionExtensions or `experimental.extraOptimizations`.) */
+  * SparkSessionExtensions or `experimental.extraOptimizations`.)
+  *
+  * Edge parity: an all-zero vector yields NaN on both paths (pinned
+  * explicitly — legacy Divide would return NULL). NULL input is the
+  * one deliberate divergence: the UDF NPEs the task, the native tree
+  * returns NULL (dead-letter semantics, strictly better). */
 object ReplaceCosineUdf extends Rule[LogicalPlan] {
-  private def rewrite(a: Expression, b: Expression): Expression =
+  private def rewrite(a: Expression, b: Expression): Expression = {
     // sqrt(na) * sqrt(nb), NOT sqrt(na*nb): the two differ by an ulp on
-    // some inputs and the rewrite must be bit-identical to the UDF body
-    Divide(
-      VectorExpressions.VectorDot(a, b),
-      Multiply(Sqrt(VectorExpressions.VectorSq(a)), Sqrt(VectorExpressions.VectorSq(b))),
-      evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+    // some inputs and the rewrite must be bit-identical to the UDF body.
+    // A zero divisor (an all-zero vector) forces dot = 0, and the UDF's
+    // IEEE 0.0/0.0 is NaN — but Catalyst's legacy Divide returns NULL
+    // on ANY zero divisor, so that case is pinned to NaN explicitly
+    // (ANSI Divide would error; both differ from the UDF).
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, If, Literal}
+    val divisor =
+      Multiply(Sqrt(VectorExpressions.VectorSq(a)), Sqrt(VectorExpressions.VectorSq(b)))
+    If(EqualTo(divisor, Literal(0.0)),
+      Literal(Double.NaN),
+      Divide(VectorExpressions.VectorDot(a, b), divisor,
+        evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case udf: ScalaUDF if udf.udfName.contains("cosine_sim") && udf.children.size == 2 =>

@@ -99,6 +99,15 @@ object ConnectedComponents {
       maxIter: Int = 100,
       onRound: (Int, Long) => Unit = (_, _) => (),
       localThreshold: Long = 1L << 20): DataFrame = {
+    // labels are MIN node ids, so ids must be genuinely numeric — a
+    // string id would ANSI-throw (or silently null out) in the cast
+    // below; callers with string keys bridge via xxhash64 first
+    Seq(idCol1, idCol2).foreach { c =>
+      require(edges.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connectedComponents needs numeric node ids; '$c' is " +
+          s"${edges.schema(c).dataType.simpleString} — hash string keys " +
+          "to long (e.g. xxhash64) before clustering")
+    }
     var e = sym(
       edges.select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)

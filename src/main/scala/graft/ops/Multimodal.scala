@@ -200,11 +200,16 @@ object Multimodal {
           case Some(avi) =>
             val durMs = math.max(1L, avi.durationMs)
             val n = math.max(1L, durMs / everyMs).toInt
+            // sampling faster than the frame clock maps several offsets
+            // to one container frame: emit each frame ONCE (first
+            // offset wins) so (asset_id, frame_index) stays a key
+            var lastIdx = -1
             (0 until n).iterator.flatMap { f =>
               val off = f.toLong * everyMs
               val idx = (off * 1000L / avi.usPerFrame).toInt
-              if (idx >= avi.frames.size) Iterator.empty
+              if (idx >= avi.frames.size || idx == lastIdx) Iterator.empty
               else {
+                lastIdx = idx
                 val (fo, fl) = avi.frames(idx)
                 Iterator.single(DecodedFrame(a.asset_id, idx, off,
                   java.util.Arrays.copyOfRange(a.bytes, fo, fo + fl)))

@@ -39,6 +39,13 @@ object RangeJoin {
       endCol: String,
       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    // "point columns + interval columns" is only well-defined when the
+    // non-key names are disjoint; a collision would emit ambiguous
+    // duplicate columns and break the residual filter
+    val overlap = (points.columns.toSet & intervals.columns.toSet) -- keys.toSet
+    require(overlap.isEmpty,
+      s"points and intervals share non-key columns ${overlap.mkString(", ")} — " +
+        "rename one side before joining")
     val iv = intervals.withColumn("_bin",
       explode(sequence(
         floor(unix_timestamp(col(startCol)) / binSeconds),

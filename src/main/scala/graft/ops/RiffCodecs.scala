@@ -65,18 +65,21 @@ object RiffCodecs {
       var ok = true
       while (ok && o + 8 <= end) {
         val id = fourcc(b, o)
-        val size = le32(b, o + 4)
-        if (size < 0 || o + 8 + size > end) ok = false // lying/truncated size
+        // UNSIGNED size in LONG arithmetic: a 32-bit size near 2^31
+        // must trip the truncation guard, not wrap the offsets negative
+        val size = le32(b, o + 4).toLong & 0xffffffffL
+        if (o + 8L + size > end) ok = false // lying/truncated size
         else {
-          if (id == "LIST" && size >= 4) walk(o + 12, o + 8 + size)
-          else if (id == "avih" && size >= 40) {
+          val sz = size.toInt
+          if (id == "LIST" && sz >= 4) walk(o + 12, o + 8 + sz)
+          else if (id == "avih" && sz >= 40) {
             sawAvih = true
             usPerFrame = le32(b, o + 8) & 0xffffffffL
             total = le32(b, o + 8 + 16)
             w = le32(b, o + 8 + 32)
             h = le32(b, o + 8 + 36)
-          } else if (isFrameId(id)) frames += ((o + 8, size))
-          o += 8 + size + (size & 1) // chunks pad to even offsets
+          } else if (isFrameId(id)) frames += ((o + 8, sz))
+          o += 8 + sz + (sz & 1) // chunks pad to even offsets
         }
       }
     }
@@ -113,11 +116,12 @@ object RiffCodecs {
       var o = start
       var ok = true
       while (ok && o + 8 <= end) {
-        val size = be32(o)
+        val size = be32(o) // unsigned in a Long — bounds math must not wrap
         val tpe = fourcc(b, o + 4)
-        val boxEnd = if (size == 0) end else o + size.toInt
-        if (size == 1 || boxEnd > end || (size != 0 && size < 8)) ok = false // 64-bit/lying sizes: stop
+        val boxEndL: Long = if (size == 0) end.toLong else o.toLong + size
+        if (size == 1 || boxEndL > end || (size != 0 && size < 8)) ok = false // 64-bit/lying sizes: stop
         else {
+          val boxEnd = boxEndL.toInt
           if (tpe == "ftyp" && boxEnd >= o + 12) brand = fourcc(b, o + 8)
           else if (tpe == "moov") walk(o + 8, boxEnd)
           else if (tpe == "mvhd" && boxEnd >= o + 8 + 4) {
@@ -153,16 +157,17 @@ object RiffCodecs {
     var ok = true
     while (ok && o + 8 <= b.length) {
       val id = fourcc(b, o)
-      val size = le32(b, o + 4)
-      if (size < 0 || o + 8 + size > b.length) ok = false
+      val size = le32(b, o + 4).toLong & 0xffffffffL // unsigned, no wrap
+      if (o + 8L + size > b.length) ok = false
       else {
-        if (id == "fmt " && size >= 16) {
+        val sz = size.toInt
+        if (id == "fmt " && sz >= 16) {
           channels = le16(b, o + 8 + 2)
           rate = le32(b, o + 8 + 4)
           byteRate = le32(b, o + 8 + 8)
           bits = le16(b, o + 8 + 14)
-        } else if (id == "data") dataLen = size.toLong
-        o += 8 + size + (size & 1)
+        } else if (id == "data") dataLen = size
+        o += 8 + sz + (sz & 1)
       }
     }
     if (rate <= 0 || byteRate <= 0 || dataLen < 0) None

@@ -160,11 +160,18 @@ final class DealStateStore(spark: SparkSession, root: String) {
     val inheritedFloor = if (clearRescanFloor) None else parent.flatMap(floorOf)
     val inheritedCeil = if (clearRescanFloor) None else parent.flatMap(ceilOf)
     val floor = (inheritedFloor.toSeq ++ lowerRescanFloor.toSeq).reduceOption(_ min _)
-    // a retraction with no explicit ceiling still records one (its own
-    // floor): pre-ceiling layouts must never age out early
-    val ceil = (inheritedCeil.toSeq ++ raiseRescanCeil.toSeq ++
-      (if (inheritedCeil.isEmpty && raiseRescanCeil.isEmpty) lowerRescanFloor.toSeq
-       else Nil)).reduceOption(_ max _)
+    // the ceiling is recorded ONLY when it soundly covers every open
+    // span: an inherited floor without a ceiling (pre-ceiling layout)
+    // or a lowered floor without an explicit raise leaves the span top
+    // UNKNOWN — persisted as no-ceiling, which age-out treats as
+    // never-aged (the floor holds; cost stays bounded by the lookback
+    // window). Recording a guessed top (e.g. the floor itself) would
+    // re-enable the premature age-out this field exists to prevent.
+    val inheritedKnown = inheritedFloor.isEmpty || inheritedCeil.isDefined
+    val newKnown = lowerRescanFloor.isEmpty || raiseRescanCeil.isDefined
+    val ceil =
+      if (!inheritedKnown || !newKnown) None
+      else (inheritedCeil.toSeq ++ raiseRescanCeil.toSeq).reduceOption(_ max _)
     writeMeta(vdir, parentMax = parent.flatMap(metaMaxOf), floor = floor,
       ceil = if (floor.isEmpty) None else ceil)
     flipPointer(next)
@@ -253,9 +260,10 @@ final class DealStateStore(spark: SparkSession, root: String) {
   /** The open rescan span's HIGHEST retracted epoch — what age-out
     * clearing must compare against the lookback bound (the floor alone
     * would clear while higher retracted epochs are still reachable).
-    * Falls back to the floor for pre-ceiling layouts. */
-  def rescanCeil(): Option[Int] =
-    latestVersion.flatMap(v => ceilOf(v).orElse(floorOf(v)))
+    * None while a floor is open = the span top is UNKNOWN (pre-ceiling
+    * layout or a floor lowered without a raise): callers must treat
+    * that as not-aged-out — never guess the floor as the top. */
+  def rescanCeil(): Option[Int] = latestVersion.flatMap(ceilOf)
 
   /** O(1) ingest watermark: the stored max `activated_at_epoch`, read
     * from the latest version's `_META` sidecar without any Spark job —

@@ -29,11 +29,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * 64 hashes / 16 bands, ~640 GB spread across a parquet table that
   * every batch reads ONLY via the (band, bucket) hash join's pushed
   * bucket keys. The shuffle per tick carries the batch's buckets, not
-  * the store. Replay safety: re-processing a batch re-appends the same
-  * bucket/signature rows — `array_distinct`-style guards keep duplicate
-  * rows from emitting self-pairs, and re-emitted pairs are dedupable
-  * downstream by their (id1, id2) key (same contract as the reference's
-  * idempotent ingest).
+  * the store. Replay safety: every store commit is keyed by the
+  * micro-batch id (`batch=<id>` dir, overwrite mode), so re-processing
+  * a batch rewrites its own directories instead of appending duplicate
+  * signature rows — duplicates would multiplicatively re-emit every
+  * future pair touching those ids. Pair emission is idempotent the
+  * same way (same contract as the reference's idempotent ingest).
   *
   * reference analog: none — the reference re-queries Postgres per tick;
   * this is the training-data extension of its observe-loop shape
@@ -62,15 +63,27 @@ object DedupStream {
   private def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.globStatus(new org.apache.hadoop.fs.Path(dir, "*.parquet")).nonEmpty)
-      spark.read.schema(schema).parquet(dir)
+    // batch=<id> subdirs: list them explicitly so the read needs no
+    // partition discovery and an empty/missing store stays a clean miss
+    val parts = if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory) else Array.empty[org.apache.hadoop.fs.FileStatus]
+    if (parts.nonEmpty)
+      spark.read.schema(schema).parquet(parts.map(_.getPath.toString).toIndexedSeq: _*)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** One micro-batch step, exposed for batch-mode reuse and tests:
     * emits verified (id1, id2, est) pairs for `batch` against (and
-    * within) the store at `storeDir`, then folds the batch in. */
-  def step(batch: DataFrame, storeDir: String, cfg: Config = Config()): DataFrame = {
+    * within) the store at `storeDir`, then folds the batch in.
+    *
+    * `batchTag` names the store sub-directory this batch commits to
+    * (`buckets/batch=<tag>`, `sigs/batch=<tag>`), written with
+    * OVERWRITE: a foreachBatch replay of the same micro-batch id
+    * rewrites the same directories instead of appending duplicate
+    * rows — duplicated signatures would multiplicatively re-emit every
+    * future pair touching those ids, so the store write must be
+    * idempotent, not merely append-safe. */
+  def step(batch: DataFrame, storeDir: String, cfg: Config = Config(),
+      batchTag: String = java.util.UUID.randomUUID().toString): DataFrame = {
     val spark = batch.sparkSession
     val sigs = Dedup.minhashSignatures(
       Dedup.shingles(batch, cfg.n)
@@ -109,8 +122,8 @@ object DedupStream {
     // in-memory relations; the store append is the batch's commit point)
     val out = pairs.cache()
     out.count()
-    newBuckets.write.mode("append").parquet(s"$storeDir/buckets")
-    sigs.write.mode("append").parquet(s"$storeDir/sigs")
+    newBuckets.write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$batchTag")
+    sigs.write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchTag")
     sigs.unpersist()
     out
   }
@@ -131,9 +144,12 @@ object DedupStream {
       .queryName("dedup-on-ingest")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pairs = step(batch, storeDir, cfg)
-        pairs.write.mode("append").parquet(pairsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId keys the store commit: a replayed micro-batch
+        // overwrites its own directories (idempotent), and its pairs
+        // land in a batch=<id> dir so the replayed emit is too
+        val pairs = step(batch, storeDir, cfg, batchTag = batchId.toString)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
         pairs.unpersist()
         ()
       }

@@ -54,9 +54,10 @@ class GraftFunctionsSpec extends SparkSpec {
     GraftFunctions.registerAll(spark)
     val rnd = new scala.util.Random(3)
     val dir = java.nio.file.Files.createTempDirectory("cosudf").toString
-    (0 until 50).map { i =>
+    ((0 until 50).map { i =>
       (i.toLong, Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextFloat()))
-    }.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    } :+ ((99L, Seq.fill(16)(0f), Seq.fill(16)(rnd.nextFloat()))) // zero vector → NaN
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
     // file-backed, so ConvertToLocalRelation cannot pre-evaluate the
     // projection and hide the rewrite from the plan assertion
     val df = spark.read.parquet(dir)
@@ -84,5 +85,7 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(got(id)) ==
         java.lang.Double.doubleToLongBits(expect), s"id=$id")
     }
+    // the zero-vector row: the UDF's 0.0/0.0 — NaN, not NULL
+    assert(got(99L).isNaN, s"zero vector must be NaN, got ${got(99L)}")
   }
 }

@@ -238,6 +238,21 @@ class MultimodalSpec extends SparkSpec {
     val w = wav(16000, 16, 1, 64)
     (0 until avi.length).foreach(n => RiffCodecs.decodeAvi(avi.take(n)))
     (0 until w.length).foreach(n => RiffCodecs.decodeWav(w.take(n)))
+
+    // 32-bit-wrap sizes: a chunk/box length near 2^31..2^32 must trip
+    // the truncation guard, not wrap the walker's offsets negative
+    for (evil <- Seq(0x7ffffff0L, 0x80000000L, 0xfffffff8L)) {
+      val evilChunk = cc("00dc") ++ le32b(evil.toInt) ++ Array.fill[Byte](16)(0)
+      assert(RiffCodecs.decodeAvi(
+        cc("RIFF") ++ le32b(1000) ++ cc("AVI ") ++ evilChunk).isEmpty)
+      assert(RiffCodecs.decodeWav(
+        cc("RIFF") ++ le32b(1000) ++ cc("WAVE") ++
+          cc("data") ++ le32b(evil.toInt) ++ Array.fill[Byte](16)(0)).isEmpty)
+      assert(RiffCodecs.decodeMp4(
+        box("ftyp", cc("isom") ++ be32b(0)) ++
+          be32b(evil) ++ cc("moov") ++ Array.fill[Byte](16)(0)).map(_.durationMs)
+          .forall(_ == 0L)) // brand parsed, evil moov box stops the walk
+    }
   }
 
   test("binary round-trips through parquet with the declared schema") {

@@ -37,9 +37,19 @@ class DedupStreamSpec extends SparkSpec {
     // batch 3 re-detects against BOTH history batches, but old×old
     // pairs (1,3) must not re-emit
     val b3 = Seq(doc(5L, base.take(38) ++ Seq("r1", "r2"))).toDF("doc_id", "text")
-    val p3 = DedupStream.step(b3, store).collect()
+    val p3 = DedupStream.step(b3, store, batchTag = "b3").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p3 == Set((1L, 5L), (3L, 5L)), s"got ${p3.mkString(",")}")
+
+    // REPLAY of batch 3 (same tag): store must not grow, pairs identical
+    val sigsBefore = spark.read.parquet(s"$store/sigs/batch=b3").count()
+    val replay = DedupStream.step(b3, store, batchTag = "b3").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == p3, "replayed batch must emit the same pairs")
+    assert(spark.read.parquet(s"$store/sigs/batch=b3").count() == sigsBefore,
+      "replay must overwrite its own commit, not append duplicates")
+    val allSigs = spark.read.parquet(s"$store/sigs/batch=*").count()
+    assert(allSigs == 5L, s"one signature row per doc, got $allSigs")
   }
 
   test("incremental sweep over split batches = batch sweep over the union") {
