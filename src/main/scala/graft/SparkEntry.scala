@@ -63,6 +63,7 @@ object SparkEntry {
     "q54_vocab_by_source" -> (OpsQueries.q54VocabBySource _),
     "q55_session_range_join" -> (OpsQueries.q55SessionRangeJoin _),
     "q56_json_extract" -> (OpsQueries.q56JsonExtract _),
+    "q57_deduped_corpus" -> (OpsQueries.q57DedupedCorpus _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -462,6 +463,23 @@ object SparkEntry {
         |  UNION
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
+    // q57: the kept side of q46 — docs that are their own cluster min
+    "q57_deduped_corpus" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM grams a JOIN grams b
+        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a""".stripMargin,
     "q43_contamination" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),

@@ -431,6 +431,14 @@ object OpsQueries {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** The deduped corpus itself: one representative (the cluster-min
+    * doc) per q46 near-dup cluster, singletons kept — the final
+    * "surviving documents" projection of the dedup pipeline. */
+  def q57DedupedCorpus(spark: SparkSession, dir: String): DataFrame =
+    q46DupClusters(spark, dir)
+      .filter(col("component") === col("doc_id"))
+      .select(col("doc_id"))
+
   /** SemDeDup semantic near-dup pairs: k-means cells block the cosine
     * sweep (approximate candidate generation → rows-only; the
     * subset/recall gate lives in OpsSpec). */
