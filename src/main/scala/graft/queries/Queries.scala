@@ -18,8 +18,20 @@ import graft.functions.EpochFunctions
   */
 object Queries {
 
+  /** Memoized per (session, path): `spark.read.parquet` pays a file
+    * listing + footer schema read EVERY call, which at a 57-query
+    * suite is pure per-query floor. A DataFrame is an immutable plan —
+    * reusing one across queries is exactly how Spark expects tables to
+    * be shared (the file-index snapshot assumes the testdata directory
+    * is immutable, which the driver's is). Entries are tiny (a logical
+    * plan); stopped test sessions leave at most a few stale entries. */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent(
+      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark only reads via the nanosAsLong legacy conf. Normalize `ts` back
