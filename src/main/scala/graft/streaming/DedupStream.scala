@@ -60,12 +60,23 @@ object DedupStream {
 
   private def IntegerTypeAlias = org.apache.spark.sql.types.IntegerType
 
-  private def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+  /** The store's HISTORY view for one batch: every `batch=<id>` subdir
+    * EXCEPT the current batch's own — a replayed batch must not treat
+    * its previous (possibly partial) commit as history: its own rows
+    * would anti-join away its claims / duplicate its signature matches,
+    * and the overwrite would target a directory the plan reads from.
+    * Listing is explicit, so the read needs no partition discovery and
+    * an empty/missing store stays a clean miss. */
+  private def readOrEmpty(
+      spark: SparkSession, dir: String, schema: StructType,
+      excludeTag: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // batch=<id> subdirs: list them explicitly so the read needs no
-    // partition discovery and an empty/missing store stays a clean miss
-    val parts = if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory) else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val parts =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(_.isDirectory)
+          .filterNot(_.getPath.getName == s"batch=$excludeTag")
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
     if (parts.nonEmpty)
       spark.read.schema(schema).parquet(parts.map(_.getPath.toString).toIndexedSeq: _*)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -91,8 +102,8 @@ object DedupStream {
       cfg.numHashes, cfg.seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBuckets = Dedup.bandBuckets(sigs, cfg.numHashes, cfg.bands)
-    val oldBuckets = readOrEmpty(spark, s"$storeDir/buckets", bucketSchema)
-    val oldSigs = readOrEmpty(spark, s"$storeDir/sigs", sigSchema(cfg))
+    val oldBuckets = readOrEmpty(spark, s"$storeDir/buckets", bucketSchema, batchTag)
+    val oldSigs = readOrEmpty(spark, s"$storeDir/sigs", sigSchema(cfg), batchTag)
 
     // candidates: every bucket-mate of a NEW doc (new×new once via the
     // id order; new×old in either id order), history never self-pairs
@@ -125,6 +136,65 @@ object DedupStream {
     newBuckets.write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$batchTag")
     sigs.write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchTag")
     sigs.unpersist()
+    out
+  }
+
+  /** Incremental SPAN dedup (the streaming form of
+    * [[graft.ops.Dedup.spanDedup]]): per micro-batch, each document's
+    * 10-word spans check against the accumulated span-keeper store —
+    * a span seen in ANY earlier batch (or claimed by a lower-id doc in
+    * this one) is a duplicate. Emits per-doc stats
+    * (id, n_spans, n_kept, kept_chars) where kept = spans this doc is
+    * the FIRST keeper of, then folds the batch's newly-claimed span
+    * hashes into the store.
+    *
+    * Note the semantics shift vs the batch operator: batch spanDedup
+    * assigns keepers globally by min doc_id; the incremental form
+    * assigns by ARRIVAL ORDER (first batch wins; min id within a
+    * batch). That is the CCNet production semantics — a late
+    * re-crawl's paragraphs dedup against the existing corpus, not the
+    * other way around. State = (hash, keeper, len) per DISTINCT span;
+    * the per-tick join shuffles the batch's spans against the store's
+    * hash partitions. Store commits are batch-id-keyed overwrites,
+    * idempotent under foreachBatch replay like [[step]]. */
+  def spanStep(
+      batch: DataFrame,
+      storeDir: String,
+      windowWords: Int = 10,
+      batchTag: String = java.util.UUID.randomUUID().toString): DataFrame = {
+    val spark = batch.sparkSession
+    val spanSchema = StructType(Seq(
+      StructField("h", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("keeper", LongType, nullable = false),
+      StructField("len", IntegerTypeAlias, nullable = false)))
+    val ws = split(col("text"), " ")
+    val nChunks = greatest(ceil(size(ws) / lit(windowWords.toDouble)).cast("int"), lit(1))
+    val spans = batch.select(
+        col("doc_id").as("id"),
+        explode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(ws, i * windowWords + 1, lit(windowWords)), " "))).as("span"))
+      .filter(length(col("span")) > 0)
+      .select(col("id"), md5(col("span")).as("h"), length(col("span")).as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val old = readOrEmpty(spark, s"$storeDir/spans", spanSchema, batchTag)
+    // within-batch keeper = min id per hash; a span already in the
+    // store is never re-claimed (arrival order wins)
+    val claimed = spans.groupBy("h")
+      .agg(min(col("id")).as("keeper"), max(col("len")).as("len"))
+      .join(old.select(col("h")), Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
+    val keptPerDoc = claimed.groupBy(col("keeper").as("id"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("len")).cast("long").as("kept_chars"))
+    val out = perDoc.join(keptPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+      .cache()
+    out.count()
+    claimed.write.mode("overwrite").parquet(s"$storeDir/spans/batch=$batchTag")
+    spans.unpersist()
+    claimed.unpersist()
     out
   }
 

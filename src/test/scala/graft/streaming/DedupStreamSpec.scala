@@ -42,9 +42,11 @@ class DedupStreamSpec extends SparkSpec {
     assert(p3 == Set((1L, 5L), (3L, 5L)), s"got ${p3.mkString(",")}")
 
     // REPLAY of batch 3 (same tag): store must not grow, pairs identical
+    // — as a MULTISET (duplicate sig rows would duplicate pair rows)
     val sigsBefore = spark.read.parquet(s"$store/sigs/batch=b3").count()
-    val replay = DedupStream.step(b3, store, batchTag = "b3").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val replayRows = DedupStream.step(b3, store, batchTag = "b3").collect()
+    assert(replayRows.length == p3.size, s"row multiset grew: ${replayRows.length}")
+    val replay = replayRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(replay == p3, "replayed batch must emit the same pairs")
     assert(spark.read.parquet(s"$store/sigs/batch=b3").count() == sigsBefore,
       "replay must overwrite its own commit, not append duplicates")
@@ -83,6 +85,38 @@ class DedupStreamSpec extends SparkSpec {
     assert((inc1 ++ inc2) == batchPairs,
       s"incremental=${(inc1 ++ inc2).size} batch=${batchPairs.size}")
     spark.catalog.clearCache()
+  }
+
+  test("incremental span dedup: arrival order wins, replay idempotent, batch-equivalent on one batch") {
+    val store = java.nio.file.Files.createTempDirectory("sstore").toString
+    val b1 = Seq(
+      (1L, (0 until 30).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 30).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    // doc 3 repeats doc 1's first 20 words (spans 0 and 1) then fresh text
+    val b2 = Seq(
+      (3L, ((0 until 20).map(i => s"a$i") ++ (0 until 10).map(i => s"c$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val s1 = toMap(DedupStream.spanStep(b1, store, batchTag = "b1").collect())
+    // single-batch incremental == the batch operator on the same input
+    val batchRef = graft.ops.Dedup.spanDedup(b1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(s1 == batchRef)
+    assert(s1(1L) == ((3L, 3L, s1(1L)._3)))
+
+    val s2 = toMap(DedupStream.spanStep(b2, store, batchTag = "b2").collect())
+    // spans 0-1 of doc 3 are duplicates of batch-1 history; span 2 is new
+    assert(s2(3L)._1 == 3L, "three spans total")
+    assert(s2(3L)._2 == 1L, s"only the fresh span is kept, got ${s2(3L)}")
+
+    // replay of batch 2: same stats, store unchanged
+    val replay = toMap(DedupStream.spanStep(b2, store, batchTag = "b2").collect())
+    assert(replay == s2)
+    val stored = spark.read.parquet(s"$store/spans/batch=*").count()
+    // 3 spans/doc x 2 docs in b1 + 1 fresh span in b2
+    assert(stored == 7L, s"span store rows: $stored")
   }
 
   test("streaming wrapper: files in, pair parquet out") {
