@@ -100,6 +100,20 @@ object PipelineDemo {
     println(s"MULTIMODAL resize=${resized.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList}")
     println(s"MULTIMODAL frames=${Multimodal.sampleFrames(decoded, 1000).count()}")
 
+    // --- incremental near-dup on ingest: batch 2 carries a near-copy of
+    // a batch-1 document; the signature store flags it cross-batch
+    val dedupStore = java.nio.file.Files.createTempDirectory("demo-dedup").toString
+    val words = (0 until 40).map(i => s"tok$i")
+    val dd1 = Seq((1L, words.mkString(" ")),
+      (2L, (100 until 140).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dd2 = Seq((3L, (words.take(36) ++ Seq("x1", "x2", "x3", "x4")).mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.streaming.DedupStream.step(dd1, dedupStore, batchTag = "0").unpersist()
+    val crossPairs = graft.streaming.DedupStream.step(dd2, dedupStore, batchTag = "1")
+    println(s"DEDUP_STREAM pairs=${crossPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toList}")
+    crossPairs.unpersist()
+
     // --- ingest throughput at 100x fixture volume (reference baseline:
     // ~1.1 events/s, BASELINE.md "Observed event rate")
     val wide = (0 until 100).map { i =>
