@@ -69,6 +69,26 @@ object SparkEntry {
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
   )
 
+  // q46's transitive-closure oracle, shared verbatim by q57 (the kept
+  // projection) so the two can never drift on pair threshold or
+  // shingle construction
+  private val q46Sql: String =
+    """WITH RECURSIVE
+      |words AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |idx AS (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i FROM words),
+      |grams AS (SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM grams a JOIN grams b
+      |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS a, doc_id AS b FROM documents
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -447,39 +467,10 @@ object SparkEntry {
     // closed transitively with a recursive CTE; component = min
     // reachable id. Matches the engine's large-star/small-star
     // contraction exactly (both compute min-labelled components).
-    "q46_dup_clusters" ->
-      """WITH RECURSIVE
-        |words AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-        |idx AS (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i FROM words),
-        |grams AS (SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
-        |pairs AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM grams a JOIN grams b
-        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8),
-        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS a, doc_id AS b FROM documents
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
+    "q46_dup_clusters" -> q46Sql,
     // q57: the kept side of q46 — docs that are their own cluster min
     "q57_deduped_corpus" ->
-      """WITH RECURSIVE
-        |words AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-        |idx AS (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i FROM words),
-        |grams AS (SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
-        |pairs AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM grams a JOIN grams b
-        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8),
-        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS a, doc_id AS b FROM documents
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a""".stripMargin,
+      s"SELECT doc_id FROM ($q46Sql) WHERE component = doc_id",
     "q43_contamination" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),

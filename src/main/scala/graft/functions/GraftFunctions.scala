@@ -35,15 +35,19 @@ object GraftFunctions {
       "vector_dot", exprs => VectorExpressions.VectorDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_sq", exprs => VectorExpressions.VectorSq(exprs.head), "scala_udf")
+    // dot truncates to the shorter array; norms run over each FULL
+    // array — exactly VectorDot/VectorSq semantics, so the optimizer
+    // rewrite below is bit-identical for ANY input lengths (a norms-
+    // over-min variant would silently diverge from the native tree on
+    // ragged input)
     spark.udf.register("cosine_sim", (a: Seq[Float], b: Seq[Float]) => {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)
-      while (i < n) {
-        dot += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
+      while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+      i = 0
+      while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+      i = 0
+      while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     })
 

@@ -248,14 +248,15 @@ object Dedup {
       fpp: Double = 0.01,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = corpus.sparkSession
-    // persisted: the count (bloom sizing) and the bloom build both scan
-    // it — without the persist the benchmark re-shingles twice (module
-    // cache-lifecycle contract applies; see the object scaladoc)
+    // persisted across the two eager consumers (count for bloom sizing,
+    // then the bloom build) and released immediately after — unlike the
+    // pairwise operators, nothing in the returned plan references it
     val b = shingles(benchmark, n, idCol, textCol)
       .select(xxhash64(col("shingle")).as("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = math.max(1L, b.count())
     val bloom = b.stat.bloomFilter("sh", nItems, fpp)
+    b.unpersist() // both consumers are eager; nothing downstream reads b
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     // suspect docs: ≥ minIntersect shingles that MIGHT be benchmark

@@ -23,15 +23,19 @@ object Queries {
     * suite is pure per-query floor. A DataFrame is an immutable plan —
     * reusing one across queries is exactly how Spark expects tables to
     * be shared (the file-index snapshot assumes the testdata directory
-    * is immutable, which the driver's is). Entries are tiny (a logical
-    * plan); stopped test sessions leave at most a few stale entries. */
+    * is immutable, which the driver's is). Keyed by the SESSION OBJECT
+    * (reference identity — SparkSession doesn't override equals), so
+    * two sessions can never collide; the size bound caps retained
+    * plans from stopped test sessions (a cleared entry just re-reads). */
   private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (tableCache.size > 256) tableCache.clear()
     tableCache.computeIfAbsent(
-      (System.identityHashCode(spark), s"$dir/$name.parquet"),
-      key => spark.read.parquet(key._2))
+      (spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
+  }
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark only reads via the nanosAsLong legacy conf. Normalize `ts` back

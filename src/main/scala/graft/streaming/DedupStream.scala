@@ -215,11 +215,17 @@ object DedupStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batchId keys the store commit: a replayed micro-batch
-        // overwrites its own directories (idempotent), and its pairs
-        // land in a batch=<id> dir so the replayed emit is too
-        val pairs = step(batch, storeDir, cfg, batchTag = batchId.toString)
-        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        // (queryId, batchId) keys the store commit: a replayed
+        // micro-batch (same checkpoint → same queryId AND batchId)
+        // overwrites its own directories — idempotent — while a stream
+        // restarted against a DELETED checkpoint gets a fresh queryId,
+        // so its batch 0 cannot clobber an earlier run's batch=0
+        // history (bare batchId would silently destroy it)
+        val qid = Option(batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
+        val tag = s"$qid-$batchId"
+        val pairs = step(batch, storeDir, cfg, batchTag = tag)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$tag")
         pairs.unpersist()
         ()
       }

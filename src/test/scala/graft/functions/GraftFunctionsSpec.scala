@@ -57,6 +57,7 @@ class GraftFunctionsSpec extends SparkSpec {
     ((0 until 50).map { i =>
       (i.toLong, Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextFloat()))
     } :+ ((99L, Seq.fill(16)(0f), Seq.fill(16)(rnd.nextFloat()))) // zero vector → NaN
+      :+ ((98L, Seq.fill(16)(rnd.nextFloat()), Seq.fill(9)(rnd.nextFloat()))) // ragged
     ).toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
     // file-backed, so ConvertToLocalRelation cannot pre-evaluate the
     // projection and hide the rewrite from the plan assertion
@@ -76,11 +77,11 @@ class GraftFunctionsSpec extends SparkSpec {
       (r.getLong(0), r.getSeq[Float](1), r.getSeq[Float](2)))
     rows.foreach { case (id, a, b) =>
       var dot = 0.0; var na = 0.0; var nb = 0.0
-      (0 until 16).foreach { i =>
-        dot += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-      }
+      // dot over the common prefix, norms over each full array — the
+      // declared semantics of both the UDF and the native tree
+      (0 until math.min(a.length, b.length)).foreach(i => dot += a(i).toDouble * b(i).toDouble)
+      a.foreach(v => na += v.toDouble * v.toDouble)
+      b.foreach(v => nb += v.toDouble * v.toDouble)
       val expect = dot / (math.sqrt(na) * math.sqrt(nb))
       assert(java.lang.Double.doubleToLongBits(got(id)) ==
         java.lang.Double.doubleToLongBits(expect), s"id=$id")
