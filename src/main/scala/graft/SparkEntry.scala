@@ -64,6 +64,7 @@ object SparkEntry {
     "q55_session_range_join" -> (OpsQueries.q55SessionRangeJoin _),
     "q56_json_extract" -> (OpsQueries.q56JsonExtract _),
     "q57_deduped_corpus" -> (OpsQueries.q57DedupedCorpus _),
+    "q58_mixture_order" -> (OpsQueries.q58MixtureOrder _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -468,6 +469,24 @@ object SparkEntry {
     // reachable id. Matches the engine's large-star/small-star
     // contraction exactly (both compute min-labelled components).
     "q46_dup_clusters" -> q46Sql,
+    // q58: virtual position (rn − ½)/weight per stratum; the engine's
+    // two-pass global index equals these windows by construction
+    "q58_mixture_order" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    (rn - 0.5) / (CASE source WHEN 'src0' THEN 4.0
+        |                              WHEN 'src1' THEN 2.0
+        |                              ELSE 1.0 END) AS pos
+        |  FROM r)
+        |SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY pos ASC, source ASC, doc_id ASC) - 1
+        |    AS BIGINT) AS train_rank
+        |FROM p""".stripMargin,
     // q57: the kept side of q46 — docs that are their own cluster min
     "q57_deduped_corpus" ->
       s"SELECT doc_id FROM ($q46Sql) WHERE component = doc_id",

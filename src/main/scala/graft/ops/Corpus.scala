@@ -139,19 +139,30 @@ object Corpus {
     * SAME physical partitioning (same cache-lifecycle contract as the
     * Dedup pairwise ops: callers in a long-lived session clearCache
     * after consuming the result). */
-  def shuffleShards(
+  /** Scalable 0-based GLOBAL INDEX over a total order: range-partition
+    * on the sort keys (partition p then holds a contiguous slice of
+    * the order), sort within partitions, derive partition-local
+    * ordinals from `monotonically_increasing_id` (pid ⋘ 33 | local
+    * counter), count rows per partition, add the exclusive prefix-sum
+    * offset via a broadcast join. Two jobs, no single-task global
+    * window; the input is persisted so both observe the same physical
+    * partitioning (caller releases via clearCache per the module cache
+    * contract — [[shuffleShards]]/[[interleaveByWeight]] consume it).
+    *
+    * `sortCols` must be a TOTAL order (include a unique tiebreak) or
+    * ranks within ties are partition-dependent. */
+  private[ops] def globalIndex(
       df: DataFrame,
-      shardSize: Int,
-      idCol: String = "doc_id",
-      numPartitions: Option[Int] = None): DataFrame = {
-    require(shardSize > 0, "shardSize must be positive")
+      sortCols: Seq[org.apache.spark.sql.Column],
+      rankCol: String,
+      numPartitions: Option[Int]): DataFrame = {
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     // explicit partition count: AQE must not re-coalesce between the
     // count job and the assignment job
-    val keyed = df.withColumn("_draw", md5(col(idCol).cast("string")))
-      .repartitionByRange(n, col("_draw"), col(idCol))
-      .sortWithinPartitions(col("_draw"), col(idCol))
+    val keyed = df
+      .repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
       .withColumn("_loc", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
@@ -165,10 +176,64 @@ object Corpus {
     import spark.implicits._
     val offDf = offsets.toDF("_pid", "_off")
     keyed.join(broadcast(offDf), Seq("_pid"))
-      .withColumn("_rank", col("_off") + col("_loc"))
+      .withColumn(rankCol, col("_off") + col("_loc"))
+      .drop("_mid", "_pid", "_loc", "_off")
+  }
+
+  def shuffleShards(
+      df: DataFrame,
+      shardSize: Int,
+      idCol: String = "doc_id",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val keyed = df.withColumn("_draw", md5(col(idCol).cast("string")))
+    globalIndex(keyed, Seq(col("_draw"), col(idCol)), "_rank", numPartitions)
       .withColumn("shard_id", (col("_rank") / shardSize).cast("long"))
       .withColumn("pos_in_shard", (col("_rank") % shardSize).cast("long"))
-      .drop("_draw", "_mid", "_pid", "_loc", "_off", "_rank")
+      .drop("_draw", "_rank")
+  }
+
+  /** Deterministic WEIGHTED MIXTURE ORDER — the training-schedule step:
+    * each stratum's documents (in their own hash-shuffled order) are
+    * interleaved so that after any prefix of the output, every stratum
+    * has contributed in proportion to its weight. The standard
+    * data-mixture scheduler (T5/Pile-style proportional sampling) made
+    * deterministic: a stratum-s document with within-stratum ordinal r
+    * (1-based) gets virtual position (r − ½) / weight(s), and the
+    * output is the total order by (position, stratum, id). A weight-2
+    * stratum appears twice as often as a weight-1 stratum at every
+    * scale of the prefix.
+    *
+    * Scale shape: BOTH ranks come from [[globalIndex]] — within-stratum
+    * ordinals are the global (stratum, draw, id) index minus the
+    * stratum's first index (one tiny groupBy-min, broadcast back), so
+    * no per-stratum window ever funnels a billion-doc stratum through
+    * one task; the final order is a second globalIndex. Output adds
+    * `train_rank` (0-based). */
+  def interleaveByWeight(
+      df: DataFrame,
+      strataCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      idCol: String = "doc_id",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(defaultWeight > 0, "defaultWeight must be positive")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val w = weights.foldLeft(lit(defaultWeight): org.apache.spark.sql.Column) {
+      case (acc, (s, v)) => when(col(strataCol) === s, lit(v)).otherwise(acc)
+    }
+    val keyed = df.withColumn("_draw", md5(col(idCol).cast("string")))
+    val indexed = globalIndex(keyed,
+      Seq(col(strataCol), col("_draw"), col(idCol)), "_gr", numPartitions)
+    val firstPerStratum = indexed.groupBy(col(strataCol))
+      .agg(min(col("_gr")).as("_g0"))
+    val positioned = indexed
+      .join(broadcast(firstPerStratum), Seq(strataCol))
+      // 1-based within-stratum ordinal, exact in double to 2^52 docs
+      .withColumn("_pos", (col("_gr") - col("_g0") + 0.5) / w)
+    globalIndex(positioned.drop("_draw"),
+      Seq(col("_pos"), col(strataCol), col(idCol)), "train_rank", numPartitions)
+      .drop("_gr", "_g0", "_pos")
   }
 
   /** TRUE greedy packing (close-on-overflow): within each stratum, docs

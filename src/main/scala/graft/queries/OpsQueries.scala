@@ -439,6 +439,14 @@ object OpsQueries {
       .filter(col("component") === col("doc_id"))
       .select(col("doc_id"))
 
+  /** Deterministic weighted mixture order (training schedule): src0
+    * sampled 4x, src1 2x, everything else 1x — proportional at every
+    * prefix, no per-stratum window funnel (two global-index passes). */
+  def q58MixtureOrder(spark: SparkSession, dir: String): DataFrame =
+    Corpus.interleaveByWeight(table(spark, dir, "documents"), "source",
+      weights = Map("src0" -> 4.0, "src1" -> 2.0))
+      .select(col("doc_id"), col("source"), col("train_rank"))
+
   /** SemDeDup semantic near-dup pairs: k-means cells block the cosine
     * sweep (approximate candidate generation → rows-only; the
     * subset/recall gate lives in OpsSpec). */

@@ -262,6 +262,35 @@ class CorpusSpec extends SparkSpec {
     } finally { out.unpersist(); spark.catalog.clearCache() }
   }
 
+  test("weighted interleave: proportional at every prefix, partition-count invariant") {
+    val out = Corpus.interleaveByWeight(docs, "source",
+      weights = Map("src0" -> 4.0), defaultWeight = 1.0).cache()
+    try {
+      val n = docs.count()
+      assert(out.count() == n)
+      assert(out.select("train_rank").distinct().count() == n) // total order
+      // src0 (25 docs at weight 4) exhausts within the first ~25/4 of
+      // the virtual axis: every prefix until then carries ~4 src0 docs
+      // per 1 doc of any single other stratum
+      val first40 = out.filter(col("train_rank") < 40)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val src0 = first40.getOrElse("src0", 0L)
+      val others = first40.filter(_._1 != "src0").values
+      assert(src0 >= 6, s"weight-4 stratum underrepresented: $first40")
+      others.foreach(c => assert(c <= src0,
+        s"weight-1 stratum outpaced the weight-4 one: $first40"))
+      // pure function of (id, stratum, weight): partitioning never moves a row
+      val again = Corpus.interleaveByWeight(docs.repartition(7), "source",
+        weights = Map("src0" -> 4.0), numPartitions = Some(3))
+      val a = out.select("doc_id", "train_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = again.select("doc_id", "train_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, "train order must be partition-count invariant")
+    } finally { out.unpersist(); spark.catalog.clearCache() }
+  }
+
   test("span dedup: duplicated document keeps nothing, unique spans all kept") {
     val tiny = Seq(
       // 1 and 2 share identical text (2 keeps 0 spans); 3 is unique
