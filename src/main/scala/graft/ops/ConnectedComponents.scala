@@ -99,14 +99,21 @@ object ConnectedComponents {
       maxIter: Int = 100,
       onRound: (Int, Long) => Unit = (_, _) => (),
       localThreshold: Long = 1L << 20): DataFrame = {
-    // labels are MIN node ids, so ids must be genuinely numeric — a
-    // string id would ANSI-throw (or silently null out) in the cast
-    // below; callers with string keys bridge via xxhash64 first
+    // labels are MIN node ids, so ids must be genuinely INTEGRAL — a
+    // string id would ANSI-throw in the cast below, and a fractional
+    // type (double/decimal) would silently truncate, merging distinct
+    // node ids (1.2 and 1.7 → 1); callers bridge via xxhash64 first
     Seq(idCol1, idCol2).foreach { c =>
-      require(edges.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"connectedComponents needs numeric node ids; '$c' is " +
+      val ok = edges.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"connectedComponents needs integral node ids; '$c' is " +
           s"${edges.schema(c).dataType.simpleString} — hash string keys " +
-          "to long (e.g. xxhash64) before clustering")
+          "to long (e.g. xxhash64), and never use fractional ids " +
+          "(cast('long') would silently truncate distinct ids together)")
     }
     var e = sym(
       edges.select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
@@ -139,8 +146,14 @@ object ConnectedComponents {
       val next = sym(smallStar(symAll(largeStar(e)))).localCheckpoint(true)
       val nextSum = checksum(next)
       onRound(iter, nextSum._1)
+      // the checksum is probabilistic (a collision between two DISTINCT
+      // successive edge sets would stop the contraction half-done), so a
+      // checksum match is only the trigger: confirm with one exact
+      // containment check. Counts are exact and equal at this point, so
+      // next ⊆ e ⟺ next == e — one except(), paid once per run (plus
+      // once per collision, which at ~2⁻³⁰ per round never happens).
+      converged = nextSum == prevSum && next.except(e).isEmpty
       e = next // previous round's checkpoint RDD is released by the ContextCleaner
-      converged = nextSum == prevSum
       prevSum = nextSum
     }
     // final star: every non-min node has its component min as a smaller

@@ -46,6 +46,14 @@ object RiffCodecs {
   private def isRiff(b: Array[Byte], form: String): Boolean =
     b != null && b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == form
 
+  /** Container nesting bound. Real AVI/MP4 trees are <10 deep; a crafted
+    * file can nest a 12-byte LIST/moov header per level (~10k levels in
+    * ~120 KB, every size field valid), and an unbounded recursive walk
+    * would StackOverflowError — an Error, not an Exception, so it would
+    * escape the Option dead-letter path and kill the task. Deeper
+    * subtrees are skipped, the walk continues at the sibling. */
+  private val MaxNestDepth = 64
+
   /** Demux an AVI: frame index + timing, one linear header walk. */
   def decodeAvi(b: Array[Byte]): Option[AviInfo] = {
     if (!isRiff(b, "AVI ")) return None
@@ -60,7 +68,7 @@ object RiffCodecs {
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.endsWith("dc") || id.endsWith("db"))
 
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
       var o = start
       var ok = true
       while (ok && o + 8 <= end) {
@@ -71,7 +79,8 @@ object RiffCodecs {
         if (o + 8L + size > end) ok = false // lying/truncated size
         else {
           val sz = size.toInt
-          if (id == "LIST" && sz >= 4) walk(o + 12, o + 8 + sz)
+          if (id == "LIST" && sz >= 4 && depth < MaxNestDepth)
+            walk(o + 12, o + 8 + sz, depth + 1)
           else if (id == "avih" && sz >= 40) {
             sawAvih = true
             usPerFrame = le32(b, o + 8) & 0xffffffffL
@@ -84,7 +93,7 @@ object RiffCodecs {
       }
     }
 
-    walk(12, b.length)
+    walk(12, b.length, 0)
     val fs = frames.result()
     if (!sawAvih || usPerFrame <= 0 || fs.isEmpty) None
     else Some(AviInfo(w, h, usPerFrame, if (total > 0) total else fs.size, fs))
@@ -112,7 +121,7 @@ object RiffCodecs {
     var timescale = 0L
     var duration = -1L
 
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
       var o = start
       var ok = true
       while (ok && o + 8 <= end) {
@@ -123,7 +132,7 @@ object RiffCodecs {
         else {
           val boxEnd = boxEndL.toInt
           if (tpe == "ftyp" && boxEnd >= o + 12) brand = fourcc(b, o + 8)
-          else if (tpe == "moov") walk(o + 8, boxEnd)
+          else if (tpe == "moov" && depth < MaxNestDepth) walk(o + 8, boxEnd, depth + 1)
           else if (tpe == "mvhd" && boxEnd >= o + 8 + 4) {
             val version = u8(b, o + 8)
             if (version == 0 && boxEnd >= o + 8 + 20) {
@@ -139,7 +148,7 @@ object RiffCodecs {
       }
     }
 
-    walk(0, b.length)
+    walk(0, b.length, 0)
     if (brand.isEmpty) None
     else Some(Mp4Info(brand,
       if (timescale > 0 && duration >= 0) duration * 1000L / timescale else 0L))

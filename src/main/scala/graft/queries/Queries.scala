@@ -22,15 +22,23 @@ object Queries {
     * listing + footer schema read EVERY call, which at a 57-query
     * suite is pure per-query floor. A DataFrame is an immutable plan —
     * reusing one across queries is exactly how Spark expects tables to
-    * be shared (the file-index snapshot assumes the testdata directory
-    * is immutable, which the driver's is). Keyed by the SESSION OBJECT
-    * (reference identity — SparkSession doesn't override equals), so
-    * two sessions can never collide; the size bound caps retained
-    * plans from stopped test sessions (a cleared entry just re-reads). */
+    * be shared. The file-index snapshot assumes the table DIRECTORY is
+    * immutable for the life of the session (the driver's testdata is;
+    * a test that rewrites a directory mid-session must read it
+    * directly, not through this cache, or it gets the stale listing).
+    * Keyed by the SESSION OBJECT (reference identity — SparkSession
+    * doesn't override equals), so two sessions never collide. */
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // a stopped session's plans (and their file-index snapshots) are
+    // dead weight — drop them here rather than pinning the session
+    // until a size backstop fires
+    tableCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    // backstop for a pathological many-path session; clearing is safe
+    // (a cleared entry just re-reads) so losing a concurrent insert to
+    // this check-then-clear costs one extra listing, never correctness
     if (tableCache.size > 256) tableCache.clear()
     tableCache.computeIfAbsent(
       (spark, s"$dir/$name.parquet"),

@@ -160,18 +160,35 @@ final class DealStateStore(spark: SparkSession, root: String) {
     val inheritedFloor = if (clearRescanFloor) None else parent.flatMap(floorOf)
     val inheritedCeil = if (clearRescanFloor) None else parent.flatMap(ceilOf)
     val floor = (inheritedFloor.toSeq ++ lowerRescanFloor.toSeq).reduceOption(_ min _)
-    // the ceiling is recorded ONLY when it soundly covers every open
-    // span: an inherited floor without a ceiling (pre-ceiling layout)
-    // or a lowered floor without an explicit raise leaves the span top
-    // UNKNOWN — persisted as no-ceiling, which age-out treats as
-    // never-aged (the floor holds; cost stays bounded by the lookback
-    // window). Recording a guessed top (e.g. the floor itself) would
-    // re-enable the premature age-out this field exists to prevent.
+    // an inherited floor without a ceiling (pre-ceiling _META layout)
+    // or a floor lowered without an explicit raise leaves the span top
+    // UNKNOWN. Persisting it as no-ceiling would make the floor
+    // NEVER-aged — a permanent full-lookback rescan tax on every future
+    // tick — so backfill a SOUND ceiling: the store's raw max epoch
+    // right now. Sound because every retracted epoch is either
+    // ≤ rawMax (then the ceil age-out test covers it: clearing requires
+    // rawMax < head − maxPastEpochs, which puts the epoch below the
+    // lookback clamp anyway), or > rawMax (then the UNCAPPED watermark
+    // already sits below it, so its replacements re-enter every observe
+    // window without the floor's help). Guessing the FLOOR as the top
+    // would not be sound — epochs between floor and true top could age
+    // out while still reachable; the raw max never has that gap.
     val inheritedKnown = inheritedFloor.isEmpty || inheritedCeil.isDefined
     val newKnown = lowerRescanFloor.isEmpty || raiseRescanCeil.isDefined
+    val knownCeil = (inheritedCeil.toSeq ++ raiseRescanCeil.toSeq).reduceOption(_ max _)
     val ceil =
-      if (!inheritedKnown || !newKnown) None
-      else (inheritedCeil.toSeq ++ raiseRescanCeil.toSeq).reduceOption(_ max _)
+      if (floor.isEmpty) None
+      else if (inheritedKnown && newKnown) knownCeil
+      else {
+        val backfill = parent.flatMap(metaMaxOf).orElse {
+          // pre-sidecar layout: one distributed agg, paid once at
+          // migration time (the pointer has not flipped — read() still
+          // resolves the pre-delta chain)
+          val r = read().agg(max("activated_at_epoch")).collect()(0)
+          if (r.isNullAt(0)) None else Some(r.getInt(0))
+        }
+        (knownCeil.toSeq ++ backfill.toSeq).reduceOption(_ max _)
+      }
     writeMeta(vdir, parentMax = parent.flatMap(metaMaxOf), floor = floor,
       ceil = if (floor.isEmpty) None else ceil)
     flipPointer(next)
@@ -260,9 +277,11 @@ final class DealStateStore(spark: SparkSession, root: String) {
   /** The open rescan span's HIGHEST retracted epoch — what age-out
     * clearing must compare against the lookback bound (the floor alone
     * would clear while higher retracted epochs are still reachable).
-    * None while a floor is open = the span top is UNKNOWN (pre-ceiling
-    * layout or a floor lowered without a raise): callers must treat
-    * that as not-aged-out — never guess the floor as the top. */
+    * None while a floor is open means the span top is UNKNOWN (a
+    * pre-ceiling `_META` inherited and not yet touched by a delta):
+    * callers must treat that as not-aged-out. The state is transient —
+    * the next `writeDelta` backfills a sound ceiling (see there), so an
+    * inherited floor cannot hold the watermark down forever. */
   def rescanCeil(): Option[Int] = latestVersion.flatMap(ceilOf)
 
   /** O(1) ingest watermark: the stored max `activated_at_epoch`, read

@@ -56,6 +56,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("fractional node ids are rejected; int ids cast up cleanly") {
+    // double/decimal ids would cast('long')-truncate: 1.2 and 1.7 merge
+    // into node 1 — reject at the door instead
+    val frac = Seq((1.2, 1.7)).toDF("id1", "id2")
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.connectedComponents(frac)
+    }
+    assert(ex.getMessage.contains("integral"))
+    val ok = ConnectedComponents.connectedComponents(
+        Seq((1, 2), (2, 3)).toDF("id1", "id2"), localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("adaptive local fast path equals distributed contraction; telemetry fires distributed-only") {
     val rnd = new scala.util.Random(7)
     val edges = (1 to 500).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))

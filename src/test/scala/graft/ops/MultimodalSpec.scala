@@ -255,6 +255,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("deeply nested containers are depth-bounded — no StackOverflowError") {
+    // ~20k nesting levels, every size field VALID: an unbounded recursive
+    // walk dies with StackOverflowError (an Error — it would escape the
+    // Option dead-letter path and kill the task). The walker must cap
+    // depth and return cleanly instead.
+    val depth = 20000
+
+    // AVI: RIFF('AVI ') wrapping `depth` nested LISTs around an avih
+    val avih = chunk("avih", le32b(500000) ++ Array.fill[Byte](36)(0))
+    val nest = new Array[Byte](12 * depth + avih.length)
+    var off = 0
+    while (off < 12 * depth) {
+      System.arraycopy(cc("LIST"), 0, nest, off, 4)
+      System.arraycopy(le32b(nest.length - off - 8), 0, nest, off + 4, 4)
+      System.arraycopy(cc("hdrl"), 0, nest, off + 8, 4)
+      off += 12
+    }
+    System.arraycopy(avih, 0, nest, off, avih.length)
+    val deepAvi = cc("RIFF") ++ le32b(nest.length + 4) ++ cc("AVI ") ++ nest
+    assert(RiffCodecs.decodeAvi(deepAvi).isEmpty) // avih sits past the cap
+
+    // MP4: ftyp + `depth` nested moov boxes around an mvhd
+    val mvhd = box("mvhd", be32b(0) ++ be32b(0) ++ be32b(0) ++
+      be32b(600) ++ be32b(1500) ++ Array.fill[Byte](80)(0))
+    val mnest = new Array[Byte](8 * depth + mvhd.length)
+    off = 0
+    while (off < 8 * depth) {
+      System.arraycopy(be32b(mnest.length - off.toLong), 0, mnest, off, 4)
+      System.arraycopy(cc("moov"), 0, mnest, off + 4, 4)
+      off += 8
+    }
+    System.arraycopy(mvhd, 0, mnest, off, mvhd.length)
+    val deepMp4 = box("ftyp", cc("isom") ++ be32b(512) ++ cc("isomavc1")) ++ mnest
+    val deepInfo = RiffCodecs.decodeMp4(deepMp4).get
+    assert(deepInfo.brand == "isom" && deepInfo.durationMs == 0L) // mvhd past cap
+
+    // WITHIN the cap, nesting still parses: avih/mvhd behind 8 extra levels
+    val shallowAvi = {
+      val hdrl = (0 until 8).foldLeft(chunk("avih",
+        le32b(500000) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(1) ++
+          le32b(0) ++ le32b(1) ++ le32b(0) ++ le32b(9) ++ le32b(7) ++
+          Array.fill[Byte](16)(0))) { (inner, _) => list("hdrl", inner) }
+      val movi = list("movi", chunk("00dc", Array.fill[Byte](6)(1)))
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ le32b(body.length) ++ body
+    }
+    val si = RiffCodecs.decodeAvi(shallowAvi).get
+    assert(si.width == 9 && si.height == 7 && si.frames.size == 1)
+    val shallowMp4 = box("ftyp", cc("isom") ++ be32b(512)) ++
+      (0 until 8).foldLeft(mvhd) { (inner, _) => box("moov", inner) }
+    assert(RiffCodecs.decodeMp4(shallowMp4).get.durationMs == 2500L)
+  }
+
   test("binary round-trips through parquet with the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
     assets.toDF().write.mode("overwrite").parquet(dir)

@@ -176,6 +176,38 @@ class DeltaStoreSpec extends SparkSpec {
     assert(store.maxEpoch().contains(4622139))
   }
 
+  test("unknown span top backfills a sound ceiling instead of holding the floor forever") {
+    val dir = java.nio.file.Files.createTempDirectory("floor-backfill").toString
+    val store = new DealStateStore(spark, dir)
+    store.write(deals(4622129, 4622138)) // raw max 4622138
+
+    // a floor lowered WITHOUT a raise: the span top is unknown at the
+    // call, so the write backfills ceil = the store's raw max — the
+    // retracted epochs were stored rows, so none can exceed it
+    store.writeDelta(deals(4622129, 4622130), lowerRescanFloor = Some(4622135))
+    assert(store.rescanFloor().contains(4622135))
+    assert(store.rescanCeil().contains(4622138), "backfilled span top = raw max")
+
+    // pre-ceiling _META layout: doctor the latest sidecar to the old
+    // shape (no ceiling). The inherited-unknown floor must NOT persist
+    // as never-aged — the next delta backfills.
+    val v = store.latestVersion.get
+    val metaPath = java.nio.file.Paths.get(s"$dir/v=$v/_META")
+    val doctored = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+      .replaceAll(""""rescanCeil":\d+""", """"rescanCeil":null""")
+    java.nio.file.Files.write(metaPath, doctored.getBytes("UTF-8"))
+    // the nio edit invalidates LocalFileSystem's checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/v=$v/._META.crc"))
+    assert(store.rescanCeil().isEmpty, "doctored layout reads as unknown")
+
+    store.writeDelta(deals(4622139, 4622139)) // any later tick
+    assert(store.rescanFloor().contains(4622135), "floor itself carries over")
+    assert(store.rescanCeil().contains(4622138),
+      "inherited unknown top backfilled from the parent's raw max")
+    assert(store.maxEpoch().contains(4622134), "watermark still floor-capped")
+  }
+
   test("full write GC keeps the rollback chain intact") {
     val dir = java.nio.file.Files.createTempDirectory("delta-gc").toString
     val store = new DealStateStore(spark, dir)
