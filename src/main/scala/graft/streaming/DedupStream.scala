@@ -25,13 +25,25 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *   4. verified pairs append to `pairsDir`; the batch's buckets and
   *      signatures append to the store.
   *
-  * State size: (bands + numHashes) longs per document — at 10⁹ docs and
-  * 64 hashes / 16 bands, ~640 GB spread across a parquet table that
-  * every batch reads ONLY via the (band, bucket) hash join's pushed
-  * bucket keys. The shuffle per tick carries the batch's buckets, not
-  * the store. Replay safety: every store commit is keyed by the
-  * micro-batch id (`batch=<id>` dir, overwrite mode), so re-processing
-  * a batch rewrites its own directories instead of appending duplicate
+  * Store layout — O(batch) reads, not O(corpus): each commit is
+  * `batch=<id>/pb=<k>` where `pb = hash(band,bucket) mod storeParts`
+  * for buckets (`ps = id mod storeParts` for signatures, `ph` for span
+  * hashes). A tick first computes its OWN key-partition set (≤
+  * storeParts ints, collected to the driver), then lists and reads
+  * ONLY the store subdirectories those keys hash into — history keys
+  * outside the batch's partitions are never opened. Signature reads
+  * prune further: only the partitions holding a CANDIDATE pair id are
+  * read, so a tick with no bucket collisions reads no history
+  * signatures at all. At 10⁹ docs and 64 hashes / 16 bands the state
+  * is ~640 GB, but a tick touching b bucket partitions reads ~b/
+  * storeParts of it; size storeParts so one partition ≈ one executor's
+  * comfortable scan (the per-batch writes also create ≤ storeParts
+  * files per commit — compact old batch dirs offline if file count
+  * ever dominates, the layout is append-structured for exactly that).
+  *
+  * Replay safety: every store commit is keyed by the micro-batch id
+  * (`batch=<id>` dir, overwrite mode), so re-processing a batch
+  * rewrites its own directories instead of appending duplicate
   * signature rows — duplicates would multiplicatively re-emit every
   * future pair touching those ids. Pair emission is idempotent the
   * same way (same contract as the reference's idempotent ingest).
@@ -47,7 +59,8 @@ object DedupStream {
       numHashes: Int = 64,
       bands: Int = 16,
       minAgree: Double = 0.5,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      storeParts: Int = 64)
 
   private def sigSchema(cfg: Config): StructType =
     StructType(StructField("id", LongType, nullable = false) +:
@@ -60,25 +73,37 @@ object DedupStream {
 
   private def IntegerTypeAlias = org.apache.spark.sql.types.IntegerType
 
-  /** The store's HISTORY view for one batch: every `batch=<id>` subdir
-    * EXCEPT the current batch's own — a replayed batch must not treat
-    * its previous (possibly partial) commit as history: its own rows
-    * would anti-join away its claims / duplicate its signature matches,
-    * and the overwrite would target a directory the plan reads from.
-    * Listing is explicit, so the read needs no partition discovery and
-    * an empty/missing store stays a clean miss. */
-  private def readOrEmpty(
+  /** The store's HISTORY view for one batch, PRUNED to the key
+    * partitions the batch can touch: lists every `batch=<id>` commit
+    * EXCEPT the current batch's own (a replayed batch must not treat
+    * its previous, possibly partial, commit as history), then inside
+    * each commit keeps only the `<partCol>=<k>` subdirectories with
+    * k ∈ `wanted` — the one structural guarantee that a tick's read is
+    * O(batch keys), not O(corpus). A commit with no hash subdirs (a
+    * store written before this layout) is read whole, so old stores
+    * stay readable, just unpruned. Listing is explicit, so the read
+    * needs no partition discovery and an empty/missing store stays a
+    * clean miss. */
+  private def readStore(
       spark: SparkSession, dir: String, schema: StructType,
-      excludeTag: String): DataFrame = {
+      excludeTag: String, partCol: String, wanted: Set[Int]): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts =
-      if (fs.exists(p))
-        fs.listStatus(p).filter(_.isDirectory)
-          .filterNot(_.getPath.getName == s"batch=$excludeTag")
-      else Array.empty[org.apache.hadoop.fs.FileStatus]
-    if (parts.nonEmpty)
-      spark.read.schema(schema).parquet(parts.map(_.getPath.toString).toIndexedSeq: _*)
+    val leaves: Seq[String] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory).toSeq
+        .filterNot(_.getPath.getName == s"batch=$excludeTag")
+        .flatMap { b =>
+          val subs = fs.listStatus(b.getPath).filter(_.isDirectory)
+            .filter(_.getPath.getName.startsWith(s"$partCol="))
+          if (subs.isEmpty) Seq(b.getPath.toString) // pre-layout commit: unpruned
+          else subs.toSeq
+            .filter(s => wanted.contains(
+              s.getPath.getName.stripPrefix(s"$partCol=").toInt))
+            .map(_.getPath.toString)
+        }
+    if (leaves.nonEmpty)
+      spark.read.schema(schema).parquet(leaves: _*)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
@@ -96,18 +121,25 @@ object DedupStream {
   def step(batch: DataFrame, storeDir: String, cfg: Config = Config(),
       batchTag: String = java.util.UUID.randomUUID().toString): DataFrame = {
     val spark = batch.sparkSession
+    val parts = lit(cfg.storeParts.toLong)
     val sigs = Dedup.minhashSignatures(
       Dedup.shingles(batch, cfg.n)
         .select(col("id"), xxhash64(col("shingle")).as("sh")),
       cfg.numHashes, cfg.seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBuckets = Dedup.bandBuckets(sigs, cfg.numHashes, cfg.bands)
-    val oldBuckets = readOrEmpty(spark, s"$storeDir/buckets", bucketSchema, batchTag)
-    val oldSigs = readOrEmpty(spark, s"$storeDir/sigs", sigSchema(cfg), batchTag)
+      .withColumn("pb", pmod(xxhash64(col("band"), col("bucket")), parts).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // the batch's own key partitions (≤ storeParts ints) bound the
+    // history read — this collect is what makes the tick O(batch)
+    val batchPb = newBuckets.select("pb").distinct().collect().map(_.getInt(0)).toSet
+    val oldBuckets = readStore(
+      spark, s"$storeDir/buckets", bucketSchema, batchTag, "pb", batchPb)
 
     // candidates: every bucket-mate of a NEW doc (new×new once via the
     // id order; new×old in either id order), history never self-pairs
-    val allBuckets = newBuckets.unionByName(oldBuckets)
+    val allBuckets = newBuckets.select("id", "band", "bucket").unionByName(oldBuckets)
     val cand = newBuckets.select(col("band"), col("bucket"), col("id").as("nid"))
       .join(allBuckets.select(col("band"), col("bucket"), col("id").as("oid")),
         Seq("band", "bucket"))
@@ -115,6 +147,16 @@ object DedupStream {
       .select(least(col("nid"), col("oid")).as("id1"),
         greatest(col("nid"), col("oid")).as("id2"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // signature reads prune to the partitions holding a candidate id:
+    // no bucket collision → no history signature opened at all
+    val candPs = cand.select(explode(array(
+        pmod(col("id1"), parts).cast("int"),
+        pmod(col("id2"), parts).cast("int"))).as("ps"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val oldSigs = readStore(
+      spark, s"$storeDir/sigs", sigSchema(cfg), batchTag, "ps", candPs)
 
     // signature-estimate verify: agreeing components / numHashes is the
     // standard unbiased MinHash estimate of Jaccard
@@ -133,9 +175,14 @@ object DedupStream {
     // in-memory relations; the store append is the batch's commit point)
     val out = pairs.cache()
     out.count()
-    newBuckets.write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$batchTag")
-    sigs.write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchTag")
+    newBuckets.write.partitionBy("pb")
+      .mode("overwrite").parquet(s"$storeDir/buckets/batch=$batchTag")
+    sigs.withColumn("ps", pmod(col("id"), parts).cast("int"))
+      .write.partitionBy("ps")
+      .mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchTag")
+    newBuckets.unpersist()
     sigs.unpersist()
+    cand.unpersist()
     out
   }
 
@@ -153,16 +200,20 @@ object DedupStream {
     * assigns by ARRIVAL ORDER (first batch wins; min id within a
     * batch). That is the CCNet production semantics — a late
     * re-crawl's paragraphs dedup against the existing corpus, not the
-    * other way around. State = (hash, keeper, len) per DISTINCT span;
-    * the per-tick join shuffles the batch's spans against the store's
-    * hash partitions. Store commits are batch-id-keyed overwrites,
-    * idempotent under foreachBatch replay like [[step]]. */
+    * other way around. State = (hash, keeper, len) per DISTINCT span,
+    * laid out as `batch=<tag>/ph=<k>` (k = hash(span) mod storeParts)
+    * so the per-tick anti-join reads only the store partitions the
+    * batch's own span hashes fall into. Store commits are
+    * batch-id-keyed overwrites, idempotent under foreachBatch replay
+    * like [[step]]. */
   def spanStep(
       batch: DataFrame,
       storeDir: String,
       windowWords: Int = 10,
-      batchTag: String = java.util.UUID.randomUUID().toString): DataFrame = {
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      storeParts: Int = 64): DataFrame = {
     val spark = batch.sparkSession
+    val parts = lit(storeParts.toLong)
     val spanSchema = StructType(Seq(
       StructField("h", org.apache.spark.sql.types.StringType, nullable = false),
       StructField("keeper", LongType, nullable = false),
@@ -176,7 +227,10 @@ object DedupStream {
       .filter(length(col("span")) > 0)
       .select(col("id"), md5(col("span")).as("h"), length(col("span")).as("len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val old = readOrEmpty(spark, s"$storeDir/spans", spanSchema, batchTag)
+    val batchPh = spans
+      .select(pmod(xxhash64(col("h")), parts).cast("int").as("ph"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val old = readStore(spark, s"$storeDir/spans", spanSchema, batchTag, "ph", batchPh)
     // within-batch keeper = min id per hash; a span already in the
     // store is never re-claimed (arrival order wins)
     val claimed = spans.groupBy("h")
@@ -192,7 +246,9 @@ object DedupStream {
         coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
       .cache()
     out.count()
-    claimed.write.mode("overwrite").parquet(s"$storeDir/spans/batch=$batchTag")
+    claimed.withColumn("ph", pmod(xxhash64(col("h")), parts).cast("int"))
+      .write.partitionBy("ph")
+      .mode("overwrite").parquet(s"$storeDir/spans/batch=$batchTag")
     spans.unpersist()
     claimed.unpersist()
     out

@@ -50,7 +50,7 @@ class DedupStreamSpec extends SparkSpec {
     assert(replay == p3, "replayed batch must emit the same pairs")
     assert(spark.read.parquet(s"$store/sigs/batch=b3").count() == sigsBefore,
       "replay must overwrite its own commit, not append duplicates")
-    val allSigs = spark.read.parquet(s"$store/sigs/batch=*").count()
+    val allSigs = spark.read.parquet(s"$store/sigs").count()
     assert(allSigs == 5L, s"one signature row per doc, got $allSigs")
   }
 
@@ -114,9 +114,73 @@ class DedupStreamSpec extends SparkSpec {
     // replay of batch 2: same stats, store unchanged
     val replay = toMap(DedupStream.spanStep(b2, store, batchTag = "b2").collect())
     assert(replay == s2)
-    val stored = spark.read.parquet(s"$store/spans/batch=*").count()
+    val stored = spark.read.parquet(s"$store/spans").count()
     // 3 spans/doc x 2 docs in b1 + 1 fresh span in b2
     assert(stored == 7L, s"span store rows: $stored")
+  }
+
+  test("history reads prune to the batch's key partitions (poisoned foreign partitions never opened)") {
+    import java.nio.file.{Files, Paths}
+    val store = Files.createTempDirectory("dprune").toString
+    val b1 = Seq(
+      doc(1L, base),
+      doc(2L, (100 until 140).map(i => s"z$i"))).toDF("doc_id", "text")
+    DedupStream.step(b1, store, batchTag = "b1").unpersist()
+
+    val cfg = DedupStream.Config()
+    val b2 = Seq(doc(3L, mutated)).toDF("doc_id", "text")
+    // batch 2's bucket-partition set, via the operator's own hash chain
+    val sigs2 = Dedup.minhashSignatures(
+      Dedup.shingles(b2, cfg.n).select(col("id"), xxhash64(col("shingle")).as("sh")),
+      cfg.numHashes, cfg.seed)
+    val pb2 = Dedup.bandBuckets(sigs2, cfg.numHashes, cfg.bands)
+      .select(pmod(xxhash64(col("band"), col("bucket")), lit(cfg.storeParts.toLong))
+        .cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+    // poison every bucket partition batch 2 cannot touch: an unpruned
+    // read would hit the junk file and fail on a missing parquet footer
+    val foreign = new java.io.File(s"$store/buckets/batch=b1").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pb="))
+      .filterNot(d => pb2.contains(d.getName.stripPrefix("pb=").toInt))
+    assert(foreign.nonEmpty, "need at least one bucket partition foreign to batch 2")
+    foreign.foreach(d =>
+      Files.write(Paths.get(d.getPath, "part-poison.parquet"), "not parquet".getBytes))
+    // signature partitions prune to CANDIDATE ids {1,3} (ps = id mod 64):
+    // doc 2's ps=2 partition must never be opened
+    Files.write(Paths.get(s"$store/sigs/batch=b1/ps=2", "part-poison.parquet"),
+      "not parquet".getBytes)
+
+    val pairs = DedupStream.step(b2, store, batchTag = "b2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"got ${pairs.mkString(",")}")
+  }
+
+  test("span store reads prune to the batch's hash partitions") {
+    import java.nio.file.{Files, Paths}
+    val store = Files.createTempDirectory("sprune").toString
+    val b1 = Seq(
+      (1L, (0 until 30).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 30).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    DedupStream.spanStep(b1, store, batchTag = "b1").unpersist()
+
+    // batch 2 is a single 10-word doc → exactly one span, whose store
+    // partition is computable with the operator's own hash chain
+    val spanText = (0 until 10).map(i => s"c$i").mkString(" ")
+    val ph2 = spark.range(1)
+      .select(pmod(xxhash64(md5(lit(spanText))), lit(64L)).cast("int").as("ph"))
+      .head().getInt(0)
+    val foreign = new java.io.File(s"$store/spans/batch=b1").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ph="))
+      .filterNot(_.getName == s"ph=$ph2")
+    assert(foreign.nonEmpty, "need at least one span partition foreign to batch 2")
+    foreign.foreach(d =>
+      Files.write(Paths.get(d.getPath, "part-poison.parquet"), "not parquet".getBytes))
+
+    val b2 = Seq((3L, spanText)).toDF("doc_id", "text")
+    val out = DedupStream.spanStep(b2, store, batchTag = "b2").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L && out.head.getLong(2) == 1L,
+      s"fresh single-span doc must keep its span: ${out.mkString(",")}")
   }
 
   test("streaming wrapper: files in, pair parquet out") {
