@@ -17,7 +17,12 @@ object Bench {
     // steal on single runs — the minimum is the only statistic that
     // tracks the engine rather than the noisy neighbor
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter: comma-separated query names; unset = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val dt = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // a failed run must never win the min — it would report a

@@ -191,8 +191,6 @@ object SimilaritySearch {
       m: Int = 8, seed: Long = 29L, rerank: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, "m must divide dim")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -204,28 +202,30 @@ object SimilaritySearch {
       val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
       v.map(x => (x * inv).toFloat)
     }
-    // cached only while the m codebook fits scan it; released before
-    // returning — a pinned full-corpus float cache is exactly what the
-    // compressed-codes path exists to avoid (the encode pass recomputes
-    // the normalization once from source)
-    val c = corpus.select(col(idCol).as("nid"), unit(col(vecCol)).as("v")).cache()
+    // NOT cached: the corpus is scanned exactly twice (bounded sample
+    // draw, then the encode pass) and a pinned full-corpus float cache
+    // is exactly what the compressed-codes path exists to avoid
+    val c = corpus.select(col(idCol).as("nid"), unit(col(vecCol)).as("v"))
 
-    // codebook fit: one tiny KMeans per subspace over the sub-vectors.
-    // The m fits are independent and seeded per subspace — submit them
-    // from parallel driver threads so their (small) jobs interleave
-    // instead of paying m sequential rounds of scheduling latency.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val codebook: Array[Array[Array[Double]]] = Await.result(
-      Future.sequence((0 until m).map { j => Future {
-        val train = c.select(array_to_vector(
-          slice(col("v"), j * sub + 1, sub).cast("array<double>")).as("features"))
-        new KMeans().setK(nCentroids).setSeed(seed + j).setMaxIter(8)
-          .setInitMode("random").fit(train)
-          .clusterCenters.map(_.toArray)
-      }}), Duration.Inf).toArray
-    c.unpersist()
+    // codebook fit on a BOUNDED sample: PQ codebooks are always trained
+    // on ~10-40k points regardless of corpus size (a 16-centroid
+    // quantizer cannot absorb more) — at 10⁹ vectors a full-corpus
+    // iterative fit is wasted work, and at any scale m MLlib KMeans
+    // runs pay a scheduling floor the problem size can't justify. The
+    // sample is deterministic (smallest xxhash64(id) order — a seeded
+    // global draw independent of partitioning), collects to the driver
+    // (trainSample × dim floats ≈ 5 MB at the defaults), and the m
+    // subspace Lloyd's runs cost milliseconds locally.
+    val trainSample = 20000
+    val sample: Array[Array[Float]] = c
+      .orderBy(xxhash64(col("nid")).asc, col("nid").asc)
+      .limit(trainSample)
+      .select(col("v"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val pts = sample.map(v => Array.tabulate(sub)(t => v(j * sub + t).toDouble))
+      localKMeans(pts, nCentroids, iters = 12, seed = seed + j)
+    }
     // both broadcasts are bounded-small by construction: the codebook is
     // m × ≤16 sub-vectors, the query side is the (small) query set —
     // same contract as bruteForceTopK's broadcast
@@ -307,6 +307,47 @@ object SimilaritySearch {
         .filter(col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     }
+  }
+
+  /** Driver-local Lloyd's k-means for the PQ codebook fit: the training
+    * set is a bounded sample (see pqTopK), so a distributed iterative
+    * fit buys nothing but per-iteration job overhead. Random init over
+    * DISTINCT points (seeded, like the MLlib setting it replaced), so
+    * degenerate data yields fewer-than-k centers rather than duplicate
+    * ones — the encode/ADC passes already size by the actual count. */
+  private def localKMeans(
+      pts: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(pts.nonEmpty, "k-means needs a non-empty training sample")
+    val dim = pts(0).length
+    val rnd = new scala.util.Random(seed)
+    val distinctPts = pts.distinct
+    var centers: Array[Array[Double]] =
+      rnd.shuffle(distinctPts.indices.toVector)
+        .take(math.min(k, distinctPts.length))
+        .map(i => distinctPts(i).clone()).toArray
+    var round = 0
+    while (round < iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Long](centers.length)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var ci = 0
+        while (ci < centers.length) {
+          var d = 0.0; var t = 0
+          while (t < dim) { val df = p(t) - centers(ci)(t); d += df * df; t += 1 }
+          if (d < bd) { bd = d; best = ci }
+          ci += 1
+        }
+        var t = 0
+        while (t < dim) { sums(best)(t) += p(t); t += 1 }
+        counts(best) += 1
+      }
+      centers = Array.tabulate(centers.length) { ci =>
+        if (counts(ci) == 0) centers(ci) // empty cluster keeps its center
+        else Array.tabulate(dim)(t => sums(ci)(t) / counts(ci))
+      }
+      round += 1
+    }
+    centers
   }
 
   /** LSH-bucketed ANN top-k with one-bit multi-probe: each query probes
