@@ -65,10 +65,36 @@ object SparkEntry {
     "q56_json_extract" -> (OpsQueries.q56JsonExtract _),
     "q57_deduped_corpus" -> (OpsQueries.q57DedupedCorpus _),
     "q58_mixture_order" -> (OpsQueries.q58MixtureOrder _),
+    "q59_pagerank" -> (OpsQueries.q59PageRank _),
+    "q60_pii_scrub" -> (OpsQueries.q60PiiScrub _),
+    "q61_bm25" -> (OpsQueries.q61Bm25 _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
   )
+
+  // q59: the same five power iterations the engine runs, unrolled as
+  // chained CTEs (identical arithmetic shape; ROUND(,6) on both sides
+  // absorbs summation-order ulps)
+  private val q59Sql: String = {
+    val base =
+      """WITH e0 AS (SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+        |  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |n AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n)""".stripMargin
+    val iterations = (1 to 5).map { i =>
+      s"""r$i AS (SELECT n.node, (1 - 0.85) + 0.85 * COALESCE(c.c, CAST(0.0 AS DOUBLE)) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r${i - 1}.r / deg.deg) AS c
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |    JOIN deg ON e.src = deg.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iterations\nSELECT node, ROUND(r, 6) AS pr FROM r5"
+  }
 
   // q46's transitive-closure oracle, shared verbatim by q57 (the kept
   // projection) so the two can never drift on pair threshold or
@@ -549,6 +575,52 @@ object SparkEntry {
         |    CAST(floor((epoch(TIMESTAMP '2025-06-13 00:00:00') - 1598306400) / 30.0) AS INT)
         |  AND CAST(term_start_epoch + term_min AS BIGINT) * 30 + 1598306400 >
         |    epoch(TIMESTAMP '2025-06-15 00:00:00')""".stripMargin,
+    "q59_pagerank" -> q59Sql,
+    // q60: identical composite string on both sides, then the same
+    // portable regex chain (Java regex in Spark, RE2 in DuckDB — the
+    // patterns avoid constructs the two dialects disagree on)
+    "q60_pii_scrub" ->
+      """WITH raw AS (
+        |  SELECT event_id,
+        |    'user' || user_id || '@example.com ip=10.0.' || (user_id % 256)
+        |      || '.' || (event_id % 256) || ' note='
+        |      || json_extract_string(props, '$.k') AS s
+        |  FROM events)
+        |SELECT event_id,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\d{2,}', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(s,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(s, '\d{2,}')) AS BIGINT) AS n_num
+        |FROM raw""".stripMargin,
+    // q61: BM25 with the engine's exact arithmetic shape; ROUND(,6)
+    // absorbs ln()/summation-order ulps
+    "q61_bm25" ->
+      """WITH words AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT id, word, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
+        |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id AS id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS dl
+        |  FROM documents),
+        |meta AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot
+        |  FROM lens),
+        |t AS (SELECT tf.id, tf.word, tf.tf, dfreq.df FROM tf JOIN dfreq USING (word)
+        |  WHERE tf.word IN ('spark', 'hash', 'window')),
+        |scored AS (
+        |  SELECT t.id,
+        |    SUM(ln((meta.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+        |      * (t.tf * (1.2 + 1))
+        |      / (t.tf + 1.2 * ((1 - 0.75) + 0.75 * lens.dl
+        |          / (CAST(meta.tot AS DOUBLE) / meta.n)))) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms_hit
+        |  FROM t JOIN lens ON t.id = lens.id CROSS JOIN meta
+        |  GROUP BY t.id)
+        |SELECT id AS doc_id, n_terms_hit, ROUND(score, 6) AS score FROM scored""".stripMargin,
     "q39_sliding_window" ->
       """WITH starts AS (
         |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,

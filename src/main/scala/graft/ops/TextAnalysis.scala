@@ -116,6 +116,63 @@ object TextAnalysis {
         lit(0L), (acc, x) => acc + x).as("sum_word_len"))
   }
 
+  // ------------------------------------------------------------ PII scrub
+
+  /** PII masking patterns. Deliberately a portable regex subset — no
+    * lookarounds, no named classes — so the identical pattern string
+    * runs under Java regex (Spark codegen'd regexp_replace) and RE2
+    * (the DuckDB oracle). */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  def digitRunPattern(minRun: Int): String = s"\\d{$minRun,}"
+
+  /** Masks emails, then IPv4 addresses, then digit runs of ≥
+    * `minDigitRun`. Application order is load-bearing: the email local
+    * part and the IP octets contain digit runs, so the digit pass must
+    * run last or it would shred the structured tokens the earlier
+    * passes key on. Pure `regexp_replace` chain — codegen'd, no UDF. */
+  def scrubPii(text: Column, minDigitRun: Int = 4): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      digitRunPattern(minDigitRun), "<NUM>")
+
+  /** Per-pattern match counts on the RAW text (before any masking) —
+    * the audit companion to [[scrubPii]]. */
+  def piiCounts(text: Column, minDigitRun: Int = 4): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(emailPattern)).cast("long"),
+    "n_ip" -> regexp_count(text, lit(ipv4Pattern)).cast("long"),
+    "n_num" -> regexp_count(text, lit(digitRunPattern(minDigitRun))).cast("long"))
+
+  // ----------------------------------------------------------------- BM25
+
+  /** Okapi BM25 relevance of every document against a fixed query term
+    * set: `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))` with
+    * `idf = ln((N-df+0.5)/(df+0.5) + 1)`. Document frequency is
+    * corpus-wide (computed BEFORE the term filter), so scores match a
+    * full-index engine. One scalar stats job (N, total length), then
+    * one pass over the term-filtered tf/df relation — the corpus text
+    * is never shuffled, only (id, word, tf) rows for the query terms.
+    * Doubles: the oracle rounds to 6 dp on both sides. */
+  def bm25(
+      df: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lens = df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("dl"))
+    val meta = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val n = meta.getLong(0)
+    val avgdl = meta.getLong(1).toDouble / n
+    val t = termStats(df, idCol, textCol).filter(col("word").isin(queryTerms: _*))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val score = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    t.join(lens, "id")
+      .withColumn("term_score", score)
+      .groupBy("id")
+      .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_terms_hit"))
+  }
+
   /** 64-bit Karp-Rabin rolling-hash fingerprint of a string. The same
     * polynomial (base 257, implicit mod 2^64) evaluated left-to-right —
     * deterministic, order-sensitive, collision-resistant enough for

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, ConnectedComponents, Corpus, Dedup, RangeJoin, SimilaritySearch, TextAnalysis}
+import graft.ops.{AsOfJoin, ConnectedComponents, Corpus, Dedup, PageRank, RangeJoin, SimilaritySearch, TextAnalysis}
 
 /** The training-data-pipeline operators (SURVEY extended surface) as
   * driver-checkable queries over the documents/embeddings tables. */
@@ -438,6 +438,46 @@ object OpsQueries {
     q46DupClusters(spark, dir)
       .filter(col("component") === col("doc_id"))
       .select(col("doc_id"))
+
+  /** PageRank over the part↔supplier bipartite graph (5 fixed power
+    * iterations, damping 0.85): nodes are 2·partkey / 2·suppkey+1,
+    * edges both directions of each distinct (part, supplier) lineitem
+    * pairing. Doubles rounded to 6 dp; the oracle unrolls the same
+    * five iterations as chained CTEs. */
+  def q59PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select((col("l_partkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct()
+    val edges = li.unionByName(li.select(col("dst").as("src"), col("src").as("dst")))
+    PageRank.pageRank(edges, iters = 5)
+      .select(col("node"), round(col("r"), 6).as("pr"))
+  }
+
+  /** PII scrub over a synthesized contact string (email + IP + numeric
+    * id built from integer columns, so both engines see byte-identical
+    * input): masked text plus per-pattern audit counts — exact string
+    * output, the regex chain is the operator under test. */
+  def q60PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("user"), col("user_id"), lit("@example.com ip=10.0."),
+      col("user_id") % 256, lit("."), col("event_id") % 256,
+      lit(" note="), get_json_object(col("props"), "$.k"))
+    val counts = TextAnalysis.piiCounts(raw, minDigitRun = 2)
+    Queries.events(spark, dir)
+      .select(Seq(col("event_id"),
+        TextAnalysis.scrubPii(raw, minDigitRun = 2).as("scrubbed")) ++
+        counts.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** BM25 keyword relevance ({spark, hash, window}, k1=1.2, b=0.75)
+    * over the documents corpus — corpus-wide df, per-doc word-count
+    * length normalization; score rounded to 6 dp on both sides. */
+  def q61Bm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(table(spark, dir, "documents"),
+      queryTerms = Seq("spark", "hash", "window"))
+      .select(col("id").as("doc_id"), col("n_terms_hit"),
+        round(col("score"), 6).as("score"))
 
   /** Deterministic weighted mixture order (training schedule): src0
     * sampled 4x, src1 2x, everything else 1x — proportional at every

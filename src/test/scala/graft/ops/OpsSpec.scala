@@ -235,6 +235,69 @@ class OpsSpec extends SparkSpec {
     assert(fps == 31) // 32 docs, 1 exact dup
   }
 
+  test("pagerank: star graph concentrates rank on the hub, fixed point is exact") {
+    import spark.implicits._
+    // 4 spokes each pointing at hub 0, hub pointing back at every spoke
+    val edges = ((1L to 4L).map(s => (s, 0L)) ++ (1L to 4L).map(s => (0L, s)))
+      .toDF("src", "dst")
+    // contraction factor is d^2 = 0.7225 per round-trip: 150 iterations
+    // leave ~2e-11 of the initial error
+    val r = PageRank.pageRank(edges, iters = 150)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // analytic fixed point: hub = 0.15 + 0.85*4*spoke, spoke = 0.15 + 0.85*hub/4
+    // => hub = (0.15 + 0.6*0.85) / (1 - 0.85*0.85)
+    val hub = (0.15 + 4 * 0.85 * 0.15) / (1 - 0.85 * 0.85)
+    val spoke = 0.15 + 0.85 * hub / 4
+    assert(math.abs(r(0L) - hub) < 1e-9, s"hub ${r(0L)} vs $hub")
+    (1L to 4L).foreach(s => assert(math.abs(r(s) - spoke) < 1e-9))
+    // total mass conserved at the fixed point: n*(1-d) + d*n = n
+    assert(math.abs(r.values.sum - 5.0) < 1e-9)
+  }
+
+  test("pagerank: dangling nodes receive but never emit mass") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val r = PageRank.pageRank(edges, iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.15) < 1e-12 && math.abs(r(3L) - 0.15) < 1e-12)
+    assert(math.abs(r(2L) - (0.15 + 0.85 * 0.3)) < 1e-12)
+  }
+
+  test("PII scrub masks emails, IPs and digit runs; counts audit the raw text") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact jane.doe+spam@mail.example.org or call 5551234567"),
+      (2L, "server at 192.168.1.200 port 8080"),
+      (3L, "no pii here at all"),
+      (4L, "two mails: a@b.co x@y.io and ip 10.0.0.1")).toDF("id", "text")
+    val out = rows.select(
+        (Seq(col("id"), TextAnalysis.scrubPii(col("text")).as("s")) ++
+          TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }): _*)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L)._1 == "contact <EMAIL> or call <NUM>")
+    assert(out(1L)._2 == 1L && out(1L)._4 == 1L)
+    assert(out(2L)._1 == "server at <IP> port <NUM>")
+    assert(out(2L)._3 == 1L)
+    assert(out(3L)._1 == "no pii here at all")
+    assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
+    assert(out(4L)._1 == "two mails: <EMAIL> <EMAIL> and ip <IP>")
+  }
+
+  test("BM25 ranks the term-dense short doc above the diluted long one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark hash"), // short, dense in query terms
+      (2L, "spark " + Seq.fill(200)("filler").mkString(" ")), // long, diluted
+      (3L, "window table row"),
+      (4L, Seq.fill(50)("noise").mkString(" "))).toDF("doc_id", "text")
+    val s = TextAnalysis.bm25(docs, Seq("spark", "hash", "window"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(!s.contains(4L), "doc with no query terms must not score")
+    assert(s(1L)._2 == 2L && s(3L)._2 == 1L)
+    assert(s(1L)._1 > s(2L)._1, s"dense ${s(1L)} must beat diluted ${s(2L)}")
+    assert(s(1L)._1 > s(3L)._1)
+  }
+
   test("token counting matches a reference split on the test corpus") {
     val got = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
