@@ -90,8 +90,47 @@ object ImageCodecs {
     None
   }
 
+  private def le24(b: Array[Byte], o: Int): Int =
+    (u8(b, o + 2) << 16) | (u8(b, o + 1) << 8) | u8(b, o)
+
+  /** WebP: a RIFF container ('WEBP' form) whose first chunk names the
+    * flavor (RFC 9649):
+    *   - 'VP8 ' lossy — 3-byte frame tag, 0x9D012A start code, then
+    *     14-bit width/height in the next two le16s;
+    *   - 'VP8L' lossless — 0x2F signature byte, then width-1/height-1
+    *     as consecutive 14-bit fields of one le32;
+    *   - 'VP8X' extended — canvas width-1/height-1 as le24s at payload
+    *     offsets 4/7. */
+  def decodeWebp(b: Array[Byte]): Option[Dims] = {
+    if (b == null || b.length < 25) return None // 12 RIFF + 8 chunk + 5 VP8L min
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return None
+    val id = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val size = le32(b, 16).toLong & 0xffffffffL
+    if (20L + size > b.length) return None // lying/truncated chunk size
+    val p = 20 // chunk payload start
+    id match {
+      case "VP8 " if size >= 10 &&
+          u8(b, p + 3) == 0x9d && u8(b, p + 4) == 0x01 && u8(b, p + 5) == 0x2a =>
+        val w = le16(b, p + 6) & 0x3fff
+        val h = le16(b, p + 8) & 0x3fff
+        if (w > 0 && h > 0) Some(Dims(w, h, "webp")) else None
+      case "VP8L" if size >= 5 && u8(b, p) == 0x2f =>
+        val v = le32(b, p + 1)
+        val w = (v & 0x3fff) + 1
+        val h = ((v >>> 14) & 0x3fff) + 1
+        Some(Dims(w, h, "webp"))
+      case "VP8X" if size >= 10 =>
+        val w = le24(b, p + 4) + 1
+        val h = le24(b, p + 7) + 1
+        Some(Dims(w, h, "webp"))
+      case _ => None
+    }
+  }
+
   /** Try every container in magic-number order. */
   def decodeHeader(b: Array[Byte]): Option[Dims] =
     if (b == null || b.length < 4) None
-    else decodePng(b).orElse(decodeBmp(b)).orElse(decodeGif(b)).orElse(decodeJpeg(b))
+    else decodePng(b).orElse(decodeBmp(b)).orElse(decodeGif(b))
+      .orElse(decodeWebp(b)).orElse(decodeJpeg(b))
 }

@@ -65,6 +65,32 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeJpeg(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
   }
 
+  test("WebP lossy/lossless/extended headers decode; corrupt chunks reject") {
+    import ImageCodecs._
+    def le24b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def webp(id: String, payload: Array[Byte]): Array[Byte] = {
+      val content = cc("WEBP") ++ cc(id) ++ le32b(payload.length) ++ payload
+      cc("RIFF") ++ le32b(content.length) ++ content
+    }
+    val lossy = webp("VP8 ", Array[Byte](0, 0, 0) ++
+      Array(0x9d, 0x01, 0x2a).map(_.toByte) ++ le16b(320) ++ le16b(240))
+    val lossless = webp("VP8L",
+      Array(0x2f.toByte) ++ le32b((100 - 1) | ((60 - 1) << 14)))
+    val extended = webp("VP8X",
+      Array[Byte](0, 0, 0, 0) ++ le24b(1920 - 1) ++ le24b(1080 - 1))
+    assert(decodeWebp(lossy).contains(Dims(320, 240, "webp")))
+    assert(decodeWebp(lossless).contains(Dims(100, 60, "webp")))
+    assert(decodeWebp(extended).contains(Dims(1920, 1080, "webp")))
+    // magic-order dispatch reaches WebP before the JPEG marker scan
+    assert(decodeHeader(lossy).contains(Dims(320, 240, "webp")))
+    // truncated payload (lying size), broken start code, wrong form
+    assert(decodeWebp(lossy.dropRight(6)).isEmpty)
+    val badCode = lossy.clone(); badCode(23) = 0x00
+    assert(decodeWebp(badCode).isEmpty)
+    val notWebp = lossy.clone(); notWebp(8) = 'A'.toByte
+    assert(decodeWebp(notWebp).isEmpty)
+  }
+
   test("decode fills meta from payload and dead-letters undecodable assets") {
     val decoded = decodeImages(assets).collect().map(a => a.asset_id -> a.meta).toMap
     assert(decoded.keySet == Set(1L, 2L, 3L)) // asset 4 dropped (3 bytes)
