@@ -68,6 +68,7 @@ object SparkEntry {
     "q59_pagerank" -> (OpsQueries.q59PageRank _),
     "q60_pii_scrub" -> (OpsQueries.q60PiiScrub _),
     "q61_bm25" -> (OpsQueries.q61Bm25 _),
+    "q62_csv_dim" -> (OpsQueries.q62CsvDim _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -621,6 +622,14 @@ object SparkEntry {
         |  FROM t JOIN lens ON t.id = lens.id CROSS JOIN meta
         |  GROUP BY t.id)
         |SELECT id AS doc_id, n_terms_hit, ROUND(score, 6) AS score FROM scored""".stripMargin,
+    "q62_csv_dim" ->
+      """WITH dim AS (SELECT source, weight, active FROM
+        |  read_csv('/root/repo/src/test/resources/fixtures/source_weights.csv',
+        |    header = true)),
+        |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source)
+        |SELECT d.source, d.n_docs, dim.weight, d.n_docs * dim.weight AS weighted_docs
+        |FROM d JOIN dim ON d.source = dim.source WHERE dim.active""".stripMargin,
     "q39_sliding_window" ->
       """WITH starts AS (
         |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,

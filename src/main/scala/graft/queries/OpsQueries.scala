@@ -479,6 +479,26 @@ object OpsQueries {
       .select(col("id").as("doc_id"), col("n_terms_hit"),
         round(col("score"), 6).as("score"))
 
+  /** CSV source (§2.1 surface): an explicit-schema header CSV dimension
+    * (per-source sampling config, the shape a curation pipeline reads
+    * from ops-managed config files) broadcast-joined against per-source
+    * corpus counts, inactive sources filtered out. Weights are
+    * binary-exact decimals so the double products hash-match. */
+  def q62CsvDim(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("weight", DoubleType),
+      StructField("active", BooleanType)))
+    val dim = spark.read.option("header", "true").schema(schema)
+      .csv("/root/repo/src/test/resources/fixtures/source_weights.csv")
+      .filter(col("active"))
+    table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(dim), "source")
+      .select(col("source"), col("n_docs"), col("weight"),
+        (col("n_docs") * col("weight")).as("weighted_docs"))
+  }
+
   /** Deterministic weighted mixture order (training schedule): src0
     * sampled 4x, src1 2x, everything else 1x — proportional at every
     * prefix, no per-stratum window funnel (two global-index passes). */
