@@ -114,6 +114,28 @@ object PipelineDemo {
     println(s"DEDUP_STREAM pairs=${crossPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toList}")
     crossPairs.unpersist()
 
+    // --- watermarked stream-stream attribution join: one in-horizon
+    // click matches, the no-impression click drops
+    {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import java.sql.Timestamp
+      val imp = MemoryStream[(String, Timestamp)]
+      val clk = MemoryStream[(String, Timestamp)]
+      val q = graft.streaming.StreamJoin.attributionJoin(
+          imp.toDF().toDF("key", "ts"), clk.toDF().toDF("key", "ts"),
+          key = "key", maxDelay = "1 minute")
+        .writeStream.format("memory").queryName("demo_sj")
+        .outputMode("append").start()
+      imp.addData(("ad1", Timestamp.valueOf("2026-01-01 10:00:00")))
+      clk.addData(("ad1", Timestamp.valueOf("2026-01-01 10:00:30")),
+        ("ad9", Timestamp.valueOf("2026-01-01 10:00:30")))
+      q.processAllAvailable()
+      val matched = spark.table("demo_sj").collect().map(_.getString(0)).toList
+      println(s"STREAM_JOIN matched=$matched")
+      q.stop()
+    }
+
     // --- ingest throughput at 100x fixture volume (reference baseline:
     // ~1.1 events/s, BASELINE.md "Observed event rate")
     val wide = (0 until 100).map { i =>
