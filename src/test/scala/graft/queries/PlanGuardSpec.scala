@@ -62,6 +62,36 @@ class PlanGuardSpec extends SparkSpec {
     assert(loops.isEmpty, "range join degenerated to BroadcastNestedLoopJoin")
   }
 
+  test("q60: the PII regex chain is one scan + projection — zero exchanges, zero UDFs") {
+    val p = planOf(OpsQueries.q60PiiScrub(spark, dir))
+    val exchanges = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "a per-row string transform must not shuffle")
+    val planStr = p.toString
+    assert(!planStr.contains("BatchEvalPython") && !planStr.contains("ScalaUDF"),
+      "scrub must stay in codegen'd built-ins")
+  }
+
+  test("q62: the CSV config dimension broadcasts; the corpus side never does") {
+    val joins = collectAll(planOf(OpsQueries.q62CsvDim(spark, dir))) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "config dim join must be a BroadcastHashJoin")
+  }
+
+  test("q61: BM25 never shuffles document text") {
+    val p = planOf(OpsQueries.q61Bm25(spark, dir))
+    val exchanges = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty) // tf/df aggregations do shuffle — (id, word) pairs
+    exchanges.foreach { e =>
+      assert(!e.child.schema.fieldNames.contains("text"),
+        s"an exchange carries raw text: ${e.child.schema.fieldNames.mkString(",")}")
+    }
+  }
+
   test("q48: span dedup scans only (doc_id, text)") {
     val scans = collectAll(planOf(OpsQueries.q48SpanDedup(spark, dir))) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
