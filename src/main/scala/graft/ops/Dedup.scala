@@ -111,6 +111,41 @@ object Dedup {
         g => g.isNotNull))
   }
 
+  /** Hashed n-gram set per document, as an exploded (id, sh: long)
+    * relation — what every HASH-KEYED consumer (Jaccard posting lists,
+    * MinHash, contamination, the incremental dedup stream) actually
+    * needs. The gram key is the word-chained variadic `xxhash64(w_i,
+    * …, w_{i+n-1})`: hashing consumes each word's bytes once and never
+    * materializes a gram string, where `xxhash64(concat(...))` built
+    * (and GC'd) ~n× the corpus text just to throw it away. Distinctness
+    * is enforced on the hash — the same collision class as hashing
+    * distinct strings, since every consumer keys on the hash either
+    * way. NOTE: this is a different key space than
+    * `xxhash64(shingles(...).shingle)` — persisted MinHash stores built
+    * before the switch are a different signature family (rebuild, or
+    * pin the old store to the old code). */
+  def shingleHashes(
+      df: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"), explode(gramHashArray(col(textCol), n)).as("sh"))
+
+  private[ops] def gramHashArray(
+      text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val words = split(text, " ")
+    if (n == 1) array_distinct(transform(words, w => xxhash64(w)))
+    else if (n == 2) array_distinct(
+      filter(
+        zip_with(words, slice(words, lit(2), size(words)),
+          (a, b) => when(b.isNotNull, xxhash64(a, b))),
+        g => g.isNotNull))
+    else array_distinct(
+      filter(
+        transform(words, (_, i) =>
+          when(i <= size(words) - n,
+            xxhash64((0 until n).map(k => element_at(words, i + lit(k + 1))): _*))),
+        g => g.isNotNull))
+  }
+
   /** Exact pairwise n-gram Jaccard for candidate pairs sharing a
     * blocking key. Emits integer intersection/union sizes (exact
     * arithmetic — ratios left to the caller) for pairs with
@@ -135,11 +170,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       blockCol: Option[String] = None,
       maxDocFrequency: Option[Int] = None): DataFrame = {
-    val keyed = blockCol match {
-      case Some(bc) => shinglesWithBlock(df, n, idCol, textCol, bc)
-      case None => shingles(df, n, idCol, textCol).withColumn("block", lit(0))
+    val sh = blockCol match {
+      case Some(bc) => shingleHashesWithBlock(df, n, idCol, textCol, bc)
+      case None => shingleHashes(df, n, idCol, textCol).withColumn("block", lit(0))
     }
-    val sh = keyed.withColumn("sh", xxhash64(col("shingle"))).drop("shingle")
     // Pair generation via posting lists: ONE shuffle of the shingle
     // relation (the groupBy) instead of a two-sided self-join; the
     // i<j combinations come from the size-split `pairCombinations`
@@ -207,12 +241,12 @@ object Dedup {
   def contaminationPairs(
       corpus: DataFrame, benchmark: DataFrame, n: Int, minIntersect: Int = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val c = shingles(corpus, n, idCol, textCol)
-      .select(col("id").as("corpus_id"), xxhash64(col("shingle")).as("sh"))
+    val c = shingleHashes(corpus, n, idCol, textCol)
+      .select(col("id").as("corpus_id"), col("sh"))
     // benchmark side is tiny: full set-dedup is free and protects
     // bench_n/inter_n against duplicated eval rows
-    val b = shingles(benchmark, n, idCol, textCol)
-      .select(col("id").as("bench_id"), xxhash64(col("shingle")).as("sh"))
+    val b = shingleHashes(benchmark, n, idCol, textCol)
+      .select(col("id").as("bench_id"), col("sh"))
       .dropDuplicates("bench_id", "sh")
     val bSizes = b.groupBy("bench_id").agg(count(lit(1)).as("bench_n"))
     c.join(broadcast(b), "sh")
@@ -251,8 +285,8 @@ object Dedup {
     // persisted across the two eager consumers (count for bloom sizing,
     // then the bloom build) and released immediately after — unlike the
     // pairwise operators, nothing in the returned plan references it
-    val b = shingles(benchmark, n, idCol, textCol)
-      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    val b = shingleHashes(benchmark, n, idCol, textCol)
+      .select(col("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = math.max(1L, b.count())
     val bloom = b.stat.bloomFilter("sh", nItems, fpp)
@@ -261,8 +295,8 @@ object Dedup {
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     // suspect docs: ≥ minIntersect shingles that MIGHT be benchmark
     // shingles (bloom counts are an upper bound of the exact overlap)
-    val suspects = shingles(corpus, n, idCol, textCol)
-      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+    val suspects = shingleHashes(corpus, n, idCol, textCol)
+      .select(col("id"), col("sh"))
       .filter(mightContain(col("sh")))
       .groupBy("id").agg(count_distinct(col("sh")).as("n_suspect"))
       .filter(col("n_suspect") >= minIntersect)
@@ -279,10 +313,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       blockCol: Option[String] = None): DataFrame = {
     val keyed = blockCol match {
-      case Some(bc) => shinglesWithBlock(df, n, idCol, textCol, bc)
-      case None => shingles(df, n, idCol, textCol).withColumn("block", lit(0))
+      case Some(bc) => shingleHashesWithBlock(df, n, idCol, textCol, bc)
+      case None => shingleHashes(df, n, idCol, textCol).withColumn("block", lit(0))
     }
-    keyed.withColumn("sh", xxhash64(col("shingle"))).drop("shingle")
+    keyed
       .groupBy("block", "sh").agg(count_distinct(col("id")).as("df"))
       .filter(col("df") > maxDocFrequency)
   }
@@ -291,6 +325,11 @@ object Dedup {
       df: DataFrame, n: Int, idCol: String, textCol: String, blockCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(blockCol).as("block"),
       explode(gramArray(col(textCol), n)).as("shingle"))
+
+  private def shingleHashesWithBlock(
+      df: DataFrame, n: Int, idCol: String, textCol: String, blockCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      explode(gramHashArray(col(textCol), n)).as("sh"))
 
   // --------------------------------------------------------- MinHash/LSH
 
@@ -392,8 +431,7 @@ object Dedup {
   def minhashDedupPairs(
       df: DataFrame, n: Int, numHashes: Int, bands: Int, minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(df, n, idCol, textCol)
-      .withColumn("sh", xxhash64(col("shingle"))).drop("shingle").cache()
+    val sh = shingleHashes(df, n, idCol, textCol).cache()
     // Three consumers (banding + both sides of the estimator gate) would
     // re-run the 64-min aggregation three times; persist the one-pass
     // result instead. MEMORY_AND_DISK, not broadcast: one row per doc,

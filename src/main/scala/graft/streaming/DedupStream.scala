@@ -123,8 +123,7 @@ object DedupStream {
     val spark = batch.sparkSession
     val parts = lit(cfg.storeParts.toLong)
     val sigs = Dedup.minhashSignatures(
-      Dedup.shingles(batch, cfg.n)
-        .select(col("id"), xxhash64(col("shingle")).as("sh")),
+      Dedup.shingleHashes(batch, cfg.n),
       cfg.numHashes, cfg.seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBuckets = Dedup.bandBuckets(sigs, cfg.numHashes, cfg.bands)

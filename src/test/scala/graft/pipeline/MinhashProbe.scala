@@ -27,8 +27,7 @@ object MinhashProbe {
     }
 
     val (n, numHashes, bands, minJaccard) = (2, 64, 32, 0.5)
-    val sh = Dedup.shingles(docs, n)
-      .withColumn("sh", xxhash64(col("shingle"))).drop("shingle").cache()
+    val sh = Dedup.shingleHashes(docs, n).cache()
     timed("shingle+cache")(sh.count())
     val sigs = Dedup.minhashSignatures(sh, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

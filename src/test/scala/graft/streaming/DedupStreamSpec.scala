@@ -69,7 +69,7 @@ class DedupStreamSpec extends SparkSpec {
     val cfg = DedupStream.Config()
     val batchPairs = {
       val sigs = Dedup.minhashSignatures(
-        Dedup.shingles(docs, cfg.n).select(col("id"), xxhash64(col("shingle")).as("sh")),
+        Dedup.shingleHashes(docs, cfg.n),
         cfg.numHashes, cfg.seed)
       val cands = Dedup.lshCandidatePairs(sigs, cfg.numHashes, cfg.bands)
       val s1 = sigs.toDF(sigs.columns.map(c => if (c == "id") "id1" else s"a_$c"): _*)
@@ -131,7 +131,7 @@ class DedupStreamSpec extends SparkSpec {
     val b2 = Seq(doc(3L, mutated)).toDF("doc_id", "text")
     // batch 2's bucket-partition set, via the operator's own hash chain
     val sigs2 = Dedup.minhashSignatures(
-      Dedup.shingles(b2, cfg.n).select(col("id"), xxhash64(col("shingle")).as("sh")),
+      Dedup.shingleHashes(b2, cfg.n),
       cfg.numHashes, cfg.seed)
     val pb2 = Dedup.bandBuckets(sigs2, cfg.numHashes, cfg.bands)
       .select(pmod(xxhash64(col("band"), col("bucket")), lit(cfg.storeParts.toLong))
