@@ -321,11 +321,6 @@ object Dedup {
       .filter(col("df") > maxDocFrequency)
   }
 
-  private def shinglesWithBlock(
-      df: DataFrame, n: Int, idCol: String, textCol: String, blockCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      explode(gramArray(col(textCol), n)).as("shingle"))
-
   private def shingleHashesWithBlock(
       df: DataFrame, n: Int, idCol: String, textCol: String, blockCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(blockCol).as("block"),

@@ -40,6 +40,7 @@ object PageRank {
       edges: DataFrame, iters: Int, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst",
       checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .repartition(col("src"))
@@ -65,6 +66,13 @@ object PageRank {
       i += 1
       if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // materialize the result, then release the iteration caches — the
+    // returned plan must not pin three edge/node-sized relations for
+    // the rest of the session (same lifecycle as ConnectedComponents)
+    val out = ranks.localCheckpoint(true)
+    e.unpersist()
+    withDeg.unpersist()
+    nodes.unpersist()
+    out
   }
 }

@@ -320,11 +320,12 @@ object SimilaritySearch {
     require(pts.nonEmpty, "k-means needs a non-empty training sample")
     val dim = pts(0).length
     val rnd = new scala.util.Random(seed)
-    val distinctPts = pts.distinct
+    // distinct BY VALUE (Array equality is reference equality)
+    val distinctPts = pts.map(_.toVector).distinct
     var centers: Array[Array[Double]] =
       rnd.shuffle(distinctPts.indices.toVector)
         .take(math.min(k, distinctPts.length))
-        .map(i => distinctPts(i).clone()).toArray
+        .map(i => distinctPts(i).toArray).toArray
     var round = 0
     while (round < iters) {
       val sums = Array.fill(centers.length)(new Array[Double](dim))

@@ -162,6 +162,9 @@ object TextAnalysis {
     val lens = df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("dl"))
     val meta = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
     val n = meta.getLong(0)
+    if (n == 0) // empty corpus in, empty scores out (sum(dl) is null here)
+      return lens.select(col("id"), lit(0.0).as("score"),
+        lit(0L).as("n_terms_hit")).limit(0)
     val avgdl = meta.getLong(1).toDouble / n
     val t = termStats(df, idCol, textCol).filter(col("word").isin(queryTerms: _*))
     val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)

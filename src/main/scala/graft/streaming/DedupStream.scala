@@ -73,17 +73,56 @@ object DedupStream {
 
   private def IntegerTypeAlias = org.apache.spark.sql.types.IntegerType
 
+  /** Layout/key-family marker, checked BEFORE any store read or write.
+    * Two silent-corruption vectors die here, loudly:
+    *   - `storeParts` drift: pruned reads pick subdirectories by
+    *     `hash mod storeParts` — a store written at 64 parts read at
+    *     256 would silently skip most matching history;
+    *   - key-family drift: signatures from a different shingle-hash
+    *     family (including any pre-marker store) agree with new
+    *     signatures only by chance, so every cross-history near-dup
+    *     would silently read as unique.
+    * First commit writes the marker; every later commit must match. */
+  private val KeyFamily = 2 // word-chained xxhash64 grams (shingleHashes)
+
+  private def ensureStoreMeta(
+      spark: SparkSession, root: String, parts: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_PARTS")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      require(txt == s"$parts/$KeyFamily",
+        s"dedup store $root was written with parts/family=$txt; this config is " +
+          s"$parts/$KeyFamily — rebuild the store or match the writing config")
+    } else {
+      // commits live one level down (buckets/sigs/spans sub-stores)
+      val hasCommits = fs.exists(dir) && fs.listStatus(dir).exists { s =>
+        s.isDirectory && (s.getPath.getName.startsWith("batch=") ||
+          fs.listStatus(s.getPath).exists(c =>
+            c.isDirectory && c.getPath.getName.startsWith("batch=")))
+      }
+      require(!hasCommits,
+        s"dedup store $root has commits but no _PARTS marker: it predates the " +
+          "current store layout/key family and cannot be matched against new " +
+          "signatures — rebuild it (or pin the old code for the old store)")
+      fs.mkdirs(dir)
+      val out = fs.create(marker, true)
+      try out.write(s"$parts/$KeyFamily".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** The store's HISTORY view for one batch, PRUNED to the key
     * partitions the batch can touch: lists every `batch=<id>` commit
     * EXCEPT the current batch's own (a replayed batch must not treat
     * its previous, possibly partial, commit as history), then inside
     * each commit keeps only the `<partCol>=<k>` subdirectories with
     * k ∈ `wanted` — the one structural guarantee that a tick's read is
-    * O(batch keys), not O(corpus). A commit with no hash subdirs (a
-    * store written before this layout) is read whole, so old stores
-    * stay readable, just unpruned. Listing is explicit, so the read
-    * needs no partition discovery and an empty/missing store stays a
-    * clean miss. */
+    * O(batch keys), not O(corpus). Layout compatibility is enforced by
+    * [[ensureStoreMeta]] before this is called. Listing is explicit,
+    * so the read needs no partition discovery and an empty/missing
+    * store stays a clean miss. */
   private def readStore(
       spark: SparkSession, dir: String, schema: StructType,
       excludeTag: String, partCol: String, wanted: Set[Int]): DataFrame = {
@@ -96,7 +135,7 @@ object DedupStream {
         .flatMap { b =>
           val subs = fs.listStatus(b.getPath).filter(_.isDirectory)
             .filter(_.getPath.getName.startsWith(s"$partCol="))
-          if (subs.isEmpty) Seq(b.getPath.toString) // pre-layout commit: unpruned
+          if (subs.isEmpty) Seq(b.getPath.toString) // empty commit (no rows → no hash dirs)
           else subs.toSeq
             .filter(s => wanted.contains(
               s.getPath.getName.stripPrefix(s"$partCol=").toInt))
@@ -121,6 +160,7 @@ object DedupStream {
   def step(batch: DataFrame, storeDir: String, cfg: Config = Config(),
       batchTag: String = java.util.UUID.randomUUID().toString): DataFrame = {
     val spark = batch.sparkSession
+    ensureStoreMeta(spark, storeDir, cfg.storeParts)
     val parts = lit(cfg.storeParts.toLong)
     val sigs = Dedup.minhashSignatures(
       Dedup.shingleHashes(batch, cfg.n),
@@ -212,6 +252,7 @@ object DedupStream {
       batchTag: String = java.util.UUID.randomUUID().toString,
       storeParts: Int = 64): DataFrame = {
     val spark = batch.sparkSession
+    ensureStoreMeta(spark, storeDir, storeParts)
     val parts = lit(storeParts.toLong)
     val spanSchema = StructType(Seq(
       StructField("h", org.apache.spark.sql.types.StringType, nullable = false),

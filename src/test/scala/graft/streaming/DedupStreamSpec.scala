@@ -156,6 +156,24 @@ class DedupStreamSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), s"got ${pairs.mkString(",")}")
   }
 
+  test("store meta guard: parts drift and unmarked stores fail loudly") {
+    import java.nio.file.{Files, Paths}
+    val store = Files.createTempDirectory("dguard").toString
+    val b = Seq(doc(1L, base)).toDF("doc_id", "text")
+    DedupStream.step(b, store, batchTag = "b1").unpersist()
+    // config drift: pruned reads would silently skip history
+    val drifted = intercept[IllegalArgumentException] {
+      DedupStream.step(b, store, DedupStream.Config(storeParts = 256), batchTag = "b2")
+    }
+    assert(drifted.getMessage.contains("rebuild"), drifted.getMessage)
+    // a store with commits but no marker: unknown layout/key family
+    Files.delete(Paths.get(store, "_PARTS"))
+    val unmarked = intercept[IllegalArgumentException] {
+      DedupStream.step(b, store, batchTag = "b3")
+    }
+    assert(unmarked.getMessage.contains("_PARTS"), unmarked.getMessage)
+  }
+
   test("span store reads prune to the batch's hash partitions") {
     import java.nio.file.{Files, Paths}
     val store = Files.createTempDirectory("sprune").toString
