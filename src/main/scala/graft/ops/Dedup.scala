@@ -164,12 +164,19 @@ object Dedup {
     *   pairs (its df² pair fan-out would dominate the sweep, and a
     *   shingle that common carries no similarity signal). None = exact
     *   (oracle-parity) semantics. Not silent: `hotShingles` reports
-    *   what a given cap would drop. */
+    *   what a given cap would drop.
+    * @param withSizes false drops the union_n column AND the set-size
+    *   machinery that produces it (a per-id aggregation plus two
+    *   joins) — graph consumers (connected components, the deduped-
+    *   corpus projection) key pairs on inter_n alone, and Catalyst
+    *   cannot prune the joins away itself (it can't prove the
+    *   grouped sizes relation is key-unique). */
   def ngramJaccardPairs(
       df: DataFrame, n: Int, minIntersect: Int = 1,
       idCol: String = "doc_id", textCol: String = "text",
       blockCol: Option[String] = None,
-      maxDocFrequency: Option[Int] = None): DataFrame = {
+      maxDocFrequency: Option[Int] = None,
+      withSizes: Boolean = true): DataFrame = {
     val sh = blockCol match {
       case Some(bc) => shingleHashesWithBlock(df, n, idCol, textCol, bc)
       case None => shingleHashes(df, n, idCol, textCol).withColumn("block", lit(0))
@@ -195,12 +202,13 @@ object Dedup {
     val kept = maxDocFrequency
       .map(c => bucketed.filter(size(col("ids")) <= c)).getOrElse(bucketed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = kept.select(explode(col("ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("set_n"))
     val pairs = pairCombinations(kept.filter(size(col("ids")) >= 2))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter_n"))
       .filter(col("inter_n") >= minIntersect)
+    if (!withSizes) return pairs
+    val sizes = kept.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("set_n"))
     pairs
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("set_n", "n1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("set_n", "n2"), "id2")

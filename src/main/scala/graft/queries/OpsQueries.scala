@@ -325,7 +325,7 @@ object OpsQueries {
   def q46DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val edges = Dedup.ngramJaccardPairs(docs, n = 2, minIntersect = 8,
-      blockCol = Some("source"))
+      blockCol = Some("source"), withSizes = false)
     val comp = ConnectedComponents.connectedComponents(edges, "id1", "id2")
     docs.select(col("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
