@@ -69,6 +69,7 @@ object SparkEntry {
     "q60_pii_scrub" -> (OpsQueries.q60PiiScrub _),
     "q61_bm25" -> (OpsQueries.q61Bm25 _),
     "q62_csv_dim" -> (OpsQueries.q62CsvDim _),
+    "q63_bpe_tokens" -> (OpsQueries.q63BpeTokens _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, ConnectedComponents, Corpus, Dedup, PageRank, RangeJoin, SimilaritySearch, TextAnalysis}
+import graft.ops.{AsOfJoin, Bpe, ConnectedComponents, Corpus, Dedup, PageRank, RangeJoin, SimilaritySearch, TextAnalysis}
 
 /** The training-data-pipeline operators (SURVEY extended surface) as
   * driver-checkable queries over the documents/embeddings tables. */
@@ -497,6 +497,21 @@ object OpsQueries {
       .join(broadcast(dim), "source")
       .select(col("source"), col("n_docs"), col("weight"),
         (col("n_docs") * col("weight")).as("weighted_docs"))
+  }
+
+  /** Real trained-BPE token counts beside the whitespace baseline.
+    * Merge rules are learned from this corpus (data-derived → no SQL
+    * oracle; determinism + exact detokenization roundtrip are
+    * spec-gated in BpeSpec). */
+  def q63BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    // 50 merges: the synthetic corpus' ~30-word vocabulary would fully
+    // collapse to one-token words past ~105 — a partial budget keeps
+    // real subword structure visible in the counts
+    val enc = Bpe.encoderUdf(spark, Bpe.train(docs, numMerges = 50))
+    docs.select(col("doc_id"),
+      size(enc(col("text"))).cast("long").as("n_bpe_tokens"),
+      TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"))
   }
 
   /** Deterministic weighted mixture order (training schedule): src0
