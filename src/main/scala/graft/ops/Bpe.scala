@@ -24,13 +24,29 @@ import org.apache.spark.sql.functions._
   * encode once. Deterministic — same text + same merges = same tokens
   * everywhere.
   *
-  * End-of-word is modeled with the classic `</w>` sentinel so
+  * End-of-word is modeled with a private-use sentinel codepoint so
   * detokenization is exact: `decode(encode(text)) == text` for any
-  * single-space-separated text (spec-gated roundtrip).
+  * single-space-separated text free of U+E000 (spec-gated roundtrip —
+  * and unlike the classic "</w>" sentinel, ordinary text cannot forge
+  * it by concatenation).
   */
 object Bpe {
 
-  val EndOfWord = "</w>"
+  /** End-of-word sentinel: U+E000 (private use) rather than the
+    * classic "</w>" — a multi-char sentinel is forgeable by ordinary
+    * text ("</w>" in an HTML-ish document would concatenate into a
+    * fake sentinel and break decode), while PUA codepoints do not
+    * occur in real corpora. A text that DOES contain U+E000 is outside
+    * the exact-roundtrip domain (documented, not silently corrupted:
+    * encode treats it as an ordinary symbol, only decode's
+    * sentinel→space mapping is ambiguous then). */
+  val EndOfWord = "\uE000"
+
+  /** Split on CODE POINTS, not UTF-16 chars — per-char splitting would
+    * cut surrogate pairs (emoji, CJK extensions) into lone surrogates,
+    * which Catalyst's UTF8String conversion then mangles. */
+  private def symbolsOf(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
   /** Train `numMerges` merge rules. Deterministic: the most frequent
     * pair wins each round, ties broken by the lexicographically
@@ -49,7 +65,7 @@ object Bpe {
 
     // word type -> (symbol sequence, corpus count)
     var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
-      (w.map(_.toString).toArray :+ EndOfWord, c)
+      (symbolsOf(w) :+ EndOfWord, c)
     }
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
@@ -94,7 +110,7 @@ object Bpe {
   /** Greedy BPE encode of one word (no sentinel in the input; the
     * `</w>` sentinel is appended here and stays on the final token). */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): List[String] = {
-    var syms: List[String] = word.map(_.toString).toList ::: List(EndOfWord)
+    var syms: List[String] = symbolsOf(word).toList ::: List(EndOfWord)
     var improved = true
     while (improved && syms.lengthCompare(1) > 0) {
       // find the lowest-rank adjacent pair
@@ -117,30 +133,41 @@ object Bpe {
   }
 
   /** Distributed encoder: merge ranks broadcast once, per-executor word
-    * memo (Zipf: the hot words dominate, each encodes once per JVM). */
+    * memo (Zipf: the hot words dominate, each encodes once per JVM).
+    * The memo key is a fresh UUID per encoder — broadcast ids are a
+    * per-SparkContext counter, so keying on them would serve a STALE
+    * merge table after a context restart recycled an id. The broadcast
+    * itself is reclaimed by the ContextCleaner once the returned UDF
+    * is unreachable. */
   def encoderUdf(spark: SparkSession, merges: Seq[(String, String)]): UserDefinedFunction = {
     val ranks = merges.zipWithIndex.toMap
     val bc = spark.sparkContext.broadcast(ranks)
+    val encoderId = java.util.UUID.randomUUID().toString
     udf((text: String) => {
       if (text == null) null
       else {
         val memo = Bpe.memoCache
+        // bounded: a new encoder generation (or a pathological vocab)
+        // must not grow the JVM-global memo without limit
+        if (memo.size() > MemoMaxEntries) memo.clear()
         text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
           memo.computeIfAbsent(
-            (bc.id, w),
+            (encoderId, w),
             _ => encodeWord(w, bc.value)).iterator
         }.toArray
       }
     })
   }
 
-  /** Exact inverse of the encoder for single-space text: tokens concat,
-    * `</w>` → space, trailing space trimmed. */
+  /** Exact inverse of the encoder for single-space text free of the
+    * U+E000 sentinel: tokens concat, sentinel → space, trailing space
+    * trimmed. */
   def decode(tokens: Seq[String]): String =
     tokens.mkString("").replace(EndOfWord, " ").stripSuffix(" ")
 
-  // (broadcast id, word) -> tokens; bounded by distinct words actually
-  // seen per executor, entries die with the JVM
+  // (encoder UUID, word) -> tokens; size-capped (blunt clear) so stale
+  // encoder generations cannot grow the JVM-global map without bound
+  private val MemoMaxEntries = 1 << 20
   private lazy val memoCache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), List[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), List[String]]()
 }

@@ -509,9 +509,13 @@ object OpsQueries {
     // collapse to one-token words past ~105 — a partial budget keeps
     // real subword structure visible in the counts
     val enc = Bpe.encoderUdf(spark, Bpe.train(docs, numMerges = 50))
+    // whitespace baseline counts NON-EMPTY words (same convention as
+    // the encoder, which skips empty splits) — tokenCount's spaces+1
+    // arithmetic would disagree on degenerate texts ("" → 1 vs 0)
     docs.select(col("doc_id"),
       size(enc(col("text"))).cast("long").as("n_bpe_tokens"),
-      TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"))
+      size(filter(split(col("text"), " "), w => length(w) > 0))
+        .cast("long").as("n_ws_tokens"))
   }
 
   /** Deterministic weighted mixture order (training schedule): src0

@@ -104,9 +104,11 @@ object DedupStream {
             c.isDirectory && c.getPath.getName.startsWith("batch=")))
       }
       require(!hasCommits,
-        s"dedup store $root has commits but no _PARTS marker: it predates the " +
-          "current store layout/key family and cannot be matched against new " +
-          "signatures — rebuild it (or pin the old code for the old store)")
+        s"dedup store $root has commits but no _PARTS marker, so its partition " +
+          "count and shingle-key family cannot be verified. If it was written " +
+          "by THIS key family at partition count P, adopt it by writing 'P/2' " +
+          s"to $root/_PARTS; otherwise rebuild it (signatures from another " +
+          "family agree with new ones only by chance) or pin the old code")
       fs.mkdirs(dir)
       val out = fs.create(marker, true)
       try out.write(s"$parts/$KeyFamily".getBytes("UTF-8")) finally out.close()

@@ -39,6 +39,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("roundtrip survives sentinel-forging text and non-BMP codepoints") {
+    val tricky = Seq(
+      (1L, "plain text here"),
+      (2L, "html-ish </w> tags </w> inside"), // would forge a "</w>" sentinel
+      (3L, "emoji 😀 and 🤖 words"), // surrogate pairs
+      (4L, "😀😀 doubled")).toDF("doc_id", "text")
+    val merges = Bpe.train(tricky, numMerges = 30)
+    val enc = Bpe.encoderUdf(spark, merges)
+    tricky.select(col("doc_id"), col("text"), enc(col("text")).as("toks"))
+      .collect().foreach { r =>
+        assert(Bpe.decode(r.getSeq[String](2)) == r.getString(1),
+          s"roundtrip broke for doc ${r.getLong(0)}: '${r.getString(1)}'")
+      }
+  }
+
+  test("two encoders in one JVM never serve each other's tokenizations") {
+    val corpusA = Seq.fill(20)("aaaa").toDF("text")
+    val corpusB = Seq.fill(20)("aa bb").toDF("text")
+    val encA = Bpe.encoderUdf(spark, Bpe.train(corpusA, numMerges = 10))
+    val encB = Bpe.encoderUdf(spark, Bpe.train(corpusB, numMerges = 10))
+    val probe = Seq("aaaa").toDF("text")
+    val a = probe.select(encA(col("text"))).head().getSeq[String](0)
+    val b = probe.select(encB(col("text"))).head().getSeq[String](0)
+    // A fully merged 'aaaa'; B only learned 'aa' — the memo must not
+    // cross-contaminate (it is keyed per encoder, not per broadcast id)
+    assert(a == Seq("aaaa" + Bpe.EndOfWord), s"got $a")
+    assert(a != b, s"encoder B leaked encoder A's memo: $b")
+  }
+
   test("a word frequent enough becomes a single token") {
     val docs = (Seq.fill(50)("spark") ++ Seq("a", "b", "c")).toDF("text")
     val merges = Bpe.train(docs, numMerges = 20)
