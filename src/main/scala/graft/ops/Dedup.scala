@@ -86,10 +86,13 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Word n-gram (shingle) set per document, as an exploded (id, shingle)
-    * relation — the shape every set-similarity op here builds on.
-    * Bigrams (the common case) build via one zip_with against the
-    * shifted array — a single pass, no per-index slice allocation. */
+  /** Word n-gram (shingle) set per document, as an exploded
+    * (id, shingle) STRING relation — for callers that need the gram
+    * text itself (debugging, reporting, external interchange). The
+    * set-similarity operators all build on [[shingleHashes]], which
+    * never materializes the gram strings. Bigrams (the common case)
+    * build via one zip_with against the shifted array — a single
+    * pass, no per-index slice allocation. */
   def shingles(df: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(col(idCol).as("id"), explode(gramArray(col(textCol), n)).as("shingle"))
 
