@@ -37,9 +37,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * signatures at all. At 10⁹ docs and 64 hashes / 16 bands the state
   * is ~640 GB, but a tick touching b bucket partitions reads ~b/
   * storeParts of it; size storeParts so one partition ≈ one executor's
-  * comfortable scan (the per-batch writes also create ≤ storeParts
-  * files per commit — compact old batch dirs offline if file count
-  * ever dominates, the layout is append-structured for exactly that).
+  * comfortable scan. Per-batch writes create ≤ storeParts files per
+  * commit; [[compact]] folds accumulated commits back to O(storeParts)
+  * files offline, with a manifest-gated atomic cutover (readers never
+  * see sources and compacted data simultaneously).
   *
   * Replay safety: every store commit is keyed by the micro-batch id
   * (`batch=<id>` dir, overwrite mode), so re-processing a batch
@@ -115,8 +116,68 @@ object DedupStream {
     }
   }
 
+  // --------------------------------------------------- commit visibility
+
+  /** A sub-store root's `_MANIFEST`, when present, lists EXACTLY the
+    * commit dirs readers may see — the atomic commit point for
+    * [[compact]]: compacted data is written under an UNLISTED dir name
+    * first, then one atomic manifest swap makes the compacted commit
+    * visible and the replaced commits invisible in the same instant
+    * (their physical deletion is lazy best-effort cleanup). Without a
+    * manifest (the common, never-compacted store), every `batch=*` dir
+    * is visible. */
+  private def readManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Set[String]] = {
+    val m = new org.apache.hadoop.fs.Path(root, "_MANIFEST")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      Some(txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
+    }
+  }
+
+  /** Atomic manifest replace: temp file + FileContext rename with
+    * OVERWRITE (atomic on posix-local and HDFS — never a window where
+    * the manifest is absent or partial). */
+  private def writeManifest(
+      spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, dirs: Set[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_MANIFEST.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(dirs.toSeq.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_MANIFEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Visible commit dirs under a sub-store root: manifest-filtered when
+    * a manifest exists, plain `batch=*` listing otherwise. */
+  private def visibleCommits(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(root)) return Nil
+    val manifest = readManifest(fs, root)
+    fs.listStatus(root).filter(_.isDirectory).toSeq
+      .filter(_.getPath.getName.startsWith("batch="))
+      .filter(s => manifest.forall(_.contains(s.getPath.getName)))
+  }
+
+  /** A commit's name is made reader-visible: no-op for manifest-less
+    * stores (listing is the visibility), idempotent otherwise. */
+  private def publishCommit(
+      spark: SparkSession, root: org.apache.hadoop.fs.Path, name: String): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root).foreach { m =>
+      if (!m.contains(name)) writeManifest(spark, root, m + name)
+    }
+  }
+
   /** The store's HISTORY view for one batch, PRUNED to the key
-    * partitions the batch can touch: lists every `batch=<id>` commit
+    * partitions the batch can touch: lists every VISIBLE commit
     * EXCEPT the current batch's own (a replayed batch must not treat
     * its previous, possibly partial, commit as history), then inside
     * each commit keeps only the `<partCol>=<k>` subdirectories with
@@ -130,22 +191,71 @@ object DedupStream {
       excludeTag: String, partCol: String, wanted: Set[Int]): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leaves: Seq[String] =
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).filter(_.isDirectory).toSeq
-        .filterNot(_.getPath.getName == s"batch=$excludeTag")
-        .flatMap { b =>
-          val subs = fs.listStatus(b.getPath).filter(_.isDirectory)
-            .filter(_.getPath.getName.startsWith(s"$partCol="))
-          if (subs.isEmpty) Seq(b.getPath.toString) // empty commit (no rows → no hash dirs)
-          else subs.toSeq
-            .filter(s => wanted.contains(
-              s.getPath.getName.stripPrefix(s"$partCol=").toInt))
-            .map(_.getPath.toString)
-        }
+    val leaves: Seq[String] = visibleCommits(fs, p)
+      .filterNot(_.getPath.getName == s"batch=$excludeTag")
+      .flatMap { b =>
+        val subs = fs.listStatus(b.getPath).filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith(s"$partCol="))
+        if (subs.isEmpty) Seq(b.getPath.toString) // empty commit (no rows → no hash dirs)
+        else subs.toSeq
+          .filter(s => wanted.contains(
+            s.getPath.getName.stripPrefix(s"$partCol=").toInt))
+          .map(_.getPath.toString)
+      }
     if (leaves.nonEmpty)
       spark.read.schema(schema).parquet(leaves: _*)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Fold the accumulated per-batch commits of every sub-store into ONE
+    * commit each — the offline maintenance pass for a long-running
+    * store (each tick writes ≤ storeParts files per sub-store, so a
+    * month of 10 s ticks is ~10⁵ commits of small files; compaction
+    * restores O(storeParts) files without changing any answer).
+    *
+    * Crash-safe via the manifest: compacted data lands under a dir
+    * name the current manifest does NOT list (invisible to readers),
+    * then a single atomic manifest swap replaces all source commits
+    * with the compacted one. A crash before the swap leaves the store
+    * exactly as it was (plus an invisible orphan dir, re-collected by
+    * the next compaction); after the swap, source deletion is lazy.
+    * SINGLE-WRITER contract, same as the stream itself: run between
+    * ticks (or from the stream's own driver), never concurrently with
+    * a step on the same store. */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("buckets" -> "pb", "sigs" -> "ps", "spans" -> "ph").foreach {
+      case (sub, partCol) =>
+        val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
+        val fs = root.getFileSystem(conf)
+        val visible = visibleCommits(fs, root)
+        // nothing to fold (a compacted store is a single commit)
+        if (visible.size >= 2) {
+          // skip empty commits (no parquet data → no hash subdirs);
+          // mixing them into partition discovery would conflict
+          val srcs = visible.filter(s => fs.listStatus(s.getPath)
+            .exists(c => c.isDirectory && c.getPath.getName.startsWith(s"$partCol=")))
+          val srcNames = visible.map(_.getPath.getName).toSet
+          if (srcs.nonEmpty) {
+            val target = s"batch=compact-${java.util.UUID.randomUUID()}"
+            // partition discovery (anchored at the sub-store root so
+            // multiple commit dirs don't conflict) restores the hash
+            // column; rewrite preserves the pruning layout
+            spark.read.option("basePath", root.toString)
+              .parquet(srcs.map(_.getPath.toString): _*)
+              .drop("batch")
+              .repartition(col(partCol))
+              .write.partitionBy(partCol)
+              .mode("overwrite").parquet(s"$storeDir/$sub/$target")
+            writeManifest(spark, root, Set(target)) // THE commit point
+            visible.foreach(s => fs.delete(s.getPath, true)) // lazy cleanup
+          } else if (readManifest(fs, root).isEmpty) {
+            // all-empty commits: adopt a manifest so future folds and
+            // stray-dir protection behave uniformly
+            writeManifest(spark, root, srcNames)
+          }
+        }
+    }
   }
 
   /** One micro-batch step, exposed for batch-mode reuse and tests:
@@ -221,6 +331,12 @@ object DedupStream {
     sigs.withColumn("ps", pmod(col("id"), parts).cast("int"))
       .write.partitionBy("ps")
       .mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchTag")
+    // post-compaction stores gate visibility through the manifest;
+    // publishing is idempotent under foreachBatch replay
+    publishCommit(spark,
+      new org.apache.hadoop.fs.Path(s"$storeDir/buckets"), s"batch=$batchTag")
+    publishCommit(spark,
+      new org.apache.hadoop.fs.Path(s"$storeDir/sigs"), s"batch=$batchTag")
     newBuckets.unpersist()
     sigs.unpersist()
     cand.unpersist()
@@ -291,6 +407,8 @@ object DedupStream {
     claimed.withColumn("ph", pmod(xxhash64(col("h")), parts).cast("int"))
       .write.partitionBy("ph")
       .mode("overwrite").parquet(s"$storeDir/spans/batch=$batchTag")
+    publishCommit(spark,
+      new org.apache.hadoop.fs.Path(s"$storeDir/spans"), s"batch=$batchTag")
     spans.unpersist()
     claimed.unpersist()
     out

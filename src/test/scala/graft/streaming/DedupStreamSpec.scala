@@ -156,6 +156,65 @@ class DedupStreamSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), s"got ${pairs.mkString(",")}")
   }
 
+  test("compaction folds history into one commit; answers, pruning and manifest authority hold") {
+    import java.nio.file.{Files, Paths}
+    val store = Files.createTempDirectory("dcompact").toString
+    val b1 = Seq(
+      doc(1L, base),
+      doc(2L, (100 until 140).map(i => s"z$i"))).toDF("doc_id", "text")
+    val b2 = Seq(
+      doc(3L, mutated),
+      doc(4L, (200 until 240).map(i => s"y$i"))).toDF("doc_id", "text")
+    DedupStream.step(b1, store, batchTag = "b1").unpersist()
+    DedupStream.step(b2, store, batchTag = "b2").unpersist()
+
+    DedupStream.compact(spark, store)
+    Seq("buckets", "sigs").foreach { sub =>
+      val commits = new java.io.File(s"$store/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      assert(commits.length == 1 && commits.head.getName.startsWith("batch=compact-"),
+        s"$sub: ${commits.map(_.getName).mkString(",")}")
+    }
+
+    // the manifest is authoritative: a stray un-published dir full of
+    // junk must be invisible to readers
+    val stray = new java.io.File(s"$store/sigs/batch=stray"); stray.mkdirs()
+    Files.write(Paths.get(stray.getPath, "junk.parquet"), "not parquet".getBytes)
+
+    // pruning survives compaction: candidate ids for batch 3 are
+    // {1,3,5} (ps = id mod 64) — doc 2/4's partitions stay unopened
+    Seq(2, 4).foreach { ps =>
+      val dir = new java.io.File(s"$store/sigs").listFiles()
+        .filter(_.getName.startsWith("batch=compact-")).head
+      Files.write(Paths.get(s"${dir.getPath}/ps=$ps", "poison.parquet"),
+        "not parquet".getBytes)
+    }
+
+    // detection against the FOLDED history: doc 5 near-dups 1 and 3
+    val b3 = Seq(doc(5L, base.take(38) ++ Seq("r1", "r2"))).toDF("doc_id", "text")
+    val p3 = DedupStream.step(b3, store, batchTag = "b3").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3 == Set((1L, 5L), (3L, 5L)), s"got ${p3.mkString(",")}")
+
+    // compaction itself reads every partition (it is the full fold) —
+    // clear the pruning poison before folding again
+    Seq(2, 4).foreach { ps =>
+      val dir = new java.io.File(s"$store/sigs").listFiles()
+        .filter(_.getName.startsWith("batch=compact-")).head
+      Files.delete(Paths.get(s"${dir.getPath}/ps=$ps", "poison.parquet"))
+    }
+    // a second compaction folds the post-compaction commit in too
+    DedupStream.compact(spark, store)
+    val after = new java.io.File(s"$store/buckets").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(after.length == 1)
+    val p4 = DedupStream.step(
+        Seq(doc(6L, (300 until 340).map(i => s"q$i"))).toDF("doc_id", "text"),
+        store, batchTag = "b4")
+      .collect()
+    assert(p4.isEmpty, "unrelated doc must not pair against compacted history")
+  }
+
   test("store meta guard: parts drift and unmarked stores fail loudly") {
     import java.nio.file.{Files, Paths}
     val store = Files.createTempDirectory("dguard").toString
