@@ -126,15 +126,25 @@ object DedupStream {
     * (their physical deletion is lazy best-effort cleanup). Without a
     * manifest (the common, never-compacted store), every `batch=*` dir
     * is visible. */
+  /** (visible commit names, FOLDED source names). Folded names are
+    * remembered forever: a micro-batch replayed from a rolled-back
+    * checkpoint AFTER its commit was compacted away rewrites its data
+    * dirs, and re-publishing them would double its rows beside the
+    * compacted copy — the folded ledger keeps such rewrites invisible
+    * (the replay still EMITS the same pairs; only the store fold is
+    * suppressed, which is exactly right because the compacted commit
+    * already holds those rows). */
   private def readManifest(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[Set[String]] = {
+      root: org.apache.hadoop.fs.Path): Option[(Set[String], Set[String])] = {
     val m = new org.apache.hadoop.fs.Path(root, "_MANIFEST")
     if (!fs.exists(m)) None
     else {
       val in = fs.open(m)
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      Some(txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
+      val lines = txt.split('\n').map(_.trim).filter(_.nonEmpty)
+      Some((lines.filterNot(_.startsWith("folded:")).toSet,
+        lines.filter(_.startsWith("folded:")).map(_.stripPrefix("folded:")).toSet))
     }
   }
 
@@ -142,13 +152,14 @@ object DedupStream {
     * OVERWRITE (atomic on posix-local and HDFS — never a window where
     * the manifest is absent or partial). */
   private def writeManifest(
-      spark: SparkSession,
-      root: org.apache.hadoop.fs.Path, dirs: Set[String]): Unit = {
+      spark: SparkSession, root: org.apache.hadoop.fs.Path,
+      dirs: Set[String], folded: Set[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(root, s"_MANIFEST.tmp-${java.util.UUID.randomUUID()}")
+    val body = (dirs.toSeq.sorted ++ folded.toSeq.sorted.map("folded:" + _)).mkString("\n")
     val out = fs.create(tmp, true)
-    try out.write(dirs.toSeq.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_MANIFEST"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -163,16 +174,19 @@ object DedupStream {
     val manifest = readManifest(fs, root)
     fs.listStatus(root).filter(_.isDirectory).toSeq
       .filter(_.getPath.getName.startsWith("batch="))
-      .filter(s => manifest.forall(_.contains(s.getPath.getName)))
+      .filter(s => manifest.forall(_._1.contains(s.getPath.getName)))
   }
 
   /** A commit's name is made reader-visible: no-op for manifest-less
-    * stores (listing is the visibility), idempotent otherwise. */
+    * stores (listing is the visibility), idempotent otherwise. A name
+    * the manifest records as FOLDED is never resurrected — see
+    * [[readManifest]]. */
   private def publishCommit(
       spark: SparkSession, root: org.apache.hadoop.fs.Path, name: String): Unit = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readManifest(fs, root).foreach { m =>
-      if (!m.contains(name)) writeManifest(spark, root, m + name)
+    readManifest(fs, root).foreach { case (visible, folded) =>
+      if (!visible.contains(name) && !folded.contains(name))
+        writeManifest(spark, root, visible + name, folded)
     }
   }
 
@@ -236,6 +250,7 @@ object DedupStream {
           val srcs = visible.filter(s => fs.listStatus(s.getPath)
             .exists(c => c.isDirectory && c.getPath.getName.startsWith(s"$partCol=")))
           val srcNames = visible.map(_.getPath.getName).toSet
+          val priorFolded = readManifest(fs, root).map(_._2).getOrElse(Set.empty)
           if (srcs.nonEmpty) {
             val target = s"batch=compact-${java.util.UUID.randomUUID()}"
             // partition discovery (anchored at the sub-store root so
@@ -247,12 +262,13 @@ object DedupStream {
               .repartition(col(partCol))
               .write.partitionBy(partCol)
               .mode("overwrite").parquet(s"$storeDir/$sub/$target")
-            writeManifest(spark, root, Set(target)) // THE commit point
+            writeManifest(spark, root, // THE commit point
+              Set(target), priorFolded ++ srcNames)
             visible.foreach(s => fs.delete(s.getPath, true)) // lazy cleanup
           } else if (readManifest(fs, root).isEmpty) {
             // all-empty commits: adopt a manifest so future folds and
             // stray-dir protection behave uniformly
-            writeManifest(spark, root, srcNames)
+            writeManifest(spark, root, srcNames, Set.empty)
           }
         }
     }
@@ -310,8 +326,14 @@ object DedupStream {
       spark, s"$storeDir/sigs", sigSchema(cfg), batchTag, "ps", candPs)
 
     // signature-estimate verify: agreeing components / numHashes is the
-    // standard unbiased MinHash estimate of Jaccard
-    val allSigs = sigs.unionByName(oldSigs)
+    // standard unbiased MinHash estimate of Jaccard. History drops ids
+    // the batch itself carries: after a rollback-behind-compaction
+    // replay, the batch's docs also live inside the compacted commit
+    // (tag exclusion cannot reach inside it), and a doc present twice
+    // in the join's signature side would duplicate every pair row it
+    // touches. Signatures are deterministic, so new-wins is exact.
+    val allSigs = sigs.unionByName(
+      oldSigs.join(sigs.select("id"), Seq("id"), "left_anti"))
     val s1 = allSigs.toDF(allSigs.columns.map(c => if (c == "id") "id1" else s"a_$c"): _*)
     val s2 = allSigs.toDF(allSigs.columns.map(c => if (c == "id") "id2" else s"b_$c"): _*)
     val agree = (0 until cfg.numHashes)

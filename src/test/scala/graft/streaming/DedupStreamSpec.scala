@@ -213,6 +213,27 @@ class DedupStreamSpec extends SparkSpec {
         store, batchTag = "b4")
       .collect()
     assert(p4.isEmpty, "unrelated doc must not pair against compacted history")
+
+    // checkpoint rollback: a batch REPLAYED after its commit was folded
+    // must emit the same pairs, and its rewritten dirs must stay
+    // invisible (re-publishing would double its rows beside the
+    // compacted copy — the folded ledger suppresses exactly that)
+    // (the replay also re-finds (3,5): doc 5 entered the store after
+    // b2's original run, and a rollback-behind-the-store replay always
+    // sees later docs as history — pre-existing rollback semantics,
+    // orthogonal to compaction)
+    val replayRows = DedupStream.step(b2, store, batchTag = "b2").collect()
+    val replay = replayRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay.contains((1L, 3L)) && replayRows.length == replay.size,
+      s"got ${replayRows.mkString(",")}")
+    val p5 = DedupStream.step(
+        Seq(doc(7L, base.take(37) ++ Seq("s1", "s2", "s3"))).toDF("doc_id", "text"),
+        store, batchTag = "b5").collect()
+    // doc 7 near-dups 1, 3, 5; each pair exactly ONCE (a resurrected
+    // b2 commit would duplicate the (3,7) row via doubled signatures)
+    assert(p5.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        == Seq((1L, 7L), (3L, 7L), (5L, 7L)),
+      s"got ${p5.mkString(",")}")
   }
 
   test("store meta guard: parts drift and unmarked stores fail loudly") {
