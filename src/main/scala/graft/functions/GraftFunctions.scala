@@ -51,6 +51,28 @@ object GraftFunctions {
       dot / (math.sqrt(na) * math.sqrt(nb))
     })
 
+    // PII scrub for SQL users: expands to the SAME codegen'd
+    // regexp_replace chain as TextAnalysis.scrubPii — an expression
+    // registration, not a UDF, so it stays inside whole-stage codegen.
+    // Optional second arg = min digit-run length (default 4), required
+    // to be a literal (it parameterizes the PATTERN, not the row).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "scrub_pii", exprs => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        val minRun = exprs.lift(1) match {
+          case None => 4
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"scrub_pii's second argument must be an integer literal, got $other")
+        }
+        def rep(subject: Expression, pattern: String, mask: String): Expression =
+          RegExpReplace(subject, Literal(pattern), Literal(mask))
+        rep(rep(rep(exprs.head,
+          TextAnalysis.emailPattern, "<EMAIL>"),
+          TextAnalysis.ipv4Pattern, "<IP>"),
+          TextAnalysis.digitRunPattern(minRun), "<NUM>")
+      }, "scala_udf")
+
     // de-UDF rewrite active even without spark.sql.extensions wiring
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ReplaceCosineUdf.type]))
       spark.experimental.extraOptimizations =

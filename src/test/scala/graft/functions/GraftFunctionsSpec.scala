@@ -17,7 +17,9 @@ class GraftFunctionsSpec extends SparkSpec {
         |  graft_fingerprint64('hello') AS fp,
         |  vector_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS dot,
         |  vector_sq(array(3.0f, 4.0f)) AS sq,
-        |  cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos
+        |  cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos,
+        |  scrub_pii('mail a@b.co ip 10.0.0.1 card 4111111111111111') AS scrubbed,
+        |  scrub_pii('short 12 run', 2) AS scrubbed2
         |""".stripMargin).collect()(0)
     assert(row.getAs[java.sql.Timestamp]("genesis").getTime == 1598306400000L)
     assert(row.getAs[Int]("e1") == 1) // genesis + 30s = epoch 1
@@ -28,6 +30,12 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getAs[Double]("dot") == 11.0)
     assert(row.getAs[Double]("sq") == 25.0)
     assert(row.getAs[Double]("cos") == 1.0)
+    assert(row.getAs[String]("scrubbed") == "mail <EMAIL> ip <IP> card <NUM>")
+    assert(row.getAs[String]("scrubbed2") == "short <NUM> run")
+    // expression registration, not a UDF: the plan must stay UDF-free
+    val plan = spark.sql("SELECT scrub_pii('x 1234')").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
   }
 
   test("extensions class injects native functions into a fresh session") {
