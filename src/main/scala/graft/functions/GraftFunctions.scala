@@ -59,18 +59,20 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "scrub_pii", exprs => {
         import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        if (exprs.isEmpty || exprs.length > 2) throw new IllegalArgumentException(
+          s"scrub_pii takes (text[, minDigitRun literal]), got ${exprs.length} arguments")
         val minRun = exprs.lift(1) match {
           case None => 4
           case Some(Literal(v: Int, _)) => v
           case Some(other) => throw new IllegalArgumentException(
             s"scrub_pii's second argument must be an integer literal, got $other")
         }
-        def rep(subject: Expression, pattern: String, mask: String): Expression =
-          RegExpReplace(subject, Literal(pattern), Literal(mask))
-        rep(rep(rep(exprs.head,
-          TextAnalysis.emailPattern, "<EMAIL>"),
-          TextAnalysis.ipv4Pattern, "<IP>"),
-          TextAnalysis.digitRunPattern(minRun), "<NUM>")
+        // the chain comes from TextAnalysis — one source of truth, so
+        // the SQL and DataFrame surfaces cannot drift
+        TextAnalysis.piiPatternChain(minRun).foldLeft(exprs.head) {
+          case (e, (pattern, mask)) =>
+            RegExpReplace(e, Literal(pattern), Literal(mask))
+        }
       }, "scala_udf")
 
     // de-UDF rewrite active even without spark.sql.extensions wiring

@@ -108,7 +108,8 @@ object Bpe {
   }
 
   /** Greedy BPE encode of one word (no sentinel in the input; the
-    * `</w>` sentinel is appended here and stays on the final token). */
+    * [[EndOfWord]] sentinel is appended here and stays on the final
+    * token). */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): List[String] = {
     var syms: List[String] = symbolsOf(word).toList ::: List(EndOfWord)
     var improved = true

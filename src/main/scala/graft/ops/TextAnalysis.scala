@@ -124,19 +124,31 @@ object TextAnalysis {
     * (the DuckDB oracle). */
   val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  def digitRunPattern(minRun: Int): String = s"\\d{$minRun,}"
+  def digitRunPattern(minRun: Int): String = {
+    // {0,} matches empty at every boundary (silently shredding all
+    // text); negative values are a regex syntax error at execution
+    require(minRun >= 1, s"minDigitRun must be >= 1, got $minRun")
+    s"\\d{$minRun,}"
+  }
+
+  /** The (pattern, mask) chain, in application order — the single
+    * source of truth for [[scrubPii]] AND the SQL `scrub_pii`
+    * registration (GraftFunctions), which folds the same list into a
+    * Catalyst RegExpReplace tree. Order is load-bearing: the email
+    * local part and the IP octets contain digit runs, so the digit
+    * pass must run last or it would shred the structured tokens the
+    * earlier passes key on. */
+  def piiPatternChain(minDigitRun: Int): Seq[(String, String)] = Seq(
+    emailPattern -> "<EMAIL>",
+    ipv4Pattern -> "<IP>",
+    digitRunPattern(minDigitRun) -> "<NUM>")
 
   /** Masks emails, then IPv4 addresses, then digit runs of ≥
-    * `minDigitRun`. Application order is load-bearing: the email local
-    * part and the IP octets contain digit runs, so the digit pass must
-    * run last or it would shred the structured tokens the earlier
-    * passes key on. Pure `regexp_replace` chain — codegen'd, no UDF. */
+    * `minDigitRun`. Pure `regexp_replace` chain — codegen'd, no UDF. */
   def scrubPii(text: Column, minDigitRun: Int = 4): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, emailPattern, "<EMAIL>"),
-        ipv4Pattern, "<IP>"),
-      digitRunPattern(minDigitRun), "<NUM>")
+    piiPatternChain(minDigitRun).foldLeft(text) {
+      case (c, (pattern, mask)) => regexp_replace(c, pattern, mask)
+    }
 
   /** Per-pattern match counts on the RAW text (before any masking) —
     * the audit companion to [[scrubPii]]. */

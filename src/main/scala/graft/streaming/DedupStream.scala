@@ -107,7 +107,7 @@ object DedupStream {
       require(!hasCommits,
         s"dedup store $root has commits but no _PARTS marker, so its partition " +
           "count and shingle-key family cannot be verified. If it was written " +
-          "by THIS key family at partition count P, adopt it by writing 'P/2' " +
+          s"by THIS key family at partition count P, adopt it by writing 'P/$KeyFamily' " +
           s"to $root/_PARTS; otherwise rebuild it (signatures from another " +
           "family agree with new ones only by chance) or pin the old code")
       fs.mkdirs(dir)
@@ -120,50 +120,61 @@ object DedupStream {
 
   /** A sub-store root's `_MANIFEST`, when present, lists EXACTLY the
     * commit dirs readers may see — the atomic commit point for
-    * [[compact]]: compacted data is written under an UNLISTED dir name
-    * first, then one atomic manifest swap makes the compacted commit
-    * visible and the replaced commits invisible in the same instant
-    * (their physical deletion is lazy best-effort cleanup). Without a
+    * [[compact]]: compacted data is written under an UNLISTED dir name,
+    * then one atomic manifest swap makes the compacted commit visible
+    * and the replaced commits invisible in the same instant. Without a
     * manifest (the common, never-compacted store), every `batch=*` dir
-    * is visible. */
-  /** (visible commit names, FOLDED source names). Folded names are
-    * remembered forever: a micro-batch replayed from a rolled-back
-    * checkpoint AFTER its commit was compacted away rewrites its data
-    * dirs, and re-publishing them would double its rows beside the
-    * compacted copy — the folded ledger keeps such rewrites invisible
-    * (the replay still EMITS the same pairs; only the store fold is
-    * suppressed, which is exactly right because the compacted commit
-    * already holds those rows). */
+    * is visible. Kept O(commits since the last compaction): the tick
+    * path rewrites it once per commit. */
   private def readManifest(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[(Set[String], Set[String])] = {
-    val m = new org.apache.hadoop.fs.Path(root, "_MANIFEST")
-    if (!fs.exists(m)) None
+      root: org.apache.hadoop.fs.Path): Option[Set[String]] =
+    readNameFile(fs, new org.apache.hadoop.fs.Path(root, "_MANIFEST"))
+
+  /** The `_FOLDED` ledger: names of commits a compaction ever folded.
+    * A micro-batch replayed from a rolled-back checkpoint AFTER its
+    * commit was compacted away rewrites its data dirs, and
+    * re-publishing them would double its rows beside the compacted
+    * copy — the ledger keeps such rewrites invisible (the replay still
+    * EMITS its pairs; only the store fold is suppressed, which is
+    * exactly right because the compacted commit already holds those
+    * rows). Separate from `_MANIFEST` so the per-tick publish rewrites
+    * only the small visible list; only compaction rewrites the ledger. */
+  private def readFolded(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[String] =
+    readNameFile(fs, new org.apache.hadoop.fs.Path(root, "_FOLDED")).getOrElse(Set.empty)
+
+  private def readNameFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Set[String]] = {
+    if (!fs.exists(p)) None
     else {
-      val in = fs.open(m)
+      val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      val lines = txt.split('\n').map(_.trim).filter(_.nonEmpty)
-      Some((lines.filterNot(_.startsWith("folded:")).toSet,
-        lines.filter(_.startsWith("folded:")).map(_.stripPrefix("folded:")).toSet))
+      Some(txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
     }
   }
 
-  /** Atomic manifest replace: temp file + FileContext rename with
+  /** Atomic name-file replace: temp file + FileContext rename with
     * OVERWRITE (atomic on posix-local and HDFS — never a window where
-    * the manifest is absent or partial). */
-  private def writeManifest(
+    * the file is absent or partial). */
+  private def writeNameFile(
       spark: SparkSession, root: org.apache.hadoop.fs.Path,
-      dirs: Set[String], folded: Set[String]): Unit = {
+      fileName: String, names: Set[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(root, s"_MANIFEST.tmp-${java.util.UUID.randomUUID()}")
-    val body = (dirs.toSeq.sorted ++ folded.toSeq.sorted.map("folded:" + _)).mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_$fileName.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    try out.write(names.toSeq.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_MANIFEST"),
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, fileName),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  private def writeManifest(
+      spark: SparkSession, root: org.apache.hadoop.fs.Path, dirs: Set[String]): Unit =
+    writeNameFile(spark, root, "_MANIFEST", dirs)
 
   /** Visible commit dirs under a sub-store root: manifest-filtered when
     * a manifest exists, plain `batch=*` listing otherwise. */
@@ -174,19 +185,19 @@ object DedupStream {
     val manifest = readManifest(fs, root)
     fs.listStatus(root).filter(_.isDirectory).toSeq
       .filter(_.getPath.getName.startsWith("batch="))
-      .filter(s => manifest.forall(_._1.contains(s.getPath.getName)))
+      .filter(s => manifest.forall(_.contains(s.getPath.getName)))
   }
 
   /** A commit's name is made reader-visible: no-op for manifest-less
     * stores (listing is the visibility), idempotent otherwise. A name
-    * the manifest records as FOLDED is never resurrected — see
-    * [[readManifest]]. */
+    * the FOLDED ledger records is never resurrected — see
+    * [[readFolded]]. */
   private def publishCommit(
       spark: SparkSession, root: org.apache.hadoop.fs.Path, name: String): Unit = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readManifest(fs, root).foreach { case (visible, folded) =>
-      if (!visible.contains(name) && !folded.contains(name))
-        writeManifest(spark, root, visible + name, folded)
+    readManifest(fs, root).foreach { visible =>
+      if (!visible.contains(name) && !readFolded(fs, root).contains(name))
+        writeManifest(spark, root, visible + name)
     }
   }
 
@@ -227,48 +238,66 @@ object DedupStream {
     * month of 10 s ticks is ~10⁵ commits of small files; compaction
     * restores O(storeParts) files without changing any answer).
     *
-    * Crash-safe via the manifest: compacted data lands under a dir
-    * name the current manifest does NOT list (invisible to readers),
-    * then a single atomic manifest swap replaces all source commits
-    * with the compacted one. A crash before the swap leaves the store
-    * exactly as it was (plus an invisible orphan dir, re-collected by
-    * the next compaction); after the swap, source deletion is lazy.
-    * SINGLE-WRITER contract, same as the stream itself: run between
-    * ticks (or from the stream's own driver), never concurrently with
-    * a step on the same store. */
+    * Crash-safe via the manifest, at EVERY point including the first
+    * compaction of a manifest-less store: the current commit set is
+    * ADOPTED into a manifest before anything is written (from then on
+    * visibility is the manifest, so the target dir is born invisible),
+    * the `_FOLDED` resurrection guard is extended before the swap
+    * (no reader-facing effect while sources are still the visible
+    * set), and then a single atomic manifest swap replaces all source
+    * commits with the compacted one. Physical deletion is a separate
+    * GC sweep — every `batch=*` dir the manifest does not list is
+    * garbage by definition (replaced sources from a crash after the
+    * swap, orphan targets from a crash before it) and is collected on
+    * every compact() call. SINGLE-WRITER contract, same as the stream
+    * itself: run between ticks (or from the stream's own driver),
+    * never concurrently with a step on the same store. */
   def compact(spark: SparkSession, storeDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     Seq("buckets" -> "pb", "sigs" -> "ps", "spans" -> "ph").foreach {
       case (sub, partCol) =>
         val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
         val fs = root.getFileSystem(conf)
-        val visible = visibleCommits(fs, root)
-        // nothing to fold (a compacted store is a single commit)
-        if (visible.size >= 2) {
-          // skip empty commits (no parquet data → no hash subdirs);
-          // mixing them into partition discovery would conflict
-          val srcs = visible.filter(s => fs.listStatus(s.getPath)
-            .exists(c => c.isDirectory && c.getPath.getName.startsWith(s"$partCol=")))
-          val srcNames = visible.map(_.getPath.getName).toSet
-          val priorFolded = readManifest(fs, root).map(_._2).getOrElse(Set.empty)
-          if (srcs.nonEmpty) {
-            val target = s"batch=compact-${java.util.UUID.randomUUID()}"
-            // partition discovery (anchored at the sub-store root so
-            // multiple commit dirs don't conflict) restores the hash
-            // column; rewrite preserves the pruning layout
-            spark.read.option("basePath", root.toString)
-              .parquet(srcs.map(_.getPath.toString): _*)
-              .drop("batch")
-              .repartition(col(partCol))
-              .write.partitionBy(partCol)
-              .mode("overwrite").parquet(s"$storeDir/$sub/$target")
-            writeManifest(spark, root, // THE commit point
-              Set(target), priorFolded ++ srcNames)
-            visible.foreach(s => fs.delete(s.getPath, true)) // lazy cleanup
-          } else if (readManifest(fs, root).isEmpty) {
-            // all-empty commits: adopt a manifest so future folds and
-            // stray-dir protection behave uniformly
-            writeManifest(spark, root, srcNames, Set.empty)
+        if (fs.exists(root)) {
+          val visible = visibleCommits(fs, root)
+          // fold only when there is something to fold (a compacted
+          // store is a single commit); GC runs either way below
+          if (visible.size >= 2) {
+            val srcNames = visible.map(_.getPath.getName).toSet
+            // adopt BEFORE writing anything: from here on readers gate
+            // on the manifest, so the target dir is born invisible and
+            // a crash at any later point cannot double history
+            if (readManifest(fs, root).isEmpty)
+              writeManifest(spark, root, srcNames)
+            // skip empty commits (no parquet data → no hash subdirs);
+            // mixing them into partition discovery would conflict
+            val srcs = visible.filter(s => fs.listStatus(s.getPath)
+              .exists(c => c.isDirectory && c.getPath.getName.startsWith(s"$partCol=")))
+            if (srcs.nonEmpty) {
+              val target = s"batch=compact-${java.util.UUID.randomUUID()}"
+              // partition discovery (anchored at the sub-store root so
+              // multiple commit dirs don't conflict) restores the hash
+              // column; rewrite preserves the pruning layout
+              spark.read.option("basePath", root.toString)
+                .parquet(srcs.map(_.getPath.toString): _*)
+                .drop("batch")
+                .repartition(col(partCol))
+                .write.partitionBy(partCol)
+                .mode("overwrite").parquet(s"$storeDir/$sub/$target")
+              // resurrection guard first: sources are still the visible
+              // set, so this has no reader-facing effect yet
+              writeNameFile(spark, root, "_FOLDED", readFolded(fs, root) ++ srcNames)
+              writeManifest(spark, root, Set(target)) // THE commit point
+            }
+          }
+          // GC sweep: with a manifest in authority, every batch= dir it
+          // does not list is garbage (replaced sources, orphan targets
+          // from earlier crashes, folded-then-rewritten replays)
+          readManifest(fs, root).foreach { nowVisible =>
+            fs.listStatus(root).filter(_.isDirectory)
+              .filter(_.getPath.getName.startsWith("batch="))
+              .filterNot(s => nowVisible.contains(s.getPath.getName))
+              .foreach(s => fs.delete(s.getPath, true))
           }
         }
     }
@@ -410,7 +439,14 @@ object DedupStream {
     val batchPh = spans
       .select(pmod(xxhash64(col("h")), parts).cast("int").as("ph"))
       .distinct().collect().map(_.getInt(0)).toSet
+    // history drops rows THIS batch's docs claimed: after a rollback-
+    // behind-compaction replay the batch's own claims live inside the
+    // compacted commit (tag exclusion cannot reach them) and would
+    // zero out the replay's kept-stats; within-batch re-claiming is
+    // deterministic (min id), so dropping and re-claiming is exact —
+    // the same new-wins rule as step()'s signature history
     val old = readStore(spark, s"$storeDir/spans", spanSchema, batchTag, "ph", batchPh)
+      .join(spans.select(col("id").as("keeper")).distinct(), Seq("keeper"), "left_anti")
     // within-batch keeper = min id per hash; a span already in the
     // store is never re-claimed (arrival order wins)
     val claimed = spans.groupBy("h")

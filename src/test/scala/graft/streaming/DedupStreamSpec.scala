@@ -203,11 +203,13 @@ class DedupStreamSpec extends SparkSpec {
         .filter(_.getName.startsWith("batch=compact-")).head
       Files.delete(Paths.get(s"${dir.getPath}/ps=$ps", "poison.parquet"))
     }
-    // a second compaction folds the post-compaction commit in too
+    // a second compaction folds the post-compaction commit in too,
+    // and its GC sweep collects the un-manifested stray dir
     DedupStream.compact(spark, store)
     val after = new java.io.File(s"$store/buckets").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
     assert(after.length == 1)
+    assert(!stray.exists(), "GC must collect dirs the manifest does not list")
     val p4 = DedupStream.step(
         Seq(doc(6L, (300 until 340).map(i => s"q$i"))).toDF("doc_id", "text"),
         store, batchTag = "b4")
@@ -234,6 +236,31 @@ class DedupStreamSpec extends SparkSpec {
     assert(p5.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
         == Seq((1L, 7L), (3L, 7L), (5L, 7L)),
       s"got ${p5.mkString(",")}")
+  }
+
+  test("span replay after compaction keeps its original stats") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("scompact").toString
+    val b1 = Seq(
+      (1L, (0 until 30).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 30).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, ((0 until 20).map(i => s"a$i") ++ (0 until 10).map(i => s"c$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    DedupStream.spanStep(b1, store, batchTag = "s1").unpersist()
+    val orig = toMap(DedupStream.spanStep(b2, store, batchTag = "s2").collect())
+
+    DedupStream.compact(spark, store)
+    // rollback-behind-compaction: the batch's own claims now live in
+    // the folded commit; replay must re-claim them, not zero out
+    val replay = toMap(DedupStream.spanStep(b2, store, batchTag = "s2").collect())
+    assert(replay == orig, s"replay $replay != original $orig")
+    // and a later batch still dedups against the folded history
+    val b3 = Seq((4L, (0 until 10).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val s3 = toMap(DedupStream.spanStep(b3, store, batchTag = "s3").collect())
+    assert(s3(4L) == ((1L, 0L, 0L)), s"doc 3's span must stay claimed: ${s3(4L)}")
   }
 
   test("store meta guard: parts drift and unmarked stores fail loudly") {
