@@ -640,6 +640,28 @@ object SparkEntry {
         |         value FROM events)
         |SELECT window_start, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM starts GROUP BY window_start""".stripMargin
+        |FROM starts GROUP BY window_start""".stripMargin,
+    // q63: BPE encoding itself is not SQL-expressible, but it IS a pure
+    // deterministic function of the corpus — the per-WORD token counts
+    // under the trained merges live in a committed fixture (regenerate:
+    // `sbt "Test/runMain graft.pipeline.DumpBpeFixture"` after any
+    // Bpe/merge-budget change), and the per-DOC aggregation is
+    // re-derived here in ANSI SQL: split text, join the word table,
+    // sum. Left join + COALESCE keeps empty-text docs at 0/0, matching
+    // the engine's size(enc(text)) = 0 convention.
+    "q63_bpe_tokens" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0),
+        |wt AS (SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/fixtures/bpe_word_tokens.parquet')),
+        |agg AS (
+        |  SELECT words.doc_id, sum(wt.n_tokens) AS n_bpe, count(*) AS n_ws
+        |  FROM words JOIN wt ON words.w = wt.word GROUP BY words.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(COALESCE(agg.n_ws, 0) AS BIGINT) AS n_ws_tokens
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
   )
 }

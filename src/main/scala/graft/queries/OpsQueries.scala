@@ -500,9 +500,12 @@ object OpsQueries {
   }
 
   /** Real trained-BPE token counts beside the whitespace baseline.
-    * Merge rules are learned from this corpus (data-derived → no SQL
-    * oracle; determinism + exact detokenization roundtrip are
-    * spec-gated in BpeSpec). */
+    * Merge rules are learned from this corpus — deterministic, so the
+    * per-word encoding is hash-gated via the committed
+    * `bpe_word_tokens.parquet` fixture (DumpBpeFixture) and the
+    * doc-level aggregation re-derived in the DuckDB oracle SQL;
+    * determinism + exact detokenization roundtrip are additionally
+    * spec-gated in BpeSpec. */
   def q63BpeTokens(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     // 50 merges: the synthetic corpus' ~30-word vocabulary would fully
