@@ -111,8 +111,11 @@ object DedupStream {
           s"to $root/_PARTS; otherwise rebuild it (signatures from another " +
           "family agree with new ones only by chance) or pin the old code")
       fs.mkdirs(dir)
-      val out = fs.create(marker, true)
-      try out.write(s"$parts/$KeyFamily".getBytes("UTF-8")) finally out.close()
+      // atomic temp+rename (writeNameFile): a crash mid-write must not
+      // leave an empty/partial marker that fails every later tick's
+      // parts/family check until hand-repaired — the marker is either
+      // absent (rewritten next tick) or complete
+      writeNameFile(spark, dir, "_PARTS", Set(s"$parts/$KeyFamily"))
     }
   }
 
@@ -259,7 +262,24 @@ object DedupStream {
         val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
         val fs = root.getFileSystem(conf)
         if (fs.exists(root)) {
-          val visible = visibleCommits(fs, root)
+          val manifest = readManifest(fs, root)
+          // adoption gate: a manifest-less listing may contain a
+          // PARTIALLY-written dir — a tick that crashed mid-store-write
+          // task-committed parquet files but never the job `_SUCCESS`
+          // marker. Adopting it would freeze the partial rows forever:
+          // its tag lands in `_FOLDED`, which suppresses the checkpoint
+          // replay's clean rewrite. Only `_SUCCESS`-bearing dirs are
+          // commits here; an incomplete dir stays unadopted, turns
+          // invisible the instant the manifest exists, is GC'd below,
+          // and the replay then rewrites and publishes it normally.
+          // (Manifest-gated stores can't hit this: publishCommit runs
+          // only after a completed write.)
+          val visible = {
+            val v = visibleCommits(fs, root)
+            if (manifest.isDefined) v
+            else v.filter(s => fs.exists(
+              new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          }
           // fold only when there is something to fold (a compacted
           // store is a single commit); GC runs either way below
           if (visible.size >= 2) {
@@ -267,7 +287,7 @@ object DedupStream {
             // adopt BEFORE writing anything: from here on readers gate
             // on the manifest, so the target dir is born invisible and
             // a crash at any later point cannot double history
-            if (readManifest(fs, root).isEmpty)
+            if (manifest.isEmpty)
               writeManifest(spark, root, srcNames)
             // skip empty commits (no parquet data → no hash subdirs);
             // mixing them into partition discovery would conflict

@@ -263,6 +263,63 @@ class DedupStreamSpec extends SparkSpec {
     assert(s3(4L) == ((1L, 0L, 0L)), s"doc 3's span must stay claimed: ${s3(4L)}")
   }
 
+  test("first compaction adopts only _SUCCESS commits; a crashed partial write is GC'd and replay restores it") {
+    val store = java.nio.file.Files.createTempDirectory("dadopt").toString
+    val b1 = Seq(
+      doc(1L, base),
+      doc(2L, (100 until 140).map(i => s"z$i"))).toDF("doc_id", "text")
+    val b1b = Seq(doc(5L, (500 until 540).map(i => s"u$i"))).toDF("doc_id", "text")
+    val b2 = Seq(doc(3L, (300 until 340).map(i => s"v$i"))).toDF("doc_id", "text")
+    DedupStream.step(b1, store, batchTag = "b1").unpersist()
+    DedupStream.step(b1b, store, batchTag = "b1b").unpersist()
+    DedupStream.step(b2, store, batchTag = "b2").unpersist()
+
+    // simulate b2's tick crashing mid-store-write: tasks committed some
+    // files but the job never did — no _SUCCESS, data partitions missing
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("buckets", "sigs").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$store/$sub/batch=b2")
+      val fs = p.getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
+      fs.listStatus(p).filter(_.isDirectory).foreach(s => fs.delete(s.getPath, true))
+    }
+
+    DedupStream.compact(spark, store)
+
+    def names(sub: String, file: String): Set[String] = {
+      val f = new java.io.File(s"$store/$sub/$file")
+      if (!f.exists()) Set.empty
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().map(_.trim).filter(_.nonEmpty).toSet finally src.close()
+      }
+    }
+    Seq("buckets", "sigs").foreach { sub =>
+      // the partial dir must be neither adopted, nor marked folded
+      // (folded would suppress the replay's rewrite forever), and the
+      // GC sweep collects it once the manifest is in authority
+      assert(!names(sub, "_MANIFEST").contains("batch=b2"), s"$sub adopted the partial commit")
+      assert(!names(sub, "_FOLDED").contains("batch=b2"), s"$sub folded the partial commit")
+      assert(!new java.io.File(s"$store/$sub/batch=b2").exists(),
+        s"$sub: GC must collect the unadopted partial dir")
+      assert(names(sub, "_FOLDED") == Set("batch=b1", "batch=b1b"),
+        s"$sub: complete commits fold normally: ${names(sub, "_FOLDED")}")
+    }
+
+    // the checkpoint replay of batch 2 rewrites AND publishes cleanly
+    assert(DedupStream.step(b2, store, batchTag = "b2").collect().isEmpty)
+    Seq("buckets", "sigs").foreach { sub =>
+      assert(names(sub, "_MANIFEST").contains("batch=b2"),
+        s"$sub: replayed commit must become visible again") }
+
+    // and doc 3's history is fully restored: a near-dup pairs against it
+    val b3 = Seq(doc(4L, (300 until 336).map(i => s"v$i") ++ Seq("q1", "q2", "q3", "q4")))
+      .toDF("doc_id", "text")
+    val p3 = DedupStream.step(b3, store, batchTag = "b3").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3 == Set((3L, 4L)), s"got ${p3.mkString(",")}")
+  }
+
   test("store meta guard: parts drift and unmarked stores fail loudly") {
     import java.nio.file.{Files, Paths}
     val store = Files.createTempDirectory("dguard").toString
