@@ -512,29 +512,59 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using the
     * 4×16-bit chunk pigeonhole: any pair within distance ≤ 3 shares at
-    * least one exact 16-bit chunk → bucket-join per chunk, then verify.
-    * Sub-quadratic like LSH banding. */
-  def simhashPairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
+    * least one exact 16-bit chunk → bucket-local pair generation per
+    * chunk, then verify. Sub-quadratic like LSH banding, and guarded
+    * the same way: a chunk bucket with B members emits B² candidate
+    * pairs, so one degenerate corpus (thousands of identical
+    * fingerprints) would put B² pairs through one bucket —
+    * `hotChunkCap` drops such buckets, and the drop is not silent:
+    * [[hotChunks]] reports them for operational monitoring (the
+    * module-wide hot-bucket contract, mirroring
+    * [[lshCandidatePairs]]). Pairs come from the size-split
+    * `pairCombinations` helper — one shuffle, O(len) per-row memory
+    * even on hot buckets below the cap. */
+  def simhashPairs(fps: DataFrame, maxDist: Int = 3,
+      hotChunkCap: Int = 100000): DataFrame = {
     // pigeonhole soundness: k equal-width chunks guarantee a shared
     // chunk only for Hamming distance <= k-1; 4 chunks of a 64-bit
     // fingerprint cover maxDist <= 3. Larger distances need more
     // (narrower) chunks — reject rather than silently lose pairs.
     require(maxDist <= 3,
       s"simhashPairs' 4x16-bit pigeonhole only guarantees recall for maxDist <= 3 (got $maxDist)")
+    val buckets = simhashChunkKeys(fps)
+      .groupBy("chunk", "key").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, hotChunkCap))
+      .withColumn("ids", array_sort(array_distinct(col("ids"))))
+      .filter(size(col("ids")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = pairCombinations(buckets)
+      .distinct() // the same pair can collide in several chunks
+    val f1 = fps.select(col("id").as("id1"), col("simhash").as("fp1"))
+    val f2 = fps.select(col("id").as("id2"), col("simhash").as("fp2"))
+    cand.join(f1, "id1").join(f2, "id2")
+      .select(col("id1"), col("id2"),
+        hammingDist(col("fp1"), col("fp2")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Monitoring companion to [[simhashPairs]]' hot-chunk cap: the
+    * (chunk, key, members) buckets the sweep would drop at this cap —
+    * at 100 TB, a fingerprint shared by B documents is boilerplate to
+    * inspect, not B² pairs to enumerate. */
+  def hotChunks(fps: DataFrame, hotChunkCap: Int): DataFrame =
+    simhashChunkKeys(fps)
+      .groupBy("chunk", "key").agg(count(lit(1)).as("members"))
+      .filter(col("members") > hotChunkCap)
+
+  /** The exploded (id, chunk, key) pigeonhole relation shared by the
+    * pair generator and its monitor. */
+  private def simhashChunkKeys(fps: DataFrame): DataFrame = {
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
     }
-    val keyed = fps.select(col("id"), col("simhash"),
-        explode(array(chunks: _*)).as("ck"))
-      .select(col("id"), col("simhash"), col("ck.chunk"), col("ck.key"))
-    keyed.as("x").join(keyed.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"),
-        hammingDist(col("x.simhash"), col("y.simhash")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
+    fps.select(col("id"), explode(array(chunks: _*)).as("ck"))
+      .select(col("id"), col("ck.chunk"), col("ck.key"))
   }
 
   // ------------------------------------------- embedding cosine near-dup
@@ -548,16 +578,41 @@ object Dedup {
 
   /** Embedding near-dup pairs above a cosine threshold, blocked by a
     * coarse LSH key (sign bits of seeded random projections) so the
-    * pair join is bucket-local, not a cross join. */
+    * pair join is bucket-local, not a cross join.
+    *
+    * `hotBucketCap` (opt-in) excludes buckets past the cap from the
+    * |bucket|² join — at 100 TB an embedding mode collapse (one point
+    * mass in the vector space) would otherwise silently dominate the
+    * sweep. Dropping is observable, not silent:
+    * [[embeddingHotBuckets]] reports exactly the excluded buckets at
+    * the same (planes, seed, cap). Default None preserves full recall
+    * for bounded corpora. */
   def embeddingNearDupPairs(
       emb: DataFrame, dim: Int, minCosine: Double, planes: Int = 8, seed: Long = 7L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      hotBucketCap: Option[Int] = None): DataFrame = {
+    val keyed0 = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
       SimilaritySearch.hyperplaneKey(col(vecCol), dim, planes, seed).as("bucket"))
+    val keyed = hotBucketCap.fold(keyed0) { cap =>
+      val cold = keyed0.groupBy("bucket").agg(count(lit(1)).as("members"))
+        .filter(col("members") <= cap).select("bucket")
+      // ≤ 2^planes rows by construction — broadcast, no extra shuffle
+      keyed0.join(broadcast(cold), Seq("bucket"))
+    }
     keyed.as("x").join(keyed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
         cosine(col("x.vec"), col("y.vec")).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** Monitoring companion to [[embeddingNearDupPairs]]' opt-in cap: the
+    * (bucket, members) rows it would exclude at this cap. */
+  def embeddingHotBuckets(
+      emb: DataFrame, dim: Int, planes: Int = 8, seed: Long = 7L,
+      vecCol: String = "embedding", hotBucketCap: Int): DataFrame =
+    emb.select(
+        SimilaritySearch.hyperplaneKey(col(vecCol), dim, planes, seed).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("members"))
+      .filter(col("members") > hotBucketCap)
 }

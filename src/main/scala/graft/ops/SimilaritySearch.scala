@@ -124,11 +124,16 @@ object SimilaritySearch {
     * within-cell self-join is the same bucket-local pair shape as
     * [[Dedup.lshCandidatePairs]]. Skewed cells (a mode collapse in the
     * embedding space) are observable via `cellSizes` before the join
-    * runs — the hotBuckets contract. */
+    * runs — and ENFORCEABLE via `cellCap` (opt-in): cells past the cap
+    * are excluded from the |cell|² join instead of silently dominating
+    * the sweep; `cellSizes(...).filter($"n" > cap)` reports exactly
+    * the dropped cells at the same (nlist, seed). Default None keeps
+    * SemDeDup's published full-recall-within-cells behavior. */
   def semanticNearDupPairs(
       emb: DataFrame, minCos: Double,
       nlist: Int = 16, seed: Long = 13L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCap: Option[Int] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -137,8 +142,14 @@ object SimilaritySearch {
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setInitMode("random")
       .fit(train.select("features"))
-    val assigned = model.transform(train)
+    val assigned0 = model.transform(train)
       .select(col("id"), col("vec"), col("prediction").as("cell"))
+    val assigned = cellCap.fold(assigned0) { cap =>
+      val cold = assigned0.groupBy("cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= cap).select("cell")
+      // ≤ nlist rows by construction — broadcast, no extra shuffle
+      assigned0.join(broadcast(cold), Seq("cell"))
+    }
     val a = assigned.select(col("cell"), col("id").as("id1"), col("vec").as("v1"))
     val b = assigned.select(col("cell"), col("id").as("id2"), col("vec").as("v2"))
     a.join(b, Seq("cell"))

@@ -108,6 +108,74 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => Set((5L, 101L), (3L, 100L)).contains((a, b)) })
   }
 
+  test("simhashPairs: a degenerate fingerprint mass is capped, reported, and cold pairs survive") {
+    import spark.implicits._
+    // 5000 identical fingerprints (boilerplate corpus) would emit ~12.5M
+    // pairs through four chunk buckets — the cap must bound the sweep
+    val mass = (0L until 5000L).map(i => (i, 0x0123456789abcdefL))
+    // planted cold near-dup: distinct fingerprint pair 1 bit apart
+    val planted = Seq((9001L, 0x7777000011112222L), (9002L, 0x7777000011112223L))
+    val fps = (mass ++ planted).toDF("id", "simhash")
+    val pairs = Dedup.simhashPairs(fps, maxDist = 3, hotChunkCap = 100)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((9001L, 9002L)),
+      s"only the cold planted pair may survive the cap: ${pairs.take(5)}")
+    // the drop is observable: all four chunk buckets of the mass report hot
+    val hot = Dedup.hotChunks(fps, hotChunkCap = 100).collect()
+    assert(hot.length == 4 && hot.forall(_.getLong(2) == 5000L),
+      s"got ${hot.mkString(",")}")
+    // and without a degenerate mass the cap changes nothing
+    val uncapped = Dedup.simhashPairs(fps.filter(col("id") >= 9000L), maxDist = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == pairs)
+    spark.catalog.clearCache()
+  }
+
+  test("embedding LSH cap: a vector point mass is excluded, reported, and cold pairs survive") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (0.1f * (i % 7 + 1)))
+    val neg = v.map(x => -x)
+    // 1000 copies of -v (mode collapse); its bucket is the exact sign
+    // complement of v's, so the planted v-pair is cold by construction
+    val mass = (0L until 1000L).map(i => (i, neg.toSeq))
+    val planted = Seq((9001L, v.toSeq), (9002L, v.toSeq))
+    val emb = (mass ++ planted).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupPairs(
+        emb, dim = 64, minCosine = 0.9, hotBucketCap = Some(100))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((9001L, 9002L)),
+      s"only the cold planted pair may survive: ${capped.take(5)}")
+    val hot = Dedup.embeddingHotBuckets(emb, dim = 64, hotBucketCap = 100).collect()
+    assert(hot.length == 1 && hot.head.getLong(1) == 1000L, s"got ${hot.mkString(",")}")
+    // default (no cap) keeps full within-bucket recall: the mass pairs exist
+    val full = Dedup.embeddingNearDupPairs(
+      emb.filter(col("vec_id").isin(0L, 1L, 9001L, 9002L)), dim = 64, minCosine = 0.9)
+    assert(full.count() == 2L)
+  }
+
+  test("SemDeDup cell cap: a collapsed cell is excluded, reported, and cold pairs survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val v = Array.tabulate(64)(i => 0.1f * (i % 7 + 1))
+    val neg = v.map(x => -x)
+    // 400 near-copies of -v (one collapsed k-means cell) + 3 near-copies
+    // of v (a small cold cell) — antipodal, so k=2 separates them
+    val mass = (0L until 400L).map(i =>
+      (i, neg.map(x => x + 0.001f * rnd.nextGaussian().toFloat).toSeq))
+    val cold = (9001L to 9003L).map(i =>
+      (i, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat).toSeq))
+    val emb = (mass ++ cold).toDF("vec_id", "embedding")
+    val capped = SimilaritySearch.semanticNearDupPairs(
+        emb, minCos = 0.9, nlist = 2, cellCap = Some(100))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((9001L, 9002L), (9001L, 9003L), (9002L, 9003L)),
+      s"only the cold cell's pairs may survive: ${capped.take(5)}")
+    // the drop is observable at the same (nlist, seed): one hot cell of 400
+    val hot = SimilaritySearch.cellSizes(emb, nlist = 2)
+      .filter(col("n") > 100).collect()
+    assert(hot.length == 1 && hot.head.getLong(1) == 400L, s"got ${hot.mkString(",")}")
+  }
+
   test("LSH ANN achieves high recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(11)
     // 10 cluster centers, 30 points each = 300 vectors with real structure
