@@ -35,7 +35,7 @@ object Queries {
     // a stopped session's plans (and their file-index snapshots) are
     // dead weight — drop them here rather than pinning the session
     // until a size backstop fires
-    tableCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    evictDead()
     // backstop for a pathological many-path session; clearing is safe
     // (a cleared entry just re-reads) so losing a concurrent insert to
     // this check-then-clear costs one extra listing, never correctness
@@ -44,6 +44,16 @@ object Queries {
       (spark, s"$dir/$name.parquet"),
       key => key._1.read.parquet(key._2))
   }
+
+  /** Eviction seam, run on every [[table]] call: drops entries whose
+    * session is dead. The predicate is injectable ONLY for the spec —
+    * one local JVM allows one SparkContext, so a genuinely stopped
+    * session cannot coexist with the suite's live one. */
+  private[graft] def evictDead(
+      isDead: SparkSession => Boolean = _.sparkContext.isStopped): Unit =
+    tableCache.keySet.removeIf(k => isDead(k._1))
+
+  private[graft] def cachedTableCount: Int = tableCache.size
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark only reads via the nanosAsLong legacy conf. Normalize `ts` back
