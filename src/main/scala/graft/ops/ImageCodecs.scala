@@ -107,20 +107,25 @@ object ImageCodecs {
         b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return None
     val id = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
     val size = le32(b, 16).toLong & 0xffffffffL
-    if (20L + size > b.length) return None // lying/truncated chunk size
     val p = 20 // chunk payload start
+    // bound the buffer check to the bytes this decoder actually READS
+    // (≤ 10 payload bytes) — a header-only PREFIX of a valid WebP (the
+    // standard read-first-N-bytes sniffing pattern) must still decode;
+    // the declared chunk size stays a per-flavor sanity LOWER bound
+    // (the other decoders are exactly this lenient on truncated tails)
+    def has(n: Int): Boolean = p + n <= b.length
     id match {
-      case "VP8 " if size >= 10 &&
+      case "VP8 " if size >= 10 && has(10) &&
           u8(b, p + 3) == 0x9d && u8(b, p + 4) == 0x01 && u8(b, p + 5) == 0x2a =>
         val w = le16(b, p + 6) & 0x3fff
         val h = le16(b, p + 8) & 0x3fff
         if (w > 0 && h > 0) Some(Dims(w, h, "webp")) else None
-      case "VP8L" if size >= 5 && u8(b, p) == 0x2f =>
+      case "VP8L" if size >= 5 && has(5) && u8(b, p) == 0x2f =>
         val v = le32(b, p + 1)
         val w = (v & 0x3fff) + 1
         val h = ((v >>> 14) & 0x3fff) + 1
         Some(Dims(w, h, "webp"))
-      case "VP8X" if size >= 10 =>
+      case "VP8X" if size >= 10 && has(10) =>
         val w = le24(b, p + 4) + 1
         val h = le24(b, p + 7) + 1
         Some(Dims(w, h, "webp"))

@@ -162,8 +162,8 @@ object Multimodal {
 
   /** Video metadata pass: AVI fills dims + frame-clock duration
     * ([[RiffCodecs.decodeAvi]]); MP4/ISO-BMFF fills duration + brand
-    * ([[RiffCodecs.decodeMp4]] — metadata only, frame demux is the AVI
-    * path). Undecodable video dead-letters. */
+    * ([[RiffCodecs.decodeMp4]]; its stbl frame index feeds
+    * [[sampleFrames]]). Undecodable video dead-letters. */
   def decodeVideo(assets: Dataset[MediaAsset])(implicit spark: SparkSession): Dataset[MediaAsset] = {
     import spark.implicits._
     assets.mapPartitions { it =>
@@ -180,13 +180,16 @@ object Multimodal {
   /** Frame sampling for video-kind assets: one output row per sampled
     * frame at `everyMs` intervals.
     *
-    * REAL for AVI containers ([[RiffCodecs.decodeAvi]]): one header
-    * walk indexes every `##dc`/`##db` frame chunk, then each sampled
-    * offset maps to its frame via the `avih` µs-per-frame clock and the
-    * payload slice is the actual frame bytes (for MJPEG, a complete
-    * JPEG). Non-AVI payloads (headerless synthetic fixtures) keep the
-    * proportional byte-slice stand-in so the dataflow stays exercised
-    * end-to-end without a second container format.
+    * REAL for both container formats: AVI ([[RiffCodecs.decodeAvi]] —
+    * one header walk indexes every `##dc`/`##db` frame chunk with the
+    * `avih` µs-per-frame clock) and MP4 ([[RiffCodecs.decodeMp4]] —
+    * the video trak's stsz/stco/stsc sample tables resolve to frame
+    * slices, with the frame clock derived from the mvhd duration over
+    * the frame count). Each sampled offset maps to its frame index and
+    * the payload slice is the actual frame bytes (for MJPEG, a
+    * complete JPEG). Undemuxable payloads (headerless synthetic
+    * fixtures) keep the proportional byte-slice stand-in so the
+    * dataflow stays exercised end-to-end regardless of container.
     *
     * Explode happens row-wise in mapPartitions — no materialized
     * all-frames array; at 100 TB the demux reads each asset's bytes
@@ -196,9 +199,23 @@ object Multimodal {
     import spark.implicits._
     assets.filter(_.kind == "video").mapPartitions { it =>
       it.flatMap { a =>
-        RiffCodecs.decodeAvi(a.bytes) match {
-          case Some(avi) =>
-            val durMs = math.max(1L, avi.durationMs)
+        // (durationMs, usPerFrame, frame slices) from whichever
+        // container demuxes; MP4 carries no per-frame clock, so derive
+        // it from duration/frames (40 ms/frame when mvhd is absent)
+        val demux: Option[(Long, Long, Vector[(Int, Int)])] =
+          RiffCodecs.decodeAvi(a.bytes) match {
+            case Some(avi) =>
+              Some((math.max(1L, avi.durationMs), avi.usPerFrame, avi.frames))
+            case None => RiffCodecs.decodeMp4(a.bytes) match {
+              case Some(m) if m.frames.nonEmpty =>
+                val durMs = math.max(1L,
+                  if (m.durationMs > 0) m.durationMs else 40L * m.frames.size)
+                Some((durMs, math.max(1L, durMs * 1000L / m.frames.size), m.frames))
+              case _ => None
+            }
+          }
+        demux match {
+          case Some((durMs, usPerFrame, frames)) =>
             val n = math.max(1L, durMs / everyMs).toInt
             // sampling faster than the frame clock maps several offsets
             // to one container frame: emit each frame ONCE (first
@@ -206,11 +223,11 @@ object Multimodal {
             var lastIdx = -1
             (0 until n).iterator.flatMap { f =>
               val off = f.toLong * everyMs
-              val idx = (off * 1000L / avi.usPerFrame).toInt
-              if (idx >= avi.frames.size || idx == lastIdx) Iterator.empty
+              val idx = (off * 1000L / usPerFrame).toInt
+              if (idx >= frames.size || idx == lastIdx) Iterator.empty
               else {
                 lastIdx = idx
-                val (fo, fl) = avi.frames(idx)
+                val (fo, fl) = frames(idx)
                 Iterator.single(DecodedFrame(a.asset_id, idx, off,
                   java.util.Arrays.copyOfRange(a.bytes, fo, fo + fl)))
               }

@@ -99,17 +99,32 @@ object RiffCodecs {
     else Some(AviInfo(w, h, usPerFrame, if (total > 0) total else fs.size, fs))
   }
 
-  /** MP4 / ISO-BMFF metadata: brand from `ftyp`, duration from `mvhd`.
+  /** MP4 / ISO-BMFF metadata + video-frame demux: brand from `ftyp`,
+    * duration from `mvhd`, and the first VIDEO track's sample table
+    * (`trak` → `mdia` → `minf` → `stbl`) resolved into per-frame
+    * (offset, length) slices — the MP4 analog of [[decodeAvi]]'s frame
+    * index, powering [[Multimodal.sampleFrames]] for the second
+    * container format.
     *
     * ISO-BMFF is a box tree: `size(be32) type(4cc) payload`, `moov`
     * nests `mvhd` whose version-0 layout carries timescale/duration as
     * be32 at payload offsets 12/16 (version-1: be32 timescale at 20,
-    * be64 duration at 24). Frame DEMUX for MP4 needs the full
-    * stbl/stsc/stco sample tables — out of scope here (AVI covers real
-    * frame seeking); this parser covers the metadata sweep: kind
-    * detection, duration, brand. A size-0 ("to end of file") or
-    * truncated box stops the walk cleanly. */
-  final case class Mp4Info(brand: String, durationMs: Long)
+    * be64 duration at 24). A video trak is identified by its `hdlr`
+    * handler type `vide`; its samples come from the standard table
+    * triple: `stsz` (per-sample sizes, or one uniform size), `stco` /
+    * `co64` (chunk offsets), `stsc` (run-length samples-per-chunk map).
+    * Samples within a chunk are laid out back-to-back from the chunk
+    * offset — exactly the layout the tables encode.
+    *
+    * Defensive like the RIFF walkers: a size-0 ("to end of file"),
+    * 64-bit, or lying box size stops the walk cleanly; a sample table
+    * whose declared entry count exceeds its box payload is ignored
+    * (crafted counts must not drive allocation); sample slices falling
+    * outside the file are dropped. Undecodable assets dead-letter
+    * upstream, they do not throw. */
+  final case class Mp4Info(
+      brand: String, durationMs: Long,
+      frames: Vector[(Int, Int)] = Vector.empty)
 
   def decodeMp4(b: Array[Byte]): Option[Mp4Info] = {
     if (b == null || b.length < 12) return None
@@ -121,7 +136,25 @@ object RiffCodecs {
     var timescale = 0L
     var duration = -1L
 
-    def walk(start: Int, end: Int, depth: Int): Unit = {
+    // per-trak sample-table accumulator; only the FIRST complete video
+    // trak's frames are kept (multi-track files: video is what the
+    // frame sampler wants)
+    final class Trak {
+      var isVideo = false
+      var uniformSize = 0L
+      var sizes: Array[Long] = null
+      var chunkOffsets: Array[Long] = null
+      var stsc: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+    }
+    var videoFrames: Vector[(Int, Int)] = Vector.empty
+
+    // bounded table read: never allocate past what the box payload can
+    // actually hold — a crafted entry count dies here
+    def readTable(count: Long, tableStart: Int, boxEnd: Int, width: Int): Option[Int] =
+      if (count < 0 || count > (boxEnd - tableStart).max(0) / width) None
+      else Some(count.toInt)
+
+    def walk(start: Int, end: Int, depth: Int, trak: Trak): Unit = {
       var o = start
       var ok = true
       while (ok && o + 8 <= end) {
@@ -131,16 +164,51 @@ object RiffCodecs {
         if (size == 1 || boxEndL > end || (size != 0 && size < 8)) ok = false // 64-bit/lying sizes: stop
         else {
           val boxEnd = boxEndL.toInt
-          if (tpe == "ftyp" && boxEnd >= o + 12) brand = fourcc(b, o + 8)
-          else if (tpe == "moov" && depth < MaxNestDepth) walk(o + 8, boxEnd, depth + 1)
-          else if (tpe == "mvhd" && boxEnd >= o + 8 + 4) {
-            val version = u8(b, o + 8)
-            if (version == 0 && boxEnd >= o + 8 + 20) {
-              timescale = be32(o + 8 + 12)
-              duration = be32(o + 8 + 16)
-            } else if (version == 1 && boxEnd >= o + 8 + 32) {
-              timescale = be32(o + 8 + 20)
-              duration = be64(o + 8 + 24)
+          val p = o + 8 // payload start
+          if (tpe == "ftyp" && boxEnd >= o + 12) brand = fourcc(b, p)
+          else if (tpe == "moov" && depth < MaxNestDepth) walk(p, boxEnd, depth + 1, null)
+          else if (tpe == "trak" && depth < MaxNestDepth) {
+            val t = new Trak
+            walk(p, boxEnd, depth + 1, t)
+            if (videoFrames.isEmpty && t.isVideo) videoFrames = resolveFrames(t)
+          } else if ((tpe == "mdia" || tpe == "minf" || tpe == "stbl") && depth < MaxNestDepth)
+            walk(p, boxEnd, depth + 1, trak)
+          else if (tpe == "mvhd" && boxEnd >= p + 4) {
+            val version = u8(b, p)
+            if (version == 0 && boxEnd >= p + 20) {
+              timescale = be32(p + 12)
+              duration = be32(p + 16)
+            } else if (version == 1 && boxEnd >= p + 32) {
+              timescale = be32(p + 20)
+              duration = be64(p + 24)
+            }
+          } else if (trak != null && tpe == "hdlr" && boxEnd >= p + 12) {
+            // version/flags(4) pre_defined(4) handler_type(4)
+            if (fourcc(b, p + 8) == "vide") trak.isVideo = true
+          } else if (trak != null && tpe == "stsz" && boxEnd >= p + 12) {
+            trak.uniformSize = be32(p + 4)
+            val count = be32(p + 8)
+            if (trak.uniformSize > 0) {
+              // uniform size: no table follows, so the box cannot bound
+              // the count — cap the synthesized array at 2^22 frames
+              // (a day of 48fps video; crafted counts must not drive
+              // gigabyte allocations)
+              trak.sizes = Array.fill(math.min(count, 1L << 22).toInt)(trak.uniformSize)
+            } else readTable(count, p + 12, boxEnd, 4).foreach { n =>
+              trak.sizes = Array.tabulate(n)(i => be32(p + 12 + 4 * i))
+            }
+          } else if (trak != null && tpe == "stco" && boxEnd >= p + 8) {
+            readTable(be32(p + 4), p + 8, boxEnd, 4).foreach { n =>
+              trak.chunkOffsets = Array.tabulate(n)(i => be32(p + 8 + 4 * i))
+            }
+          } else if (trak != null && tpe == "co64" && boxEnd >= p + 8) {
+            readTable(be32(p + 4), p + 8, boxEnd, 8).foreach { n =>
+              trak.chunkOffsets = Array.tabulate(n)(i => be64(p + 8 + 8 * i))
+            }
+          } else if (trak != null && tpe == "stsc" && boxEnd >= p + 8) {
+            readTable(be32(p + 4), p + 8, boxEnd, 12).foreach { n =>
+              trak.stsc = Array.tabulate(n)(i =>
+                (be32(p + 8 + 12 * i), be32(p + 8 + 12 * i + 4)))
             }
           }
           if (size == 0) ok = false else o = boxEnd
@@ -148,10 +216,41 @@ object RiffCodecs {
       }
     }
 
-    walk(0, b.length, 0)
+    // chunk-walk the table triple into (offset, length) frame slices;
+    // out-of-file slices are dropped (lying offsets), order preserved
+    def resolveFrames(t: Trak): Vector[(Int, Int)] = {
+      if (t.sizes == null || t.chunkOffsets == null || t.stsc == null ||
+        t.stsc.isEmpty) return Vector.empty
+      val out = Vector.newBuilder[(Int, Int)]
+      var sample = 0
+      var stscIdx = 0
+      var chunk = 1L // 1-based per spec
+      while (chunk <= t.chunkOffsets.length && sample < t.sizes.length) {
+        // advance the stsc run: entry i applies from its first_chunk
+        // until the next entry's first_chunk (exclusive)
+        while (stscIdx + 1 < t.stsc.length && chunk >= t.stsc(stscIdx + 1)._1)
+          stscIdx += 1
+        val perChunk = t.stsc(stscIdx)._2
+        var off = t.chunkOffsets((chunk - 1).toInt)
+        var i = 0L
+        while (i < perChunk && sample < t.sizes.length) {
+          val len = t.sizes(sample)
+          if (off >= 0 && len > 0 && off + len <= b.length)
+            out += ((off.toInt, len.toInt))
+          off += len
+          sample += 1
+          i += 1
+        }
+        chunk += 1
+      }
+      out.result()
+    }
+
+    walk(0, b.length, 0, null)
     if (brand.isEmpty) None
     else Some(Mp4Info(brand,
-      if (timescale > 0 && duration >= 0) duration * 1000L / timescale else 0L))
+      if (timescale > 0 && duration >= 0) duration * 1000L / timescale else 0L,
+      videoFrames))
   }
 
   /** WAV metadata: format chunk + duration from the data chunk size. */

@@ -83,6 +83,12 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeWebp(extended).contains(Dims(1920, 1080, "webp")))
     // magic-order dispatch reaches WebP before the JPEG marker scan
     assert(decodeHeader(lossy).contains(Dims(320, 240, "webp")))
+    // header-only prefix (the read-first-N-bytes sniffing pattern): a
+    // first chunk whose declared size extends far past the buffer must
+    // still yield dims — the decoder only reads ~30 bytes
+    val bigDeclared = cc("RIFF") ++ le32b(5000) ++ cc("WEBP") ++ cc("VP8X") ++
+      le32b(4096) ++ Array[Byte](0, 0, 0, 0) ++ le24b(1920 - 1) ++ le24b(1080 - 1)
+    assert(decodeWebp(bigDeclared).contains(Dims(1920, 1080, "webp")))
     // truncated payload (lying size), broken start code, wrong form
     assert(decodeWebp(lossy.dropRight(6)).isEmpty)
     val badCode = lossy.clone(); badCode(23) = 0x00
@@ -279,6 +285,82 @@ class MultimodalSpec extends SparkSpec {
           be32b(evil) ++ cc("moov") ++ Array.fill[Byte](16)(0)).map(_.durationMs)
           .forall(_ == 0L)) // brand parsed, evil moov box stops the walk
     }
+  }
+
+  test("MP4 frame demux: stsz/stco/stsc resolve to real frame slices; sampleFrames serves them") {
+    // three MJPEG frames laid out in TWO chunks (2 + 1 samples) with a
+    // junk gap between the chunks — only the sample tables know the
+    // true layout, so matching slices proves stco/stsc/stsz are honored
+    val jpegs = (0 until 3).map(i => realImage("jpg", 16 + i, 8 + i))
+    def fullBox(tpe: String, payload: Array[Byte]) =
+      box(tpe, be32b(0) ++ payload) // version(1)+flags(3) = one zero be32
+    val hdlr = fullBox("hdlr", be32b(0) ++ cc("vide") ++ Array.fill[Byte](12)(0))
+    val stsc = fullBox("stsc", be32b(2) ++
+      (be32b(1) ++ be32b(2) ++ be32b(1)) ++ // chunks 1..1: 2 samples each
+      (be32b(2) ++ be32b(1) ++ be32b(1)))   // chunks 2..: 1 sample each
+    val stsz = fullBox("stsz", be32b(0) ++ be32b(3) ++
+      jpegs.toArray.flatMap(f => be32b(f.length.toLong)))
+    val mvhd = box("mvhd", be32b(0) ++ be32b(0) ++ be32b(0) ++
+      be32b(600) ++ be32b(1500) ++ Array.fill[Byte](80)(0)) // 2500 ms
+    val ftypB = box("ftyp", cc("isom") ++ be32b(512) ++ cc("isomavc1"))
+
+    def assemble(c1: Long, c2: Long): Array[Byte] = {
+      val stco = fullBox("stco", be32b(2) ++ be32b(c1) ++ be32b(c2))
+      val stbl = box("stbl", stsc ++ stsz ++ stco)
+      val trak = box("trak", box("mdia", hdlr ++ box("minf", stbl)))
+      val moov = box("moov", mvhd ++ trak)
+      val gap = Array[Byte](9, 9, 9, 9)
+      val mdat = box("mdat", jpegs(0) ++ jpegs(1) ++ gap ++ jpegs(2))
+      ftypB ++ moov ++ mdat
+    }
+    // stco holds absolute file offsets → two-pass: sizes are offset-
+    // independent, so assemble once for lengths, then with real offsets
+    val probe = assemble(0, 0)
+    val mdatPayload = probe.length - (jpegs.map(_.length).sum + 4)
+    val c1 = mdatPayload
+    val c2 = mdatPayload + jpegs(0).length + jpegs(1).length + 4
+    val mp4 = assemble(c1, c2)
+
+    val info = RiffCodecs.decodeMp4(mp4).get
+    assert(info.durationMs == 2500L)
+    assert(info.frames.size == 3, s"got ${info.frames}")
+    info.frames.zipWithIndex.foreach { case ((off, len), i) =>
+      val dims = ImageCodecs.decodeJpeg(
+        java.util.Arrays.copyOfRange(mp4, off, off + len)).get
+      assert(dims.width == 16 + i && dims.height == 8 + i, s"frame $i: $dims")
+    }
+
+    // the sampler serves MP4 frames end-to-end (clock: 2500ms / 3 frames)
+    val fs = Multimodal.sampleFrames(Seq(
+        MediaAsset(60L, "video", mp4, MediaMeta(0, 0, 2500L, 0, "isom"))).toDS(),
+        everyMs = 900L)
+      .collect().sortBy(_.frame_index)
+    assert(fs.length == 2, s"2500ms / 900ms = offsets 0,900 → container frames 0,1; got ${fs.length}")
+    fs.foreach { f =>
+      val dims = ImageCodecs.decodeJpeg(f.frame_bytes).get
+      assert(dims.width == 16 + f.frame_index, s"frame ${f.frame_index}: $dims")
+    }
+
+    // a non-video trak (hdlr 'soun') must not contribute frames
+    val soun = fullBox("hdlr", be32b(0) ++ cc("soun") ++ Array.fill[Byte](12)(0))
+    val audioOnly = {
+      val stco = fullBox("stco", be32b(2) ++ be32b(c1) ++ be32b(c2))
+      val stbl = box("stbl", stsc ++ stsz ++ stco)
+      val trak = box("trak", box("mdia", soun ++ box("minf", stbl)))
+      val gap = Array[Byte](9, 9, 9, 9)
+      ftypB ++ box("moov", mvhd ++ trak) ++
+        box("mdat", jpegs(0) ++ jpegs(1) ++ gap ++ jpegs(2))
+    }
+    assert(RiffCodecs.decodeMp4(audioOnly).get.frames.isEmpty)
+
+    // crafted table counts (entry count >> box payload) are ignored, not allocated
+    val evilStsz = fullBox("stsz", be32b(0) ++ be32b(0x7fffffffL) ++ be32b(1))
+    val evil = {
+      val stco = fullBox("stco", be32b(2) ++ be32b(c1) ++ be32b(c2))
+      val stbl = box("stbl", stsc ++ evilStsz ++ stco)
+      ftypB ++ box("moov", mvhd ++ box("trak", box("mdia", hdlr ++ box("minf", stbl))))
+    }
+    assert(RiffCodecs.decodeMp4(evil).get.frames.isEmpty)
   }
 
   test("deeply nested containers are depth-bounded — no StackOverflowError") {
