@@ -35,11 +35,32 @@ object PageRank {
     *                  convergence test would make results data-timing
     *                  dependent).
     * @param damping   standard 0.85.
-    * @param checkpointEvery cut rank lineage every k iterations. */
+    * @param checkpointEvery cut rank lineage every k iterations.
+    * @param onCheckpoint telemetry heartbeat, fired after each eager
+    *                  lineage cut with (iteration, elapsed ms of the
+    *                  cut) — the only actions inside the otherwise
+    *                  lazy loop, so they are where a stalling run is
+    *                  observable (wire to
+    *                  [[graft.streaming.MetricsSink.roundHook]]). */
   def pageRank(
       edges: DataFrame, iters: Int, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst",
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 8,
+      onCheckpoint: (Int, Long) => Unit = (_, _) => ()): DataFrame =
+    pageRankWithRelease(
+      edges, iters, damping, srcCol, dstCol, checkpointEvery, onCheckpoint)._1
+
+  /** [[pageRank]] plus an explicit RELEASE HANDLE for the three
+    * relations it persists (edges, edges⋈degree, nodes). The returned
+    * plan consumes them lazily, so call the handle only AFTER the
+    * result is consumed (or abandoned). Bench/Verify-style harnesses
+    * can keep using `spark.catalog.clearCache()`; long-lived sessions
+    * that must not clear unrelated cache entries use this instead. */
+  def pageRankWithRelease(
+      edges: DataFrame, iters: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointEvery: Int = 8,
+      onCheckpoint: (Int, Long) => Unit = (_, _) => ()): (DataFrame, () => Unit) = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -64,7 +85,11 @@ object PageRank {
         .select(col("node"),
           (lit(1 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
       i += 1
-      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters) {
+        val t0 = System.nanoTime()
+        ranks = ranks.localCheckpoint()
+        onCheckpoint(i, (System.nanoTime() - t0) / 1000000L)
+      }
     }
     // Returned LAZY on purpose: an eager localCheckpoint here would
     // release the three persisted relations early but costs ~2.5x wall
@@ -72,9 +97,15 @@ object PageRank {
     // vs 1.4s at sf0.1). Same CACHE LIFECYCLE CONTRACT as the pairwise
     // Dedup operators: the persisted edge/degree/node relations are
     // consumed by the returned plan, so a long-lived session must
-    // release them after consuming the result (`spark.catalog
-    // .clearCache()` between operator calls — what Bench and Verify
-    // do — or unpersist the returned plan's sources).
-    ranks
+    // release them after consuming the result — via the returned
+    // handle, or `spark.catalog.clearCache()` between operator calls
+    // (what Bench and Verify do).
+    val release = () => {
+      e.unpersist(blocking = false)
+      withDeg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      ()
+    }
+    (ranks, release)
   }
 }

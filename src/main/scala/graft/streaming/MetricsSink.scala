@@ -41,6 +41,15 @@ final class MetricsSink(spark: SparkSession, root: String) {
       .write.mode("append").partitionBy("day").parquet(root)
   }
 
+  /** Adapter for the iterative graph loops' `(round, value)` hooks
+    * ([[graft.ops.ConnectedComponents.connectedComponents]]'s `onRound`
+    * edge gauge, [[graft.ops.PageRank.pageRank]]'s `onCheckpoint`
+    * heartbeat): one metrics point per round, so a stalling 100 TB
+    * contraction is visible in the table, not just in the scheduler
+    * UI. */
+  def roundHook(loop: String, valueName: String = "edges"): (Int, Long) => Unit =
+    (round, value) => record(loop, Map("round" -> round.toLong, valueName -> value))
+
   /** The metrics table (empty-schema DataFrame when nothing recorded). */
   def table(): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(root)

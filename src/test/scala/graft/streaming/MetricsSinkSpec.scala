@@ -28,6 +28,52 @@ class MetricsSinkSpec extends SparkSpec {
     assert(tbl.select("day").distinct().count() == 2)
   }
 
+  test("iterative graph loops record per-round telemetry through roundHook") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("metrics-graph").toString + "/m"
+    val sink = new MetricsSink(spark, root)
+
+    // CC: force the distributed star-contraction path so every round
+    // fires the hook with its edge gauge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    graft.ops.ConnectedComponents.connectedComponents(
+      edges, onRound = sink.roundHook("cc"), localThreshold = 0).collect()
+    val cc = sink.table().filter(col("loop") === "cc")
+    val ccRounds = cc.filter(col("metric") === "round")
+      .select("value").collect().map(_.getLong(0)).sorted
+    assert(ccRounds.nonEmpty && ccRounds.head == 1L,
+      s"per-round rows expected, got ${ccRounds.mkString(",")}")
+    assert(cc.filter(col("metric") === "edges").count() == ccRounds.length,
+      "each round carries its edge gauge")
+
+    // PageRank: the checkpoint heartbeat is the loop's only action —
+    // 5 iterations at checkpointEvery=2 cut at i=2 and i=4
+    val (pr, release) = graft.ops.PageRank.pageRankWithRelease(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), iters = 5,
+      checkpointEvery = 2,
+      onCheckpoint = sink.roundHook("pagerank", valueName = "checkpoint_ms"))
+    assert(pr.count() == 2)
+    val prRounds = sink.table()
+      .filter(col("loop") === "pagerank" && col("metric") === "round")
+      .select("value").collect().map(_.getLong(0)).sorted
+    assert(prRounds.toSeq == Seq(2L, 4L), s"got ${prRounds.mkString(",")}")
+
+    // the release handle frees the three persisted relations without
+    // touching unrelated cache entries
+    val other = Seq((1, 2)).toDF("a", "b").cache()
+    other.count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    release()
+    // unpersist is async (blocking=false): poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.getPersistentRDDs.size > before - 3 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before - 3,
+      s"release must drop the 3 pagerank relations (before=$before)")
+    assert(other.storageLevel.useMemory, "unrelated cache entries must survive")
+    other.unpersist()
+  }
+
   test("streaming loop records per-micro-batch points via the sink") {
     val tmp = java.nio.file.Files.createTempDirectory("metrics-stream").toString
     val sink = new MetricsSink(spark, s"$tmp/metrics")
