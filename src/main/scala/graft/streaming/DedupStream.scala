@@ -353,9 +353,25 @@ object DedupStream {
     val oldBuckets = readStore(
       spark, s"$storeDir/buckets", bucketSchema, batchTag, "pb", batchPb)
 
+    // bucket-KEY prefilter on the history side: partition pruning is
+    // coarse (a few thousand batch keys touch all `storeParts`
+    // partitions), so without it every tick SHUFFLES the whole
+    // accumulated bucket store into the candidate join. Only history
+    // rows sharing an exact (band, bucket) with the batch can ever
+    // produce a candidate — a broadcast semi-join keeps the join input
+    // O(matching history), which for fresh content is ~0 however large
+    // the store grows. Guarded: a huge batch (batch-mode reuse) skips
+    // the broadcast rather than materializing an oversized key set.
+    val batchKeys = newBuckets.select("band", "bucket").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldPruned =
+      if (batchKeys.count() <= 1000000)
+        oldBuckets.join(broadcast(batchKeys), Seq("band", "bucket"), "left_semi")
+      else oldBuckets
+
     // candidates: every bucket-mate of a NEW doc (new×new once via the
     // id order; new×old in either id order), history never self-pairs
-    val allBuckets = newBuckets.select("id", "band", "bucket").unionByName(oldBuckets)
+    val allBuckets = newBuckets.select("id", "band", "bucket").unionByName(oldPruned)
     val cand = newBuckets.select(col("band"), col("bucket"), col("id").as("nid"))
       .join(allBuckets.select(col("band"), col("bucket"), col("id").as("oid")),
         Seq("band", "bucket"))
@@ -409,6 +425,7 @@ object DedupStream {
     publishCommit(spark,
       new org.apache.hadoop.fs.Path(s"$storeDir/sigs"), s"batch=$batchTag")
     newBuckets.unpersist()
+    batchKeys.unpersist()
     sigs.unpersist()
     cand.unpersist()
     out
