@@ -70,6 +70,8 @@ object SparkEntry {
     "q61_bm25" -> (OpsQueries.q61Bm25 _),
     "q62_csv_dim" -> (OpsQueries.q62CsvDim _),
     "q63_bpe_tokens" -> (OpsQueries.q63BpeTokens _),
+    "q64_quality_score" -> (OpsQueries.q64QualityScore _),
+    "q65_ivfpq_topk" -> (OpsQueries.q65IvfPqTopK _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -662,6 +664,25 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  CAST(COALESCE(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
         |  CAST(COALESCE(agg.n_ws, 0) AS BIGINT) AS n_ws_tokens
-        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    // q64: the LBFGS fit is fixture-pinned (DumpQualityFixture —
+    // regenerate on any QualityClassifier/label/vocab change); the
+    // SCORING is re-derived here: same join + occurrence-sum + sigmoid
+    // arithmetic shape as the Spark side, ROUND(,6) on both sides
+    // (summation order differs, exp amplifies nothing at 6 dp)
+    "q64_quality_score" ->
+      """WITH wt AS (SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/fixtures/quality_weights.parquet')),
+        |words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0),
+        |z AS (
+        |  SELECT words.doc_id, sum(wt.weight) AS z
+        |  FROM words JOIN wt ON words.w = wt.word GROUP BY words.doc_id)
+        |SELECT d.doc_id,
+        |  ROUND(1.0 / (1.0 + exp(-(COALESCE(z.z, 0) +
+        |    (SELECT weight FROM wt WHERE word = '__INTERCEPT__')))), 6) AS quality
+        |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id""".stripMargin
   )
 }

@@ -320,6 +320,162 @@ object SimilaritySearch {
     }
   }
 
+  /** IVF-PQ fused ANN top-k — the production large-index layout
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search", §IV): a coarse quantizer splits the corpus into `nlist`
+    * inverted lists, and each vector stores only its cell id + the PQ
+    * codes of its RESIDUAL (v − cell centroid). Search probes the
+    * `nprobe` nearest cells and scores codes against per-query ADC
+    * tables, with `⟨q, v⟩ ≈ ⟨q, c_cell⟩ + ⟨q, residual⟩` — the cell
+    * term exact, the residual term from the code tables. Residual
+    * quantization is the point of the fusion: residuals are small and
+    * centered, so 16-centroid sub-quantizers spend their precision
+    * where the coarse quantizer left error.
+    *
+    * Scale shape: both quantizers fit on the same bounded
+    * deterministic 20k sample (driver-local Lloyd's — a cell/codebook
+    * model cannot absorb corpus-sized training); one corpus pass
+    * assigns + encodes (`mapPartitions`, broadcast models); search
+    * touches only rows whose cell is probed by some query (the
+    * inverted-list prune — a filter on the code relation, never a
+    * corpus-wide score). Exact re-rank over the `rerank`-deep ADC
+    * shortlist restores ordering among near-equal neighbors. Rows-only
+    * + recall-spec-gated like the other approximate ANN tiers. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, seed: Long = 37L,
+      rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val unit = udf { (v: Seq[Float]) =>
+      var s = 0.0
+      v.foreach(x => s += x.toDouble * x)
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      v.map(x => (x * inv).toFloat)
+    }
+    val c = corpus.select(col(idCol).as("nid"), unit(col(vecCol)).as("v"))
+
+    // bounded deterministic sample (same contract as pqTopK) trains
+    // BOTH quantizers; residuals are derived sample-locally
+    val sample: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("nid")).asc, col("nid").asc)
+      .limit(20000)
+      .select(col("v"))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val coarse = localKMeans(sample, nlist, iters = 12, seed = seed)
+    def nearestCell(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var ci = 0
+      while (ci < cs.length) {
+        var d = 0.0; var t = 0
+        while (t < v.length) { val df = v(t) - cs(ci)(t); d += df * df; t += 1 }
+        if (d < bd) { bd = d; best = ci }
+        ci += 1
+      }
+      best
+    }
+    val residuals = sample.map { v =>
+      val cc = coarse(nearestCell(coarse, v))
+      Array.tabulate(dim)(t => v(t) - cc(t))
+    }
+    val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      localKMeans(residuals.map(r => java.util.Arrays.copyOfRange(r, j * sub, (j + 1) * sub)),
+        16, iters = 12, seed = seed + 1 + j)
+    }
+    val coarseBc = spark.sparkContext.broadcast(coarse)
+    val cbBc = spark.sparkContext.broadcast(codebook)
+
+    // ONE corpus pass: coarse-assign, residual-encode
+    val encoded = c.mapPartitions { it =>
+      val cs = coarseBc.value
+      val cb = cbBc.value
+      it.map { r =>
+        val id = r.getLong(0)
+        val vf = r.getSeq[Float](1)
+        val v = Array.tabulate(vf.length)(vf(_).toDouble)
+        val cell = nearestCell(cs, v)
+        val cc = cs(cell)
+        val codes = Array.tabulate(m) { j =>
+          var best = 0; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cb(j).length) {
+            var d = 0.0; var t = 0
+            while (t < sub) {
+              val diff = (v(j * sub + t) - cc(j * sub + t)) - cb(j)(ci)(t)
+              d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          best.toByte
+        }
+        (id, cell, codes)
+      }
+    }.toDF("nid", "cell", "codes")
+
+    // per-query precompute: probed cell set, exact <q, centroid> per
+    // cell, one residual ADC table (codebooks are global, so the table
+    // is shared across cells)
+    val qs = queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val qBc = spark.sparkContext.broadcast(qs)
+    val scored = encoded.mapPartitions { it =>
+      val cs = coarseBc.value
+      val cb = cbBc.value
+      val qp = qBc.value.map { case (qid, qv) =>
+        val cellDots = cs.map { cc =>
+          var s = 0.0; var t = 0
+          while (t < dim) { s += qv(t) * cc(t); t += 1 }
+          s
+        }
+        val byDist = cs.indices.sortBy { ci =>
+          var d = 0.0; var t = 0
+          while (t < dim) { val df = qv(t) - cs(ci)(t); d += df * df; t += 1 }
+          d
+        }
+        val probed = byDist.take(nprobe).toSet
+        val table = Array.tabulate(m) { j =>
+          Array.tabulate(cb(j).length) { ci =>
+            var s = 0.0; var t = 0
+            while (t < sub) { s += qv(j * sub + t) * cb(j)(ci)(t); t += 1 }
+            s
+          }
+        }
+        (qid, probed, cellDots, table)
+      }
+      it.flatMap { r =>
+        val nid = r.getLong(0)
+        val cell = r.getInt(1)
+        val codes = r.getAs[Array[Byte]](2)
+        qp.iterator.collect {
+          case (qid, probed, cellDots, table) if qid != nid && probed(cell) =>
+            var s = cellDots(cell); var j = 0
+            while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
+            (qid, nid, s)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+
+    // ADC shortlist → exact cosine re-rank (standard two-stage search)
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(rerank, k))
+      .select("query_id", "neighbor_id")
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val exact = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+        "neighbor_id")
+      .join(broadcast(qRaw), "query_id")
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Driver-local Lloyd's k-means for the PQ codebook fit: the training
     * set is a bounded sample (see pqTopK), so a distributed iterative
     * fit buys nothing but per-iteration job overhead. Random init over

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Bpe, ConnectedComponents, Corpus, Dedup, PageRank, RangeJoin, SimilaritySearch, TextAnalysis}
+import graft.ops.{AsOfJoin, Bpe, ConnectedComponents, Corpus, Dedup, PageRank, QualityClassifier, RangeJoin, SimilaritySearch, TextAnalysis}
 
 /** The training-data-pipeline operators (SURVEY extended surface) as
   * driver-checkable queries over the documents/embeddings tables. */
@@ -71,6 +71,15 @@ object OpsQueries {
   def q30IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF-PQ fused ANN top-5 (coarse inverted lists + residual PQ codes
+    * + ADC + exact re-rank — the production large-index layout;
+    * approximate, rows-only, recall-spec-gated like q20/q30/q45). */
+  def q65IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    SimilaritySearch.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
@@ -519,6 +528,22 @@ object OpsQueries {
       size(enc(col("text"))).cast("long").as("n_bpe_tokens"),
       size(filter(split(col("text"), " "), w => length(w) > 0))
         .cast("long").as("n_ws_tokens"))
+  }
+
+  /** Trained quality classifier scores (lang='en' as the trusted-seed
+    * proxy label — the operator cares about the pipeline shape; real
+    * corpora supply their own seed labels). Deterministic LBFGS fit →
+    * hash-gated: the per-WORD weight fixture (DumpQualityFixture)
+    * lets the DuckDB oracle re-derive the join + sum + sigmoid in
+    * ANSI SQL; ROUND(,6) on BOTH sides absorbs summation-order last
+    * bits. */
+  def q64QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val m = QualityClassifier.fit(
+      docs.withColumn("label", (col("lang") === "en").cast("double")),
+      "label", vocabSize = 1024)
+    QualityClassifier.score(docs, m)
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"))
   }
 
   /** Deterministic weighted mixture order (training schedule): src0

@@ -242,6 +242,31 @@ class OpsSpec extends SparkSpec {
     assert(sizes == 300L)
   }
 
+  test("IVF-PQ fused ANN achieves high recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(47)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(queries, vecs, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = SimilaritySearch.ivfPqTopK(
+        queries, vecs, dim = 64, k = 10, nlist = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect fused).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // determinism: fixed seeds, fixed sample order, exact re-rank
+    val again = SimilaritySearch.ivfPqTopK(
+        queries, vecs, dim = 64, k = 10, nlist = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fused == again)
+  }
+
   test("PQ ANN achieves reasonable recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(31)
     val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
