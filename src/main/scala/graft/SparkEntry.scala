@@ -72,6 +72,7 @@ object SparkEntry {
     "q63_bpe_tokens" -> (OpsQueries.q63BpeTokens _),
     "q64_quality_score" -> (OpsQueries.q64QualityScore _),
     "q65_ivfpq_topk" -> (OpsQueries.q65IvfPqTopK _),
+    "q66_exact_substr" -> (OpsQueries.q66ExactSubstr _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -683,6 +684,34 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  ROUND(1.0 / (1.0 + exp(-(COALESCE(z.z, 0) +
         |    (SELECT weight FROM wt WHERE word = '__INTERCEPT__')))), 6) AS quality
-        |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id""".stripMargin,
+    // q66: same stride-1 md5-window + first-occurrence + islands-merge
+    // recurrence as the engine (md5 over identical window text is
+    // engine-portable; DuckDB list slice is 1-based inclusive, range()
+    // end-exclusive)
+    "q66_exact_substr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, p, md5(array_to_string(ws[p:p+9], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 8)) AS p
+        |        FROM toks WHERE len(ws) >= 10) t),
+        |dups AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |    FROM wins) r
+        |  WHERE rn > 1),
+        |g AS (
+        |  SELECT doc_id, p,
+        |    sum(CASE WHEN prev IS NULL OR p > prev + 10 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM (SELECT doc_id, p,
+        |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM dups) d)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |  CAST(max(p) + 9 AS BIGINT) AS span_end, count(*) AS n_windows
+        |FROM g GROUP BY doc_id, grp""".stripMargin
   )
 }

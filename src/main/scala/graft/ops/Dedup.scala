@@ -42,6 +42,68 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Exact-substring duplicate SPANS (the ExactSubstr tier of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", restated hash-first): every STRIDE-1 window of
+    * `windowWords` words is hashed; a window seen anywhere earlier in
+    * the corpus (first occurrence = smallest (doc_id, pos)) marks its
+    * positions duplicated; per document, overlapping/adjacent
+    * duplicated windows merge into MAXIMAL spans (gaps-and-islands).
+    * Returns (id, span_start, span_end, n_windows) in 1-based token
+    * positions — the removable regions, which is exactly what the
+    * suffix-array formulation produces for repeats ≥ windowWords.
+    *
+    * vs [[spanDedup]]: that operator cuts NON-overlapping fixed chunks
+    * (CCNet paragraph removal — cheap, chunk-aligned); this one finds
+    * duplicated regions at ANY alignment, the property the suffix
+    * array buys, at stride-1 window cost.
+    *
+    * Scale shape: the corpus explodes to one (id, pos, md5) row per
+    * token position — the inherent cost of alignment-free exact-substr
+    * (Lee et al.'s suffix array is likewise tokens-sized); the shuffle
+    * carries 32-byte hashes, never window text. First-occurrence
+    * election is one window per hash; span merging is a per-document
+    * window (partitioned by doc, never global). All built-in exprs
+    * (slice/array_join/md5/lag/sum) — codegen'd, UDF-free, and
+    * restatable in ANSI SQL, which is what the q66 DuckDB oracle does.
+    * Hash note: md5 (not xxhash64) so the oracle can recompute it;
+    * a 128-bit collision producing a false duplicate is ~2⁻⁶⁴ at
+    * corpus scale — the standard content-hash trust, same as
+    * [[exactDedup]]. */
+  def exactSubstrSpans(
+      df: DataFrame, windowWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val L = windowWords
+    val ws = filter(split(col(textCol), " "), w => length(w) > 0)
+    // stride-1 windows: pos = 1..len-L+1 (1-based), hash of the joined
+    // window text (join-with-space is bijective for space-split tokens)
+    val wins = df
+      .select(col(idCol).as("id"), ws.as("ws"))
+      .filter(size(col("ws")) >= L)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("ws")) - (L - 1)),
+        p => md5(array_join(slice(col("ws"), p, lit(L)), " ")))))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
+    // first occurrence keeps; every later (id, p) of the same hash is a
+    // duplicated window (global order: doc asc, pos asc)
+    val byHash = Window.partitionBy("h").orderBy(col("id").asc, col("p").asc)
+    val dups = wins.withColumn("_rn", row_number().over(byHash))
+      .filter(col("_rn") > 1).select("id", "p")
+    // gaps-and-islands per document: windows starting ≤ L apart
+    // overlap or touch — merge into one maximal span
+    val byDoc = Window.partitionBy("id").orderBy(col("p").asc)
+    dups
+      .withColumn("_prev", lag(col("p"), 1).over(byDoc))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("p") > col("_prev") + L, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_new")).over(byDoc))
+      .groupBy(col("id"), col("_grp"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + (L - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("_grp")
+  }
+
   /** Span-level (sub-document) dedup — the paragraph-removal step of a
     * CCNet-style pipeline, adapted to unstructured text: each document
     * is cut into consecutive non-overlapping `windowWords`-word spans,

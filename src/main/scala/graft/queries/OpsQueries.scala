@@ -83,6 +83,15 @@ object OpsQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Exact-substring duplicate spans (Lee et al. 2022 ExactSubstr,
+    * stride-1 rolling-hash restatement): maximal duplicated regions
+    * ≥ 10 words at any alignment, integer-exact and fully
+    * SQL-restatable (md5 windows) → DuckDB oracle. */
+  def q66ExactSubstr(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrSpans(table(spark, dir, "documents"), windowWords = 10)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+
   /** As-of join: for each error event, the most recent click of the
     * same user at or before it (DuckDB's native ASOF JOIN is the
     * oracle). */

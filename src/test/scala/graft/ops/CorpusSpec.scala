@@ -317,4 +317,45 @@ class CorpusSpec extends SparkSpec {
       col("text")), windowWords = 10).agg(sum("n_kept")).collect()(0).getLong(0)
     assert(keptTotal == expectDistinct, "kept-span total is id-shift invariant")
   }
+
+  test("exact-substring spans: any-alignment repeats found, islands merged, planted offsets exact") {
+    // doc 2 repeats doc 1's words 6..20 starting at ITS position 4 — a
+    // chunk-aligned spanDedup misses this (no 10-word chunk matches);
+    // alignment-free stride-1 windows must find it
+    val w1 = (0 until 30).map(i => s"a$i")
+    val d2 = (0 until 3).map(i => s"x$i") ++ w1.slice(5, 20) ++ (0 until 5).map(i => s"y$i")
+    val tiny = Seq(
+      (1L, w1.mkString(" ")),
+      (2L, d2.mkString(" ")),
+      (3L, (0 until 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrSpans(tiny, windowWords = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 2's tokens 4..18 (1-based) copy doc 1's a5..a19: 15 duplicated
+    // tokens → stride-1 window starts 4..9 (6 overlapping windows merge
+    // into ONE island), span [4, 18]; docs 1 (first occurrence) and 3
+    // (unique) emit none
+    assert(out.toSeq == Seq((2L, 4L, 18L, 6L)), s"got ${out.mkString(",")}")
+
+    // islands: two SEPARATE repeats in one doc stay two spans (the
+    // overlapping-window merge is covered above)
+    val far = (0 until 3).map(i => s"p$i") ++ w1.slice(0, 10) ++
+      (0 until 7).map(i => s"q$i") ++ w1.slice(15, 25)
+    val spans = Dedup.exactSubstrSpans(
+        Seq((1L, w1.mkString(" ")), (9L, far.mkString(" "))).toDF("doc_id", "text"),
+        windowWords = 10).filter(col("id") === 9L)
+      .orderBy("span_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((4L, 13L), (21L, 30L)), s"got ${spans.mkString(",")}")
+
+    // full corpus: id-shifted rerun produces identical spans (the
+    // operator is a pure function of (order, content))
+    val a = Dedup.exactSubstrSpans(docs, windowWords = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.exactSubstrSpans(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        windowWords = 10).collect()
+      .map(r => (r.getLong(0) - 1000000L, r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "spans are id-shift invariant")
+  }
 }
