@@ -73,6 +73,7 @@ object SparkEntry {
     "q64_quality_score" -> (OpsQueries.q64QualityScore _),
     "q65_ivfpq_topk" -> (OpsQueries.q65IvfPqTopK _),
     "q66_exact_substr" -> (OpsQueries.q66ExactSubstr _),
+    "q67_unigram_ppl" -> (OpsQueries.q67UnigramPpl _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -712,6 +713,21 @@ object SparkEntry {
         |        FROM dups) d)
         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
         |  CAST(max(p) + 9 AS BIGINT) AS span_end, count(*) AS n_windows
-        |FROM g GROUP BY doc_id, grp""".stripMargin
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
+    // q67: self-contained oracle (no fixture) — the unigram MLE model
+    // IS SQL. Same arithmetic shape: c::DOUBLE / total, -ln, avg,
+    // ROUND(,6) both sides (summation order differs; ln is natural
+    // log in DuckDB)
+    "q67_unigram_ppl" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0),
+        |model AS (SELECT w AS word, count(*) AS c FROM words GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total FROM model)
+        |SELECT words.doc_id, count(*) AS n_tokens,
+        |  ROUND(avg(-ln(CAST(model.c AS DOUBLE) / (SELECT total FROM tot))), 6) AS logppl
+        |FROM words JOIN model ON words.w = model.word
+        |GROUP BY words.doc_id""".stripMargin
   )
 }

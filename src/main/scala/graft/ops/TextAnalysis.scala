@@ -159,6 +159,46 @@ object TextAnalysis {
 
   // ----------------------------------------------------------------- BM25
 
+  /** Unigram language-model scoring — the LM-perplexity quality filter
+    * of a CCNet-style pipeline (Wenzek et al. 2020 score documents with
+    * a KenLM 5-gram; the order-1 form keeps the selection semantics
+    * with a model that is exactly SQL-restatable, so the operator is
+    * DuckDB-oracle-gated rather than fixture-trusted). Per document:
+    * `logppl = avg over tokens of −ln p(w)`, with `p(w)` the MLE
+    * unigram probability on `ref` (default: the scored corpus itself).
+    * Low score = looks like the reference corpus; filter by quantile.
+    *
+    * `alpha` > 0 adds Laplace smoothing — REQUIRED when `ref` is a
+    * different corpus, or an OOV word would have p = 0 (the join is
+    * left + coalesce to the smoothed OOV mass, so unseen words cost
+    * the most, as they should).
+    *
+    * Scale shape: one aggregation builds the (word, count) model —
+    * word-type-bounded, not corpus-bounded; scoring is a shuffle join
+    * of the exploded corpus against the model on `word` plus one
+    * per-doc aggregation. No UDF, no broadcast of an unbounded vocab. */
+  def unigramLogPerplexity(
+      df: DataFrame, ref: DataFrame = null, alpha: Double = 0.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val refDf = Option(ref).getOrElse(df)
+    val refWords = refDf.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val model = refWords.groupBy("word").agg(count(lit(1)).as("c"))
+    val stats = model.agg(
+      sum(col("c")).as("total"), count(lit(1)).as("vocab")).collect()(0)
+    val total = stats.getLong(0).toDouble
+    val vocab = stats.getLong(1).toDouble
+    require(alpha > 0.0 || refDf.eq(df),
+      "scoring against a foreign reference corpus needs alpha > 0 (OOV mass)")
+    val denom = total + alpha * vocab
+    val p = (coalesce(col("c"), lit(0L)).cast("double") + alpha) / denom
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(model, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), avg(-log(p)).as("logppl"))
+  }
+
   /** Okapi BM25 relevance of every document against a fixed query term
     * set: `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))` with
     * `idf = ln((N-df+0.5)/(df+0.5) + 1)`. Document frequency is

@@ -83,6 +83,14 @@ object OpsQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Unigram-LM perplexity quality scores (the CCNet KenLM filter at
+    * order 1 — selection semantics with an exactly SQL-restatable
+    * model, self-corpus MLE): low = looks like the corpus. */
+  def q67UnigramPpl(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogPerplexity(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("logppl"), 6).as("logppl"))
+
   /** Exact-substring duplicate spans (Lee et al. 2022 ExactSubstr,
     * stride-1 rolling-hash restatement): maximal duplicated regions
     * ≥ 10 words at any alignment, integer-exact and fully

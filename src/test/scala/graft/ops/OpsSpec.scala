@@ -391,6 +391,34 @@ class OpsSpec extends SparkSpec {
     assert(s(1L)._1 > s(3L)._1)
   }
 
+  test("unigram log-perplexity: hand-computed values, rare words cost more, OOV needs alpha") {
+    import spark.implicits._
+    // corpus: "a" x6, "b" x2 → p(a)=0.75, p(b)=0.25
+    val tiny = Seq(
+      (1L, "a a a a"),        // all common: -ln(0.75)
+      (2L, "a a b b")         // half rare: (2·-ln .75 + 2·-ln .25)/4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogPerplexity(tiny)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 4L)
+    assert(math.abs(got(1L)._2 - (-math.log(0.75))) < 1e-12)
+    val exp2 = (2 * -math.log(0.75) + 2 * -math.log(0.25)) / 4
+    assert(math.abs(got(2L)._2 - exp2) < 1e-12)
+    assert(got(2L)._2 > got(1L)._2, "rare words must raise perplexity")
+
+    // foreign reference corpus: OOV scoring requires smoothing, and an
+    // OOV-heavy doc must score worse than an in-domain doc
+    val ref = Seq((10L, "a a a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramLogPerplexity(tiny, ref = ref).collect()
+    }
+    val smoothed = TextAnalysis.unigramLogPerplexity(
+        Seq((1L, "a a a a"), (2L, "z z z z")).toDF("doc_id", "text"),
+        ref = ref, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(smoothed(2L) > smoothed(1L), s"OOV doc must cost more: $smoothed")
+  }
+
   test("token counting matches a reference split on the test corpus") {
     val got = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
