@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.ops.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -257,7 +258,7 @@ object DedupStream {
     * never concurrently with a step on the same store. */
   def compact(spark: SparkSession, storeDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq("buckets" -> "pb", "sigs" -> "ps", "spans" -> "ph").foreach {
+    Seq("buckets" -> "pb", "sigs" -> "ps", "spans" -> "ph", "wins" -> "pw").foreach {
       case (sub, partCol) =>
         val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
         val fs = root.getFileSystem(conf)
@@ -506,6 +507,91 @@ object DedupStream {
       new org.apache.hadoop.fs.Path(s"$storeDir/spans"), s"batch=$batchTag")
     spans.unpersist()
     claimed.unpersist()
+    out
+  }
+
+  /** Incremental EXACT-SUBSTRING dedup (the streaming form of
+    * [[graft.ops.Dedup.exactSubstrSpans]]): per micro-batch, each
+    * document's STRIDE-1 `windowWords`-word windows check against the
+    * accumulated first-occurrence store — a window seen in ANY earlier
+    * batch (or first claimed by a lower (id, pos) in this one) marks
+    * its positions duplicated; overlapping/adjacent duplicated windows
+    * merge per document into maximal spans (gaps-and-islands), emitted
+    * as (id, span_start, span_end, n_windows). The batch's newly-seen
+    * window hashes then fold into the store.
+    *
+    * Same semantics shift as [[spanStep]] vs its batch twin: keepers
+    * are assigned by ARRIVAL ORDER (first batch wins; (id, pos) order
+    * within a batch) — a late re-crawl dedups against the existing
+    * corpus. On a single batch of the whole corpus the output equals
+    * the batch operator exactly. State = (h, keeper) per DISTINCT
+    * window hash under `wins/batch=<tag>/pw=<k>`; per-tick reads prune
+    * to the batch's own hash partitions; commits are batch-id-keyed
+    * overwrites, idempotent under foreachBatch replay like [[step]]. */
+  def substrStep(
+      batch: DataFrame,
+      storeDir: String,
+      windowWords: Int = 10,
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      storeParts: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    ensureStoreMeta(spark, storeDir, storeParts)
+    val parts = lit(storeParts.toLong)
+    val L = windowWords
+    val winSchema = StructType(Seq(
+      StructField("h", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("keeper", LongType, nullable = false)))
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val wins = batch
+      .select(col("doc_id").as("id"), ws.as("ws"))
+      .filter(size(col("ws")) >= L)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("ws")) - (L - 1)),
+        p => md5(array_join(slice(col("ws"), p, lit(L)), " ")))))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchPw = wins
+      .select(pmod(xxhash64(col("h")), parts).cast("int").as("pw"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // replay rule (same as spanStep): drop history rows THIS batch's
+    // docs claimed — after a rollback-behind-compaction replay the
+    // batch's own first occurrences live inside the compacted commit,
+    // and treating them as foreign history would mark the claiming
+    // doc's own windows duplicated
+    val old = readStore(spark, s"$storeDir/wins", winSchema, batchTag, "pw", batchPw)
+      .join(wins.select(col("id").as("keeper")).distinct(), Seq("keeper"), "left_anti")
+    // within-batch first occurrence per hash by (id, p); a window whose
+    // hash is in history is duplicated at EVERY in-batch position
+    val byHash = Window.partitionBy("h").orderBy(col("id").asc, col("p").asc)
+    val marked = wins
+      .withColumn("_rn", row_number().over(byHash))
+      .join(old.select(col("h"), lit(1).as("_hist")), Seq("h"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = marked.filter(col("_hist").isNotNull || col("_rn") > 1)
+      .select("id", "p")
+    val byDoc = Window.partitionBy("id").orderBy(col("p").asc)
+    val out = dups
+      .withColumn("_prev", lag(col("p"), 1).over(byDoc))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("p") > col("_prev") + L, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_new")).over(byDoc))
+      .groupBy(col("id"), col("_grp"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + (L - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("_grp")
+      .cache()
+    out.count()
+    // fold: first occurrences of hashes history has not seen
+    marked.filter(col("_rn") === 1 && col("_hist").isNull)
+      .select(col("h"), col("id").as("keeper"))
+      .withColumn("pw", pmod(xxhash64(col("h")), parts).cast("int"))
+      .write.partitionBy("pw")
+      .mode("overwrite").parquet(s"$storeDir/wins/batch=$batchTag")
+    publishCommit(spark,
+      new org.apache.hadoop.fs.Path(s"$storeDir/wins"), s"batch=$batchTag")
+    wins.unpersist()
+    marked.unpersist()
     out
   }
 

@@ -263,6 +263,49 @@ class DedupStreamSpec extends SparkSpec {
     assert(s3(4L) == ((1L, 0L, 0L)), s"doc 3's span must stay claimed: ${s3(4L)}")
   }
 
+  test("incremental exact-substring: batch-equivalent on one batch, unaligned cross-batch spans, arrival order, replay idempotent") {
+    val store = java.nio.file.Files.createTempDirectory("substr").toString
+    val w1 = (0 until 30).map(i => s"a$i")
+    def spanSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // single batch over the whole input == the batch operator exactly
+    val b1 = Seq(
+      (1L, w1.mkString(" ")),
+      (2L, ((0 until 3).map(i => s"x$i") ++ w1.slice(5, 20)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val inc1 = spanSet(DedupStream.substrStep(b1, store, batchTag = "s1").collect())
+    val ref = spanSet(graft.ops.Dedup.exactSubstrSpans(b1).collect())
+    assert(inc1 == ref && inc1 == Set((2L, 4L, 18L, 6L)), s"got $inc1 vs $ref")
+
+    // cross-batch at an UNALIGNED offset: doc 9's tokens 8..17 copy
+    // doc 1's a10..a19 (batch-1 history), one stride-1 window at p=8
+    val b2 = Seq(
+      (9L, ((0 until 7).map(i => s"y$i") ++ w1.slice(10, 20) ++
+        (0 until 5).map(i => s"z$i")).mkString(" "))).toDF("doc_id", "text")
+    val inc2 = spanSet(DedupStream.substrStep(b2, store, batchTag = "s2").collect())
+    assert(inc2 == Set((9L, 8L, 17L, 1L)), s"got $inc2")
+
+    // arrival order wins: a LOWER id arriving later still dedups
+    // against the earlier higher-id history (re-crawl semantics)
+    val b3 = Seq((0L, w1.mkString(" "))).toDF("doc_id", "text")
+    val inc3 = spanSet(DedupStream.substrStep(b3, store, batchTag = "s3").collect())
+    assert(inc3 == Set((0L, 1L, 30L, 21L)), s"got $inc3")
+
+    // replay of batch 2 (same tag): identical spans, store unchanged
+    val before = spark.read.parquet(s"$store/wins").count()
+    val replay = spanSet(DedupStream.substrStep(b2, store, batchTag = "s2").collect())
+    assert(replay == inc2)
+    assert(spark.read.parquet(s"$store/wins").count() == before,
+      "replay must overwrite its own commit, not append")
+
+    // compaction folds the wins store without changing answers
+    DedupStream.compact(spark, store)
+    val b4 = Seq((20L, w1.slice(0, 12).mkString(" "))).toDF("doc_id", "text")
+    val inc4 = spanSet(DedupStream.substrStep(b4, store, batchTag = "s4").collect())
+    assert(inc4 == Set((20L, 1L, 12L, 3L)), s"got $inc4")
+  }
+
   test("first compaction adopts only _SUCCESS commits; a crashed partial write is GC'd and replay restores it") {
     val store = java.nio.file.Files.createTempDirectory("dadopt").toString
     val b1 = Seq(
