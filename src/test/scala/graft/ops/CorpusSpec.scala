@@ -358,4 +358,45 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0) - 1000000L, r.getLong(1), r.getLong(2))).toSet
     assert(a == b, "spans are id-shift invariant")
   }
+
+  test("property: exactSubstrSpans equals a brute-force reference on random repeat-heavy corpora (seeded)") {
+    // tiny vocab + short windows force dense repetition at every
+    // alignment; the reference compares WINDOW TEXT directly (no
+    // hashing, no Spark) so the two implementations share no code path
+    val rnd = new scala.util.Random(97)
+    val L = 3
+    (0 until 8).foreach { trial =>
+      val vocab = (0 until 5).map(i => s"v$i")
+      val corpus = (1L to 5L).map { id =>
+        (id, (0 until (10 + rnd.nextInt(15)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }.toMap
+      val wins = corpus.flatMap { case (id, _) =>
+        val w = toks(id)
+        (1 to w.length - L + 1).map(p => (id, p, w.slice(p - 1, p - 1 + L).mkString(" ")))
+      }
+      val firstOf = scala.collection.mutable.HashMap[String, (Long, Int)]()
+      wins.sortBy { case (id, p, _) => (id, p) }.foreach { case (id, p, t) =>
+        if (!firstOf.contains(t)) firstOf(t) = (id, p)
+      }
+      val expected = wins
+        .filter { case (id, p, t) => firstOf(t) != ((id, p)) }
+        .groupBy(_._1).flatMap { case (id, ws) =>
+          val spans = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+          ws.map(_._2).sorted.foreach { p =>
+            if (spans.nonEmpty && p <= spans.last._2 + L) {
+              val (s, _, c) = spans.last
+              spans(spans.size - 1) = (s, p, c + 1)
+            } else spans += ((p, p, 1))
+          }
+          spans.map { case (s, last, c) =>
+            (id, s.toLong, (last + L - 1).toLong, c.toLong) }
+        }.toSet
+      val got = Dedup.exactSubstrSpans(corpus.toDF("doc_id", "text"), windowWords = L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected,
+        s"trial $trial: got ${got.toSeq.sorted} expected ${expected.toSeq.sorted}")
+    }
+  }
 }
