@@ -560,12 +560,23 @@ object DedupStream {
     // doc's own windows duplicated
     val old = readStore(spark, s"$storeDir/wins", winSchema, batchTag, "pw", batchPw)
       .join(wins.select(col("id").as("keeper")).distinct(), Seq("keeper"), "left_anti")
+    // hash prefilter on the history side (same contract as step()'s
+    // bucket-key semi-join): only store rows sharing a hash with the
+    // batch can mark anything, and a broadcast semi keeps the history
+    // join input O(matching) instead of shuffling the whole
+    // accumulated window store every tick. Guarded for huge batches.
+    val batchHashes = wins.select("h").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist =
+      if (batchHashes.count() <= 1000000)
+        old.join(broadcast(batchHashes), Seq("h"), "left_semi")
+      else old
     // within-batch first occurrence per hash by (id, p); a window whose
     // hash is in history is duplicated at EVERY in-batch position
     val byHash = Window.partitionBy("h").orderBy(col("id").asc, col("p").asc)
     val marked = wins
       .withColumn("_rn", row_number().over(byHash))
-      .join(old.select(col("h"), lit(1).as("_hist")), Seq("h"), "left")
+      .join(hist.select(col("h"), lit(1).as("_hist")), Seq("h"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = marked.filter(col("_hist").isNotNull || col("_rn") > 1)
       .select("id", "p")
@@ -591,6 +602,7 @@ object DedupStream {
     publishCommit(spark,
       new org.apache.hadoop.fs.Path(s"$storeDir/wins"), s"batch=$batchTag")
     wins.unpersist()
+    batchHashes.unpersist()
     marked.unpersist()
     out
   }

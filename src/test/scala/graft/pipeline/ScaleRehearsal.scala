@@ -82,6 +82,20 @@ object ScaleRehearsal {
       pairs.unpersist()
       println(f"TICK $c%d pairs=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
+
+    // incremental exact-substring at 10x: same disjoint slicing; the
+    // wins store accumulates ~2M window hashes, per-tick time must
+    // stay flat (each tick's copies dedup within the tick)
+    val sstore = java.nio.file.Files.createTempDirectory("sf1-wstore").toString
+    (0 until 10).foreach { c =>
+      val batch = all.filter(pmod(col("doc_id") % 100000000L, lit(10)) === c)
+      val t0 = System.nanoTime()
+      val spans = graft.streaming.DedupStream.substrStep(
+        batch, sstore, batchTag = s"w$c")
+      val n = spans.count()
+      spans.unpersist()
+      println(f"SUBSTR_TICK $c%d spans=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
     spark.stop()
   }
 }
