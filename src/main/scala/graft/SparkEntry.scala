@@ -74,6 +74,7 @@ object SparkEntry {
     "q65_ivfpq_topk" -> (OpsQueries.q65IvfPqTopK _),
     "q66_exact_substr" -> (OpsQueries.q66ExactSubstr _),
     "q67_unigram_ppl" -> (OpsQueries.q67UnigramPpl _),
+    "q68_clean_corpus" -> (OpsQueries.q68CleanCorpus _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -121,6 +122,31 @@ object SparkEntry {
       |  UNION
       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
       |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin
+
+  // q66/q68 share the span-derivation CTE chain verbatim so the span
+  // generator and the span-apply oracle can never drift on window
+  // hashing, first-occurrence election, or islands merging
+  private val substrSpanCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, p, md5(array_to_string(ws[p:p+9], ' ')) AS h
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 8)) AS p
+      |        FROM toks WHERE len(ws) >= 10) t),
+      |dups AS (
+      |  SELECT doc_id, p FROM (
+      |    SELECT doc_id, p,
+      |      row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+      |    FROM wins) r
+      |  WHERE rn > 1),
+      |g AS (
+      |  SELECT doc_id, p,
+      |    sum(CASE WHEN prev IS NULL OR p > prev + 10 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |  FROM (SELECT doc_id, p,
+      |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+      |        FROM dups) d)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -671,10 +697,14 @@ object SparkEntry {
     // regenerate on any QualityClassifier/label/vocab change); the
     // SCORING is re-derived here: same join + occurrence-sum + sigmoid
     // arithmetic shape as the Spark side, ROUND(,6) on both sides
-    // (summation order differs, exp amplifies nothing at 6 dp)
+    // (summation order differs, exp amplifies nothing at 6 dp). The
+    // __INTERCEPT__ sentinel row is filtered OUT of the join side —
+    // the engine never joins it as a word, so a document containing
+    // the literal token must not pick up the intercept twice.
     "q64_quality_score" ->
-      """WITH wt AS (SELECT * FROM read_parquet(
+      """WITH wtall AS (SELECT * FROM read_parquet(
         |  '/root/repo/src/test/resources/fixtures/quality_weights.parquet')),
+        |wt AS (SELECT * FROM wtall WHERE word <> '__INTERCEPT__'),
         |words AS (
         |  SELECT doc_id, w FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
@@ -684,36 +714,40 @@ object SparkEntry {
         |  FROM words JOIN wt ON words.w = wt.word GROUP BY words.doc_id)
         |SELECT d.doc_id,
         |  ROUND(1.0 / (1.0 + exp(-(COALESCE(z.z, 0) +
-        |    (SELECT weight FROM wt WHERE word = '__INTERCEPT__')))), 6) AS quality
+        |    (SELECT weight FROM wtall WHERE word = '__INTERCEPT__')))), 6) AS quality
         |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id""".stripMargin,
     // q66: same stride-1 md5-window + first-occurrence + islands-merge
     // recurrence as the engine (md5 over identical window text is
     // engine-portable; DuckDB list slice is 1-based inclusive, range()
     // end-exclusive)
     "q66_exact_substr" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, p, md5(array_to_string(ws[p:p+9], ' ')) AS h
-        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 8)) AS p
-        |        FROM toks WHERE len(ws) >= 10) t),
-        |dups AS (
-        |  SELECT doc_id, p FROM (
-        |    SELECT doc_id, p,
-        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
-        |    FROM wins) r
-        |  WHERE rn > 1),
-        |g AS (
-        |  SELECT doc_id, p,
-        |    sum(CASE WHEN prev IS NULL OR p > prev + 10 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY p) AS grp
-        |  FROM (SELECT doc_id, p,
-        |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
-        |        FROM dups) d)
+      s"""$substrSpanCtes
         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
         |  CAST(max(p) + 9 AS BIGINT) AS span_end, count(*) AS n_windows
         |FROM g GROUP BY doc_id, grp""".stripMargin,
+    // q68: q66's spans (shared CTE chain — the generator and the apply
+    // cannot drift) cut out of the text: kept tokens = positions no
+    // span covers, rejoined with single spaces; per-doc spans are
+    // disjoint by construction (islands merge), so the anti range-join
+    // cannot duplicate a token row
+    "q68_clean_corpus" ->
+      s"""$substrSpanCtes,
+        |spans AS (SELECT doc_id, min(p) AS s, max(p) + 9 AS e
+        |          FROM g GROUP BY doc_id, grp),
+        |tok AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS p FROM toks),
+        |kept AS (
+        |  SELECT t.doc_id, t.p, t.ws[t.p] AS w
+        |  FROM tok t LEFT JOIN spans s
+        |    ON s.doc_id = t.doc_id AND t.p BETWEEN s.s AND s.e
+        |  WHERE s.doc_id IS NULL),
+        |clean AS (
+        |  SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS ct,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(c.ct, '') AS clean_text,
+        |  CAST(len(t.ws) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN clean c USING (doc_id)""".stripMargin,
     // q67: self-contained oracle (no fixture) — the unigram MLE model
     // IS SQL. Same arithmetic shape: c::DOUBLE / total, -ln, avg,
     // ROUND(,6) both sides (summation order differs; ln is natural

@@ -58,23 +58,38 @@ object Dedup {
     * duplicated regions at ANY alignment, the property the suffix
     * array buys, at stride-1 window cost.
     *
-    * Scale shape: the corpus explodes to one (id, pos, md5) row per
+    * Scale shape: the corpus explodes to one (id, pos, hash) row per
     * token position — the inherent cost of alignment-free exact-substr
     * (Lee et al.'s suffix array is likewise tokens-sized); the shuffle
-    * carries 32-byte hashes, never window text. First-occurrence
-    * election is one window per hash; span merging is a per-document
-    * window (partitioned by doc, never global). All built-in exprs
+    * carries hashes, never window text. First-occurrence election is a
+    * per-hash MIN aggregation (partial aggregation absorbs hot keys
+    * map-side) joined back to mark non-minimal windows — NOT a
+    * row_number window over the hash, which would force every
+    * occurrence of one boilerplate 10-gram (license headers, nav text:
+    * 10⁸ repeats at 100 TB) into a single task's sort. The join-back is
+    * likewise keyed on the hash, but a skewed JOIN partition is
+    * AQE-splittable (the one-row-per-hash build side replicates); a
+    * skewed window sort is not. Span merging is a per-document window
+    * (partitioned by doc, never global). All built-in exprs
     * (slice/array_join/md5/lag/sum) — codegen'd, UDF-free, and
     * restatable in ANSI SQL, which is what the q66 DuckDB oracle does.
-    * Hash note: md5 (not xxhash64) so the oracle can recompute it;
-    * a 128-bit collision producing a false duplicate is ~2⁻⁶⁴ at
-    * corpus scale — the standard content-hash trust, same as
-    * [[exactDedup]]. */
+    * Hash note: md5 default so the oracle can recompute it;
+    * `hashMode = "xxhash64"` is the production twin — 8-byte long keys,
+    * ~4× less shuffle than 32-char hex md5 strings, property-gated
+    * equal-spans vs the md5 path. A collision producing a false
+    * duplicate is the standard content-hash trust, same as
+    * [[exactDedup]] (~2⁻⁶⁴ at corpus scale for md5; xxhash64's 64-bit
+    * space is ample below ~10⁹ distinct windows — size accordingly). */
   def exactSubstrSpans(
       df: DataFrame, windowWords: Int = 10,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hashMode: String = "md5"): DataFrame = {
+    require(hashMode == "md5" || hashMode == "xxhash64",
+      s"hashMode must be md5 or xxhash64 (got $hashMode)")
     val L = windowWords
     val ws = filter(split(col(textCol), " "), w => length(w) > 0)
+    val winHash: Column => Column =
+      if (hashMode == "md5") md5 else (c: Column) => xxhash64(c)
     // stride-1 windows: pos = 1..len-L+1 (1-based), hash of the joined
     // window text (join-with-space is bijective for space-split tokens)
     val wins = df
@@ -82,13 +97,15 @@ object Dedup {
       .filter(size(col("ws")) >= L)
       .select(col("id"), posexplode(transform(
         sequence(lit(1), size(col("ws")) - (L - 1)),
-        p => md5(array_join(slice(col("ws"), p, lit(L)), " ")))))
+        p => winHash(array_join(slice(col("ws"), p, lit(L)), " ")))))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
-    // first occurrence keeps; every later (id, p) of the same hash is a
-    // duplicated window (global order: doc asc, pos asc)
-    val byHash = Window.partitionBy("h").orderBy(col("id").asc, col("p").asc)
-    val dups = wins.withColumn("_rn", row_number().over(byHash))
-      .filter(col("_rn") > 1).select("id", "p")
+    // first occurrence keeps (global order: doc asc, pos asc); every
+    // later (id, p) of the same hash is a duplicated window. min(struct)
+    // is partial-aggregatable — hot hashes combine map-side.
+    val firsts = wins.groupBy("h").agg(min(struct(col("id"), col("p"))).as("f"))
+    val dups = wins.join(firsts, Seq("h"))
+      .filter(struct(col("id"), col("p")) =!= col("f"))
+      .select("id", "p")
     // gaps-and-islands per document: windows starting ≤ L apart
     // overlap or touch — merge into one maximal span
     val byDoc = Window.partitionBy("id").orderBy(col("p").asc)
@@ -102,6 +119,49 @@ object Dedup {
         (max(col("p")) + (L - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
       .drop("_grp")
+  }
+
+  /** Apply [[exactSubstrSpans]]' output to the corpus: cut the
+    * duplicated token ranges out of each document's text and emit the
+    * CLEANED corpus — the product Lee et al.'s ExactSubstr pipeline
+    * actually ships (first occurrences survive by construction, since
+    * the span generator never marks them). Output: (id, clean_text,
+    * n_removed) where n_removed counts removed token positions;
+    * documents with no spans pass through verbatim.
+    *
+    * Scale shape: spans aggregate per doc into one array (the spans
+    * relation is duplicated-regions-sized, orders of magnitude below
+    * the corpus), then ONE join on the doc id brings them to the text;
+    * the cut itself is per-row codegen'd array algebra — each token
+    * keeps iff no span covers its position (`exists` over the per-doc
+    * span array; spans per doc are few, so the scan is cheap). No
+    * explode, no tokens-sized shuffle — the only shuffled relations
+    * are the spans and the per-doc span arrays. Tokenization is the
+    * same empty-filtered space split as the span generator, so
+    * positions line up exactly; rejoining with single spaces is the
+    * same normalization every downstream operator of this module
+    * applies. */
+  def applySubstrSpans(
+      df: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val byDoc = spans
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("_spans"))
+    val ws = filter(split(col(textCol), " "), w => length(w) > 0)
+    df.select(col(idCol).as("id"), ws.as("_ws"))
+      .join(byDoc, Seq("id"), "left")
+      .select(col("id"),
+        when(col("_spans").isNull, col("_ws")).otherwise(
+          filter(transform(col("_ws"), (w, i) =>
+            struct(w.as("w"), (i + 1).as("p"))),
+            t => !exists(col("_spans"),
+              sp => t("p") >= sp("s") && t("p") <= sp("e")))
+            .apply("w")).as("_kept"),
+        size(col("_ws")).as("_n"))
+      .select(col("id"),
+        array_join(col("_kept"), " ").as("clean_text"),
+        (col("_n") - size(col("_kept"))).cast("long").as("n_removed"))
   }
 
   /** Span-level (sub-document) dedup — the paragraph-removal step of a
@@ -579,20 +639,43 @@ object Dedup {
     * the same way: a chunk bucket with B members emits B² candidate
     * pairs, so one degenerate corpus (thousands of identical
     * fingerprints) would put B² pairs through one bucket —
-    * `hotChunkCap` drops such buckets, and the drop is not silent:
-    * [[hotChunks]] reports them for operational monitoring (the
-    * module-wide hot-bucket contract, mirroring
-    * [[lshCandidatePairs]]). Pairs come from the size-split
-    * `pairCombinations` helper — one shuffle, O(len) per-row memory
-    * even on hot buckets below the cap. */
+    * `hotChunkCap` is ENFORCED BY DEFAULT (100k; the module-wide
+    * hot-bucket contract shared with [[embeddingNearDupPairs]] and
+    * [[SimilaritySearch.semanticNearDupPairs]]). THIS IS A
+    * RECALL-AFFECTING DROP: pairs wholly inside a dropped chunk bucket
+    * are not emitted — pass `Int.MaxValue` for full recall on a
+    * bounded corpus. The drop is not silent: `onDrop` (when non-null)
+    * receives (buckets, members) dropped before the join runs, and
+    * [[hotChunks]] reports the same buckets ad hoc. Pairs come from
+    * the size-split `pairCombinations` helper — one shuffle, O(len)
+    * per-row memory even on hot buckets below the cap. */
   def simhashPairs(fps: DataFrame, maxDist: Int = 3,
-      hotChunkCap: Int = 100000): DataFrame = {
+      hotChunkCap: Int = 100000,
+      onDrop: (Long, Long) => Unit = null): DataFrame =
+    simhashPairsWithRelease(fps, maxDist, hotChunkCap, onDrop)._1
+
+  /** [[simhashPairs]] plus an explicit RELEASE HANDLE for the bucketed
+    * relation it persists — same contract as
+    * [[PageRank.pageRankWithRelease]]: the returned plan consumes the
+    * persisted relation lazily, so call the handle only AFTER the
+    * result is consumed (or abandoned). Bench/Verify-style harnesses
+    * can keep using `spark.catalog.clearCache()`. */
+  def simhashPairsWithRelease(fps: DataFrame, maxDist: Int = 3,
+      hotChunkCap: Int = 100000,
+      onDrop: (Long, Long) => Unit = null): (DataFrame, () => Unit) = {
     // pigeonhole soundness: k equal-width chunks guarantee a shared
     // chunk only for Hamming distance <= k-1; 4 chunks of a 64-bit
     // fingerprint cover maxDist <= 3. Larger distances need more
     // (narrower) chunks — reject rather than silently lose pairs.
     require(maxDist <= 3,
       s"simhashPairs' 4x16-bit pigeonhole only guarantees recall for maxDist <= 3 (got $maxDist)")
+    if (onDrop != null) {
+      val d = simhashChunkKeys(fps)
+        .groupBy("chunk", "key").agg(count(lit(1)).as("members"))
+        .filter(col("members") > hotChunkCap)
+        .agg(count(lit(1)), coalesce(sum(col("members")), lit(0L))).collect()(0)
+      onDrop(d.getLong(0), d.getLong(1))
+    }
     val buckets = simhashChunkKeys(fps)
       .groupBy("chunk", "key").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, hotChunkCap))
@@ -603,10 +686,11 @@ object Dedup {
       .distinct() // the same pair can collide in several chunks
     val f1 = fps.select(col("id").as("id1"), col("simhash").as("fp1"))
     val f2 = fps.select(col("id").as("id2"), col("simhash").as("fp2"))
-    cand.join(f1, "id1").join(f2, "id2")
+    val pairs = cand.join(f1, "id1").join(f2, "id2")
       .select(col("id1"), col("id2"),
         hammingDist(col("fp1"), col("fp2")).as("hamming"))
       .filter(col("hamming") <= maxDist)
+    (pairs, () => { buckets.unpersist(blocking = false); () })
   }
 
   /** Monitoring companion to [[simhashPairs]]' hot-chunk cap: the
@@ -642,25 +726,36 @@ object Dedup {
     * coarse LSH key (sign bits of seeded random projections) so the
     * pair join is bucket-local, not a cross join.
     *
-    * `hotBucketCap` (opt-in) excludes buckets past the cap from the
-    * |bucket|² join — at 100 TB an embedding mode collapse (one point
-    * mass in the vector space) would otherwise silently dominate the
-    * sweep. Dropping is observable, not silent:
-    * [[embeddingHotBuckets]] reports exactly the excluded buckets at
-    * the same (planes, seed, cap). Default None preserves full recall
-    * for bounded corpora. */
+    * `hotBucketCap` — ENFORCED BY DEFAULT (100k), the module-wide
+    * hot-bucket contract shared with [[simhashPairs]] and
+    * [[SimilaritySearch.semanticNearDupPairs]]: buckets past the cap
+    * are excluded from the |bucket|² join, because at 100 TB an
+    * embedding mode collapse (one point mass in the vector space)
+    * would otherwise silently dominate the sweep with a B² cell join.
+    * THIS IS A RECALL-AFFECTING DROP: pairs wholly inside a dropped
+    * bucket are not emitted. A caller that needs full recall on a
+    * bounded corpus passes `Int.MaxValue`. Dropping is observable, not
+    * silent — `onDrop` (when non-null) receives (buckets, members)
+    * dropped before the join runs (wire it to
+    * [[graft.streaming.MetricsSink.dropHook]] for the metrics table),
+    * and [[embeddingHotBuckets]] reports the same buckets ad hoc at
+    * the same (planes, seed, cap). */
   def embeddingNearDupPairs(
       emb: DataFrame, dim: Int, minCosine: Double, planes: Int = 8, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      hotBucketCap: Option[Int] = None): DataFrame = {
+      hotBucketCap: Int = 100000,
+      onDrop: (Long, Long) => Unit = null): DataFrame = {
     val keyed0 = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
       SimilaritySearch.hyperplaneKey(col(vecCol), dim, planes, seed).as("bucket"))
-    val keyed = hotBucketCap.fold(keyed0) { cap =>
-      val cold = keyed0.groupBy("bucket").agg(count(lit(1)).as("members"))
-        .filter(col("members") <= cap).select("bucket")
-      // ≤ 2^planes rows by construction — broadcast, no extra shuffle
-      keyed0.join(broadcast(cold), Seq("bucket"))
+    val sizes = keyed0.groupBy("bucket").agg(count(lit(1)).as("members"))
+    if (onDrop != null) {
+      val d = sizes.filter(col("members") > hotBucketCap)
+        .agg(count(lit(1)), coalesce(sum(col("members")), lit(0L))).collect()(0)
+      onDrop(d.getLong(0), d.getLong(1))
     }
+    val cold = sizes.filter(col("members") <= hotBucketCap).select("bucket")
+    // ≤ 2^planes rows by construction — broadcast, no extra shuffle
+    val keyed = keyed0.join(broadcast(cold), Seq("bucket"))
     keyed.as("x").join(keyed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
@@ -668,8 +763,8 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
-  /** Monitoring companion to [[embeddingNearDupPairs]]' opt-in cap: the
-    * (bucket, members) rows it would exclude at this cap. */
+  /** Monitoring companion to [[embeddingNearDupPairs]]' cap: the
+    * (bucket, members) rows it excludes at this cap. */
   def embeddingHotBuckets(
       emb: DataFrame, dim: Int, planes: Int = 8, seed: Long = 7L,
       vecCol: String = "embedding", hotBucketCap: Int): DataFrame =

@@ -235,7 +235,11 @@ object RiffCodecs {
         var i = 0L
         while (i < perChunk && sample < t.sizes.length) {
           val len = t.sizes(sample)
-          if (off >= 0 && len > 0 && off + len <= b.length)
+          // overflow-safe bounds: a crafted co64 offset near
+          // Long.MaxValue would wrap `off + len` negative and pass the
+          // naive check, sending garbage toInt slices to copyOfRange
+          // (a throw, violating the dead-letter-never-throw contract)
+          if (off >= 0 && len > 0 && len <= b.length && off <= b.length - len)
             out += ((off.toInt, len.toInt))
           off += len
           sample += 1

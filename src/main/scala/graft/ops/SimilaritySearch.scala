@@ -23,6 +23,22 @@ object SimilaritySearch {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Query-side contract shared by every top-k tier: the query set is
+    * collected/broadcast BY DESIGN (this is top-k SERVING — query sets
+    * are small by contract), so its size must be bounded or a caller
+    * passing a corpus as `queries` OOMs the driver. Enforced, not just
+    * documented: the check scans at most `maxQueries`+1 rows (a
+    * limit-count, cheap at any corpus size) and fails loudly before
+    * any collect. */
+  private def requireBoundedQueries(
+      queries: DataFrame, maxQueries: Int, op: String): Unit =
+    require(queries.limit(maxQueries + 1).count() <= maxQueries,
+      s"$op: the query side is collected/broadcast by design (top-k serving) " +
+        s"but has more than maxQueries=$maxQueries rows. Raise maxQueries " +
+        "deliberately, or don't pass a corpus as `queries` — corpus-scale " +
+        "sweeps are the near-dup pair generators' job " +
+        "(embeddingNearDupPairs / semanticNearDupPairs)")
+
   /** Sign-pattern LSH key: bit b = sign(vec · plane_b). Each dot is one
     * native VectorDot against a literal plane vector — 8 fused loops,
     * not an 8×dim element_at expression tree (which made janino compile
@@ -43,7 +59,9 @@ object SimilaritySearch {
     * excluded, ties broken by neighbor id. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 100000): DataFrame = {
+    requireBoundedQueries(queries, maxQueries, "bruteForceTopK")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -63,7 +81,9 @@ object SimilaritySearch {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 3, seed: Long = 13L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 100000): DataFrame = {
+    requireBoundedQueries(queries, maxQueries, "ivfTopK")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
@@ -124,16 +144,24 @@ object SimilaritySearch {
     * within-cell self-join is the same bucket-local pair shape as
     * [[Dedup.lshCandidatePairs]]. Skewed cells (a mode collapse in the
     * embedding space) are observable via `cellSizes` before the join
-    * runs — and ENFORCEABLE via `cellCap` (opt-in): cells past the cap
-    * are excluded from the |cell|² join instead of silently dominating
-    * the sweep; `cellSizes(...).filter($"n" > cap)` reports exactly
-    * the dropped cells at the same (nlist, seed). Default None keeps
-    * SemDeDup's published full-recall-within-cells behavior. */
+    * runs — and `cellCap` is ENFORCED BY DEFAULT (100k; the
+    * module-wide hot-bucket contract shared with [[Dedup.simhashPairs]]
+    * and [[Dedup.embeddingNearDupPairs]]): cells past the cap are
+    * excluded from the |cell|² join instead of silently dominating the
+    * sweep. THIS IS A RECALL-AFFECTING DROP vs SemDeDup's published
+    * full-recall-within-cells recipe — pairs wholly inside a dropped
+    * cell are not emitted; pass `Int.MaxValue` to restore it on a
+    * bounded corpus. Not silent: `onDrop` (when non-null) receives
+    * (cells, members) dropped before the join runs (wire it to
+    * [[graft.streaming.MetricsSink.dropHook]]), and
+    * `cellSizes(...).filter($"n" > cap)` reports exactly the dropped
+    * cells at the same (nlist, seed). */
   def semanticNearDupPairs(
       emb: DataFrame, minCos: Double,
       nlist: Int = 16, seed: Long = 13L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      cellCap: Option[Int] = None): DataFrame = {
+      cellCap: Int = 100000,
+      onDrop: (Long, Long) => Unit = null): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -144,12 +172,15 @@ object SimilaritySearch {
       .fit(train.select("features"))
     val assigned0 = model.transform(train)
       .select(col("id"), col("vec"), col("prediction").as("cell"))
-    val assigned = cellCap.fold(assigned0) { cap =>
-      val cold = assigned0.groupBy("cell").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= cap).select("cell")
-      // ≤ nlist rows by construction — broadcast, no extra shuffle
-      assigned0.join(broadcast(cold), Seq("cell"))
+    val sizes = assigned0.groupBy("cell").agg(count(lit(1)).as("n"))
+    if (onDrop != null) {
+      val d = sizes.filter(col("n") > cellCap)
+        .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()(0)
+      onDrop(d.getLong(0), d.getLong(1))
     }
+    val cold = sizes.filter(col("n") <= cellCap).select("cell")
+    // ≤ nlist rows by construction — broadcast, no extra shuffle
+    val assigned = assigned0.join(broadcast(cold), Seq("cell"))
     val a = assigned.select(col("cell"), col("id").as("id1"), col("vec").as("v1"))
     val b = assigned.select(col("cell"), col("id").as("id2"), col("vec").as("v2"))
     a.join(b, Seq("cell"))
@@ -200,8 +231,10 @@ object SimilaritySearch {
   def pqTopK(
       queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
       m: Int = 8, seed: Long = 29L, rerank: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 100000): DataFrame = {
     require(dim % m == 0, "m must divide dim")
+    requireBoundedQueries(queries, maxQueries, "pqTopK")
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -345,8 +378,10 @@ object SimilaritySearch {
       queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, seed: Long = 37L,
       rerank: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 100000): DataFrame = {
     require(dim % m == 0, "m must divide dim")
+    requireBoundedQueries(queries, maxQueries, "ivfPqTopK")
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -525,7 +560,9 @@ object SimilaritySearch {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
       planes: Int = 8, seed: Long = 7L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 100000): DataFrame = {
+    requireBoundedQueries(queries, maxQueries, "lshTopK")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       hyperplaneKey(col(vecCol), dim, planes, seed).as("bucket"))
     val qKey = hyperplaneKey(col(vecCol), dim, planes, seed)

@@ -100,6 +100,17 @@ object OpsQueries {
       .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
         col("n_windows"))
 
+  /** The CLEANED corpus after exact-substring dedup — q66's spans
+    * applied (duplicated regions cut out of the text, first
+    * occurrences surviving by construction): the actual product of
+    * Lee et al.'s ExactSubstr pipeline, deterministic string algebra
+    * → DuckDB oracle. */
+  def q68CleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Dedup.applySubstrSpans(docs, Dedup.exactSubstrSpans(docs, windowWords = 10))
+      .select(col("id").as("doc_id"), col("clean_text"), col("n_removed"))
+  }
+
   /** As-of join: for each error event, the most recent click of the
     * same user at or before it (DuckDB's native ASOF JOIN is the
     * oracle). */

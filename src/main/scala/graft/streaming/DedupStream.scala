@@ -528,12 +528,17 @@ object DedupStream {
     * window hash under `wins/batch=<tag>/pw=<k>`; per-tick reads prune
     * to the batch's own hash partitions; commits are batch-id-keyed
     * overwrites, idempotent under foreachBatch replay like [[step]]. */
+  /** @param prefilterBroadcastLimit max distinct batch hashes for the
+    *   BROADCAST history prefilter; above it a SHUFFLE semi-join takes
+    *   over (see below) — the parameter exists so tests can force the
+    *   fallback tier without a million-window batch. */
   def substrStep(
       batch: DataFrame,
       storeDir: String,
       windowWords: Int = 10,
       batchTag: String = java.util.UUID.randomUUID().toString,
-      storeParts: Int = 64): DataFrame = {
+      storeParts: Int = 64,
+      prefilterBroadcastLimit: Long = 1000000L): DataFrame = {
     val spark = batch.sparkSession
     ensureStoreMeta(spark, storeDir, storeParts)
     val parts = lit(storeParts.toLong)
@@ -562,23 +567,44 @@ object DedupStream {
       .join(wins.select(col("id").as("keeper")).distinct(), Seq("keeper"), "left_anti")
     // hash prefilter on the history side (same contract as step()'s
     // bucket-key semi-join): only store rows sharing a hash with the
-    // batch can mark anything, and a broadcast semi keeps the history
-    // join input O(matching) instead of shuffling the whole
-    // accumulated window store every tick. Guarded for huge batches.
+    // batch can mark anything, so the history join input must stay
+    // O(matching), never O(store). Two tiers:
+    //   - batch under the broadcast guard: broadcast semi-join on the
+    //     8-byte xxhash64 of the window hash (~4x smaller broadcast
+    //     than the 32-char hex md5; a prefilter collision only lets an
+    //     extra history row through — the mark join below is on the
+    //     exact h either way);
+    //   - above the guard: a SHUFFLE left_semi on h — still
+    //     O(matching) output at any batch size, instead of abandoning
+    //     the prefilter and scanning the whole accumulated store.
     val batchHashes = wins.select("h").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist =
-      if (batchHashes.count() <= 1000000)
-        old.join(broadcast(batchHashes), Seq("h"), "left_semi")
-      else old
-    // within-batch first occurrence per hash by (id, p); a window whose
-    // hash is in history is duplicated at EVERY in-batch position
-    val byHash = Window.partitionBy("h").orderBy(col("id").asc, col("p").asc)
+      if (batchHashes.count() <= prefilterBroadcastLimit)
+        old.withColumn("_pf", xxhash64(col("h")))
+          .join(broadcast(batchHashes.select(xxhash64(col("h")).as("_pf")).distinct()),
+            Seq("_pf"), "left_semi")
+          .drop("_pf")
+      else old.join(batchHashes, Seq("h"), "left_semi")
+    // within-batch first occurrence per hash by (id, p) — a per-hash
+    // MIN aggregation joined back, NOT a row_number window: partial
+    // aggregation absorbs a boilerplate hash's skew map-side, and a
+    // skewed join partition is AQE-splittable where a window sort is
+    // not (same election as the batch operator, Dedup.exactSubstrSpans).
+    // A window whose hash is in history is duplicated at EVERY
+    // in-batch position. The history side joins DISTINCT hashes: a doc
+    // genuinely recurring in a later batch folds its hashes a second
+    // time with the same keeper (replay tag exclusion only covers the
+    // SAME batch), and duplicate (h, keeper) store rows must not
+    // multiply marked window rows.
+    val firsts = wins.groupBy("h").agg(min(struct(col("id"), col("p"))).as("_f"))
+    val histH = hist.select("h").distinct()
     val marked = wins
-      .withColumn("_rn", row_number().over(byHash))
-      .join(hist.select(col("h"), lit(1).as("_hist")), Seq("h"), "left")
+      .join(firsts, Seq("h"))
+      .withColumn("_first", struct(col("id"), col("p")) === col("_f"))
+      .join(histH.withColumn("_hist", lit(1)), Seq("h"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dups = marked.filter(col("_hist").isNotNull || col("_rn") > 1)
+    val dups = marked.filter(col("_hist").isNotNull || !col("_first"))
       .select("id", "p")
     val byDoc = Window.partitionBy("id").orderBy(col("p").asc)
     val out = dups
@@ -594,7 +620,7 @@ object DedupStream {
       .cache()
     out.count()
     // fold: first occurrences of hashes history has not seen
-    marked.filter(col("_rn") === 1 && col("_hist").isNull)
+    marked.filter(col("_first") && col("_hist").isNull)
       .select(col("h"), col("id").as("keeper"))
       .withColumn("pw", pmod(xxhash64(col("h")), parts).cast("int"))
       .write.partitionBy("pw")

@@ -50,6 +50,17 @@ final class MetricsSink(spark: SparkSession, root: String) {
   def roundHook(loop: String, valueName: String = "edges"): (Int, Long) => Unit =
     (round, value) => record(loop, Map("round" -> round.toLong, valueName -> value))
 
+  /** Adapter for the pair generators' hot-bucket drop reports
+    * ([[graft.ops.Dedup.simhashPairs]]/[[graft.ops.Dedup.embeddingNearDupPairs]]'s
+    * `onDrop`, [[graft.ops.SimilaritySearch.semanticNearDupPairs]]'s):
+    * one metrics point per sweep recording how many buckets/members
+    * the enforced cap excluded — the recall cost of the cap is in the
+    * table, not just in a monitor query someone has to remember to
+    * run. */
+  def dropHook(loop: String): (Long, Long) => Unit =
+    (buckets, members) => record(loop,
+      Map("hot_buckets_dropped" -> buckets, "hot_members_dropped" -> members))
+
   /** The metrics table (empty-schema DataFrame when nothing recorded). */
   def table(): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(root)

@@ -397,6 +397,76 @@ class CorpusSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(got == expected,
         s"trial $trial: got ${got.toSeq.sorted} expected ${expected.toSeq.sorted}")
+
+      // the xxhash64 production twin (8-byte shuffle keys) emits
+      // identical spans on the same repeat-heavy corpus
+      val xx = Dedup.exactSubstrSpans(corpus.toDF("doc_id", "text"), windowWords = L,
+          hashMode = "xxhash64")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(xx == expected, s"trial $trial: xxhash64 mode diverged")
     }
+  }
+
+  test("exactSubstrSpans election is skew-tolerant: no per-hash window sort; a 100k-repeat boilerplate gram completes") {
+    // the first-occurrence election must be a min-aggregation (partial
+    // aggregation absorbs hot hashes map-side; a skewed join partition
+    // is AQE-splittable), never a row_number window partitioned by the
+    // hash (one task sorts ALL occurrences of a boilerplate gram)
+    val plan = Dedup.exactSubstrSpans(docs, windowWords = 10)
+      .queryExecution.optimizedPlan
+    val windowSpecs = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.toString).mkString(",")
+    }
+    assert(windowSpecs.nonEmpty, "sanity: the per-doc islands window exists")
+    assert(windowSpecs.forall(s => !s.startsWith("h#") && !s.contains(",h#")),
+      s"election must not window-partition by the hash: $windowSpecs")
+
+    // degenerate corpus: ONE 10-gram repeated across 100k docs — every
+    // window shares a single hash (the 100 TB license-header shape)
+    val gram = (0 until 10).map(i => s"b$i").mkString(" ")
+    val boiler = spark.range(100000L)
+      .select(col("id").as("doc_id"), lit(gram).as("text"))
+    val out = Dedup.exactSubstrSpans(boiler, windowWords = 10)
+    // every doc except the first occurrence (doc 0) is one full span
+    assert(out.count() == 99999L)
+    assert(out.filter(col("span_start") === 1L && col("span_end") === 10L &&
+      col("n_windows") === 1L).count() == 99999L)
+  }
+
+  test("applySubstrSpans cuts exactly the duplicated regions; the cleaned corpus is substr-clean") {
+    // planted shape from the spans test: doc 2's tokens 4..18 copy doc 1
+    val w1 = (0 until 30).map(i => s"a$i")
+    val d2 = (0 until 3).map(i => s"x$i") ++ w1.slice(5, 20) ++ (0 until 5).map(i => s"y$i")
+    val tiny = Seq(
+      (1L, w1.mkString(" ")),
+      (2L, d2.mkString(" ")),
+      (3L, (0 until 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.applySubstrSpans(tiny,
+      Dedup.exactSubstrSpans(tiny, windowWords = 10))
+    val byId = cleaned.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId(1L) == ((w1.mkString(" "), 0L)), "first occurrence survives verbatim")
+    assert(byId(2L) == ((((0 until 3).map(i => s"x$i") ++
+      (0 until 5).map(i => s"y$i")).mkString(" "), 15L)), s"got ${byId(2L)}")
+    assert(byId(3L)._2 == 0L, "unique doc untouched")
+
+    // the real corpus: spans applied → re-running the generator on the
+    // cleaned text finds nothing (Lee et al.'s fixpoint property), and
+    // removal totals reconcile with the span lengths
+    val spans = Dedup.exactSubstrSpans(docs, windowWords = 10)
+    val clean = Dedup.applySubstrSpans(docs, spans)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val removedTotal = clean.agg(sum("n_removed")).collect()(0).getLong(0)
+    val spanTotal = spans.agg(sum(col("span_end") - col("span_start") + 1))
+      .collect()(0).getLong(0)
+    assert(removedTotal == spanTotal,
+      s"removed $removedTotal tokens but spans cover $spanTotal")
+    val residual = Dedup.exactSubstrSpans(
+      clean.select(col("id").as("doc_id"), col("clean_text").as("text")),
+      windowWords = 10)
+    assert(residual.count() == 0L, "cleaned corpus must contain no duplicate windows")
+    clean.unpersist()
   }
 }

@@ -140,14 +140,18 @@ class OpsSpec extends SparkSpec {
     val mass = (0L until 1000L).map(i => (i, neg.toSeq))
     val planted = Seq((9001L, v.toSeq), (9002L, v.toSeq))
     val emb = (mass ++ planted).toDF("vec_id", "embedding")
+    var dropped: (Long, Long) = null
     val capped = Dedup.embeddingNearDupPairs(
-        emb, dim = 64, minCosine = 0.9, hotBucketCap = Some(100))
+        emb, dim = 64, minCosine = 0.9, hotBucketCap = 100,
+        onDrop = (b, m) => dropped = (b, m))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((9001L, 9002L)),
       s"only the cold planted pair may survive: ${capped.take(5)}")
+    assert(dropped == ((1L, 1000L)), s"onDrop saw $dropped")
     val hot = Dedup.embeddingHotBuckets(emb, dim = 64, hotBucketCap = 100).collect()
     assert(hot.length == 1 && hot.head.getLong(1) == 1000L, s"got ${hot.mkString(",")}")
-    // default (no cap) keeps full within-bucket recall: the mass pairs exist
+    // the DEFAULT cap (100k) binds nothing on a bounded corpus: full
+    // within-bucket recall, the mass pairs exist
     val full = Dedup.embeddingNearDupPairs(
       emb.filter(col("vec_id").isin(0L, 1L, 9001L, 9002L)), dim = 64, minCosine = 0.9)
     assert(full.count() == 2L)
@@ -165,11 +169,14 @@ class OpsSpec extends SparkSpec {
     val cold = (9001L to 9003L).map(i =>
       (i, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat).toSeq))
     val emb = (mass ++ cold).toDF("vec_id", "embedding")
+    var dropped: (Long, Long) = null
     val capped = SimilaritySearch.semanticNearDupPairs(
-        emb, minCos = 0.9, nlist = 2, cellCap = Some(100))
+        emb, minCos = 0.9, nlist = 2, cellCap = 100,
+        onDrop = (c, m) => dropped = (c, m))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((9001L, 9002L), (9001L, 9003L), (9002L, 9003L)),
       s"only the cold cell's pairs may survive: ${capped.take(5)}")
+    assert(dropped == ((1L, 400L)), s"onDrop saw $dropped")
     // the drop is observable at the same (nlist, seed): one hot cell of 400
     val hot = SimilaritySearch.cellSizes(emb, nlist = 2)
       .filter(col("n") > 100).collect()
@@ -240,6 +247,27 @@ class OpsSpec extends SparkSpec {
     val sizes = SimilaritySearch.cellSizes(vecs, nlist = 10)
       .agg(sum("n")).collect()(0).getLong(0)
     assert(sizes == 300L)
+  }
+
+  test("ANN query-side contract: an oversized query set fails loudly, not by driver OOM") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    // every top-k tier collects/broadcasts the query side by design;
+    // passing a corpus there must die in the require, before any collect
+    def oversized(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[IllegalArgumentException](f.collect())
+      assert(e.getMessage.contains("maxQueries"), e.getMessage)
+    }
+    oversized(SimilaritySearch.bruteForceTopK(vecs, vecs, k = 3, maxQueries = 10))
+    oversized(SimilaritySearch.lshTopK(vecs, vecs, dim = 64, k = 3, maxQueries = 10))
+    oversized(SimilaritySearch.ivfTopK(vecs, vecs, k = 3, maxQueries = 10))
+    oversized(SimilaritySearch.pqTopK(vecs, vecs, dim = 64, k = 3, maxQueries = 10))
+    oversized(SimilaritySearch.ivfPqTopK(vecs, vecs, dim = 64, k = 3, maxQueries = 10))
+    // and a bounded query set is untouched
+    assert(SimilaritySearch.bruteForceTopK(
+      vecs.filter(col("vec_id") < 5), vecs, k = 3, maxQueries = 10).count() == 15L)
   }
 
   test("IVF-PQ fused ANN achieves high recall vs brute force on clustered vectors") {

@@ -306,6 +306,42 @@ class DedupStreamSpec extends SparkSpec {
     assert(inc4 == Set((20L, 1L, 12L, 3L)), s"got $inc4")
   }
 
+  test("substrStep: shuffle-semi fallback tier equals the broadcast tier; a recurring doc id cannot inflate later spans") {
+    val w1 = (0 until 30).map(i => s"a$i")
+    def spanSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // two identical stores; one tick forced onto the fallback tier
+    // (prefilterBroadcastLimit below the batch's distinct hash count):
+    // the history prefilter degrades from broadcast to a SHUFFLE
+    // semi-join, never to an unfiltered store scan — answers identical
+    val sA = java.nio.file.Files.createTempDirectory("substrA").toString
+    val sB = java.nio.file.Files.createTempDirectory("substrB").toString
+    val b1 = Seq((1L, w1.mkString(" "))).toDF("doc_id", "text")
+    val b2 = Seq(
+      (9L, ((0 until 7).map(i => s"y$i") ++ w1.slice(10, 20)).mkString(" "))
+    ).toDF("doc_id", "text")
+    DedupStream.substrStep(b1, sA, batchTag = "s1").unpersist()
+    DedupStream.substrStep(b1, sB, batchTag = "s1").unpersist()
+    val broadcastTier = spanSet(DedupStream.substrStep(b2, sA, batchTag = "s2").collect())
+    val fallbackTier = spanSet(DedupStream.substrStep(
+      b2, sB, batchTag = "s2", prefilterBroadcastLimit = 1L).collect())
+    assert(fallbackTier == broadcastTier && fallbackTier == Set((9L, 8L, 17L, 1L)),
+      s"got fallback=$fallbackTier broadcast=$broadcastTier")
+
+    // a doc id genuinely recurring in a LATER batch folds its hashes a
+    // second time with the same keeper (the replay rule drops its own
+    // history, so the windows look new) — duplicate (h, keeper) store
+    // rows are thus legal, and must not multiply marked rows in later
+    // ticks (the mark join is against DISTINCT history hashes)
+    assert(DedupStream.substrStep(b1, sA, batchTag = "s3").collect().isEmpty,
+      "a recurring doc dedups against nothing but itself")
+    val b4 = Seq((7L, w1.mkString(" "))).toDF("doc_id", "text")
+    val s4 = spanSet(DedupStream.substrStep(b4, sA, batchTag = "s4").collect())
+    assert(s4 == Set((7L, 1L, 30L, 21L)),
+      s"duplicate store rows must not inflate n_windows: $s4")
+  }
+
   test("first compaction adopts only _SUCCESS commits; a crashed partial write is GC'd and replay restores it") {
     val store = java.nio.file.Files.createTempDirectory("dadopt").toString
     val b1 = Seq(
