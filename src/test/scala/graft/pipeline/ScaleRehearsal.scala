@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   *     generation faces real duplication pressure, not noise.
   *   - embeddings ×10: deterministic per-copy additive jitter (keeps
   *     neighborhood structure; no artificial cosine point mass).
+  *   - events ×10: copies shift user_id/event_id into disjoint ranges
+  *     with timestamps untouched — per-user session/window structure
+  *     is preserved while every hour bucket carries 10× the rows, so
+  *     the windowed family (q31/q32/q39/q51/q55/q60) runs above
+  *     sf0.1. The ts column is kept as raw int64 nanos (what
+  *     Queries.events normalizes from).
   *
   * Run: `sbt "Test/runMain graft.pipeline.ScaleRehearsal"` then
   * Bench with SPARK_GRAFT_SF_DIR=target/sf1. The DedupStream leg
@@ -55,12 +61,57 @@ object ScaleRehearsal {
         col("label"))
     }.reduce(_ unionByName _)
 
+    // events carry TIMESTAMP(NANOS): read the ts as a raw long (the
+    // same nanosAsLong path Queries.events uses) and write it back as
+    // int64 nanos so the sf1 table reads through the same normalizer
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$SrcDir/events.parquet")
+    val bigEv: DataFrame = (0 until Copies).map { c =>
+      ev.select(
+        (col("event_id") + lit(c.toLong * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+
+    // TPC-H side ×10 so the relational family (q01/q06/q07/q09/q12/
+    // q28/q29/q35/q36/q59) benches above sf0.1 too: fact/dim keys
+    // shift into disjoint ranges per copy (joins stay key-correct and
+    // 10× denser); region/nation are genuine dims — copied verbatim.
+    val K = 100000000L
+    def copies(t: DataFrame)(f: (DataFrame, Long) => DataFrame): DataFrame =
+      (0 until Copies).map(c => f(t, c.toLong * K)).reduce(_ unionByName _)
+    val bigCustomer = copies(spark.read.parquet(s"$SrcDir/customer.parquet")) {
+      (t, s) => t.withColumn("c_custkey", col("c_custkey") + s) }
+    val bigSupplier = copies(spark.read.parquet(s"$SrcDir/supplier.parquet")) {
+      (t, s) => t.withColumn("s_suppkey", col("s_suppkey") + s) }
+    val bigPart = copies(spark.read.parquet(s"$SrcDir/part.parquet")) {
+      (t, s) => t.withColumn("p_partkey", col("p_partkey") + s) }
+    val bigOrders = copies(spark.read.parquet(s"$SrcDir/orders.parquet")) {
+      (t, s) => t.withColumn("o_orderkey", col("o_orderkey") + s)
+        .withColumn("o_custkey", col("o_custkey") + s) }
+    val bigLineitem = copies(spark.read.parquet(s"$SrcDir/lineitem.parquet")) {
+      (t, s) => t.withColumn("l_orderkey", col("l_orderkey") + s)
+        .withColumn("l_partkey", col("l_partkey") + s)
+        .withColumn("l_suppkey", col("l_suppkey") + s) }
+
     bigDocs.repartition(32).write.mode("overwrite")
       .parquet(s"$DestDir/documents.parquet")
     bigEmb.repartition(32).write.mode("overwrite")
       .parquet(s"$DestDir/embeddings.parquet")
+    bigEv.repartition(32).write.mode("overwrite")
+      .parquet(s"$DestDir/events.parquet")
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$SrcDir/$t.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(s"$DestDir/$t.parquet") }
+    Seq("customer" -> bigCustomer, "supplier" -> bigSupplier,
+      "part" -> bigPart, "orders" -> bigOrders, "lineitem" -> bigLineitem)
+      .foreach { case (n, df) =>
+        df.repartition(32).write.mode("overwrite").parquet(s"$DestDir/$n.parquet") }
     println(s"GEN documents=${spark.read.parquet(s"$DestDir/documents.parquet").count()} " +
-      s"embeddings=${spark.read.parquet(s"$DestDir/embeddings.parquet").count()}")
+      s"embeddings=${spark.read.parquet(s"$DestDir/embeddings.parquet").count()} " +
+      s"events=${spark.read.parquet(s"$DestDir/events.parquet").count()} " +
+      s"lineitem=${spark.read.parquet(s"$DestDir/lineitem.parquet").count()}")
 
     // DedupStream at 10x: ticks over 5k-doc batches of DISJOINT content
     // (each tick = all 10 copies of 1/10 of the originals). Emitted
