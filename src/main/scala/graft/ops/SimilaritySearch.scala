@@ -33,11 +33,25 @@ object SimilaritySearch {
   private def requireBoundedQueries(
       queries: DataFrame, maxQueries: Int, op: String): Unit =
     require(queries.limit(maxQueries + 1).count() <= maxQueries,
-      s"$op: the query side is collected/broadcast by design (top-k serving) " +
-        s"but has more than maxQueries=$maxQueries rows. Raise maxQueries " +
-        "deliberately, or don't pass a corpus as `queries` — corpus-scale " +
-        "sweeps are the near-dup pair generators' job " +
-        "(embeddingNearDupPairs / semanticNearDupPairs)")
+      boundMessage(maxQueries, op))
+
+  /** The collect-fused form for the tiers that materialize the query
+    * side anyway (pqTopK/ivfPqTopK): limit-collect maxQueries+1 rows
+    * and fail on overflow — ONE job instead of a check job plus the
+    * collect. */
+  private def collectBounded(
+      q: DataFrame, maxQueries: Int, op: String): Array[org.apache.spark.sql.Row] = {
+    val rows = q.limit(maxQueries + 1).collect()
+    require(rows.length <= maxQueries, boundMessage(maxQueries, op))
+    rows
+  }
+
+  private def boundMessage(maxQueries: Int, op: String): String =
+    s"$op: the query side is collected/broadcast by design (top-k serving) " +
+      s"but has more than maxQueries=$maxQueries rows. Raise maxQueries " +
+      "deliberately, or don't pass a corpus as `queries` — corpus-scale " +
+      "sweeps are the near-dup pair generators' job " +
+      "(embeddingNearDupPairs / semanticNearDupPairs)"
 
   /** Sign-pattern LSH key: bit b = sign(vec · plane_b). Each dot is one
     * native VectorDot against a literal plane vector — 8 fused loops,
@@ -72,10 +86,14 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** IVF (inverted-file) ANN top-k: a KMeans coarse quantizer assigns
-    * every corpus vector to its nearest of `nlist` centroids; each
-    * query scores only the vectors in its `nprobe` closest cells. The
-    * index build is one KMeans fit + one assignment pass; the search
+  /** IVF (inverted-file) ANN top-k: a coarse quantizer assigns every
+    * corpus vector to its nearest of `nlist` centroids; each query
+    * scores only the vectors in its `nprobe` closest cells. The
+    * quantizer fits on a BOUNDED deterministic sample driver-side
+    * (same contract as [[pqTopK]]/[[ivfPqTopK]] — a 16-cell model
+    * cannot absorb corpus-sized training, and a distributed Lloyd's
+    * pays ~2 scheduled jobs per iteration that the problem size can't
+    * justify); assignment is one broadcast-centroid pass; the search
     * shuffle is bounded by cell membership, never the corpus square.
     * Deterministic via fixed seed. */
   def ivfTopK(
@@ -84,34 +102,29 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxQueries: Int = 100000): DataFrame = {
     requireBoundedQueries(queries, maxQueries, "ivfTopK")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
-    val train = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cvec"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // random init, not k-means||: the parallel init runs ~2 jobs per
-    // init round over the corpus, and a coarse IVF quantizer doesn't
-    // need init quality — Lloyd iterations converge it regardless
-    // (recall is gated by the spec either way)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setInitMode("random")
-      .fit(train.select("features"))
-    val assigned = model.transform(train)
-      .select(col("neighbor_id"), col("cvec"), col("prediction").as("cell"))
-
-    val centroids = model.clusterCenters.zipWithIndex
-    // nprobe nearest cells per query, computed driver-side per row via a
-    // UDF over the tiny centroid set (nlist × dim doubles, broadcast)
-    val probeCells = udf { (v: Seq[Float]) =>
-      centroids.map { case (c: Vector, i: Int) =>
-        var d = 0.0
-        var j = 0
-        while (j < c.size) { val t = c(j) - v(j); d += t * t; j += 1 }
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    // bounded deterministic sample (smallest xxhash64(id) order — a
+    // seeded global draw independent of partitioning)
+    val sample: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("neighbor_id")).asc, col("neighbor_id").asc)
+      .limit(20000)
+      .select(col("cvec"))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids = localKMeans(sample, nlist, iters = 10, seed = seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    def nearestCells(v: Seq[Float], n: Int): Seq[Int] = {
+      val cs = bc.value
+      cs.indices.map { i =>
+        var d = 0.0; var j = 0
+        val cc = cs(i)
+        while (j < cc.length) { val t = cc(j) - v(j); d += t * t; j += 1 }
         (i, d)
-      }.sortBy(_._2).take(nprobe).map(_._1)
+      }.sortBy(_._2).take(n).map(_._1)
     }
+    val assignCell = udf { (v: Seq[Float]) => nearestCells(v, 1).head }
+    val probeCells = udf { (v: Seq[Float]) => nearestCells(v, nprobe) }
+    val assigned = c.withColumn("cell", assignCell(col("cvec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       explode(probeCells(col(vecCol))).as("cell"))
 
@@ -234,7 +247,6 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxQueries: Int = 100000): DataFrame = {
     require(dim % m == 0, "m must divide dim")
-    requireBoundedQueries(queries, maxQueries, "pqTopK")
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -298,9 +310,12 @@ object SimilaritySearch {
       }
     }.toDF("nid", "codes")
 
-    // search: per-query ADC table (m × 16 inner products), score codes
-    val qs = queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // search: per-query ADC table (m × 16 inner products), score codes;
+    // the collect doubles as the maxQueries bound check (one job)
+    val qs = collectBounded(
+      queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv")),
+      maxQueries, "pqTopK")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qBc = spark.sparkContext.broadcast(qs)
     val scored = encoded.mapPartitions { it =>
       val cb = bc.value
@@ -381,7 +396,6 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxQueries: Int = 100000): DataFrame = {
     require(dim % m == 0, "m must divide dim")
-    requireBoundedQueries(queries, maxQueries, "ivfPqTopK")
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -453,8 +467,11 @@ object SimilaritySearch {
     // per-query precompute: probed cell set, exact <q, centroid> per
     // cell, one residual ADC table (codebooks are global, so the table
     // is shared across cells)
-    val qs = queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    // collect doubles as the maxQueries bound check (one job)
+    val qs = collectBounded(
+      queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv")),
+      maxQueries, "ivfPqTopK")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
     val qBc = spark.sparkContext.broadcast(qs)
     val scored = encoded.mapPartitions { it =>
       val cs = coarseBc.value
