@@ -92,6 +92,12 @@ object Dedup {
       if (hashMode == "md5") md5 else (c: Column) => xxhash64(c)
     // stride-1 windows: pos = 1..len-L+1 (1-based), hash of the joined
     // window text (join-with-space is bijective for space-split tokens)
+    // Persisted (same CACHE LIFECYCLE CONTRACT as the pairwise
+    // operators): the election consumes wins twice — the per-hash min
+    // aggregation and the join-back — and recomputing the stride-1
+    // hash explode doubles the dominant scan cost. MEMORY_AND_DISK:
+    // tokens-sized, spills rather than OOMs (Lee et al.'s suffix
+    // array is likewise a materialized tokens-sized intermediate).
     val wins = df
       .select(col(idCol).as("id"), ws.as("ws"))
       .filter(size(col("ws")) >= L)
@@ -99,10 +105,17 @@ object Dedup {
         sequence(lit(1), size(col("ws")) - (L - 1)),
         p => winHash(array_join(slice(col("ws"), p, lit(L)), " ")))))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first occurrence keeps (global order: doc asc, pos asc); every
     // later (id, p) of the same hash is a duplicated window. min(struct)
-    // is partial-aggregatable — hot hashes combine map-side.
-    val firsts = wins.groupBy("h").agg(min(struct(col("id"), col("p"))).as("f"))
+    // is partial-aggregatable — hot hashes combine map-side. Only
+    // hashes occurring >= 2 times can mark anything, so the join-back
+    // build side is duplicated-hashes-sized (tiny on real corpora) —
+    // AQE broadcasts it and the tokens-sized wins relation is never
+    // re-shuffled for the join.
+    val firsts = wins.groupBy("h")
+      .agg(min(struct(col("id"), col("p"))).as("f"), count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
     val dups = wins.join(firsts, Seq("h"))
       .filter(struct(col("id"), col("p")) =!= col("f"))
       .select("id", "p")
