@@ -152,8 +152,9 @@ object SimilaritySearch {
     * recipe accepts it for the ~n²/nlist cost cut). Feed the pairs to
     * [[ConnectedComponents]] + keep-min for the deduped corpus.
     *
-    * Scale: the KMeans fit samples/aggregates the corpus (MLlib
-    * treeAggregate); assignment is one broadcast-centroid pass; the
+    * Scale: the quantizer fits on a bounded deterministic sample
+    * driver-side ([[coarseAssign]], shared with [[cellSizes]]);
+    * assignment is one broadcast-centroid pass; the
     * within-cell self-join is the same bucket-local pair shape as
     * [[Dedup.lshCandidatePairs]]. Skewed cells (a mode collapse in the
     * embedding space) are observable via `cellSizes` before the join
@@ -175,16 +176,7 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCap: Int = 100000,
       onDrop: (Long, Long) => Unit = null): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val train = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setInitMode("random")
-      .fit(train.select("features"))
-    val assigned0 = model.transform(train)
-      .select(col("id"), col("vec"), col("prediction").as("cell"))
+    val assigned0 = coarseAssign(emb, nlist, seed, idCol, vecCol)
     val sizes = assigned0.groupBy("cell").agg(count(lit(1)).as("n"))
     if (onDrop != null) {
       val d = sizes.filter(col("n") > cellCap)
@@ -205,18 +197,47 @@ object SimilaritySearch {
 
   /** Cluster-size monitor for [[semanticNearDupPairs]]: (cell, n) rows
     * — at 100 TB, check the largest cell BEFORE paying its |cell|²
-    * join (same no-silent-hotspot contract as Dedup.hotBuckets). */
+    * join (same no-silent-hotspot contract as Dedup.hotBuckets).
+    * Shares [[coarseAssign]] with the sweep, so at the same
+    * (nlist, seed) it reports exactly the cells the sweep uses. */
   def cellSizes(
       emb: DataFrame, nlist: Int = 16, seed: Long = 13L,
-      vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = emb.select(
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setInitMode("random").fit(train)
-    model.transform(train).groupBy(col("prediction").as("cell"))
-      .agg(count(lit(1)).as("n"))
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    coarseAssign(emb, nlist, seed, idCol, vecCol)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** The SemDeDup family's shared coarse quantizer: bounded
+    * deterministic 20k sample (smallest xxhash64(id) order — a seeded
+    * global draw independent of partitioning) trains a driver-local
+    * Lloyd's (an nlist-cell model cannot absorb corpus-sized training,
+    * and a distributed fit pays ~2 scheduled jobs per iteration — the
+    * same argument as the PQ codebooks); assignment is one
+    * broadcast-centroid pass. Returns (id, vec, cell). */
+  private def coarseAssign(
+      emb: DataFrame, nlist: Int, seed: Long,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    val c = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sample: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(20000)
+      .select(col("vec"))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids = localKMeans(sample, nlist, iters = 10, seed = seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue; var ci = 0
+      while (ci < cs.length) {
+        var d = 0.0; var j = 0
+        val cc = cs(ci)
+        while (j < cc.length) { val t = cc(j) - v(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = ci }
+        ci += 1
+      }
+      best
+    }
+    c.withColumn("cell", assign(col("vec")))
   }
 
   /** Product-quantization ANN top-k (the IVF-PQ compressed-codes path):
