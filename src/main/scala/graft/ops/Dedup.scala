@@ -333,8 +333,19 @@ object Dedup {
     // come from the same cap-filtered relation — Jaccard is computed
     // over the effective (non-hot) shingle universe. Mixing capped
     // intersections with uncapped sizes would bias boilerplate-heavy
-    // near-dups far below their true similarity.
-    val bucketed = sh
+    // near-dups far below their true similarity. The cap filters
+    // BEFORE the list materializes (count_distinct prefilter — two-
+    // phase, O(1) final buffer per key — + aligned semi-join): a
+    // boilerplate shingle shared by 10⁸ docs must never reach
+    // collect_list's merge buffer. Uncapped mode (None, oracle
+    // parity) documents its blowup as MinHash territory.
+    val prefiltered = maxDocFrequency.fold(sh) { c =>
+      val cold = sh.groupBy("block", "sh")
+        .agg(count_distinct(col("id")).as("n"))
+        .filter(col("n") <= c).select("block", "sh")
+      sh.join(cold, Seq("block", "sh"), "left_semi")
+    }
+    val bucketed = prefiltered
       .groupBy("block", "sh").agg(collect_list(col("id")).as("ids"))
       .withColumn("ids", array_sort(array_distinct(col("ids"))))
     val kept = maxDocFrequency
@@ -523,17 +534,25 @@ object Dedup {
       signatures: DataFrame, numHashes: Int, bands: Int,
       hotBucketCap: Int = 100000): DataFrame = {
     val banded = bandBuckets(signatures, numHashes, bands)
-    // Bucket-local pair generation: ONE shuffle (the groupBy) instead of
-    // the window-count + two-sided self-join + distinct formulation
-    // (three shuffles of the banded relation); pairs come from the
-    // size-split `pairCombinations` helper. The bucketed relation is
-    // persisted because the helper's small/large union scans it twice —
-    // without it the banding explode + aggregation would re-run per
-    // branch. array_distinct guards dirty input: a duplicated id in a
-    // bucket must not emit an (id, id) self-pair.
-    val buckets = banded
+    // Bucket-local pair generation: pairs come from the size-split
+    // `pairCombinations` helper over per-bucket id lists. The cap is
+    // enforced BEFORE the list materializes: collect_list's final
+    // merge buffer holds a bucket's whole id array, so a 10⁸-member
+    // degenerate bucket would OOM the executor before an after-the-
+    // fact size filter ever ran. The count prefilter is a safe
+    // partial aggregation (O(1) buffer per key however hot), and its
+    // semi-join output is already hash-partitioned on the bucket key,
+    // so the list aggregation reuses the exchange — the extra cost is
+    // one count-shuffle of (band, bucket) pairs, not a second pass
+    // over the data. The bucketed relation is persisted because the
+    // helper's small/large union scans it twice. array_distinct
+    // guards dirty input: a duplicated id in a bucket must not emit
+    // an (id, id) self-pair.
+    val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    val coldKeys = sizes.filter(col("n").between(2, hotBucketCap))
+      .select("band", "bucket")
+    val buckets = banded.join(coldKeys, Seq("band", "bucket"), "left_semi")
       .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, hotBucketCap))
       .withColumn("ids", array_sort(array_distinct(col("ids"))))
       .filter(size(col("ids")) >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -689,9 +708,15 @@ object Dedup {
         .agg(count(lit(1)), coalesce(sum(col("members")), lit(0L))).collect()(0)
       onDrop(d.getLong(0), d.getLong(1))
     }
-    val buckets = simhashChunkKeys(fps)
+    // cap enforced BEFORE the list materializes (count prefilter +
+    // aligned semi-join) — same OOM argument as lshCandidatePairs:
+    // the collect_list merge buffer must never see a hot bucket
+    val keyed = simhashChunkKeys(fps)
+    val sizes = keyed.groupBy("chunk", "key").agg(count(lit(1)).as("n"))
+    val coldKeys = sizes.filter(col("n").between(2, hotChunkCap))
+      .select("chunk", "key")
+    val buckets = keyed.join(coldKeys, Seq("chunk", "key"), "left_semi")
       .groupBy("chunk", "key").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, hotChunkCap))
       .withColumn("ids", array_sort(array_distinct(col("ids"))))
       .filter(size(col("ids")) >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -134,6 +134,22 @@ object ScaleRehearsal {
       println(f"TICK $c%d pairs=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
+    // boilerplate-skew stress: the exact scenario the round-7 election
+    // fix targets — ONE 10-gram repeated across 1M docs, so every
+    // window in the corpus shares a single hash. The min-agg election
+    // absorbs it map-side (partial aggregation) and the join-back's
+    // one-row build side broadcasts; the old row_number-by-hash plan
+    // would sort all 1M occurrences in one task.
+    {
+      val gram = (0 until 10).map(i => s"boiler$i").mkString(" ")
+      val boiler = spark.range(1000000L)
+        .select(col("id").as("doc_id"), lit(gram).as("text"))
+      val t0 = System.nanoTime()
+      val n = graft.ops.Dedup.exactSubstrSpans(boiler).count()
+      spark.catalog.clearCache()
+      println(f"SKEW exact_substr_1M_one_hash spans=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+
     // incremental exact-substring at 10x: same disjoint slicing; the
     // wins store accumulates ~2M window hashes, per-tick time must
     // stay flat (each tick's copies dedup within the tick)
