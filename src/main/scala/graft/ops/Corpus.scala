@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Corpus-assembly operators for a training-data pipeline: deterministic
   * stratified sampling and token-budget sequence packing — the two steps
@@ -57,29 +57,77 @@ object Corpus {
     *   pack_id     = floor(running_start / budget)
     *   pack_offset = running_start % budget
     *
-    * One window cumsum per stratum — no sequential bin state, so the
-    * window parallelizes across strata (and Spark's window spills per
-    * partition at scale). This is the quota variant of greedy packing:
-    * a pack may overflow by at most one document tail instead of
-    * closing early — the standard trade for a closed-form, shuffle-once
-    * formulation. (True greedy close-on-overflow needs per-row
-    * sequential state: that is `flatMapGroupsWithState` territory, not
-    * a window function.)
+    * No sequential bin state (closed-form), so the running token sum
+    * is a PREFIX SUM — and computed scalably, not as one window per
+    * stratum: a `Window.partitionBy(stratum)` cumsum funnels an
+    * entire stratum through ONE task's sort, and a web-corpus stratum
+    * can be half of 100 TB. Instead, the [[globalIndex]] recipe
+    * generalized to token sums: range-partition on (stratum, id),
+    * per-(partition, stratum) token totals (a ≤ numPartitions+strata
+    * row collect — range layout means each partition spans few
+    * strata), exclusive per-stratum offsets accumulated driver-side
+    * in partition order (integer arithmetic — order-independent,
+    * identical to the single-window form), broadcast back, and a
+    * partition-LOCAL cumsum window keyed by (partition, stratum) —
+    * bounded by the partition size whatever the stratum skew. This is
+    * the quota variant of greedy packing: a pack may overflow by at
+    * most one document tail instead of closing early — the standard
+    * trade for a closed-form formulation. (True greedy
+    * close-on-overflow needs per-row sequential state — that is
+    * [[greedyPack]]'s streamed mapPartitions.) The input is persisted
+    * across the two jobs (module cache contract — caller clearCache
+    * after consuming).
     */
   def quotaPack(
       df: DataFrame,
       strataCol: String,
       tokensCol: Column,
       budgetTokens: Int,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      numPartitions: Option[Int] = None): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol).asc)
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val keyed = df
+      .withColumn("_tok", tokensCol.cast("long"))
+      .repartitionByRange(n, col(strataCol), col(idCol))
+      .sortWithinPartitions(col(strataCol), col(idCol))
+      .withColumn("_pid",
+        shiftright(monotonically_increasing_id(), 33).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = keyed.groupBy(col("_pid"), col(strataCol))
+      .agg(sum(col("_tok")).as("_t"))
+      .orderBy(col(strataCol).asc, col("_pid").asc)
+      .collect()
+    // exclusive running offset per (stratum, pid), resetting at each
+    // stratum boundary; long arithmetic — no summation-order effects
+    var curStratum: Any = null
+    var acc = 0L
+    val offsets = partials.map { r =>
+      val s = r.get(1)
+      if (s != curStratum) { curStratum = s; acc = 0L }
+      val row = (r.getInt(0), s, acc)
+      acc += r.getLong(2)
+      row
+    }.toSeq
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map(o => Row(o._1, o._2, o._3)), 1),
+      StructType(Seq(
+        StructField("_opid", IntegerType, nullable = false),
+        keyed.schema(strataCol).copy(name = "_s"),
+        StructField("_off", LongType, nullable = false))))
+    // partition-local exclusive cumsum: the window key (_pid, stratum)
+    // is bounded by the partition size even when one stratum dominates
+    val wLoc = Window.partitionBy(col("_pid"), col(strataCol))
+      .orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // running token count BEFORE this doc; exact in double far past any
-    // real corpus (< 2^53 tokens per stratum)
-    val start = coalesce(sum(tokensCol).over(w), lit(0L))
-    df.withColumn("pack_id", floor(start / budgetTokens).cast("long"))
+    val start = col("_off") + coalesce(sum(col("_tok")).over(wLoc), lit(0L))
+    keyed
+      .join(broadcast(offDf),
+        col("_pid") === col("_opid") && col(strataCol) === col("_s"))
+      .withColumn("pack_id", floor(start / budgetTokens).cast("long"))
       .withColumn("pack_offset", (start % budgetTokens).cast("long"))
+      .drop("_tok", "_pid", "_opid", "_s", "_off")
   }
 
   /** Deterministic EXACT-size stratified subset: the k docs per stratum

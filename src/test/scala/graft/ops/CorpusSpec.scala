@@ -88,6 +88,21 @@ class CorpusSpec extends SparkSpec {
       val ids = ordered.map(_.getLong(2)).distinct
       assert(ids.head == 0L && ids.toList == (ids.head to ids.last).toList)
     }
+
+    // the two-phase prefix sum is partition-count and input-layout
+    // invariant: forcing many range partitions (strata split across
+    // partitions, offsets genuinely cross partition boundaries) and a
+    // scrambled input layout must not move a single pack assignment
+    def layout(df: org.apache.spark.sql.DataFrame, n: Option[Int]) =
+      Corpus.quotaPack(df, "source",
+        TextAnalysis.bpeTokenEstimate(col("text")), budget, numPartitions = n)
+        .select("doc_id", "pack_id", "pack_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = layout(docs, None)
+    assert(layout(docs.repartition(13), Some(17)) == base,
+      "pack layout must be partition-independent")
+    assert(layout(docs, Some(1)) == base,
+      "single-partition degenerate case agrees")
   }
 
   test("greedy packing: budget never exceeded, oversized docs isolated, partition-independent") {
