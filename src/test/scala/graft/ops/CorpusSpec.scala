@@ -422,6 +422,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("exactDedupRows keeper election prunes map-side via WindowGroupLimit") {
+    // rn === 1 is a rank limit: Spark's InferWindowGroupLimit must
+    // push a per-partition top-1 ahead of the exchange, so a content
+    // hash with 10^8 copies reaches the window sort as <= one row per
+    // map task, never the full occurrence list
+    val plan = Dedup.exactDedupRows(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan lost the group-limit pushdown:\n${plan.take(1500)}")
+    // and the result is the exact per-hash min-id representative set
+    val reps = Dedup.exactDedupRows(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val expected = Dedup.exactDedup(docs).select("rep_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(reps == expected)
+  }
+
   test("exactSubstrSpans election is skew-tolerant: no per-hash window sort; a 100k-repeat boilerplate gram completes") {
     // the first-occurrence election must be a min-aggregation (partial
     // aggregation absorbs hot hashes map-side; a skewed join partition
