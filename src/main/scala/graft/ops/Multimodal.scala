@@ -163,7 +163,10 @@ object Multimodal {
   /** Video metadata pass: AVI fills dims + frame-clock duration
     * ([[RiffCodecs.decodeAvi]]); MP4/ISO-BMFF fills duration + brand
     * ([[RiffCodecs.decodeMp4]]; its stbl frame index feeds
-    * [[sampleFrames]]). Undecodable video dead-letters. */
+    * [[sampleFrames]]); MKV/WebM fills duration + doc type
+    * ([[RiffCodecs.decodeMkv]] — EBML walk; frame payloads stay on
+    * the stand-in, see [[sampleFrames]]). Undecodable video
+    * dead-letters. */
   def decodeVideo(assets: Dataset[MediaAsset])(implicit spark: SparkSession): Dataset[MediaAsset] = {
     import spark.implicits._
     assets.mapPartitions { it =>
@@ -173,6 +176,8 @@ object Multimodal {
             durationMs = v.durationMs, format = "avi")))
           .orElse(RiffCodecs.decodeMp4(a.bytes).map(m => a.copy(meta =
             a.meta.copy(durationMs = m.durationMs, format = m.brand.trim))))
+          .orElse(RiffCodecs.decodeMkv(a.bytes).map(m => a.copy(meta =
+            a.meta.copy(durationMs = m.durationMs, format = m.docType))))
       }
     }
   }

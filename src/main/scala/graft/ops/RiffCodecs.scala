@@ -285,4 +285,116 @@ object RiffCodecs {
     if (rate <= 0 || byteRate <= 0 || dataLen < 0) None
     else Some(WavInfo(channels, rate, bits, dataLen * 1000L / byteRate))
   }
+
+  /** MKV/WebM metadata from the EBML element tree. */
+  final case class MkvInfo(
+      docType: String, durationMs: Long, videoTracks: Int, audioTracks: Int)
+
+  /** Decode Matroska/WebM metadata: one EBML walk over the well-known
+    * masters (EBML header → DocType; Segment → Info's TimestampScale +
+    * Duration, Tracks → per-TrackEntry TrackType). EBML is a
+    * vint-length-prefixed element tree (RFC 8794): element IDs keep
+    * their length-marker bit, sizes strip it, and an all-ones size
+    * means "extends to the end" (streamed files) — honored by clamping
+    * to the buffer. Frame payloads (Clusters) are NOT demuxed — MKV
+    * block lacing is the one seek path still on [[Multimodal]]'s
+    * byte-slice stand-in; metadata here is real. Same dead-letter
+    * contract as the other containers: malformed vints, lying sizes,
+    * or over-deep nesting stop the walk cleanly, never throw. */
+  def decodeMkv(b: Array[Byte]): Option[MkvInfo] = {
+    if (b == null || b.length < 8) return None
+    def vintWidth(first: Int): Int = {
+      var m = 0x80; var w = 1
+      while (w <= 8 && (first & m) == 0) { m >>= 1; w += 1 }
+      w
+    }
+    // element ID: marker bit kept (class ID as written), ≤ 4 bytes
+    def readId(o: Long): Option[(Long, Int)] = {
+      if (o < 0 || o >= b.length) return None
+      val first = b(o.toInt) & 0xff
+      if (first == 0) return None
+      val w = vintWidth(first)
+      if (w > 4 || o + w > b.length) return None
+      var v = 0L; var i = 0
+      while (i < w) { v = (v << 8) | (b((o + i).toInt) & 0xff); i += 1 }
+      Some((v, w))
+    }
+    // element size: marker bit stripped; all-ones payload = unknown (-1)
+    def readSize(o: Long): Option[(Long, Int)] = {
+      if (o < 0 || o >= b.length) return None
+      val first = b(o.toInt) & 0xff
+      if (first == 0) return None
+      val w = vintWidth(first)
+      if (w > 8 || o + w > b.length) return None
+      var v = (first & (0xff >>> w)).toLong
+      var i = 1
+      while (i < w) { v = (v << 8) | (b((o + i).toInt) & 0xff); i += 1 }
+      val unknown = v == (1L << (7 * w)) - 1
+      Some((if (unknown) -1L else v, w))
+    }
+    def uintAt(o: Long, len: Long): Long = {
+      var v = 0L; var i = 0L
+      while (i < len) { v = (v << 8) | (b((o + i).toInt) & 0xff); i += 1 }
+      v
+    }
+    def floatAt(o: Long, len: Long): Double =
+      if (len == 4) java.lang.Float.intBitsToFloat(uintAt(o, 4).toInt).toDouble
+      else if (len == 8) java.lang.Double.longBitsToDouble(uintAt(o, 8))
+      else 0.0
+
+    var docType = ""
+    var tsScaleNs = 1000000L // EBML default: 1 ms per timestamp tick
+    var durTicks = 0.0
+    var video = 0
+    var audio = 0
+
+    // masters we descend into; everything else is skipped by size
+    val Ebml = 0x1A45DFA3L; val Segment = 0x18538067L
+    val Info = 0x1549A966L; val Tracks = 0x1654AE6BL; val TrackEntry = 0xAEL
+    def walk(start: Long, end: Long, parent: Long, depth: Int): Unit = {
+      if (depth > MaxNestDepth) return
+      var o = start
+      var ok = true
+      while (ok && o < end) {
+        (for { (id, iw) <- readId(o); (sz0, sw) <- readSize(o + iw) } yield {
+          val body = o + iw + sw
+          // unknown size clamps to the enclosing end (streamed files);
+          // a LYING size stops the walk like the other containers
+          val sz = if (sz0 < 0) end - body else sz0
+          if (sz < 0 || body + sz > end) ok = false
+          else {
+            id match {
+              case Ebml | Segment | Info | Tracks | TrackEntry =>
+                walk(body, body + sz, id, depth + 1)
+              case 0x4282 if parent == Ebml => // DocType
+                docType = new String(b, body.toInt, sz.toInt,
+                  java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != '\u0000')
+              case 0x2AD7B1 if parent == Info && sz >= 1 && sz <= 8 =>
+                tsScaleNs = uintAt(body, sz)
+              case 0x4489 if parent == Info => // Duration (float ticks)
+                durTicks = floatAt(body, sz)
+              case 0x83 if parent == TrackEntry && sz >= 1 && sz <= 8 =>
+                uintAt(body, sz) match {
+                  case 1 => video += 1
+                  case 2 => audio += 1
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            o = body + sz
+          }
+        }).getOrElse { ok = false }
+      }
+    }
+
+    // the file must LEAD with the EBML header element
+    readId(0L) match {
+      case Some((Ebml, _)) => walk(0L, b.length.toLong, 0L, 0)
+      case _ => return None
+    }
+    if (docType != "matroska" && docType != "webm") None
+    else Some(MkvInfo(docType,
+      if (tsScaleNs > 0) (durTicks * tsScaleNs / 1e6).toLong else 0L,
+      video, audio))
+  }
 }

@@ -236,6 +236,57 @@ class MultimodalSpec extends SparkSpec {
     assert(out(51L).format == "avi" && out(51L).width == 8 && out(51L).durationMs == 1000L)
   }
 
+  private def ebmlId(id: Long): Array[Byte] = {
+    val w = if (id <= 0xff) 1 else if (id <= 0xffff) 2 else if (id <= 0xffffff) 3 else 4
+    (0 until w).map(i => ((id >> (8 * (w - 1 - i))) & 0xff).toByte).toArray
+  }
+  // 2-byte size form (0x40xx): marker in bit 14, ample for fixtures
+  private def ebmlSize(n: Long): Array[Byte] =
+    Array[Byte]((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlSize(payload.length) ++ payload
+
+  test("MKV metadata: EBML walk fills docType/duration/tracks; streamed unknown-size segment; fuzz-safe") {
+    val headerEl = el(0x1A45DFA3L, el(0x4282L, "matroska".getBytes("US-ASCII")))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, Array[Byte](0x0F, 0x42, 0x40)) ++ // TimestampScale 1e6 ns
+        el(0x4489L, be32b(java.lang.Float.floatToIntBits(2000f)))) // 2000 ticks
+    val tracks = el(0x1654AE6BL,
+      el(0xAEL, el(0x83L, Array[Byte](1))) ++ // video
+        el(0xAEL, el(0x83L, Array[Byte](2)))) // audio
+    val mkv = headerEl ++ el(0x18538067L, info ++ tracks)
+    assert(RiffCodecs.decodeMkv(mkv).get ==
+      RiffCodecs.MkvInfo("matroska", 2000L, 1, 1))
+
+    // unknown-size Segment (streamed capture): 0xFF clamps to the end
+    val streamed = headerEl ++ ebmlId(0x18538067L) ++
+      Array[Byte](0xff.toByte) ++ info ++ tracks
+    assert(RiffCodecs.decodeMkv(streamed).get ==
+      RiffCodecs.MkvInfo("matroska", 2000L, 1, 1))
+
+    // the video pass dispatches by container alongside AVI/MP4
+    val out = decodeVideo(Seq(
+      MediaAsset(60L, "video", mkv, MediaMeta(0, 0, 0L, 0, "?"))).toDS())
+      .collect().head
+    assert(out.meta.format == "matroska" && out.meta.durationMs == 2000L)
+
+    // non-matroska doc type and non-EBML lead-in dead-letter
+    assert(RiffCodecs.decodeMkv(
+      el(0x1A45DFA3L, el(0x4282L, "avi".getBytes("US-ASCII")))).isEmpty)
+    assert(RiffCodecs.decodeMkv(mkv.drop(2)).isEmpty)
+    // every truncation is clean (no throw)
+    (0 until mkv.length).foreach(n => RiffCodecs.decodeMkv(mkv.take(n)))
+    // fuzz with the EBML magic spliced in to reach deep walk paths
+    val rnd = new scala.util.Random(31)
+    (0 until 300).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(b)
+      if (b.length >= 4) System.arraycopy(
+        Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte), 0, b, 0, 4)
+      RiffCodecs.decodeMkv(b)
+    }
+  }
+
   test("WAV decode: format + duration from the RIFF walk, audio pass dead-letters junk") {
     // 16 kHz mono 16-bit, 32000 bytes of data = exactly 1000 ms
     val good = MediaAsset(40L, "audio", wav(16000, 16, 1, 32000),
@@ -263,6 +314,7 @@ class MultimodalSpec extends SparkSpec {
         System.arraycopy(m, 0, b, 0, math.min(m.length, len))
       }
       RiffCodecs.decodeAvi(b); RiffCodecs.decodeWav(b); RiffCodecs.decodeMp4(b)
+      RiffCodecs.decodeMkv(b)
       ImageCodecs.decodeHeader(b)
     }
     // truncations of VALID containers, every prefix length
