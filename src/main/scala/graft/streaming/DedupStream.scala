@@ -590,22 +590,27 @@ object DedupStream {
     // MIN aggregation joined back, NOT a row_number window: partial
     // aggregation absorbs a boilerplate hash's skew map-side, and a
     // skewed join partition is AQE-splittable where a window sort is
-    // not (same election as the batch operator, Dedup.exactSubstrSpans).
-    // A window whose hash is in history is duplicated at EVERY
-    // in-batch position. The history side joins DISTINCT hashes: a doc
-    // genuinely recurring in a later batch folds its hashes a second
-    // time with the same keeper (replay tag exclusion only covers the
-    // SAME batch), and duplicate (h, keeper) store rows must not
-    // multiply marked window rows.
-    val firsts = wins.groupBy("h").agg(min(struct(col("id"), col("p"))).as("_f"))
-    val histH = hist.select("h").distinct()
-    val marked = wins
-      .join(firsts, Seq("h"))
-      .withColumn("_first", struct(col("id"), col("p")) === col("_f"))
-      .join(histH.withColumn("_hist", lit(1)), Seq("h"), "left")
+    // not (same election as the batch operator, Dedup.exactSubstrSpans,
+    // including its build-side shrink: only count>=2 hashes can mark a
+    // NON-FIRST window, so that join's build side is duplicated-
+    // hashes-sized and AQE broadcasts it). A window whose hash is in
+    // history is duplicated at EVERY in-batch position — a semi-join
+    // against DISTINCT history hashes: a doc genuinely recurring in a
+    // later batch folds its hashes a second time with the same keeper
+    // (replay tag exclusion only covers the SAME batch), and duplicate
+    // (h, keeper) store rows must not multiply marked window rows.
+    val firsts = wins.groupBy("h")
+      .agg(min(struct(col("id"), col("p"))).as("_f"), count(lit(1)).as("_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dups = marked.filter(col("_hist").isNotNull || !col("_first"))
+    val histH = hist.select("h").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupsA = wins.join(firsts.filter(col("_n") >= 2), Seq("h"))
+      .filter(struct(col("id"), col("p")) =!= col("_f"))
       .select("id", "p")
+    val dupsB = wins.join(histH, Seq("h"), "left_semi").select("id", "p")
+    // a window can be both a non-first occurrence AND history-matched —
+    // distinct so the islands merge counts it once
+    val dups = dupsA.unionByName(dupsB).distinct()
     val byDoc = Window.partitionBy("id").orderBy(col("p").asc)
     val out = dups
       .withColumn("_prev", lag(col("p"), 1).over(byDoc))
@@ -619,9 +624,11 @@ object DedupStream {
       .drop("_grp")
       .cache()
     out.count()
-    // fold: first occurrences of hashes history has not seen
-    marked.filter(col("_first") && col("_hist").isNull)
-      .select(col("h"), col("id").as("keeper"))
+    // fold: first occurrences of hashes history has not seen —
+    // derived from the aggregation directly, never re-touching wins
+    firsts
+      .join(histH, Seq("h"), "left_anti")
+      .select(col("h"), col("_f.id").as("keeper"))
       .withColumn("pw", pmod(xxhash64(col("h")), parts).cast("int"))
       .write.partitionBy("pw")
       .mode("overwrite").parquet(s"$storeDir/wins/batch=$batchTag")
@@ -629,7 +636,8 @@ object DedupStream {
       new org.apache.hadoop.fs.Path(s"$storeDir/wins"), s"batch=$batchTag")
     wins.unpersist()
     batchHashes.unpersist()
-    marked.unpersist()
+    firsts.unpersist()
+    histH.unpersist()
     out
   }
 
