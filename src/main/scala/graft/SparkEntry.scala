@@ -75,6 +75,7 @@ object SparkEntry {
     "q66_exact_substr" -> (OpsQueries.q66ExactSubstr _),
     "q67_unigram_ppl" -> (OpsQueries.q67UnigramPpl _),
     "q68_clean_corpus" -> (OpsQueries.q68CleanCorpus _),
+    "q69_greedy_pack_chunked" -> (OpsQueries.q69GreedyPackChunked _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -512,6 +513,37 @@ object SparkEntry {
         |    CASE WHEN r.fill > 0 AND r.fill + o.tok > 2048
         |      THEN o.tok ELSE r.fill + o.tok END
         |  FROM rec r JOIN ordered o ON o.source = r.source AND o.rn = r.rn + 1)
+        |SELECT doc_id, source, pack_id, pack_offset FROM rec""".stripMargin,
+    // q69: q52's recurrence replayed per (source, chunk-of-32) with the
+    // open pack closed at each chunk boundary; pack ids sparse at
+    // chunk*32 — exactly the engine's bounded-task scale mode
+    "q69_greedy_pack_chunked" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT doc_id, source,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+        |  FROM documents),
+        |chunked AS (
+        |  SELECT doc_id, source, tok,
+        |    CAST((rn - 1) // 32 AS BIGINT) AS chunk,
+        |    CAST((rn - 1) % 32 + 1 AS BIGINT) AS crn
+        |  FROM ordered),
+        |rec AS (
+        |  SELECT source, chunk, crn, doc_id, tok,
+        |    CAST(chunk * 32 AS BIGINT) AS pack_id,
+        |    CAST(0 AS BIGINT) AS pack_offset,
+        |    tok AS fill
+        |  FROM chunked WHERE crn = 1
+        |  UNION ALL
+        |  SELECT o.source, o.chunk, o.crn, o.doc_id, o.tok,
+        |    CASE WHEN r.fill > 0 AND r.fill + o.tok > 2048
+        |      THEN r.pack_id + 1 ELSE r.pack_id END,
+        |    CASE WHEN r.fill > 0 AND r.fill + o.tok > 2048
+        |      THEN CAST(0 AS BIGINT) ELSE r.fill END,
+        |    CASE WHEN r.fill > 0 AND r.fill + o.tok > 2048
+        |      THEN o.tok ELSE r.fill + o.tok END
+        |  FROM rec r JOIN chunked o
+        |    ON o.source = r.source AND o.chunk = r.chunk AND o.crn = r.crn + 1)
         |SELECT doc_id, source, pack_id, pack_offset FROM rec""".stripMargin,
     "q51_lag_delta" ->
       """SELECT event_id, user_id,

@@ -77,6 +77,12 @@ object Corpus {
     * [[greedyPack]]'s streamed mapPartitions.) The input is persisted
     * across the two jobs (module cache contract — caller clearCache
     * after consuming).
+    *
+    * The driver-side offsets fold is O(partitions × strata-spanned);
+    * range layout keeps it ≈ partitions + distinct strata, but a
+    * high-cardinality stratum column (e.g. per-domain) can still blow
+    * it up, so the collect is bounded by `maxOffsetRows` (fails fast
+    * with guidance rather than silently exhausting driver memory).
     */
   def quotaPack(
       df: DataFrame,
@@ -84,21 +90,31 @@ object Corpus {
       tokensCol: Column,
       budgetTokens: Int,
       idCol: String = "doc_id",
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      maxOffsetRows: Int = 1 << 20): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxOffsetRows > 0, "maxOffsetRows must be positive")
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val keyed = df
       .withColumn("_tok", tokensCol.cast("long"))
       .repartitionByRange(n, col(strataCol), col(idCol))
       .sortWithinPartitions(col(strataCol), col(idCol))
-      .withColumn("_pid",
-        shiftright(monotonically_increasing_id(), 33).cast("int"))
+      .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // limit+1 bounds the driver transfer whatever the stratum
+    // cardinality; TakeOrdered keeps the (stratum, pid) order the fold
+    // below depends on
     val partials = keyed.groupBy(col("_pid"), col(strataCol))
       .agg(sum(col("_tok")).as("_t"))
       .orderBy(col(strataCol).asc, col("_pid").asc)
+      .limit(maxOffsetRows + 1)
       .collect()
+    require(partials.length <= maxOffsetRows,
+      s"quotaPack offsets exceed maxOffsetRows=$maxOffsetRows " +
+        s"(partitions=$n × strata '$strataCol' too fine for a driver fold); " +
+        "coarsen the stratum column, raise maxOffsetRows, or use " +
+        "hashSample + PackingStream.greedyPackStream for per-key packing")
     // exclusive running offset per (stratum, pid), resetting at each
     // stratum boundary; long arithmetic — no summation-order effects
     var curStratum: Any = null
@@ -123,8 +139,11 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, -1)
     val start = col("_off") + coalesce(sum(col("_tok")).over(wLoc), lit(0L))
     keyed
+      // <=> on the stratum: NULL strata are legitimate groups (the
+      // fold above keeps them); null-unsafe === would silently drop
+      // every NULL-stratum row here
       .join(broadcast(offDf),
-        col("_pid") === col("_opid") && col(strataCol) === col("_s"))
+        col("_pid") === col("_opid") && col(strataCol) <=> col("_s"))
       .withColumn("pack_id", floor(start / budgetTokens).cast("long"))
       .withColumn("pack_offset", (start % budgetTokens).cast("long"))
       .drop("_tok", "_pid", "_opid", "_s", "_off")
@@ -295,7 +314,17 @@ object Corpus {
     * one `mapPartitions` scan: strata pack in parallel across the
     * cluster, each stratum in one streamed pass (no window buffering,
     * no driver involvement). The closed-form [[quotaPack]] stays the
-    * shuffle-light default when tail-overflow is acceptable. */
+    * shuffle-light default when tail-overflow is acceptable.
+    *
+    * SCALE WARNING: parallelism here is bounded by the number of
+    * strata — one task streams an ENTIRE stratum. With few strata
+    * (source/lang) over a 100 TB corpus that is a terabytes-long
+    * single task. At that scale use [[greedyPackChunked]] (bounded
+    * task size, same no-overflow guarantee), [[quotaPack]] (closed
+    * form, at-most-one-doc tail overflow), or
+    * `PackingStream.greedyPackStream` (O(strata) state, incremental).
+    * This exact mode remains the reference semantics for oracles and
+    * for modest stratum sizes. */
   def greedyPack(
       df: DataFrame,
       strataCol: String,
@@ -328,5 +357,78 @@ object Corpus {
         }
       }(Encoders.row(schema))
       .drop("_n_tok")
+  }
+
+  /** Scale-safe greedy packing: [[greedyPack]]'s close-on-overflow
+    * semantics with BOUNDED task size. Each stratum is sub-split into
+    * deterministic chunks of `chunkRows` consecutive docs (by
+    * within-stratum id order); the greedy scan runs per (stratum,
+    * chunk) and the open pack CLOSES at every chunk boundary. Packs
+    * therefore never exceed `budgetTokens` (same guarantee as
+    * [[greedyPack]], same single-oversize-doc exception), at the cost
+    * of at most one under-filled pack per chunk — the deterministic,
+    * auditable trade that makes the scan parallel.
+    *
+    * Pack ids are unique and monotone within a stratum but SPARSE:
+    * chunk c's packs are numbered from c × chunkRows (a chunk of
+    * chunkRows docs can open at most chunkRows packs), so no
+    * cross-chunk coordination — and no second pass — is needed.
+    *
+    * Scale shape: within-stratum ordinals come from [[globalIndex]]
+    * (range partition + two jobs, no per-stratum window), then one
+    * shuffle on (stratum, chunk) — a key whose group size is ≤
+    * chunkRows BY CONSTRUCTION, immune to stratum skew. A half-corpus
+    * stratum becomes corpus/chunkRows parallel tasks instead of one.
+    * globalIndex persists its input across its two jobs (module cache
+    * contract — caller clearCache after consuming). */
+  def greedyPackChunked(
+      df: DataFrame,
+      strataCol: String,
+      tokensCol: Column,
+      budgetTokens: Int,
+      chunkRows: Int,
+      idCol: String = "doc_id",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(chunkRows > 0, "chunkRows must be positive")
+    val withTok = df.withColumn("_n_tok", tokensCol.cast("long"))
+    val indexed = globalIndex(withTok,
+      Seq(col(strataCol), col(idCol)), "_gr", numPartitions)
+    val firstPerStratum = indexed.groupBy(col(strataCol))
+      .agg(min(col("_gr")).as("_g0"))
+    val chunked = indexed
+      .join(broadcast(firstPerStratum), Seq(strataCol))
+      .withColumn("_chunk", ((col("_gr") - col("_g0")) / chunkRows).cast("long"))
+      .drop("_gr", "_g0")
+    val schema = StructType(chunked.schema.fields ++ Seq(
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_offset", LongType, nullable = false)))
+    val si = chunked.schema.fieldIndex(strataCol)
+    val ci = chunked.schema.fieldIndex("_chunk")
+    val ti = chunked.schema.fieldIndex("_n_tok")
+    chunked
+      .repartition(col(strataCol), col("_chunk"))
+      .sortWithinPartitions(col(strataCol), col("_chunk"), col(idCol))
+      .mapPartitions { it =>
+        var stratum: Any = null
+        var chunk = -1L
+        var first = true
+        var pack = 0L
+        var fill = 0L
+        it.map { r =>
+          val s = r.get(si)
+          val c = r.getLong(ci)
+          if (first || s != stratum || c != chunk) {
+            stratum = s; chunk = c; first = false
+            pack = c * chunkRows; fill = 0L
+          }
+          val n = r.getLong(ti)
+          if (fill > 0 && fill + n > budgetTokens) { pack += 1; fill = 0L }
+          val out = Row.fromSeq(r.toSeq :+ pack :+ fill)
+          fill += n
+          out
+        }
+      }(Encoders.row(schema))
+      .drop("_n_tok", "_chunk")
   }
 }

@@ -419,6 +419,16 @@ object OpsQueries {
       TextAnalysis.bpeTokenEstimate(col("text")), budgetTokens = 2048)
       .select(col("doc_id"), col("source"), col("pack_id"), col("pack_offset"))
 
+  /** Chunked greedy packing — [[Corpus.greedyPackChunked]]'s bounded-
+    * task scale mode of q52: same close-on-overflow recurrence run per
+    * 32-doc chunk, pack ids sparse at chunk × 32. The DuckDB oracle
+    * replays the identical recurrence per (source, chunk). */
+  def q69GreedyPackChunked(spark: SparkSession, dir: String): DataFrame =
+    Corpus.greedyPackChunked(table(spark, dir, "documents"), "source",
+      TextAnalysis.bpeTokenEstimate(col("text")), budgetTokens = 2048,
+      chunkRows = 32)
+      .select(col("doc_id"), col("source"), col("pack_id"), col("pack_offset"))
+
   /** Distinct vocabulary per source: exact count-distinct (two-phase
     * hash dedup then count — the HLL sketch twin is spec-gated for
     * error, not oracled). */

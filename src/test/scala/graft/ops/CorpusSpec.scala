@@ -144,6 +144,96 @@ class CorpusSpec extends SparkSpec {
     assert(packed(1L) == 0L && packed(2L) == 1L && packed(3L) == 2L)
   }
 
+  test("quota packing keeps NULL-stratum rows (null-safe offset join)") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Option("srcA"), 100L),
+      (2L, Option("srcA"), 100L),
+      (3L, Option.empty[String], 100L),
+      (4L, Option.empty[String], 100L)
+    ).toDF("doc_id", "source", "n")
+    val packed = Corpus.quotaPack(tiny, "source", col("n"), budgetTokens = 150)
+    assert(packed.count() == 4, "NULL-stratum rows must survive the offset join")
+    val got = packed.select("doc_id", "pack_id", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // NULL is its own stratum: docs 3/4 lay out head-to-tail from 0,
+    // independent of srcA's layout
+    assert(got == Set((1L, 0L, 0L), (2L, 0L, 100L), (3L, 0L, 0L), (4L, 0L, 100L)))
+    spark.catalog.clearCache()
+  }
+
+  test("quotaPack offsets collect is bounded: over-fine strata fail fast, defaults unaffected") {
+    // one stratum per row → offsets rows ≈ row count, over the tiny bound
+    val fine = docs.withColumn("s", col("doc_id").cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.quotaPack(fine, "s", lit(10L), budgetTokens = 100, maxOffsetRows = 16)
+    }
+    assert(ex.getMessage.contains("maxOffsetRows"))
+    // the same shape passes under the default bound (correctness of the
+    // fold itself is q42's oracle + the tests above)
+    assert(Corpus.quotaPack(fine, "s", lit(10L), budgetTokens = 100).count() == docs.count())
+    spark.catalog.clearCache()
+  }
+
+  test("chunked greedy packing: budget kept, packs never span chunks, partition-independent") {
+    val budget = 2048
+    val chunkRows = 32
+    def collectOut(input: org.apache.spark.sql.DataFrame, np: Option[Int]) =
+      Corpus.greedyPackChunked(input, "source",
+        TextAnalysis.bpeTokenEstimate(col("text")), budget, chunkRows,
+        numPartitions = np)
+        .withColumn("n_tok", TextAnalysis.bpeTokenEstimate(col("text")))
+        .select("source", "doc_id", "pack_id", "pack_offset", "n_tok")
+        .collect()
+    val out = collectOut(docs, None)
+    assert(out.length == docs.count())
+    // greedy guarantees hold per pack: budget kept (single-oversize-doc
+    // exception), offsets are the exact head-to-tail layout
+    out.groupBy(r => (r.getString(0), r.getLong(2))).foreach { case (key, members) =>
+      val total = members.map(_.getLong(4)).sum
+      assert(total <= budget || members.length == 1,
+        s"pack $key holds $total tokens over ${members.length} docs")
+      val ordered = members.sortBy(_.getLong(1))
+      var fill = 0L
+      ordered.foreach { m => assert(m.getLong(3) == fill); fill += m.getLong(4) }
+    }
+    // packs never span a chunk boundary: pack_id / chunkRows recovers
+    // the member's within-stratum chunk for every member
+    out.groupBy(_.getString(0)).foreach { case (_, members) =>
+      val ordinal = members.map(_.getLong(1)).sorted.zipWithIndex.toMap
+      members.foreach { r =>
+        assert(ordinal(r.getLong(1)) / chunkRows == r.getLong(2) / chunkRows,
+          s"pack ${r.getLong(2)} crosses a chunk boundary")
+      }
+    }
+    // pure function of (ids, tokens): partitioning never moves a row
+    val a = out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = collectOut(docs.repartition(17), Some(7))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b, "chunked layout must be partition-count invariant")
+    spark.catalog.clearCache()
+  }
+
+  test("chunked greedy packing bounds task input under a planted half-corpus stratum") {
+    val chunkRows = 16
+    // plant the skew greedyPack cannot parallelize: one stratum = half the corpus
+    val skewed = docs.withColumn("source",
+      when(col("doc_id") % 2 === 0, lit("whale")).otherwise(col("source")))
+    val out = Corpus.greedyPackChunked(skewed, "source",
+      TextAnalysis.bpeTokenEstimate(col("text")), 2048, chunkRows)
+    // the shuffle key is (stratum, chunk) and pack_id / chunkRows == chunk,
+    // so every task's group is ≤ chunkRows rows BY CONSTRUCTION — the
+    // whale stratum becomes n/chunkRows parallel groups, not one task
+    val groups = out
+      .withColumn("chunk", floor(col("pack_id") / chunkRows).cast("long"))
+      .groupBy("source", "chunk").count()
+    val maxGroup = groups.agg(max("count")).head().getLong(0)
+    assert(maxGroup <= chunkRows, s"a (stratum, chunk) group holds $maxGroup rows")
+    val whaleGroups = groups.filter(col("source") === "whale").count()
+    assert(whaleGroups >= 10, "the whale stratum must split into many bounded groups")
+    spark.catalog.clearCache()
+  }
+
   test("repetition metrics flag degenerate docs and agree with hand counts") {
     import spark.implicits._
     val tiny = Seq(
