@@ -38,20 +38,27 @@ object Bench {
       // every run failed → report the -1 sentinel, not Double.MaxValue
       name -> (if (dt == Double.MaxValue) -1.0 else dt)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 0.1 ms precision keeps the line compact (a 69-query line of
+    // full-precision doubles overflowed the driver's stdout-tail
+    // capture in round 7 and clipped six queries)
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) stay visible per-query but are
     // excluded from the total
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // the stdout line is the driver contract, but a tail-captured
-    // artifact can clip it (BENCH_r05 lost a query name that way) —
-    // always persist the full JSON to a file too, so round-over-round
-    // comparisons never lose a query
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt-and-braces artifact: the full JSON also lands in a file so
+    // round-over-round comparisons never depend on stdout capture
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
+    // stop Spark BEFORE printing: the compact JSON must be the LAST
+    // stdout line (driver contract — BENCH_r07 captured a clipped tail
+    // because shutdown logging followed the metric line)
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

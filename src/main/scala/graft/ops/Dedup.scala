@@ -28,6 +28,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on a content hash: keep the lowest-id representative
@@ -83,7 +85,21 @@ object Dedup {
   def exactSubstrSpans(
       df: DataFrame, windowWords: Int = 10,
       idCol: String = "doc_id", textCol: String = "text",
-      hashMode: String = "md5"): DataFrame = {
+      hashMode: String = "md5"): DataFrame =
+    exactSubstrSpansWithRelease(df, windowWords, idCol, textCol, hashMode)._1
+
+  /** [[exactSubstrSpans]] plus an explicit RELEASE HANDLE for the
+    * tokens-sized wins relation it persists — same contract as
+    * [[simhashPairsWithRelease]]/[[PageRank.pageRankWithRelease]]: the
+    * returned plan consumes the persisted relation lazily, so call the
+    * handle only AFTER the result is consumed (or abandoned). Library
+    * callers running repeated sweeps in one long-lived session use
+    * this twin; Bench/Verify-style harnesses can keep using
+    * `spark.catalog.clearCache()`. */
+  def exactSubstrSpansWithRelease(
+      df: DataFrame, windowWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashMode: String = "md5"): (DataFrame, () => Unit) = {
     require(hashMode == "md5" || hashMode == "xxhash64",
       s"hashMode must be md5 or xxhash64 (got $hashMode)")
     val L = windowWords
@@ -122,7 +138,7 @@ object Dedup {
     // gaps-and-islands per document: windows starting ≤ L apart
     // overlap or touch — merge into one maximal span
     val byDoc = Window.partitionBy("id").orderBy(col("p").asc)
-    dups
+    val spans = dups
       .withColumn("_prev", lag(col("p"), 1).over(byDoc))
       .withColumn("_new",
         when(col("_prev").isNull || col("p") > col("_prev") + L, 1).otherwise(0))
@@ -132,6 +148,7 @@ object Dedup {
         (max(col("p")) + (L - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
       .drop("_grp")
+    (spans, () => { wins.unpersist(blocking = false); () })
   }
 
   /** Apply [[exactSubstrSpans]]' output to the corpus: cut the
@@ -701,18 +718,28 @@ object Dedup {
     // (narrower) chunks — reject rather than silently lose pairs.
     require(maxDist <= 3,
       s"simhashPairs' 4x16-bit pigeonhole only guarantees recall for maxDist <= 3 (got $maxDist)")
-    if (onDrop != null) {
-      val d = simhashChunkKeys(fps)
-        .groupBy("chunk", "key").agg(count(lit(1)).as("members"))
-        .filter(col("members") > hotChunkCap)
-        .agg(count(lit(1)), coalesce(sum(col("members")), lit(0L))).collect()(0)
-      onDrop(d.getLong(0), d.getLong(1))
-    }
     // cap enforced BEFORE the list materializes (count prefilter +
     // aligned semi-join) — same OOM argument as lshCandidatePairs:
-    // the collect_list merge buffer must never see a hot bucket
+    // the collect_list merge buffer must never see a hot bucket.
+    // keyed persists (released with buckets below): the drop-accounting
+    // job, the sizes aggregate, and the semi-join probe side all read
+    // one materialized explode instead of three fps re-scans
     val keyed = simhashChunkKeys(fps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = keyed.groupBy("chunk", "key").agg(count(lit(1)).as("n"))
+    // drop accounting from the SAME sizes relation the cold filter
+    // reads (not a second simhashChunkKeys pass); skipped when the cap
+    // cannot bite and no metrics hook is wired
+    if (hotChunkCap != Int.MaxValue || onDrop != null) {
+      val d = sizes.filter(col("n") > hotChunkCap)
+        .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()(0)
+      if (d.getLong(0) > 0)
+        log.warn(s"simhashPairs: hotChunkCap=$hotChunkCap drops ${d.getLong(0)} " +
+          s"chunk buckets / ${d.getLong(1)} members from the pair sweep " +
+          "(recall-affecting; inspect hotChunks, raise the cap, or pass " +
+          "Int.MaxValue for full recall)")
+      if (onDrop != null) onDrop(d.getLong(0), d.getLong(1))
+    }
     val coldKeys = sizes.filter(col("n").between(2, hotChunkCap))
       .select("chunk", "key")
     val buckets = keyed.join(coldKeys, Seq("chunk", "key"), "left_semi")
@@ -728,7 +755,11 @@ object Dedup {
       .select(col("id1"), col("id2"),
         hammingDist(col("fp1"), col("fp2")).as("hamming"))
       .filter(col("hamming") <= maxDist)
-    (pairs, () => { buckets.unpersist(blocking = false); () })
+    (pairs, () => {
+      buckets.unpersist(blocking = false)
+      keyed.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** Monitoring companion to [[simhashPairs]]' hot-chunk cap: the
@@ -782,23 +813,45 @@ object Dedup {
       emb: DataFrame, dim: Int, minCosine: Double, planes: Int = 8, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       hotBucketCap: Int = 100000,
-      onDrop: (Long, Long) => Unit = null): DataFrame = {
+      onDrop: (Long, Long) => Unit = null): DataFrame =
+    embeddingNearDupPairsWithRelease(
+      emb, dim, minCosine, planes, seed, idCol, vecCol, hotBucketCap, onDrop)._1
+
+  /** [[embeddingNearDupPairs]] plus an explicit RELEASE HANDLE for the
+    * bucketed relation it persists (same contract as
+    * [[simhashPairsWithRelease]]: release only after the result is
+    * consumed). The persist means the drop accounting — computed
+    * whenever the cap can bite, feeding both the WARN log and `onDrop`
+    * — and the x/y self-join all read one materialized key pass. */
+  def embeddingNearDupPairsWithRelease(
+      emb: DataFrame, dim: Int, minCosine: Double, planes: Int = 8, seed: Long = 7L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      hotBucketCap: Int = 100000,
+      onDrop: (Long, Long) => Unit = null): (DataFrame, () => Unit) = {
     val keyed0 = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
       SimilaritySearch.hyperplaneKey(col(vecCol), dim, planes, seed).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = keyed0.groupBy("bucket").agg(count(lit(1)).as("members"))
-    if (onDrop != null) {
+    // an uncapped sweep with no metrics hook skips the accounting job
+    if (hotBucketCap != Int.MaxValue || onDrop != null) {
       val d = sizes.filter(col("members") > hotBucketCap)
         .agg(count(lit(1)), coalesce(sum(col("members")), lit(0L))).collect()(0)
-      onDrop(d.getLong(0), d.getLong(1))
+      if (d.getLong(0) > 0)
+        log.warn(s"embeddingNearDupPairs: hotBucketCap=$hotBucketCap drops " +
+          s"${d.getLong(0)} buckets / ${d.getLong(1)} members from the pair " +
+          "sweep (recall-affecting; inspect embeddingHotBuckets, raise the " +
+          "cap, or pass Int.MaxValue for full recall)")
+      if (onDrop != null) onDrop(d.getLong(0), d.getLong(1))
     }
     val cold = sizes.filter(col("members") <= hotBucketCap).select("bucket")
     // ≤ 2^planes rows by construction — broadcast, no extra shuffle
     val keyed = keyed0.join(broadcast(cold), Seq("bucket"))
-    keyed.as("x").join(keyed.as("y"),
+    val pairs = keyed.as("x").join(keyed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
         cosine(col("x.vec"), col("y.vec")).as("cos"))
       .filter(col("cos") >= minCosine)
+    (pairs, () => { keyed0.unpersist(blocking = false); () })
   }
 
   /** Monitoring companion to [[embeddingNearDupPairs]]' cap: the

@@ -17,6 +17,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilaritySearch {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Deterministic pseudo-random projection vectors (seeded). */
   private def planeVectors(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -175,24 +177,47 @@ object SimilaritySearch {
       nlist: Int = 16, seed: Long = 13L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCap: Int = 100000,
-      onDrop: (Long, Long) => Unit = null): DataFrame = {
+      onDrop: (Long, Long) => Unit = null): DataFrame =
+    semanticNearDupPairsWithRelease(
+      emb, minCos, nlist, seed, idCol, vecCol, cellCap, onDrop)._1
+
+  /** [[semanticNearDupPairs]] plus an explicit RELEASE HANDLE for the
+    * assignment relation it persists — same contract as
+    * [[graft.ops.Dedup.simhashPairsWithRelease]]: call the handle only
+    * AFTER the result is consumed. The persist makes the drop
+    * accounting (always computed — it feeds both the WARN log and
+    * `onDrop`) and the a/b self-join read ONE materialized assignment
+    * instead of re-running the sample fit + centroid pass per
+    * consumer. */
+  def semanticNearDupPairsWithRelease(
+      emb: DataFrame, minCos: Double,
+      nlist: Int = 16, seed: Long = 13L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCap: Int = 100000,
+      onDrop: (Long, Long) => Unit = null): (DataFrame, () => Unit) = {
     val assigned0 = coarseAssign(emb, nlist, seed, idCol, vecCol)
-    val sizes = assigned0.groupBy("cell").agg(count(lit(1)).as("n"))
-    if (onDrop != null) {
-      val d = sizes.filter(col("n") > cellCap)
-        .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()(0)
-      onDrop(d.getLong(0), d.getLong(1))
-    }
-    val cold = sizes.filter(col("n") <= cellCap).select("cell")
-    // ≤ nlist rows by construction — broadcast, no extra shuffle
-    val assigned = assigned0.join(broadcast(cold), Seq("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ nlist rows by construction — ONE collect serves the cold
+    // filter, the recall warning, and the onDrop metric (no second
+    // assignment pass when metrics are wired)
+    val sizeRows = assigned0.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+    val hot = sizeRows.filter(_.getLong(1) > cellCap)
+    val (dropCells, dropMembers) = (hot.length.toLong, hot.map(_.getLong(1)).sum)
+    if (dropCells > 0)
+      log.warn(s"semanticNearDupPairs: cellCap=$cellCap drops $dropCells " +
+        s"cells / $dropMembers members from the pair sweep (recall-affecting; " +
+        "inspect cellSizes, raise cellCap, or pass Int.MaxValue for full recall)")
+    if (onDrop != null) onDrop(dropCells, dropMembers)
+    val coldCells = sizeRows.filter(_.getLong(1) <= cellCap).map(_.getInt(0)).toSeq
+    val assigned = assigned0.filter(col("cell").isin(coldCells: _*))
     val a = assigned.select(col("cell"), col("id").as("id1"), col("vec").as("v1"))
     val b = assigned.select(col("cell"), col("id").as("id2"), col("vec").as("v2"))
-    a.join(b, Seq("cell"))
+    val pairs = a.join(b, Seq("cell"))
       .filter(col("id1") < col("id2"))
       .withColumn("cos", Dedup.cosine(col("v1"), col("v2")))
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
+    (pairs, () => { assigned0.unpersist(blocking = false); () })
   }
 
   /** Cluster-size monitor for [[semanticNearDupPairs]]: (cell, n) rows

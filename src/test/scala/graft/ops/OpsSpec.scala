@@ -183,6 +183,54 @@ class OpsSpec extends SparkSpec {
     assert(hot.length == 1 && hot.head.getLong(1) == 400L, s"got ${hot.mkString(",")}")
   }
 
+  test("release-handle twins free their persisted relations, sparing unrelated cache") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val other = Seq((1, 2)).toDF("a", "b").cache()
+    other.count()
+
+    def drain(expectAtMost: Int, what: String): Unit = {
+      // unpersist is async (blocking=false): poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (spark.sparkContext.getPersistentRDDs.size > expectAtMost &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.sparkContext.getPersistentRDDs.size <= expectAtMost,
+        s"$what left ${spark.sparkContext.getPersistentRDDs.size} cached relations")
+    }
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+
+    val corpus = Seq(
+      (1L, ("alpha " * 30).trim), (2L, ("alpha " * 30).trim),
+      (3L, "unique words only here with no repeats at all whatsoever now"))
+      .toDF("doc_id", "text")
+    val (spans, relSpans) = Dedup.exactSubstrSpansWithRelease(corpus)
+    assert(spans.count() > 0)
+    relSpans()
+    drain(baseline, "exactSubstrSpansWithRelease")
+
+    val fps = Dedup.simhash(corpus)
+    val (sim, relSim) = Dedup.simhashPairsWithRelease(fps)
+    sim.count()
+    relSim()
+    drain(baseline, "simhashPairsWithRelease")
+
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 50L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq)).toDF("vec_id", "embedding")
+    val (ep, relEmb) = Dedup.embeddingNearDupPairsWithRelease(emb, dim = 64, minCosine = 0.9)
+    ep.count()
+    relEmb()
+    drain(baseline, "embeddingNearDupPairsWithRelease")
+
+    val (sp, relSem) = SimilaritySearch.semanticNearDupPairsWithRelease(emb, minCos = 0.9, nlist = 2)
+    sp.count()
+    relSem()
+    drain(baseline, "semanticNearDupPairsWithRelease")
+
+    assert(other.storageLevel.useMemory, "unrelated cache entries must survive")
+    other.unpersist()
+  }
+
   test("LSH ANN achieves high recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(11)
     // 10 cluster centers, 30 points each = 300 vectors with real structure
