@@ -163,9 +163,9 @@ object Multimodal {
   /** Video metadata pass: AVI fills dims + frame-clock duration
     * ([[RiffCodecs.decodeAvi]]); MP4/ISO-BMFF fills duration + brand
     * ([[RiffCodecs.decodeMp4]]; its stbl frame index feeds
-    * [[sampleFrames]]); MKV/WebM fills duration + doc type
-    * ([[RiffCodecs.decodeMkv]] — EBML walk; frame payloads stay on
-    * the stand-in, see [[sampleFrames]]). Undecodable video
+    * [[sampleFrames]]); MKV/WebM fills duration + doc type + dims
+    * ([[RiffCodecs.decodeMkv]] — EBML walk; its Cluster/SimpleBlock
+    * demux feeds [[sampleFrames]] too). Undecodable video
     * dead-letters. */
   def decodeVideo(assets: Dataset[MediaAsset])(implicit spark: SparkSession): Dataset[MediaAsset] = {
     import spark.implicits._
@@ -177,7 +177,8 @@ object Multimodal {
           .orElse(RiffCodecs.decodeMp4(a.bytes).map(m => a.copy(meta =
             a.meta.copy(durationMs = m.durationMs, format = m.brand.trim))))
           .orElse(RiffCodecs.decodeMkv(a.bytes).map(m => a.copy(meta =
-            a.meta.copy(durationMs = m.durationMs, format = m.docType))))
+            a.meta.copy(width = m.width, height = m.height,
+              durationMs = m.durationMs, format = m.docType))))
       }
     }
   }
@@ -185,12 +186,15 @@ object Multimodal {
   /** Frame sampling for video-kind assets: one output row per sampled
     * frame at `everyMs` intervals.
     *
-    * REAL for both container formats: AVI ([[RiffCodecs.decodeAvi]] —
-    * one header walk indexes every `##dc`/`##db` frame chunk with the
-    * `avih` µs-per-frame clock) and MP4 ([[RiffCodecs.decodeMp4]] —
+    * REAL for all three container formats: AVI ([[RiffCodecs.decodeAvi]]
+    * — one header walk indexes every `##dc`/`##db` frame chunk with the
+    * `avih` µs-per-frame clock), MP4 ([[RiffCodecs.decodeMp4]] —
     * the video trak's stsz/stco/stsc sample tables resolve to frame
     * slices, with the frame clock derived from the mvhd duration over
-    * the frame count). Each sampled offset maps to its frame index and
+    * the frame count), and MKV/WebM ([[RiffCodecs.decodeMkv]] —
+    * Cluster/SimpleBlock traversal with all four lacing modes, video
+    * tracks selected by TrackEntry number, clock from the Info
+    * duration). Each sampled offset maps to its frame index and
     * the payload slice is the actual frame bytes (for MJPEG, a
     * complete JPEG). Undemuxable payloads (headerless synthetic
     * fixtures) keep the proportional byte-slice stand-in so the
@@ -216,7 +220,16 @@ object Multimodal {
                 val durMs = math.max(1L,
                   if (m.durationMs > 0) m.durationMs else 40L * m.frames.size)
                 Some((durMs, math.max(1L, durMs * 1000L / m.frames.size), m.frames))
-              case _ => None
+              case _ => RiffCodecs.decodeMkv(a.bytes) match {
+                // MKV: Cluster/SimpleBlock demux (all four lacings);
+                // frames arrive timestamp-ordered, clock derived from
+                // the Info duration like the MP4 path
+                case Some(m) if m.frames.nonEmpty =>
+                  val durMs = math.max(1L,
+                    if (m.durationMs > 0) m.durationMs else 40L * m.frames.size)
+                  Some((durMs, math.max(1L, durMs * 1000L / m.frames.size), m.frames))
+                case _ => None
+              }
             }
           }
         demux match {

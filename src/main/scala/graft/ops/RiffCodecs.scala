@@ -286,21 +286,38 @@ object RiffCodecs {
     else Some(WavInfo(channels, rate, bits, dataLen * 1000L / byteRate))
   }
 
-  /** MKV/WebM metadata from the EBML element tree. */
+  /** MKV/WebM metadata + video-frame demux from the EBML element tree:
+    * frame slices are (offset, length) into the original bytes, in
+    * (timestamp, offset) order — the Matroska analog of [[Mp4Info]]'s
+    * sample-table frames. */
   final case class MkvInfo(
-      docType: String, durationMs: Long, videoTracks: Int, audioTracks: Int)
+      docType: String, durationMs: Long, videoTracks: Int, audioTracks: Int,
+      width: Int = 0, height: Int = 0,
+      frames: Vector[(Int, Int)] = Vector.empty)
 
-  /** Decode Matroska/WebM metadata: one EBML walk over the well-known
-    * masters (EBML header → DocType; Segment → Info's TimestampScale +
-    * Duration, Tracks → per-TrackEntry TrackType). EBML is a
-    * vint-length-prefixed element tree (RFC 8794): element IDs keep
-    * their length-marker bit, sizes strip it, and an all-ones size
-    * means "extends to the end" (streamed files) — honored by clamping
-    * to the buffer. Frame payloads (Clusters) are NOT demuxed — MKV
-    * block lacing is the one seek path still on [[Multimodal]]'s
-    * byte-slice stand-in; metadata here is real. Same dead-letter
-    * contract as the other containers: malformed vints, lying sizes,
-    * or over-deep nesting stop the walk cleanly, never throw. */
+  /** Decode Matroska/WebM metadata AND demux video frames: one EBML
+    * walk over the well-known masters (EBML header → DocType; Segment →
+    * Info's TimestampScale + Duration, Tracks → per-TrackEntry
+    * TrackNumber/TrackType/Video dims, Clusters → SimpleBlock /
+    * BlockGroup>Block frame payloads). EBML is a vint-length-prefixed
+    * element tree (RFC 8794): element IDs keep their length-marker bit,
+    * sizes strip it, and an all-ones size means "extends to the end"
+    * (streamed files) — honored by clamping to the enclosing bound.
+    *
+    * Block demux is REAL (no stand-in left): each SimpleBlock/Block
+    * leads with a size-style vint track number, a signed be16 relative
+    * timestamp against the Cluster's Timestamp, and a flags byte whose
+    * bits 0x06 select the lacing — 00 none (one frame), 01 Xiph
+    * (255-run sizes, last implicit), 10 fixed-size (equal split), 11
+    * EBML (first size a vint, then signed-vint deltas, last implicit).
+    * All four are handled; frames from video-numbered tracks are kept
+    * (track list is filtered after the walk, so Tracks-after-Clusters
+    * ordering is safe). A lace whose sizes overrun the block is
+    * dropped whole, like an MP4 sample slice outside the file.
+    *
+    * Same dead-letter contract as the other containers: malformed
+    * vints, lying sizes, or over-deep nesting stop the walk cleanly,
+    * never throw. */
   def decodeMkv(b: Array[Byte]): Option[MkvInfo] = {
     if (b == null || b.length < 8) return None
     def vintWidth(first: Int): Int = {
@@ -347,10 +364,113 @@ object RiffCodecs {
     var durTicks = 0.0
     var video = 0
     var audio = 0
+    var width = 0
+    var height = 0
+
+    // per-TrackEntry accumulator (TrackNumber/TrackType/dims arrive in
+    // any order within the entry; committed when the entry closes)
+    var teNum = -1L; var teType = -1L; var teW = 0; var teH = 0
+    val videoTrackNums = scala.collection.mutable.Set.empty[Long]
+    // (trackNum, absTimestampTicks, offset, length) for every laced-out
+    // frame; filtered to video tracks AFTER the walk so Cluster-before-
+    // Tracks ordering (legal in Matroska) still demuxes
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+    var clusterTs = 0L
+
+    // SimpleBlock/Block payload → frame slices (Matroska block layout:
+    // vint track number, signed be16 relative timestamp, flags byte,
+    // then the lace selected by flags bits 0x06)
+    def parseBlock(start: Long, end: Long): Unit = {
+      for ((tn, tw) <- readSize(start) if tn >= 0) {
+        var p = start + tw
+        if (p + 3 <= end) {
+          val relTs = (((b(p.toInt) & 0xff) << 8) | (b((p + 1).toInt) & 0xff)).toShort.toLong
+          val lacing = (b((p + 2).toInt) & 0x06) >> 1
+          p += 3
+          val ts = clusterTs + relTs
+          def emit(sizes: Array[Long], from: Long): Unit = {
+            var sum = 0L
+            sizes.foreach(s => sum += s)
+            // a lace whose sizes overrun the block (or go negative via
+            // crafted EBML deltas) is dropped whole, like an MP4 sample
+            // slice outside the file
+            if (sizes.forall(_ >= 0) && from + sum <= end) {
+              var off = from
+              sizes.foreach { s =>
+                if (s > 0) blocks += ((tn, ts, off.toInt, s.toInt))
+                off += s
+              }
+            }
+          }
+          lacing match {
+            case 0 => // no lacing: the rest of the block is one frame
+              if (end > p) emit(Array(end - p), p)
+            case 2 => // fixed-size: equal split of the remainder
+              if (p < end) {
+                val nf = (b(p.toInt) & 0xff) + 1
+                p += 1
+                val total = end - p
+                if (total % nf == 0) emit(Array.fill(nf)(total / nf), p)
+              }
+            case 1 => // Xiph: 255-run sizes for all but the last frame
+              if (p < end) {
+                val nf = (b(p.toInt) & 0xff) + 1
+                p += 1
+                val sizes = new Array[Long](nf)
+                var i = 0
+                var okL = true
+                while (okL && i < nf - 1) {
+                  var s = 0L
+                  var cont = true
+                  while (cont && p < end) {
+                    val v = b(p.toInt) & 0xff
+                    s += v; p += 1
+                    cont = v == 255
+                  }
+                  if (cont) okL = false else { sizes(i) = s; i += 1 }
+                }
+                if (okL) {
+                  sizes(nf - 1) = (end - p) - sizes.view.take(nf - 1).sum
+                  emit(sizes, p)
+                }
+              }
+            case _ => // 3 = EBML: first size a vint, then signed-vint deltas
+              if (p < end) {
+                val nf = (b(p.toInt) & 0xff) + 1
+                p += 1
+                val sizes = new Array[Long](nf)
+                var okL = true
+                if (nf >= 2) {
+                  readSize(p) match {
+                    case Some((s0, w0)) if s0 >= 0 =>
+                      sizes(0) = s0; p += w0
+                      var i = 1
+                      while (okL && i < nf - 1) {
+                        readSize(p) match {
+                          case Some((d, dw)) if d >= 0 =>
+                            // signed vint: raw minus the width's bias
+                            sizes(i) = sizes(i - 1) + (d - ((1L << (7 * dw - 1)) - 1))
+                            p += dw; i += 1
+                          case _ => okL = false
+                        }
+                      }
+                    case _ => okL = false
+                  }
+                }
+                if (okL) {
+                  sizes(nf - 1) = (end - p) - sizes.view.take(nf - 1).sum
+                  emit(sizes, p)
+                }
+              }
+          }
+        }
+      }
+    }
 
     // masters we descend into; everything else is skipped by size
     val Ebml = 0x1A45DFA3L; val Segment = 0x18538067L
     val Info = 0x1549A966L; val Tracks = 0x1654AE6BL; val TrackEntry = 0xAEL
+    val Cluster = 0x1F43B675L; val BlockGroup = 0xA0L; val VideoEl = 0xE0L
     def walk(start: Long, end: Long, parent: Long, depth: Int): Unit = {
       if (depth > MaxNestDepth) return
       var o = start
@@ -364,7 +484,18 @@ object RiffCodecs {
           if (sz < 0 || body + sz > end) ok = false
           else {
             id match {
-              case Ebml | Segment | Info | Tracks | TrackEntry =>
+              case Ebml | Segment | Info | Tracks | BlockGroup | VideoEl =>
+                walk(body, body + sz, id, depth + 1)
+              case TrackEntry =>
+                teNum = -1L; teType = -1L; teW = 0; teH = 0
+                walk(body, body + sz, id, depth + 1)
+                if (teType == 1) {
+                  video += 1
+                  if (teNum > 0) videoTrackNums += teNum
+                  if (width == 0) { width = teW; height = teH }
+                } else if (teType == 2) audio += 1
+              case Cluster =>
+                clusterTs = 0L
                 walk(body, body + sz, id, depth + 1)
               case 0x4282 if parent == Ebml => // DocType
                 docType = new String(b, body.toInt, sz.toInt,
@@ -374,11 +505,19 @@ object RiffCodecs {
               case 0x4489 if parent == Info => // Duration (float ticks)
                 durTicks = floatAt(body, sz)
               case 0x83 if parent == TrackEntry && sz >= 1 && sz <= 8 =>
-                uintAt(body, sz) match {
-                  case 1 => video += 1
-                  case 2 => audio += 1
-                  case _ => ()
-                }
+                teType = uintAt(body, sz)
+              case 0xD7 if parent == TrackEntry && sz >= 1 && sz <= 8 =>
+                teNum = uintAt(body, sz)
+              case 0xB0 if parent == VideoEl && sz >= 1 && sz <= 8 =>
+                teW = uintAt(body, sz).toInt
+              case 0xBA if parent == VideoEl && sz >= 1 && sz <= 8 =>
+                teH = uintAt(body, sz).toInt
+              case 0xE7 if parent == Cluster && sz >= 1 && sz <= 8 =>
+                clusterTs = uintAt(body, sz)
+              case 0xA3 if parent == Cluster => // SimpleBlock
+                parseBlock(body, body + sz)
+              case 0xA1 if parent == BlockGroup => // Block
+                parseBlock(body, body + sz)
               case _ => ()
             }
             o = body + sz
@@ -393,8 +532,13 @@ object RiffCodecs {
       case _ => return None
     }
     if (docType != "matroska" && docType != "webm") None
-    else Some(MkvInfo(docType,
-      if (tsScaleNs > 0) (durTicks * tsScaleNs / 1e6).toLong else 0L,
-      video, audio))
+    else {
+      val vFrames = blocks.filter(t => videoTrackNums.contains(t._1))
+        .sortBy(t => (t._2, t._3))
+        .map(t => (t._3, t._4)).toVector
+      Some(MkvInfo(docType,
+        if (tsScaleNs > 0) (durTicks * tsScaleNs / 1e6).toLong else 0L,
+        video, audio, width, height, vFrames))
+    }
   }
 }

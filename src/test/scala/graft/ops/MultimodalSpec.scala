@@ -287,6 +287,91 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // Matroska block: vint track number, signed be16 relative timestamp,
+  // flags byte (lacing in bits 0x06), then the (possibly laced) payload
+  private def blockBytes(track: Int, relTs: Int, lace: Int, payload: Array[Byte]): Array[Byte] =
+    Array[Byte]((0x80 | track).toByte, (relTs >> 8).toByte, relTs.toByte,
+      (lace << 1).toByte) ++ payload
+  private def simpleBlock(track: Int, relTs: Int, lace: Int, payload: Array[Byte]): Array[Byte] =
+    el(0xA3L, blockBytes(track, relTs, lace, payload))
+
+  test("MKV frame demux: Cluster/SimpleBlock traversal with all four lacings; sampleFrames serves them") {
+    val headerEl = el(0x1A45DFA3L, el(0x4282L, "matroska".getBytes("US-ASCII")))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, Array[Byte](0x0F, 0x42, 0x40)) ++ // 1 ms per tick
+        el(0x4489L, be32b(java.lang.Float.floatToIntBits(4000f)))) // 4000 ms
+    val tracks = el(0x1654AE6BL,
+      el(0xAEL, el(0xD7L, Array[Byte](1)) ++ el(0x83L, Array[Byte](1)) ++
+        el(0xE0L, el(0xB0L, Array[Byte](0, 32)) ++ el(0xBAL, Array[Byte](24)))) ++
+        el(0xAEL, el(0xD7L, Array[Byte](2)) ++ el(0x83L, Array[Byte](2))))
+
+    val jpeg0 = realImage("jpg", 16, 8)
+    val jpeg1 = realImage("jpg", 17, 9)
+    // Xiph lace: 3 frames of 5, 300, 7 bytes — 300 needs a 255+45 run
+    val xf = Seq(Array.fill[Byte](5)(11), Array.fill[Byte](300)(12), Array.fill[Byte](7)(13))
+    val xiphPayload = Array[Byte](2, 5, 0xff.toByte, 45) ++ xf(0) ++ xf(1) ++ xf(2)
+    // fixed-size lace: 4 frames x 6 bytes
+    val ff = (0 until 4).map(i => Array.fill[Byte](6)((20 + i).toByte))
+    val fixedPayload = Array[Byte](3) ++ ff.flatten
+    // EBML lace: sizes 5, 8 (delta +3 → 1-byte signed vint 63+3=66), last 6
+    val ef = Seq(Array.fill[Byte](5)(31), Array.fill[Byte](8)(32), Array.fill[Byte](6)(33))
+    val ebmlPayload = Array[Byte](2, 0x85.toByte, (0x80 | 66).toByte) ++ ef(0) ++ ef(1) ++ ef(2)
+
+    val cluster1 = el(0x1F43B675L,
+      el(0xE7L, Array[Byte](0)) ++
+        simpleBlock(1, 0, 0, jpeg0) ++
+        simpleBlock(2, 5, 0, Array.fill[Byte](9)(99)) ++ // audio: excluded
+        simpleBlock(1, 10, 1, xiphPayload))
+    val cluster2 = el(0x1F43B675L,
+      el(0xE7L, Array[Byte](100)) ++
+        el(0xA0L, el(0xA1L, blockBytes(1, 0, 0, jpeg1))) ++ // BlockGroup>Block
+        simpleBlock(1, 10, 2, fixedPayload) ++
+        simpleBlock(1, 20, 3, ebmlPayload))
+    val mkv = headerEl ++ el(0x18538067L, info ++ tracks ++ cluster1 ++ cluster2)
+
+    val m = RiffCodecs.decodeMkv(mkv).get
+    assert(m.width == 32 && m.height == 24, s"dims ${m.width}x${m.height}")
+    assert(m.durationMs == 4000L)
+    // 1 (plain) + 3 (xiph) + 1 (block group) + 4 (fixed) + 3 (ebml) = 12
+    assert(m.frames.size == 12, s"got ${m.frames.size}: ${m.frames}")
+    def slice(i: Int): Array[Byte] = {
+      val (o, l) = m.frames(i)
+      java.util.Arrays.copyOfRange(mkv, o, o + l)
+    }
+    // timestamp order: cluster1 (ts 0, 10) then cluster2 (ts 100, 110, 120)
+    assert(ImageCodecs.decodeJpeg(slice(0)).exists(d => d.width == 16 && d.height == 8))
+    (0 until 3).foreach(i => assert(slice(1 + i).sameElements(xf(i)), s"xiph frame $i"))
+    assert(ImageCodecs.decodeJpeg(slice(4)).exists(d => d.width == 17 && d.height == 9))
+    (0 until 4).foreach(i => assert(slice(5 + i).sameElements(ff(i)), s"fixed frame $i"))
+    (0 until 3).foreach(i => assert(slice(9 + i).sameElements(ef(i)), s"ebml frame $i"))
+
+    // the sampler serves MKV frames end-to-end (4000ms / 12 frames)
+    val fs = Multimodal.sampleFrames(Seq(
+        MediaAsset(61L, "video", mkv, MediaMeta(0, 0, 4000L, 0, "matroska"))).toDS(),
+        everyMs = 2000L)
+      .collect().sortBy(_.frame_index)
+    assert(fs.length == 2, s"got ${fs.length}")
+    assert(ImageCodecs.decodeJpeg(fs(0).frame_bytes).exists(_.width == 16))
+
+    // a lying Xiph lace (declared sizes overrun the block) drops whole,
+    // the rest of the file still demuxes
+    val lying = el(0x1F43B675L,
+      el(0xE7L, Array[Byte](0)) ++
+        simpleBlock(1, 0, 1, Array[Byte](1, 120) ++ Array.fill[Byte](10)(7)) ++
+        simpleBlock(1, 5, 0, Array.fill[Byte](4)(42)))
+    val mkvLying = headerEl ++ el(0x18538067L, info ++ tracks ++ lying)
+    val lm = RiffCodecs.decodeMkv(mkvLying).get
+    assert(lm.frames.size == 1 && lm.frames.head._2 == 4, s"got ${lm.frames}")
+
+    // frames survive Cluster-before-Tracks ordering (track filter is
+    // applied after the walk)
+    val mkvSwapped = headerEl ++ el(0x18538067L, info ++ cluster1 ++ tracks)
+    assert(RiffCodecs.decodeMkv(mkvSwapped).get.frames.size == 4)
+
+    // every truncation of the real fixture is clean (no throw)
+    (0 until mkv.length).foreach(n => RiffCodecs.decodeMkv(mkv.take(n)))
+  }
+
   test("WAV decode: format + duration from the RIFF walk, audio pass dead-letters junk") {
     // 16 kHz mono 16-bit, 32000 bytes of data = exactly 1000 ms
     val good = MediaAsset(40L, "audio", wav(16000, 16, 1, 32000),

@@ -150,6 +150,22 @@ object ScaleRehearsal {
       println(f"SKEW exact_substr_1M_one_hash spans=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
+    // hot-TEXT stress for exactDedupRows: 1M IDENTICAL documents — one
+    // md5 partition holds the whole corpus. The rn=1 plan is guarded
+    // for WindowGroupLimit pushdown (CorpusSpec asserts the plan
+    // node); this leg exercises it at data scale: the per-partition
+    // group limit prunes each map task to one candidate row before the
+    // shuffle, so the hot key's exchange input is O(tasks), not O(1M).
+    {
+      val sameDoc = "the same document every single time " * 5
+      val hot = spark.range(1000000L)
+        .select(col("id").as("doc_id"), lit(sameDoc).as("text"))
+      val t0 = System.nanoTime()
+      val n = graft.ops.Dedup.exactDedupRows(hot).count()
+      println(f"SKEW exact_dedup_1M_one_text kept=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      require(n == 1L, s"expected 1 survivor from 1M identical docs, got $n")
+    }
+
     // incremental exact-substring at 10x: same disjoint slicing; the
     // wins store accumulates ~2M window hashes, per-tick time must
     // stay flat (each tick's copies dedup within the tick)
