@@ -616,23 +616,48 @@ object SimilaritySearch {
     centers
   }
 
-  /** LSH-bucketed ANN top-k with one-bit multi-probe: each query probes
-    * its own bucket plus the `planes` single-bit-flip neighbors, then
-    * scores only those corpus rows. Recall < 1 by construction; the
-    * bench pairing is recall vs the brute-force baseline. */
+  /** LSH-bucketed ANN top-k: `tables` independent hyperplane hash
+    * tables (the classic E2LSH/FAISS-LSH layout — per-table seeds, a
+    * candidate is scored if ANY table buckets it with the query) each
+    * probed with one-bit multi-probe (own bucket + the `planes`
+    * single-bit-flip neighbors). Recall < 1 by construction and
+    * recall-vs-candidates is the knob pair: on sharply clustered data
+    * one table suffices (the spec fixture); on weakly structured
+    * embeddings P[bit agrees] = 1 − θ/π per plane, so fewer planes +
+    * more tables buys recall at candidate-coverage cost (RECALL.md
+    * records the measured trade-off on the testdata corpus). The
+    * per-table key explode scales the corpus side by `tables` — keys
+    * only, vectors are not duplicated into the shuffle; candidate
+    * dedup happens on (query, neighbor) before scoring. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
-      planes: Int = 8, seed: Long = 7L,
+      planes: Int = 8, seed: Long = 7L, tables: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxQueries: Int = 100000): DataFrame = {
     requireBoundedQueries(queries, maxQueries, "lshTopK")
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      hyperplaneKey(col(vecCol), dim, planes, seed).as("bucket"))
-    val qKey = hyperplaneKey(col(vecCol), dim, planes, seed)
+    require(tables >= 1 && tables <= 64, s"tables must be in [1,64] (got $tables)")
+    // distinct, deterministic per-table seeds
+    def tseed(t: Int): Long = seed + 1000003L * t
+    val keyed = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneKey(col(vecCol), dim, planes, tseed(t)).as("bucket"))
+    }
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        explode(array(keyed: _*)).as("tb"))
+      .select(col("neighbor_id"), col("cvec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val probes = array((lit(0) +: (0 until planes).map(b => shiftleft(lit(1), b))): _*)
+    val qKeyed = (0 until tables).map { t =>
+      val key = hyperplaneKey(col(vecCol), dim, planes, tseed(t))
+      transform(probes, m =>
+        struct(lit(t).as("tbl"), key.bitwiseXOR(m).as("bucket")))
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        explode(transform(probes, m => qKey.bitwiseXOR(m))).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+        explode(flatten(array(qKeyed: _*))).as("tb"))
+      .select(col("query_id"), col("qvec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
       .select("query_id", "neighbor_id", "cos").distinct()

@@ -62,7 +62,12 @@ object OpsQueries {
     * is the recall spec against q19's baseline). */
   def q20LshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    SimilaritySearch.lshTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5)
+    // 6 planes × 8 tables: the testdata embeddings are weakly
+    // structured (within-label mean cos ≈ 0.06), so per-plane agreement
+    // for true neighbors is ~0.65 — fewer planes + more tables is the
+    // measured recall/candidates sweet spot (RECALL.md)
+    SimilaritySearch.lshTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5,
+        planes = 6, tables = 8)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
@@ -70,7 +75,11 @@ object OpsQueries {
     * gated by its recall spec like q20). */
   def q30IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    // nprobe 8/16: weak cluster structure spreads true neighbors across
+    // cells, so recall tracks probe coverage — 8 cells is the measured
+    // recall/cost knee on the testdata corpus (RECALL.md; a corpus with
+    // real cluster structure runs nprobe 2-4 against a larger nlist)
+    SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nprobe = 8)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
@@ -79,7 +88,11 @@ object OpsQueries {
     * approximate, rows-only, recall-spec-gated like q20/q30/q45). */
   def q65IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    SimilaritySearch.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5)
+    // nprobe 10 + rerank 192: the fused tier compounds both coverage
+    // losses (cell probe × code quantization), so both knobs open up —
+    // measured knee on the testdata corpus (RECALL.md)
+    SimilaritySearch.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5,
+        nprobe = 10, rerank = 192)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
@@ -326,8 +339,11 @@ object OpsQueries {
   def q45PqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     // dim = 64 is the testdata embeddings contract (same as q20's LSH)
+    // rerank 200: PQ codes can't order near-equal cosines on weakly
+    // structured data, so the exact re-rank shortlist is the recall
+    // knob (still queries × rerank, never corpus-sized — RECALL.md)
     SimilaritySearch.pqTopK(
-      emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5, rerank = 50)
+      emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5, rerank = 200)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 

@@ -248,6 +248,16 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall=$recall")
+
+    // multi-table LSH (E2LSH layout): independent tables OR their
+    // candidates, so recall is monotone-ish in tables — 4 tables must
+    // do at least as well as the single-table run on the same data
+    val multi = SimilaritySearch.lshTopK(queries, vecs, dim = 64, k = 10, tables = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallMulti = (exact intersect multi).size.toDouble / exact.size
+    assert(recallMulti >= recall - 0.05, s"multi=$recallMulti single=$recall")
+    assert(recallMulti >= 0.8, s"recall=$recallMulti")
   }
 
   test("IVF ANN achieves high recall vs brute force on clustered vectors") {
