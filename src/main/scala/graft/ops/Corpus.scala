@@ -394,12 +394,16 @@ object Corpus {
     val withTok = df.withColumn("_n_tok", tokensCol.cast("long"))
     val indexed = globalIndex(withTok,
       Seq(col(strataCol), col(idCol)), "_gr", numPartitions)
+    // null-SAFE stratum equality: a USING join's EqualTo would silently
+    // drop NULL-stratum rows (the quotaPack regression ADVICE caught,
+    // same class here) — NULL is a legitimate stratum of its own
     val firstPerStratum = indexed.groupBy(col(strataCol))
       .agg(min(col("_gr")).as("_g0"))
+      .withColumnRenamed(strataCol, "_s0")
     val chunked = indexed
-      .join(broadcast(firstPerStratum), Seq(strataCol))
+      .join(broadcast(firstPerStratum), col(strataCol) <=> col("_s0"))
       .withColumn("_chunk", ((col("_gr") - col("_g0")) / chunkRows).cast("long"))
-      .drop("_gr", "_g0")
+      .drop("_gr", "_g0", "_s0")
     val schema = StructType(chunked.schema.fields ++ Seq(
       StructField("pack_id", LongType, nullable = false),
       StructField("pack_offset", LongType, nullable = false)))

@@ -160,6 +160,17 @@ class CorpusSpec extends SparkSpec {
     // independent of srcA's layout
     assert(got == Set((1L, 0L, 0L), (2L, 0L, 100L), (3L, 0L, 0L), (4L, 0L, 100L)))
     spark.catalog.clearCache()
+
+    // same row-loss class in the chunked variant: its first-row-per-
+    // stratum join must be null-safe too
+    val chunkPacked = Corpus.greedyPackChunked(
+      tiny, "source", col("n"), budgetTokens = 150, chunkRows = 10)
+    assert(chunkPacked.count() == 4,
+      "NULL-stratum rows must survive the chunk-base join")
+    val gotC = chunkPacked.select("doc_id", "pack_id", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotC == Set((1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 0L), (4L, 1L, 0L)))
+    spark.catalog.clearCache()
   }
 
   test("quotaPack offsets collect is bounded: over-fine strata fail fast, defaults unaffected") {
