@@ -59,6 +59,15 @@ object SimilaritySearch {
     * native VectorDot against a literal plane vector — 8 fused loops,
     * not an 8×dim element_at expression tree (which made janino compile
     * time the dominant cost). */
+  /** Flat plane matrix for `tables` independent hash tables (per-table
+    * seeds `seed + 1000003·t`), [(table, plane), dim] layout — the
+    * [[graft.functions.VectorExpressions.HyperplaneKeys]] input
+    * [[lshTopK]] builds (exposed for the equivalence spec). */
+  private[graft] def tablePlanesFlat(
+      dim: Int, planes: Int, seed: Long, tables: Int): Seq[Float] =
+    (0 until tables).flatMap(t =>
+      planeVectors(dim, planes, seed + 1000003L * t).flatMap(_.map(_.toFloat)))
+
   def hyperplaneKey(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
     val pvs = planeVectors(dim, planes, seed)
     val bits = pvs.zipWithIndex.map { case (pv, b) =>
@@ -636,27 +645,24 @@ object SimilaritySearch {
       maxQueries: Int = 100000): DataFrame = {
     requireBoundedQueries(queries, maxQueries, "lshTopK")
     require(tables >= 1 && tables <= 64, s"tables must be in [1,64] (got $tables)")
-    // distinct, deterministic per-table seeds
-    def tseed(t: Int): Long = seed + 1000003L * t
-    val keyed = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneKey(col(vecCol), dim, planes, tseed(t)).as("bucket"))
-    }
+    // ALL table keys from one native expression (HyperplaneKeys):
+    // composing tables × planes VectorDots in a single projection
+    // generates a method past HotSpot's JIT bytecode threshold — the
+    // hot path then runs interpreted, measured ~10× wall on the sf1
+    // corpus. The fused expression keeps the plane matrix as a codegen
+    // reference object and emits one compact triple loop. Seeds are
+    // per-table (seed + 1000003·t); table 0 ≡ the single-table scheme.
+    val planesFlat: Seq[Float] = tablePlanesFlat(dim, planes, seed, tables)
+    val allKeys = graft.functions.VectorExpressions
+      .hyperplaneKeys(col(vecCol), planesFlat, planes, dim)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        explode(array(keyed: _*)).as("tb"))
-      .select(col("neighbor_id"), col("cvec"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val probes = array((lit(0) +: (0 until planes).map(b => shiftleft(lit(1), b))): _*)
-    val qKeyed = (0 until tables).map { t =>
-      val key = hyperplaneKey(col(vecCol), dim, planes, tseed(t))
-      transform(probes, m =>
-        struct(lit(t).as("tbl"), key.bitwiseXOR(m).as("bucket")))
-    }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        explode(flatten(array(qKeyed: _*))).as("tb"))
-      .select(col("query_id"), col("qvec"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        posexplode(allKeys).as(Seq("tbl", "bucket")))
+    val qKeys = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      posexplode(allKeys).as(Seq("tbl", "key")))
+    val probeMasks = lit(0) +: (0 until planes).map(b => shiftleft(lit(1), b))
+    val q = qKeys.select(col("query_id"), col("qvec"), col("tbl"),
+      explode(array(probeMasks.map(m => col("key").bitwiseXOR(m)): _*)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))

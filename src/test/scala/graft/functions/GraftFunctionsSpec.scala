@@ -97,4 +97,49 @@ class GraftFunctionsSpec extends SparkSpec {
     // the zero-vector row: the UDF's 0.0/0.0 — NaN, not NULL
     assert(got(99L).isNaN, s"zero vector must be NaN, got ${got(99L)}")
   }
+
+  test("HyperplaneKeys: fused multi-table keys equal the per-table VectorDot composition") {
+    import graft.ops.SimilaritySearch
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 64; val planes = 6; val seed = 7L; val tables = 3
+    val rnd = new scala.util.Random(41)
+    val vecs = ((0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)) :+
+      ((98L, Array.fill(16)(1.0f).toSeq)) :+      // short vector
+      ((99L, Array.fill[Float](dim)(0f).toSeq)))  // zero vector: all dots 0 >= 0
+      .toDF("vec_id", "embedding")
+    val flat = SimilaritySearch.tablePlanesFlat(dim, planes, seed, tables)
+    val fused = vecs.select(col("vec_id"),
+        posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
+          col("embedding"), flat, planes, dim)).as(Seq("tbl", "key")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(fused.size == 42 * tables)
+    (0 until tables).foreach { t =>
+      val single = vecs.select(col("vec_id"),
+          SimilaritySearch.hyperplaneKey(
+            col("embedding"), dim, planes, seed + 1000003L * t).as("key"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      single.foreach { case (id, k) =>
+        assert(fused((id, t)) == k, s"vec $id table $t: fused ${fused((id, t))} vs $k")
+      }
+    }
+    // zero vector: every dot is 0.0 >= 0 → all bits set
+    assert(fused((99L, 0)) == (1 << planes) - 1)
+    // interpreted path agrees with codegen (eval via a filter that
+    // Catalyst constant-folds away would be cheating — use a fresh
+    // non-codegen projection instead)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = vecs.select(col("vec_id"),
+          posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
+            col("embedding"), flat, planes, dim)).as(Seq("tbl", "key")))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(interp == fused, "interpreted HyperplaneKeys must match codegen")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
