@@ -225,6 +225,37 @@ class CorpusSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("chunked greedy packing equals a pure-Scala greedy reference run per chunk") {
+    // independent differential oracle: replay the declared semantics —
+    // within each stratum (id order), chunk every `chunkRows` docs,
+    // then close-on-overflow greedily inside the chunk with pack ids
+    // based at chunk × chunkRows — and demand bit-equality
+    val budget = 2048
+    val chunkRows = 7 // deliberately unaligned with pack sizes
+    val tok = TextAnalysis.bpeTokenEstimate(col("text"))
+    val rows = docs.select(col("source"), col("doc_id"), tok.as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).flatMap { case (_, members) =>
+      val ordered = members.sortBy(_._2)
+      ordered.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, ci) =>
+        var pack = ci.toLong * chunkRows
+        var fill = 0L
+        chunk.map { case (_, id, n) =>
+          if (fill > 0 && fill + n > budget) { pack += 1; fill = 0L }
+          val r = (id, pack, fill)
+          fill += n
+          r
+        }
+      }
+    }.toSet
+    val got = Corpus.greedyPackChunked(docs, "source", tok, budget, chunkRows)
+      .select("doc_id", "pack_id", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect,
+      s"diff: missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("chunked greedy packing bounds task input under a planted half-corpus stratum") {
     val chunkRows = 16
     // plant the skew greedyPack cannot parallelize: one stratum = half the corpus

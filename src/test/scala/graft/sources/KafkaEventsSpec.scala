@@ -58,6 +58,17 @@ class KafkaEventsSpec extends SparkSpec {
         .collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(decoded.count() == 360)
     assert(canon(decoded).sameElements(canon(dsv2.toDF())))
+
+    // the whole downstream pipeline is source-agnostic: CBOR decode +
+    // pivot + ActiveDeal projection produce the golden 360 deals from
+    // the Kafka-shaped stream, identical to the DSv2 path
+    import graft.codec.EventCodec
+    val dealsK = EventCodec.toActiveDeals(EventCodec.decodeBlockEvents(decoded))
+    val dealsD = EventCodec.toActiveDeals(EventCodec.decodeBlockEvents(dsv2.toDF()))
+    assert(dealsK.count() == 360)
+    val ck = dealsK.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val cd = dealsD.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(ck.sameElements(cd), "ActiveDeal projection must match the DSv2 path")
   }
 
   test("malformed values dead-letter row-wise, never a task failure") {
