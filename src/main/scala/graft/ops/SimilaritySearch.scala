@@ -111,9 +111,32 @@ object SimilaritySearch {
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 3, seed: Long = 13L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxQueries: Int = 100000): DataFrame = {
-    requireBoundedQueries(queries, maxQueries, "ivfTopK")
-    val spark = corpus.sparkSession
+      maxQueries: Int = 100000): DataFrame =
+    ivfSearch(ivfAssignedIndex(corpus, nlist, seed, idCol, vecCol, persist = false),
+      queries, k, nprobe, idCol, vecCol, maxQueries)
+
+  /** A BUILT IVF index: the driver-fit coarse quantizer plus the
+    * cell-assigned corpus relation. [[ivfBuild]] persists the
+    * assignment so REPEATED query batches amortize the corpus pass —
+    * the production serve shape ([[ivfTopK]] is the one-shot
+    * composition and does not persist). Call [[IvfIndex.release]]
+    * after the last search's results are consumed (same lazy-consumer
+    * contract as the `...WithRelease` twins). */
+  final class IvfIndex private[SimilaritySearch] (
+      private[SimilaritySearch] val centroids: Array[Array[Double]],
+      private[SimilaritySearch] val assigned: DataFrame,
+      val nlist: Int) {
+    /** (cell, members) occupancy — the hot-cell monitor for a built index. */
+    def cellSizes: DataFrame =
+      assigned.groupBy("cell").agg(count(lit(1)).as("members"))
+    def release(): Unit = { assigned.unpersist(blocking = false); () }
+  }
+
+  /** Fit + assign, optionally persisting the assignment (the index
+    * path persists; the one-shot path keeps the old recompute plan). */
+  private def ivfAssignedIndex(
+      corpus: DataFrame, nlist: Int, seed: Long,
+      idCol: String, vecCol: String, persist: Boolean): IvfIndex = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     // bounded deterministic sample (smallest xxhash64(id) order — a
     // seeded global draw independent of partitioning)
@@ -123,23 +146,44 @@ object SimilaritySearch {
       .select(col("cvec"))
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centroids = localKMeans(sample, nlist, iters = 10, seed = seed)
-    val bc = spark.sparkContext.broadcast(centroids)
-    def nearestCells(v: Seq[Float], n: Int): Seq[Int] = {
-      val cs = bc.value
-      cs.indices.map { i =>
-        var d = 0.0; var j = 0
-        val cc = cs(i)
-        while (j < cc.length) { val t = cc(j) - v(j); d += t * t; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(n).map(_._1)
-    }
-    val assignCell = udf { (v: Seq[Float]) => nearestCells(v, 1).head }
-    val probeCells = udf { (v: Seq[Float]) => nearestCells(v, nprobe) }
-    val assigned = c.withColumn("cell", assignCell(col("cvec")))
+    val bc = c.sparkSession.sparkContext.broadcast(centroids)
+    val assignCell = udf { (v: Seq[Float]) => nearestCellsOf(bc.value, v, 1).head }
+    val assigned0 = c.withColumn("cell", assignCell(col("cvec")))
+    val assigned =
+      if (persist) assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned0
+    new IvfIndex(centroids, assigned, nlist)
+  }
+
+  /** Build an IVF index over the corpus: one bounded-sample fit + one
+    * assignment pass, persisted for repeated [[ivfSearch]] batches. */
+  def ivfBuild(
+      corpus: DataFrame, nlist: Int = 16, seed: Long = 13L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex =
+    ivfAssignedIndex(corpus, nlist, seed, idCol, vecCol, persist = true)
+
+  private def nearestCellsOf(
+      cs: Array[Array[Double]], v: Seq[Float], n: Int): Seq[Int] =
+    cs.indices.map { i =>
+      var d = 0.0; var j = 0
+      val cc = cs(i)
+      while (j < cc.length) { val t = cc(j) - v(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(n).map(_._1)
+
+  /** Search a built [[IvfIndex]]: probe each query's `nprobe` nearest
+    * cells and score only those members — the corpus-side work is a
+    * filter over the (persisted) assignment, never a re-fit. */
+  def ivfSearch(
+      index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 100000): DataFrame = {
+    requireBoundedQueries(queries, maxQueries, "ivfSearch")
+    val bc = queries.sparkSession.sparkContext.broadcast(index.centroids)
+    val probeCells = udf { (v: Seq[Float]) => nearestCellsOf(bc.value, v, nprobe) }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       explode(probeCells(col(vecCol))).as("cell"))
-
-    val scored = assigned.join(broadcast(q), Seq("cell"))
+    val scored = index.assigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
       .select("query_id", "neighbor_id", "cos").distinct()
@@ -296,26 +340,60 @@ object SimilaritySearch {
     * — quantization cannot preserve ordering among near-equal
     * neighbors, so production IVF-PQ always re-ranks; the extra cost is
     * a join bounded by queries × rerank, never corpus-sized. */
+  /** A BUILT PQ index: the driver-fit codebook plus the byte-code
+    * relation. [[pqBuild]] persists the codes (m bytes per vector —
+    * the compressed representation IS the cacheable asset) so repeated
+    * [[pqSearch]] batches amortize the encode pass; [[pqTopK]] is the
+    * one-shot composition and does not persist. Re-rank reads raw
+    * vectors back from the retained corpus reference — a
+    * shortlist-sized join, never a corpus re-scan. */
+  final class PqIndex private[SimilaritySearch] (
+      private[SimilaritySearch] val codebook: Array[Array[Array[Double]]],
+      private[SimilaritySearch] val encoded: DataFrame,
+      private[SimilaritySearch] val corpus: DataFrame,
+      private[SimilaritySearch] val idCol: String,
+      private[SimilaritySearch] val vecCol: String,
+      val m: Int, val dim: Int) {
+    def release(): Unit = { encoded.unpersist(blocking = false); () }
+  }
+
+  /** Build a PQ index: bounded-sample codebook fit + one encode pass,
+    * codes persisted for repeated [[pqSearch]] batches. */
+  def pqBuild(
+      corpus: DataFrame, dim: Int, m: Int = 8, seed: Long = 29L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex =
+    pqEncodedIndex(corpus, dim, m, seed, idCol, vecCol, persist = true)
+
   def pqTopK(
       queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
       m: Int = 8, seed: Long = 29L, rerank: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxQueries: Int = 100000): DataFrame = {
+      maxQueries: Int = 100000): DataFrame =
+    pqSearch(pqEncodedIndex(corpus, dim, m, seed, idCol, vecCol, persist = false),
+      queries, k, rerank, maxQueries)
+
+  private def unitUdf = udf { (v: Seq[Float]) =>
+    var s = 0.0
+    v.foreach(x => s += x.toDouble * x)
+    val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+    v.map(x => (x * inv).toFloat)
+  }
+
+  private def pqEncodedIndex(
+      corpus: DataFrame, dim: Int, m: Int, seed: Long,
+      idCol: String, vecCol: String, persist: Boolean): PqIndex = {
     require(dim % m == 0, "m must divide dim")
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dim / m
     val nCentroids = 16
 
-    val unit = udf { (v: Seq[Float]) =>
-      var s = 0.0
-      v.foreach(x => s += x.toDouble * x)
-      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
-      v.map(x => (x * inv).toFloat)
-    }
-    // NOT cached: the corpus is scanned exactly twice (bounded sample
-    // draw, then the encode pass) and a pinned full-corpus float cache
-    // is exactly what the compressed-codes path exists to avoid
+    val unit = unitUdf
+    // the ONE-SHOT path does not cache: the corpus is scanned exactly
+    // twice (bounded sample draw, then the encode pass) and a pinned
+    // full-corpus float cache is exactly what the compressed-codes
+    // path exists to avoid. The BUILD path persists only the m-byte
+    // codes — the compressed asset, not the floats.
     val c = corpus.select(col(idCol).as("nid"), unit(col(vecCol)).as("v"))
 
     // codebook fit on a BOUNDED sample: PQ codebooks are always trained
@@ -364,15 +442,34 @@ object SimilaritySearch {
         (id, codes)
       }
     }.toDF("nid", "codes")
+    val kept =
+      if (persist) encoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else encoded
+    new PqIndex(codebook, kept, corpus, idCol, vecCol, m, dim)
+  }
 
-    // search: per-query ADC table (m × 16 inner products), score codes;
+  /** Search a built [[PqIndex]]: per-query ADC tables over the
+    * (persisted) byte codes, optional exact re-rank over the
+    * shortlist's raw vectors — never a re-fit or re-encode. */
+  def pqSearch(
+      index: PqIndex, queries: DataFrame, k: Int, rerank: Int = 0,
+      maxQueries: Int = 100000): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = index.m
+    val sub = index.dim / m
+    val idCol = index.idCol
+    val vecCol = index.vecCol
+    val unit = unitUdf
+    val bc = spark.sparkContext.broadcast(index.codebook)
+    // per-query ADC table (m × 16 inner products), score codes;
     // the collect doubles as the maxQueries bound check (one job)
     val qs = collectBounded(
       queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv")),
-      maxQueries, "pqTopK")
+      maxQueries, "pqSearch")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qBc = spark.sparkContext.broadcast(qs)
-    val scored = encoded.mapPartitions { it =>
+    val scored = index.encoded.mapPartitions { it =>
       val cb = bc.value
       val qts = qBc.value.map { case (qid, qv) =>
         // table(j)(c) = <q_subj, centroid_jc>: sum over j approximates
@@ -411,7 +508,7 @@ object SimilaritySearch {
         .select("query_id", "neighbor_id")
       val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       val exact = shortlist
-        .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+        .join(index.corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
           "neighbor_id")
         .join(broadcast(qRaw), "query_id")
         .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))

@@ -231,6 +231,45 @@ class OpsSpec extends SparkSpec {
     other.unpersist()
   }
 
+  test("IVF/PQ build-search split equals the one-shot tiers; repeated batches reuse the index") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qA = vecs.filter(col("vec_id") < 5)
+    val qB = vecs.filter(col("vec_id").between(5, 9))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    spark.catalog.clearCache()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val ivf = SimilaritySearch.ivfBuild(vecs, nlist = 8)
+    assert(rows(SimilaritySearch.ivfSearch(ivf, qA, k = 5, nprobe = 3)) ==
+      rows(SimilaritySearch.ivfTopK(qA, vecs, k = 5, nlist = 8, nprobe = 3)),
+      "index search must equal the one-shot plan")
+    // a second, different batch runs against the SAME persisted index
+    assert(rows(SimilaritySearch.ivfSearch(ivf, qB, k = 5, nprobe = 3)).nonEmpty)
+    assert(ivf.cellSizes.agg(sum("members")).collect()(0).getLong(0) == 240L)
+    ivf.release()
+
+    val pq = SimilaritySearch.pqBuild(vecs, dim = 64)
+    assert(rows(SimilaritySearch.pqSearch(pq, qA, k = 5, rerank = 30)) ==
+      rows(SimilaritySearch.pqTopK(qA, vecs, dim = 64, k = 5, rerank = 30)),
+      "PQ index search must equal the one-shot plan")
+    assert(rows(SimilaritySearch.pqSearch(pq, qB, k = 5)).nonEmpty)
+    pq.release()
+
+    // releases drain back to the baseline (async unpersist)
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.getPersistentRDDs.size > baseline &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline)
+  }
+
   test("LSH ANN achieves high recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(11)
     // 10 cluster centers, 30 points each = 300 vectors with real structure
