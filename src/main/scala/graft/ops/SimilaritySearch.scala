@@ -55,10 +55,6 @@ object SimilaritySearch {
       "sweeps are the near-dup pair generators' job " +
       "(embeddingNearDupPairs / semanticNearDupPairs)"
 
-  /** Sign-pattern LSH key: bit b = sign(vec · plane_b). Each dot is one
-    * native VectorDot against a literal plane vector — 8 fused loops,
-    * not an 8×dim element_at expression tree (which made janino compile
-    * time the dominant cost). */
   /** Flat plane matrix for `tables` independent hash tables (per-table
     * seeds `seed + 1000003·t`), [(table, plane), dim] layout — the
     * [[graft.functions.VectorExpressions.HyperplaneKeys]] input
@@ -68,6 +64,13 @@ object SimilaritySearch {
     (0 until tables).flatMap(t =>
       planeVectors(dim, planes, seed + 1000003L * t).flatMap(_.map(_.toFloat)))
 
+  /** Sign-pattern LSH key: bit b = sign(vec · plane_b). Each dot is one
+    * native VectorDot against a literal plane vector — 8 fused loops,
+    * not an 8×dim element_at expression tree (which made janino compile
+    * time the dominant cost). For many keys at once (multi-table), use
+    * the fused [[graft.functions.VectorExpressions.HyperplaneKeys]] —
+    * composing dozens of VectorDots in one projection exceeds the JIT
+    * bytecode threshold (see lshTopK). */
   def hyperplaneKey(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
     val pvs = planeVectors(dim, planes, seed)
     val bits = pvs.zipWithIndex.map { case (pv, b) =>
@@ -546,17 +549,47 @@ object SimilaritySearch {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, seed: Long = 37L,
       rerank: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxQueries: Int = 100000): DataFrame = {
+      maxQueries: Int = 100000): DataFrame =
+    ivfPqSearch(
+      ivfPqEncodedIndex(corpus, dim, nlist, m, seed, idCol, vecCol, persist = false),
+      queries, k, nprobe, rerank, maxQueries)
+
+  /** A BUILT IVF-PQ index: both driver-fit quantizers plus the
+    * (cell, residual-codes) relation — the production large-index
+    * asset. [[ivfPqBuild]] persists the codes (4-byte cell + m bytes
+    * per vector) so repeated [[ivfPqSearch]] batches amortize the
+    * assign+encode pass; [[ivfPqTopK]] is the one-shot composition. */
+  final class IvfPqIndex private[SimilaritySearch] (
+      private[SimilaritySearch] val coarse: Array[Array[Double]],
+      private[SimilaritySearch] val codebook: Array[Array[Array[Double]]],
+      private[SimilaritySearch] val encoded: DataFrame,
+      private[SimilaritySearch] val corpus: DataFrame,
+      private[SimilaritySearch] val idCol: String,
+      private[SimilaritySearch] val vecCol: String,
+      val nlist: Int, val m: Int, val dim: Int) {
+    /** (cell, members) occupancy over the inverted lists. */
+    def cellSizes: DataFrame =
+      encoded.groupBy("cell").agg(count(lit(1)).as("members"))
+    def release(): Unit = { encoded.unpersist(blocking = false); () }
+  }
+
+  /** Build an IVF-PQ index: one bounded-sample dual-quantizer fit +
+    * one assign+encode corpus pass, codes persisted for repeated
+    * [[ivfPqSearch]] batches. */
+  def ivfPqBuild(
+      corpus: DataFrame, dim: Int,
+      nlist: Int = 16, m: Int = 8, seed: Long = 37L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex =
+    ivfPqEncodedIndex(corpus, dim, nlist, m, seed, idCol, vecCol, persist = true)
+
+  private def ivfPqEncodedIndex(
+      corpus: DataFrame, dim: Int, nlist: Int, m: Int, seed: Long,
+      idCol: String, vecCol: String, persist: Boolean): IvfPqIndex = {
     require(dim % m == 0, "m must divide dim")
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dim / m
-    val unit = udf { (v: Seq[Float]) =>
-      var s = 0.0
-      v.foreach(x => s += x.toDouble * x)
-      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
-      v.map(x => (x * inv).toFloat)
-    }
+    val unit = unitUdf
     val c = corpus.select(col(idCol).as("nid"), unit(col(vecCol)).as("v"))
 
     // bounded deterministic sample (same contract as pqTopK) trains
@@ -615,17 +648,39 @@ object SimilaritySearch {
         (id, cell, codes)
       }
     }.toDF("nid", "cell", "codes")
+    val kept =
+      if (persist) encoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else encoded
+    new IvfPqIndex(coarse, codebook, kept, corpus, idCol, vecCol, nlist, m, dim)
+  }
 
+  /** Search a built [[IvfPqIndex]]: probed-cell ADC over the
+    * (persisted) code relation + exact re-rank — never a re-fit or
+    * re-encode. */
+  def ivfPqSearch(
+      index: IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 32,
+      maxQueries: Int = 100000): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val dim = index.dim
+    val m = index.m
+    val sub = dim / m
+    val idCol = index.idCol
+    val vecCol = index.vecCol
+    val unit = unitUdf
+    val coarseBc = spark.sparkContext.broadcast(index.coarse)
+    val cbBc = spark.sparkContext.broadcast(index.codebook)
     // per-query precompute: probed cell set, exact <q, centroid> per
     // cell, one residual ADC table (codebooks are global, so the table
     // is shared across cells)
     // collect doubles as the maxQueries bound check (one job)
     val qs = collectBounded(
       queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv")),
-      maxQueries, "ivfPqTopK")
+      maxQueries, "ivfPqSearch")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
     val qBc = spark.sparkContext.broadcast(qs)
-    val scored = encoded.mapPartitions { it =>
+    val scored = index.encoded.mapPartitions { it =>
       val cs = coarseBc.value
       val cb = cbBc.value
       val qp = qBc.value.map { case (qid, qv) =>
@@ -669,7 +724,7 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id")
     val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val exact = shortlist
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+      .join(index.corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
         "neighbor_id")
       .join(broadcast(qRaw), "query_id")
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))

@@ -263,6 +263,15 @@ class OpsSpec extends SparkSpec {
     assert(rows(SimilaritySearch.pqSearch(pq, qB, k = 5)).nonEmpty)
     pq.release()
 
+    val fused = SimilaritySearch.ivfPqBuild(vecs, dim = 64, nlist = 8)
+    assert(rows(SimilaritySearch.ivfPqSearch(fused, qA, k = 5, nprobe = 4, rerank = 30)) ==
+      rows(SimilaritySearch.ivfPqTopK(qA, vecs, dim = 64, k = 5,
+        nlist = 8, nprobe = 4, rerank = 30)),
+      "IVF-PQ index search must equal the one-shot plan")
+    assert(rows(SimilaritySearch.ivfPqSearch(fused, qB, k = 5)).nonEmpty)
+    assert(fused.cellSizes.agg(sum("members")).collect()(0).getLong(0) == 240L)
+    fused.release()
+
     // releases drain back to the baseline (async unpersist)
     val deadline = System.currentTimeMillis() + 10000
     while (spark.sparkContext.getPersistentRDDs.size > baseline &&
