@@ -794,8 +794,43 @@ object SimilaritySearch {
       queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
       planes: Int = 8, seed: Long = 7L, tables: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxQueries: Int = 100000): DataFrame = {
-    requireBoundedQueries(queries, maxQueries, "lshTopK")
+      maxQueries: Int = 100000): DataFrame =
+    lshSearch(lshKeyedIndex(corpus, dim, planes, seed, tables, idCol, vecCol,
+      persist = false), queries, k, maxQueries)
+
+  /** A BUILT LSH index: the (tbl, bucket)-keyed corpus relation plus
+    * the plane matrix that keyed it. [[lshBuild]] persists the keyed
+    * relation so repeated [[lshSearch]] batches skip the corpus keying
+    * pass; [[lshTopK]] is the one-shot composition.
+    *
+    * Sizing at corpus scale: bucket occupancy ≈ n / 2^planes per
+    * table, so `planes` should grow with log₂(n) to keep per-probe
+    * candidate counts bounded (the q20 entry's planes=6 is tuned for
+    * the 2k-vector testdata); `tables` is then the recall lever —
+    * candidates are OR'd across tables at `tables`× key rows cost. */
+  final class LshIndex private[SimilaritySearch] (
+      private[SimilaritySearch] val keyed: DataFrame,
+      private[SimilaritySearch] val planesFlat: Seq[Float],
+      private[SimilaritySearch] val idCol: String,
+      private[SimilaritySearch] val vecCol: String,
+      val planes: Int, val dim: Int, val tables: Int) {
+    /** (tbl, bucket, members) occupancy — the hot-bucket monitor. */
+    def bucketSizes: DataFrame =
+      keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("members"))
+    def release(): Unit = { keyed.unpersist(blocking = false); () }
+  }
+
+  /** Build an LSH index: one fused keying pass over the corpus,
+    * persisted for repeated [[lshSearch]] batches. */
+  def lshBuild(
+      corpus: DataFrame, dim: Int,
+      planes: Int = 8, seed: Long = 7L, tables: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): LshIndex =
+    lshKeyedIndex(corpus, dim, planes, seed, tables, idCol, vecCol, persist = true)
+
+  private def lshKeyedIndex(
+      corpus: DataFrame, dim: Int, planes: Int, seed: Long, tables: Int,
+      idCol: String, vecCol: String, persist: Boolean): LshIndex = {
     require(tables >= 1 && tables <= 64, s"tables must be in [1,64] (got $tables)")
     // ALL table keys from one native expression (HyperplaneKeys):
     // composing tables × planes VectorDots in a single projection
@@ -807,15 +842,31 @@ object SimilaritySearch {
     val planesFlat: Seq[Float] = tablePlanesFlat(dim, planes, seed, tables)
     val allKeys = graft.functions.VectorExpressions
       .hyperplaneKeys(col(vecCol), planesFlat, planes, dim)
-    val c = corpus
+    val keyed0 = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
         posexplode(allKeys).as(Seq("tbl", "bucket")))
-    val qKeys = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      posexplode(allKeys).as(Seq("tbl", "key")))
+    val keyed =
+      if (persist) keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else keyed0
+    new LshIndex(keyed, planesFlat, idCol, vecCol, planes, dim, tables)
+  }
+
+  /** Search a built [[LshIndex]] with one-bit multi-probe per table —
+    * the corpus side is the (persisted) keyed relation, never re-keyed. */
+  def lshSearch(
+      index: LshIndex, queries: DataFrame, k: Int,
+      maxQueries: Int = 100000): DataFrame = {
+    requireBoundedQueries(queries, maxQueries, "lshSearch")
+    val planes = index.planes
+    val qKeys = queries.select(
+      col(index.idCol).as("query_id"), col(index.vecCol).as("qvec"),
+      posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
+        col(index.vecCol), index.planesFlat, planes, index.dim))
+        .as(Seq("tbl", "key")))
     val probeMasks = lit(0) +: (0 until planes).map(b => shiftleft(lit(1), b))
     val q = qKeys.select(col("query_id"), col("qvec"), col("tbl"),
       explode(array(probeMasks.map(m => col("key").bitwiseXOR(m)): _*)).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val scored = index.keyed.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
       .select("query_id", "neighbor_id", "cos").distinct()

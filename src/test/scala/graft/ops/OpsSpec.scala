@@ -231,7 +231,7 @@ class OpsSpec extends SparkSpec {
     other.unpersist()
   }
 
-  test("IVF/PQ build-search split equals the one-shot tiers; repeated batches reuse the index") {
+  test("ANN build-search splits (LSH/IVF/PQ/IVF-PQ) equal the one-shot tiers; repeated batches reuse the index") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
     val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
@@ -262,6 +262,14 @@ class OpsSpec extends SparkSpec {
       "PQ index search must equal the one-shot plan")
     assert(rows(SimilaritySearch.pqSearch(pq, qB, k = 5)).nonEmpty)
     pq.release()
+
+    val lsh = SimilaritySearch.lshBuild(vecs, dim = 64, tables = 4)
+    assert(rows(SimilaritySearch.lshSearch(lsh, qA, k = 5)) ==
+      rows(SimilaritySearch.lshTopK(qA, vecs, dim = 64, k = 5, tables = 4)),
+      "LSH index search must equal the one-shot plan")
+    assert(rows(SimilaritySearch.lshSearch(lsh, qB, k = 5)).nonEmpty)
+    assert(lsh.bucketSizes.agg(sum("members")).collect()(0).getLong(0) == 240L * 4)
+    lsh.release()
 
     val fused = SimilaritySearch.ivfPqBuild(vecs, dim = 64, nlist = 8)
     assert(rows(SimilaritySearch.ivfPqSearch(fused, qA, k = 5, nprobe = 4, rerank = 30)) ==
