@@ -99,6 +99,53 @@ object PipelineDemo {
       .select("asset_id", "target_width", "target_height").collect()
     println(s"MULTIMODAL resize=${resized.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList}")
     println(s"MULTIMODAL frames=${Multimodal.sampleFrames(decoded, 1000).count()}")
+    // real MKV container: EBML-built fixture with two JPEG SimpleBlocks;
+    // the demux serves actual frame bytes back through the JPEG decoder
+    locally {
+      def ebmlId(id: Long): Array[Byte] = {
+        val w = if (id <= 0xff) 1 else if (id <= 0xffff) 2 else if (id <= 0xffffff) 3 else 4
+        (0 until w).map(i => ((id >> (8 * (w - 1 - i))) & 0xff).toByte).toArray
+      }
+      def el(id: Long, p: Array[Byte]): Array[Byte] =
+        ebmlId(id) ++ Array[Byte]((0x40 | (p.length >> 8)).toByte, (p.length & 0xff).toByte) ++ p
+      def jpeg(w: Int, h: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out); out.toByteArray
+      }
+      def block(ts: Int, payload: Array[Byte]): Array[Byte] =
+        el(0xA3L, Array[Byte](0x81.toByte, (ts >> 8).toByte, ts.toByte, 0) ++ payload)
+      val mkv = el(0x1A45DFA3L, el(0x4282L, "matroska".getBytes("US-ASCII"))) ++
+        el(0x18538067L,
+          el(0x1549A966L, el(0x2AD7B1L, Array[Byte](0x0F, 0x42, 0x40)) ++
+            el(0x4489L, Array[Byte](0x45, 0x7A, 0, 0))) ++ // 4000f ticks
+            el(0x1654AE6BL, el(0xAEL,
+              el(0xD7L, Array[Byte](1)) ++ el(0x83L, Array[Byte](1)))) ++
+            el(0x1F43B675L, el(0xE7L, Array[Byte](0)) ++
+              block(0, jpeg(16, 8)) ++ block(2000, jpeg(17, 9))))
+      val mkvFrames = Multimodal.sampleFrames(Seq(Multimodal.MediaAsset(
+          3, "video", mkv, Multimodal.MediaMeta(0, 0, 0, 0, "?"))).toDS(), 2000)
+        .collect()
+      val dims = mkvFrames.flatMap(f => graft.ops.ImageCodecs.decodeJpeg(f.frame_bytes))
+        .map(d => (d.width, d.height)).toList
+      println(s"MULTIMODAL mkv_frames=${mkvFrames.length} dims=$dims")
+    }
+
+    // --- Kafka-shaped ingestion: the same NDJSON events wrapped in the
+    // Kafka source's public schema decode to the same 360 raw events
+    locally {
+      val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+          s"$fx/rawActorEvents.json"))).asScala.toSeq.filter(_.nonEmpty)
+      val rows = lines.zipWithIndex.map { case (l, i) =>
+        org.apache.spark.sql.Row(null, l.getBytes("UTF-8"), "actor-events",
+          i % 3, i.toLong, new java.sql.Timestamp(1700000000000L + i), 0)
+      }
+      val kdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4),
+        graft.sources.KafkaEvents.kafkaSourceSchema)
+      println(s"KAFKA decoded=${graft.sources.KafkaEvents.decode(kdf).count()}")
+    }
 
     // --- incremental near-dup on ingest: batch 2 carries a near-copy of
     // a batch-1 document; the signature store flags it cross-batch
