@@ -125,9 +125,9 @@ object SimilaritySearch {
     * composition and does not persist). Call [[IvfIndex.release]]
     * after the last search's results are consumed (same lazy-consumer
     * contract as the `...WithRelease` twins). */
-  final class IvfIndex private[SimilaritySearch] (
-      private[SimilaritySearch] val centroids: Array[Array[Double]],
-      private[SimilaritySearch] val assigned: DataFrame,
+  final class IvfIndex private[ops] (
+      private[ops] val centroids: Array[Array[Double]],
+      private[ops] val assigned: DataFrame,
       val nlist: Int) {
     /** (cell, members) occupancy — the hot-cell monitor for a built index. */
     def cellSizes: DataFrame =
@@ -350,12 +350,12 @@ object SimilaritySearch {
     * one-shot composition and does not persist. Re-rank reads raw
     * vectors back from the retained corpus reference — a
     * shortlist-sized join, never a corpus re-scan. */
-  final class PqIndex private[SimilaritySearch] (
-      private[SimilaritySearch] val codebook: Array[Array[Array[Double]]],
-      private[SimilaritySearch] val encoded: DataFrame,
-      private[SimilaritySearch] val corpus: DataFrame,
-      private[SimilaritySearch] val idCol: String,
-      private[SimilaritySearch] val vecCol: String,
+  final class PqIndex private[ops] (
+      private[ops] val codebook: Array[Array[Array[Double]]],
+      private[ops] val encoded: DataFrame,
+      private[ops] val corpus: DataFrame,
+      private[ops] val idCol: String,
+      private[ops] val vecCol: String,
       val m: Int, val dim: Int) {
     def release(): Unit = { encoded.unpersist(blocking = false); () }
   }
@@ -559,13 +559,13 @@ object SimilaritySearch {
     * asset. [[ivfPqBuild]] persists the codes (4-byte cell + m bytes
     * per vector) so repeated [[ivfPqSearch]] batches amortize the
     * assign+encode pass; [[ivfPqTopK]] is the one-shot composition. */
-  final class IvfPqIndex private[SimilaritySearch] (
-      private[SimilaritySearch] val coarse: Array[Array[Double]],
-      private[SimilaritySearch] val codebook: Array[Array[Array[Double]]],
-      private[SimilaritySearch] val encoded: DataFrame,
-      private[SimilaritySearch] val corpus: DataFrame,
-      private[SimilaritySearch] val idCol: String,
-      private[SimilaritySearch] val vecCol: String,
+  final class IvfPqIndex private[ops] (
+      private[ops] val coarse: Array[Array[Double]],
+      private[ops] val codebook: Array[Array[Array[Double]]],
+      private[ops] val encoded: DataFrame,
+      private[ops] val corpus: DataFrame,
+      private[ops] val idCol: String,
+      private[ops] val vecCol: String,
       val nlist: Int, val m: Int, val dim: Int) {
     /** (cell, members) occupancy over the inverted lists. */
     def cellSizes: DataFrame =
@@ -808,11 +808,11 @@ object SimilaritySearch {
     * candidate counts bounded (the q20 entry's planes=6 is tuned for
     * the 2k-vector testdata); `tables` is then the recall lever —
     * candidates are OR'd across tables at `tables`× key rows cost. */
-  final class LshIndex private[SimilaritySearch] (
-      private[SimilaritySearch] val keyed: DataFrame,
-      private[SimilaritySearch] val planesFlat: Seq[Float],
-      private[SimilaritySearch] val idCol: String,
-      private[SimilaritySearch] val vecCol: String,
+  final class LshIndex private[ops] (
+      private[ops] val keyed: DataFrame,
+      private[ops] val planesFlat: Seq[Float],
+      private[ops] val idCol: String,
+      private[ops] val vecCol: String,
       val planes: Int, val dim: Int, val tables: Int) {
     /** (tbl, bucket, members) occupancy — the hot-bucket monitor. */
     def bucketSizes: DataFrame =

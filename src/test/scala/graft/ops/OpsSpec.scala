@@ -287,6 +287,62 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= baseline)
   }
 
+  test("ANN indexes save/load: a loaded index searches identically to the one that built it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+    val lsh = SimilaritySearch.lshBuild(vecs, dim = 64, tables = 3)
+    val lshExpect = rows(SimilaritySearch.lshSearch(lsh, q, k = 5))
+    val lshPath = tmp("lsh-idx")
+    AnnIndexIO.lshSave(lsh, lshPath)
+    lsh.release(); spark.catalog.clearCache()
+    val lsh2 = AnnIndexIO.lshLoad(spark, lshPath)
+    assert(rows(SimilaritySearch.lshSearch(lsh2, q, k = 5)) == lshExpect)
+    lsh2.release()
+
+    val ivf = SimilaritySearch.ivfBuild(vecs, nlist = 8)
+    val ivfExpect = rows(SimilaritySearch.ivfSearch(ivf, q, k = 5, nprobe = 3))
+    val ivfPath = tmp("ivf-idx")
+    AnnIndexIO.ivfSave(ivf, ivfPath)
+    ivf.release(); spark.catalog.clearCache()
+    val ivf2 = AnnIndexIO.ivfLoad(spark, ivfPath)
+    assert(rows(SimilaritySearch.ivfSearch(ivf2, q, k = 5, nprobe = 3)) == ivfExpect)
+    ivf2.release()
+
+    val pq = SimilaritySearch.pqBuild(vecs, dim = 64)
+    val pqExpect = rows(SimilaritySearch.pqSearch(pq, q, k = 5, rerank = 30))
+    val pqPath = tmp("pq-idx")
+    AnnIndexIO.pqSave(pq, pqPath)
+    pq.release(); spark.catalog.clearCache()
+    val pq2 = AnnIndexIO.pqLoad(spark, pqPath, vecs)
+    assert(rows(SimilaritySearch.pqSearch(pq2, q, k = 5, rerank = 30)) == pqExpect)
+    pq2.release()
+
+    val fp = SimilaritySearch.ivfPqBuild(vecs, dim = 64, nlist = 8)
+    val fpExpect = rows(SimilaritySearch.ivfPqSearch(fp, q, k = 5, nprobe = 4, rerank = 30))
+    val fpPath = tmp("ivfpq-idx")
+    AnnIndexIO.ivfPqSave(fp, fpPath)
+    fp.release(); spark.catalog.clearCache()
+    val fp2 = AnnIndexIO.ivfPqLoad(spark, fpPath, vecs)
+    assert(rows(SimilaritySearch.ivfPqSearch(fp2, q, k = 5, nprobe = 4, rerank = 30)) == fpExpect)
+    fp2.release()
+
+    // a wrong-kind load fails loudly, not with a shape error downstream
+    val ex = intercept[IllegalArgumentException] { AnnIndexIO.ivfLoad(spark, lshPath) }
+    assert(ex.getMessage.contains("not an IVF index"))
+    spark.catalog.clearCache()
+  }
+
   test("LSH ANN achieves high recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(11)
     // 10 cluster centers, 30 points each = 300 vectors with real structure
