@@ -76,6 +76,7 @@ object SparkEntry {
     "q67_unigram_ppl" -> (OpsQueries.q67UnigramPpl _),
     "q68_clean_corpus" -> (OpsQueries.q68CleanCorpus _),
     "q69_greedy_pack_chunked" -> (OpsQueries.q69GreedyPackChunked _),
+    "q70_temperature_sample" -> (OpsQueries.q70TemperatureSample _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -545,6 +546,36 @@ object SparkEntry {
         |  FROM rec r JOIN chunked o
         |    ON o.source = r.source AND o.chunk = r.chunk AND o.crn = r.crn + 1)
         |SELECT doc_id, source, pack_id, pack_offset FROM rec""".stripMargin,
+    // q70: temperature mixing quotas in EXACT integer arithmetic —
+    // weights floor(sqrt(n)*2^20) (sqrt is correctly rounded, pow is
+    // not), floor quotas + largest-remainder bonus (ties by source
+    // ASC) in HUGEINT, capped at the stratum count; members = the
+    // quota-many smallest md5 draws per source (the q47 draw).
+    "q70_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT source AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT s, n,
+        |  CAST(floor(sqrt(n) * 1048576) AS HUGEINT) AS wt FROM c),
+        |t AS (SELECT sum(wt) AS tw FROM w),
+        |q0 AS (SELECT s, n, wt,
+        |    (CAST(200 AS HUGEINT) * wt) // tw AS fq,
+        |    (CAST(200 AS HUGEINT) * wt) % tw AS rem
+        |  FROM w, t),
+        |b AS (SELECT s, n, fq, rem,
+        |    row_number() OVER (ORDER BY rem DESC, s ASC) AS rr
+        |  FROM q0),
+        |e AS (SELECT 200 - sum(fq) AS extra FROM q0),
+        |k AS (SELECT s,
+        |    least(CAST(n AS HUGEINT),
+        |      fq + CASE WHEN rr <= (SELECT extra FROM e) THEN 1 ELSE 0 END) AS kk
+        |  FROM b),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS draw_rank
+        |FROM r JOIN k ON r.source = k.s WHERE r.rn <= kk""".stripMargin,
     "q51_lag_delta" ->
       """SELECT event_id, user_id,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

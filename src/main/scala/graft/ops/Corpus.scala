@@ -292,10 +292,15 @@ object Corpus {
     val keyed = df.withColumn("_draw", md5(col(idCol).cast("string")))
     val indexed = globalIndex(keyed,
       Seq(col(strataCol), col("_draw"), col(idCol)), "_gr", numPartitions)
+    // null-SAFE stratum equality (same row-loss class fixed in
+    // quotaPack/greedyPackChunked: a USING join's EqualTo silently
+    // drops NULL-stratum rows, and NULL is a legitimate stratum)
     val firstPerStratum = indexed.groupBy(col(strataCol))
       .agg(min(col("_gr")).as("_g0"))
+      .withColumnRenamed(strataCol, "_s0")
     val positioned = indexed
-      .join(broadcast(firstPerStratum), Seq(strataCol))
+      .join(broadcast(firstPerStratum), col(strataCol) <=> col("_s0"))
+      .drop("_s0")
       // 1-based within-stratum ordinal, exact in double to 2^52 docs
       .withColumn("_pos", (col("_gr") - col("_g0") + 0.5) / w)
     globalIndex(positioned.drop("_draw"),
@@ -434,5 +439,92 @@ object Corpus {
         }
       }(Encoders.row(schema))
       .drop("_n_tok", "_chunk")
+  }
+
+  /** TEMPERATURE-scaled mixture sampling — the GPT-3/LLaMA source-
+    * mixing rule made deterministic: stratum s receives a quota
+    * ∝ count(s)^alpha of a `totalN`-document budget (alpha = 1 →
+    * proportional, alpha → 0 → uniform per stratum; 0 < alpha < 1
+    * upweights tail sources, the published mixing trick), and the
+    * members are the quota-many smallest md5 draws within the stratum
+    * (the [[stratifiedTopK]] draw — partition-independent, displacement
+    * -only growth).
+    *
+    * ORACLE-EXACT by integer arithmetic: weights are
+    * floor(count^alpha · 2^20) as big integers, quotas are
+    * floor(totalN·w/W) plus a largest-remainder bonus (ties by the
+    * stratum's string form, ascending), each capped at the stratum's
+    * count — every step exact, so an independent engine (HUGEINT SQL)
+    * reproduces the sample bit-for-bit at alpha = 0.5, where x^alpha
+    * is IEEE `sqrt` (correctly rounded everywhere; `pow` is not, so
+    * other alphas are spec-gated rather than oracled). Capping can
+    * leave the sample below `totalN` when a stratum's quota exceeds
+    * its population — deliberate: silent redistribution would change
+    * the published rule.
+    *
+    * Scale shape: one strata-bounded groupBy-count collect (guarded by
+    * `maxStrata`), driver-local exact quota arithmetic, a broadcast
+    * null-SAFE quota join, and the two-phase salted top-k draw — no
+    * per-stratum single-task window. Output adds `draw_rank`
+    * (1-based within stratum). */
+  def temperatureSample(
+      df: DataFrame,
+      strataCol: String,
+      alpha: Double,
+      totalN: Long,
+      idCol: String = "doc_id",
+      maxStrata: Int = 100000): DataFrame = {
+    require(totalN > 0, "totalN must be positive")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1] (got $alpha)")
+    val spark = df.sparkSession
+    val counts0 = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .limit(maxStrata + 1).collect()
+    require(counts0.length <= maxStrata,
+      s"temperatureSample: more than maxStrata=$maxStrata strata in '$strataCol' — " +
+        "coarsen the stratum column or raise maxStrata deliberately")
+    // floor(n^alpha · 2^20) as exact integers; sqrt for alpha=0.5 is
+    // IEEE-correctly-rounded (pow is not), which is what makes the
+    // HUGEINT oracle reproducible
+    def wt(n: Long): BigInt = {
+      val x = if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+      BigInt(math.floor(x * (1L << 20)).toLong)
+    }
+    val cs = counts0.map(r => (r.get(0), r.getLong(1)))
+    val bigW = cs.map(c => wt(c._2)).sum
+    require(bigW > 0, "temperatureSample: zero total weight")
+    val tn = BigInt(totalN)
+    val base = cs.map { case (sv, n) =>
+      val w = wt(n)
+      (sv, n, (tn * w) / bigW, (tn * w) % bigW)
+    }
+    val bonus = (tn - base.map(_._3).sum).toLong max 0L
+    val bonusSet = base
+      .sortBy { case (sv, _, _, rem) => (-rem, String.valueOf(sv)) }
+      .take(bonus.toInt).map(t => String.valueOf(t._1)).toSet
+    val quota = base.map { case (sv, n, q, _) =>
+      (sv, ((q + (if (bonusSet(String.valueOf(sv))) 1 else 0)) min BigInt(n)).toLong)
+    }
+    val sField = df.schema(strataCol)
+    val qSchema = StructType(Seq(
+      StructField("_s0", sField.dataType, nullable = true),
+      StructField("_k", LongType, nullable = false)))
+    val quotaDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(quota.map(t => Row(t._1, t._2)).toSeq, 1), qSchema)
+    // null-SAFE stratum equality: NULL is a legitimate stratum (same
+    // contract as quotaPack/greedyPackChunked/interleaveByWeight)
+    val joined = df.join(broadcast(quotaDf), col(strataCol) <=> col("_s0"))
+    val draw = md5(col(idCol).cast("string"))
+    val local = Window.partitionBy(col(strataCol), col("_salt"))
+      .orderBy(draw.asc, col(idCol).asc)
+    val global = Window.partitionBy(col(strataCol))
+      .orderBy(draw.asc, col(idCol).asc)
+    // two-phase salted draw (see stratifiedTopK): no stratum ever
+    // funnels through one task's sort
+    joined.withColumn("_salt", spark_partition_id())
+      .withColumn("_lr", row_number().over(local))
+      .filter(col("_lr") <= col("_k"))
+      .withColumn("draw_rank", row_number().over(global).cast("long"))
+      .filter(col("draw_rank") <= col("_k"))
+      .drop("_salt", "_lr", "_s0", "_k")
   }
 }

@@ -445,6 +445,15 @@ object OpsQueries {
       chunkRows = 32)
       .select(col("doc_id"), col("source"), col("pack_id"), col("pack_offset"))
 
+  /** Temperature-scaled mixture sample (alpha = 0.5, 200-doc budget):
+    * per-source quota ∝ sqrt(count) by exact integer largest-remainder
+    * arithmetic, members drawn as the smallest md5 per source — the
+    * GPT-3/LLaMA source-mixing rule, fully oracle-able (HUGEINT SQL). */
+  def q70TemperatureSample(spark: SparkSession, dir: String): DataFrame =
+    Corpus.temperatureSample(table(spark, dir, "documents"), "source",
+      alpha = 0.5, totalN = 200)
+      .select(col("doc_id"), col("source"), col("draw_rank"))
+
   /** Distinct vocabulary per source: exact count-distinct (two-phase
     * hash dedup then count — the HLL sketch twin is spec-gated for
     * error, not oracled). */

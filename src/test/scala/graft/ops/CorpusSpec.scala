@@ -225,6 +225,65 @@ class CorpusSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("temperature sampling: exact quotas by alpha, deterministic, NULL strata kept") {
+    import spark.implicits._
+    // skewed corpus: 160 / 36 / 4 docs across three sources
+    val skewed = ((0 until 160).map(i => (i.toLong, "big")) ++
+      (200 until 236).map(i => (i.toLong, "mid")) ++
+      (300 until 304).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    def quotas(alpha: Double, n: Long) =
+      Corpus.temperatureSample(skewed, "source", alpha, n)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // alpha=1: proportional largest remainder of 50 over (160,36,4):
+    // exact shares 40 / 9 / 1
+    assert(quotas(1.0, 50) == Map("big" -> 40L, "mid" -> 9L, "small" -> 1L))
+    // alpha=0: uniform weights — equal split, capped by the small stratum
+    val u = quotas(0.0, 30)
+    assert(u("small") == 4L && u("big") == 10L && u("mid") == 10L, s"got $u")
+    // alpha=0.5 sits between: tail upweighted vs proportional — and the
+    // 'small' stratum's sqrt-boosted quota (≈4.8) caps at its 4 docs,
+    // so the total is 49, NOT silently redistributed (the documented
+    // no-redistribution rule: capping must not change other quotas)
+    val t = quotas(0.5, 50)
+    assert(t("small") == 4L && t("big") < 40L, s"got $t")
+    assert(t.values.sum == 49L, s"got $t")
+
+    // deterministic and partition-invariant (same rows, any layout)
+    val a = Corpus.temperatureSample(skewed, "source", 0.5, 50)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.temperatureSample(skewed.repartition(13), "source", 0.5, 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+
+    // NULL is a legitimate stratum (null-safe quota join)
+    val withNull = skewed.union(Seq((400L, null.asInstanceOf[String]),
+      (401L, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    val nulled = Corpus.temperatureSample(withNull, "source", 1.0, 100)
+    assert(nulled.filter(col("source").isNull).count() > 0,
+      "NULL-stratum rows must be sampleable")
+
+    // over-fine strata fail fast like quotaPack
+    val fine = skewed.withColumn("s", col("doc_id").cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.temperatureSample(fine, "s", 0.5, 10, maxStrata = 16)
+    }
+    assert(ex.getMessage.contains("maxStrata"))
+  }
+
+  test("interleaveByWeight keeps NULL-stratum rows (null-safe first-index join)") {
+    import spark.implicits._
+    val tiny = Seq((1L, Option("a")), (2L, Option("a")),
+      (3L, Option.empty[String]), (4L, Option.empty[String]))
+      .toDF("doc_id", "source")
+    val out = Corpus.interleaveByWeight(tiny, "source", weights = Map("a" -> 2.0))
+    assert(out.count() == 4, "NULL-stratum rows must survive the mixture order")
+    assert(out.filter(col("source").isNull).count() == 2)
+    spark.catalog.clearCache()
+  }
+
   test("chunked greedy packing equals a pure-Scala greedy reference run per chunk") {
     // independent differential oracle: replay the declared semantics —
     // within each stratum (id order), chunk every `chunkRows` docs,
