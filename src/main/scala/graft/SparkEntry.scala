@@ -77,6 +77,10 @@ object SparkEntry {
     "q68_clean_corpus" -> (OpsQueries.q68CleanCorpus _),
     "q69_greedy_pack_chunked" -> (OpsQueries.q69GreedyPackChunked _),
     "q70_temperature_sample" -> (OpsQueries.q70TemperatureSample _),
+    "q71_pack_sequences" -> (OpsQueries.q71PackSequences _),
+    "q72_dsir_weights" -> (OpsQueries.q72DsirWeights _),
+    "q73_cdc_chunks" -> (OpsQueries.q73CdcStats _),
+    "q74_novelty" -> (OpsQueries.q74Novelty _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -576,6 +580,95 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS draw_rank
         |FROM r JOIN k ON r.source = k.s WHERE r.rn <= kk""".stripMargin,
+    // q71: the engine's two-phase prefix sum collapses to one window
+    // cumsum single-node; boundary pieces replayed via generate_series
+    "q71_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM toks WHERE n > 0),
+        |pieces AS (
+        |  SELECT doc_id, n, st,
+        |    unnest(generate_series(st // 512, (st + n - 1) // 512)) AS seq_id
+        |  FROM pre)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(st, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off,
+        |  CAST(GREATEST(st, seq_id * 512) - st AS BIGINT) AS doc_off,
+        |  CAST(LEAST(st + n, (seq_id + 1) * 512)
+        |    - GREATEST(st, seq_id * 512) AS BIGINT) AS piece_len
+        |FROM pieces""".stripMargin,
+    // q72: DSIR bucket models re-derived in SQL; ROUND(,6) both sides
+    "q72_dsir_weights" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |uni AS (SELECT doc_id, lang, unnest(w) AS f FROM ws),
+        |bi AS (SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS f
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
+        |feats AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 512 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |bc AS (SELECT b,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+        |    COUNT(*) AS cr
+        |  FROM feats GROUP BY b),
+        |tot AS (SELECT SUM(ct) AS t, SUM(cr) AS r FROM bc),
+        |model AS (SELECT b,
+        |    ln((ct + 1.0) / (t + 512.0)) - ln((cr + 1.0) / (r + 512.0)) AS lr
+        |  FROM bc, tot),
+        |pd AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY doc_id, b)
+        |SELECT pd.doc_id, CAST(SUM(pd.n) AS BIGINT) AS n_feats,
+        |  ROUND(SUM(pd.n * model.lr), 6) AS dsir_weight
+        |FROM pd JOIN model USING (b)
+        |GROUP BY pd.doc_id""".stripMargin,
+    // q73: CDC breakpoints replayed per position via list_filter; chunk
+    // boundaries from lag() over cut ends + one trailing chunk per doc
+    "q73_cdc_chunks" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |cutends AS (SELECT doc_id, e0 + 11 AS e FROM (
+        |  SELECT doc_id,
+        |    unnest(list_filter(generate_series(1, greatest(n - 11, 0)),
+        |      p -> CAST('0x' || substr(md5(substr(text, p, 12)), 1, 8) AS BIGINT)
+        |        % 32 = 0)) AS e0
+        |  FROM base)),
+        |bounds AS (
+        |  SELECT doc_id,
+        |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s, e
+        |  FROM cutends
+        |  UNION ALL
+        |  SELECT b.doc_id, COALESCE(m.mx, 0) + 1 AS s, b.n AS e
+        |  FROM base b LEFT JOIN (
+        |    SELECT doc_id, max(e) AS mx FROM cutends GROUP BY doc_id) m
+        |    USING (doc_id)),
+        |chunks AS (
+        |  SELECT bo.doc_id, bo.e - bo.s + 1 AS l,
+        |    md5(substr(ba.text, bo.s, bo.e - bo.s + 1)) AS h
+        |  FROM bounds bo JOIN base ba USING (doc_id) WHERE bo.s <= bo.e),
+        |dup AS (SELECT h FROM chunks GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN d.h IS NOT NULL THEN c.l ELSE 0 END) AS BIGINT)
+        |    AS dup_chars
+        |FROM chunks c LEFT JOIN dup d USING (h)
+        |GROUP BY c.doc_id""".stripMargin,
+    // q74: first-occurrence election grouped straight to per-doc counts
+    "q74_novelty" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS s
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        |  FROM sh GROUP BY doc_id),
+        |firsts AS (SELECT s, min(doc_id) AS fid FROM sh GROUP BY s),
+        |nov AS (SELECT fid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        |  FROM firsts GROUP BY fid)
+        |SELECT tot.doc_id, tot.n_shingles,
+        |  COALESCE(nov.n_novel, CAST(0 AS BIGINT)) AS n_novel
+        |FROM tot LEFT JOIN nov USING (doc_id)""".stripMargin,
     "q51_lag_delta" ->
       """SELECT event_id, user_id,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

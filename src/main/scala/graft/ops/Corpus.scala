@@ -527,4 +527,79 @@ object Corpus {
       .filter(col("draw_rank") <= col("_k"))
       .drop("_salt", "_lr", "_s0", "_k")
   }
+
+  /** CONCAT-AND-CHUNK sequence packing — the standard LLM-pretraining
+    * prep: all documents, in id order, are concatenated into one token
+    * stream and cut into fixed `seqTokens`-token training sequences.
+    * Unlike the pack family above ([[quotaPack]]/[[greedyPack]]), a
+    * document CROSSES sequence boundaries: each output row is one
+    * (sequence, document-piece) assignment —
+    *
+    *   seq_id    = which training sequence the piece lands in
+    *   seq_off   = the piece's first token position within the sequence
+    *   doc_off   = how far into the document the piece starts
+    *   piece_len = tokens of this doc in this sequence
+    *
+    * so Σ piece_len per seq_id = seqTokens (except the final partial
+    * sequence), and Σ piece_len per doc = the doc's token count —
+    * exactly the layout a sequence-builder needs to emit input_ids plus
+    * attention-boundary (doc-separator) masks.
+    *
+    * Scale shape: the running token offset is the [[quotaPack]]
+    * two-phase prefix sum WITHOUT strata — range-partition on id,
+    * O(partitions) per-partition totals collected and folded
+    * driver-side (exact long arithmetic, order-independent), broadcast
+    * back, partition-local cumsum window. The boundary-crossing
+    * explode emits `ceil(tok/seqTokens)+1` rows per doc — bounded by
+    * the DOCUMENT's size, never the corpus — via `sequence()` over the
+    * [first_seq, last_seq] span. No global window, no sequential state;
+    * results are bit-identical under any partitioning.
+    *
+    * Zero-token docs (empty text under the caller's tokenizer) occupy
+    * no stream positions and emit no rows. Input is persisted across
+    * the two jobs (module cache contract — caller clearCache after
+    * consuming, or use the returned frame promptly). */
+  def packSequences(
+      df: DataFrame,
+      tokensCol: Column,
+      seqTokens: Int,
+      idCol: String = "doc_id",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val keyed = df
+      .withColumn("_tok", tokensCol.cast("long"))
+      .filter(col("_tok") > 0)
+      .repartitionByRange(n, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = keyed.groupBy(col("_pid")).agg(sum(col("_tok")).as("_t"))
+      .orderBy(col("_pid").asc).collect()
+    var acc = 0L
+    val offsets = partials.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("_opid", "_off")
+    val wLoc = Window.partitionBy(col("_pid")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = col("_off") + coalesce(sum(col("_tok")).over(wLoc), lit(0L))
+    val b = lit(seqTokens.toLong)
+    keyed
+      .join(broadcast(offDf), col("_pid") === col("_opid"))
+      .withColumn("_start", start)
+      // `div` = exact long division (Column./ is double — unsafe past 2^53)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"_start div ${seqTokens}L"),
+          expr(s"(_start + _tok - 1) div ${seqTokens}L"))))
+      .withColumn("_pstart", greatest(col("_start"), col("seq_id") * b))
+      .withColumn("seq_off", (col("_pstart") - col("seq_id") * b).cast("long"))
+      .withColumn("doc_off", (col("_pstart") - col("_start")).cast("long"))
+      .withColumn("piece_len",
+        (least(col("_start") + col("_tok"), (col("seq_id") + 1) * b) - col("_pstart"))
+          .cast("long"))
+      .drop("_tok", "_pid", "_opid", "_off", "_start", "_pstart")
+  }
 }

@@ -854,6 +854,35 @@ object Dedup {
     (pairs, () => { keyed0.unpersist(blocking = false); () })
   }
 
+  /** Cross-document n-gram NOVELTY: per document, how many of its
+    * distinct n-gram shingles occur in NO earlier document (first
+    * occurrence = corpus-wide min id). The data-selection twin of the
+    * dedup sweeps — dedup asks "is this a copy?", novelty asks "how
+    * much NEW content does this doc contribute?" — the per-doc signal
+    * curriculum ordering and redundancy-pruned selection rank on.
+    *
+    * Scale shape: shingles travel as 8-byte xxhash64 keys (the
+    * [[shingleHashes]] contract); the min-id election partial-
+    * aggregates map-side, so a boilerplate shingle in millions of docs
+    * lands as one row per map task. Per-doc totals come from TWO
+    * doc-sized aggregations joined doc-to-doc — the corpus-sized
+    * shingle relation is never joined back to itself (the election
+    * relation collapses straight to (first_id, count)).
+    *
+    * Returns (idCol, n_shingles, n_novel); docs with no n-gram (fewer
+    * than n words) emit no row. */
+  def noveltyStats(
+      df: DataFrame, n: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingleHashes(df, n, idCol, textCol)
+    val totals = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy(col("sh")).agg(min(col("id")).as("_fid"))
+      .groupBy(col("_fid")).agg(count(lit(1)).as("_novel"))
+    totals.join(novel, col("id") === col("_fid"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("_novel"), lit(0L)).as("n_novel"))
+  }
+
   /** Monitoring companion to [[embeddingNearDupPairs]]' cap: the
     * (bucket, members) rows it excludes at this cap. */
   def embeddingHotBuckets(

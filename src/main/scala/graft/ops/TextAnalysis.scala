@@ -288,4 +288,70 @@ object TextAnalysis {
   private val langUdf = udf((s: String) => detectLanguage(s))
 
   def languageId(text: Column): Column = langUdf(text)
+
+  /** Hashed word unigrams + bigrams of a document, bucketed into
+    * `nBuckets` by the first 32 bits of md5 — the DSIR feature map
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"), engine-portable (DuckDB replays the same
+    * md5 arithmetic). One array expression per row — no shuffle, no
+    * per-index allocation beyond the feature array itself. */
+  private[ops] def dsirFeatureBuckets(text: Column, nBuckets: Int): Column = {
+    val words = split(text, " ")
+    val bigrams = filter(
+      zip_with(words, slice(words, lit(2), size(words)),
+        (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
+      g => g.isNotNull)
+    transform(concat(words, bigrams), f =>
+      (conv(substring(md5(f), 1, 8), 16, 10).cast("long") % nBuckets))
+  }
+
+  /** DSIR importance weights: every document scored by how much more
+    * likely its hashed-n-gram features are under a TARGET bag-of-
+    * features model than under the RAW-corpus model —
+    *
+    *   w(doc) = Σ_features  ln p̂_target(bucket) − ln p̂_raw(bucket)
+    *
+    * with add-one-smoothed bucket probabilities fit by counting feature
+    * INSTANCES over the target subset and the whole input. High-weight
+    * documents are the ones importance resampling keeps when curating
+    * raw web data toward a target domain; the caller selects with
+    * [[Corpus.hashSample]]-style machinery or a top-k on the weight.
+    *
+    * Scale shape: the only corpus-sized shuffle is the per-(doc,
+    * bucket) count (key includes the id — balanced regardless of
+    * bucket skew); the two models reduce to ≤ nBuckets rows via
+    * map-side partial counts and join back as a broadcast. The final
+    * weight is a sum of ≤ nBuckets doubles per doc, each term a
+    * count × log-ratio — cross-engine agreement far inside ROUND(,6).
+    *
+    * Returns (idCol, n_feats, dsir_weight), one row per input doc.
+    * Docs sharing every bucket with the raw model by construction —
+    * every feature's bucket exists in the raw counts — so the join
+    * never drops a doc. */
+  def dsirWeights(
+      df: DataFrame,
+      isTarget: Column,
+      nBuckets: Int = 512,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val feats = df.select(col(idCol).as("id"), isTarget.as("_tgt"),
+      explode(dsirFeatureBuckets(col(textCol), nBuckets)).as("b"))
+    // bucket models: instance counts over target / raw, one small agg
+    val bucketCounts = feats.groupBy(col("b")).agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = bucketCounts.agg(
+      sum(col("ct")).as("_T"), sum(col("cr")).as("_R"))
+    val model = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + 1.0) / (col("_T") + nBuckets.toDouble))
+          - log((col("cr") + 1.0) / (col("_R") + nBuckets.toDouble))).as("_lr"))
+    val perDoc = feats.groupBy(col("id"), col("b")).agg(count(lit(1)).as("_n"))
+    perDoc.join(broadcast(model), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("_n")).as("n_feats"),
+        sum(col("_n") * col("_lr")).as("dsir_weight"))
+      .withColumnRenamed("id", idCol)
+  }
 }

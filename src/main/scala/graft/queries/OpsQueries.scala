@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Bpe, ConnectedComponents, Corpus, Dedup, PageRank, QualityClassifier, RangeJoin, SimilaritySearch, TextAnalysis}
+import graft.ops.{AsOfJoin, Bpe, Cdc, ConnectedComponents, Corpus, Dedup, PageRank, QualityClassifier, RangeJoin, SimilaritySearch, TextAnalysis}
 
 /** The training-data-pipeline operators (SURVEY extended surface) as
   * driver-checkable queries over the documents/embeddings tables. */
@@ -624,6 +624,40 @@ object OpsQueries {
     SimilaritySearch.semanticNearDupPairs(
       table(spark, dir, "embeddings"), minCos = 0.45, nlist = 8)
       .select(col("id1"), col("id2"))
+
+  /** Concat-and-chunk sequence packing: the corpus in doc_id order cut
+    * into 512-token training sequences (BPE estimate), one row per
+    * (sequence, document-piece) assignment — docs CROSS sequence
+    * boundaries, unlike the q42/q52/q69 pack family. Integer-exact;
+    * the oracle replays the prefix sum + boundary split in SQL. */
+  def q71PackSequences(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(table(spark, dir, "documents"),
+      TextAnalysis.bpeTokenEstimate(col("text")), seqTokens = 512)
+      .select(col("doc_id"), col("seq_id"), col("seq_off"),
+        col("doc_off"), col("piece_len"))
+
+  /** DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    * bucket models, target = English docs vs the raw corpus; weight =
+    * Σ count × log-ratio. ROUND(,6) on both sides absorbs
+    * summation-order last bits (the q61/q64 contract). */
+  def q72DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(table(spark, dir, "documents"),
+      isTarget = col("lang") === "en", nBuckets = 512)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("dsir_weight"), 6).as("dsir_weight"))
+
+  /** Content-defined chunking dedup stats: md5-gated breakpoints
+    * (12-char windows, modulus 32 → ~32-char chunks), chunks shared by
+    * ≥ 2 distinct docs counted per doc. Integer-exact. */
+  def q73CdcStats(spark: SparkSession, dir: String): DataFrame =
+    Cdc.cdcDedupStats(table(spark, dir, "documents"),
+      windowChars = 12, modulus = 32, minDocs = 2)
+
+  /** Cross-document bigram novelty: distinct shingles whose corpus-wide
+    * first occurrence (min doc_id) is this doc — the "new content
+    * contributed" data-selection signal. Integer-exact. */
+  def q74Novelty(spark: SparkSession, dir: String): DataFrame =
+    Dedup.noveltyStats(table(spark, dir, "documents"), n = 2)
 
   /** Embedding near-dup pairs above cosine 0.45, blocked by the label
     * column (exact within block — deterministic double arithmetic, so
