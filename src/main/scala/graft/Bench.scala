@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,7 +49,10 @@ object Bench {
     // failed queries (-1 sentinel) stay visible per-query but are
     // excluded from the total
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // "runs" self-describes the statistic each per-query number carries
+    // (min over N executions) so round-over-round readers never compare
+    // a min-of-3 against a steal-inflated single run unknowingly
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"min","queries":$qs,"sf":"$sfDir"}"""
     // belt-and-braces artifact: the full JSON also lands in a file so
     // round-over-round comparisons never depend on stdout capture
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")

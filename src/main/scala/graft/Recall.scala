@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Recall-evidence harness for the rows-only approximate ANN tiers:
   * measures recall@5 of q20 (LSH) / q30 (IVF) / q45 (PQ+re-rank) /
@@ -10,9 +11,18 @@ import org.apache.spark.sql.SparkSession
   * (RECALL.md) so the quality of the approximate tiers is a recorded
   * artifact, not an act of faith.
   *
+  * Second leg — index persistence round-trip: each tier's index is
+  * BUILT (same params as its query entry), SAVED via [[graft.ops.AnnIndexIO]],
+  * released, re-LOADED into a fresh `newSession()`, and searched again.
+  * The loaded search must return the IDENTICAL neighbor set (not merely
+  * equal recall) — the at-scale proof that a saved index is the same
+  * asset as the one that built it, measured on the real corpus rather
+  * than a fixture.
+  *
   * Usage: `sbt "runMain graft.Recall /root/testdata/sf0.1"` (or set
   * SPARK_GRAFT_SF_DIR). Emits one JSON line:
-  * `{"sf":…,"truth_pairs":N,"recall":{"q20_lsh":r,…}}`.
+  * `{"sf":…,"truth_pairs":N,"recall":{"q20_lsh":r,…},
+  *   "recall_loaded":{…},"loaded_identical":{…}}`.
   */
 object Recall {
   def main(args: Array[String]): Unit = {
@@ -23,18 +33,22 @@ object Recall {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     import graft.queries.OpsQueries
-    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    import graft.ops.{AnnIndexIO, SimilaritySearch => SS}
+    def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(r: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 0.0 else r.intersect(truth).size.toDouble / truth.size
 
     val truth = pairs(OpsQueries.q19CosineTopK(spark, sfDir))
     spark.catalog.clearCache()
-    val tiers: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    val tiers: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q20_lsh" -> (OpsQueries.q20LshTopK _),
       "q30_ivf" -> (OpsQueries.q30IvfTopK _),
       "q45_pq" -> (OpsQueries.q45PqTopK _),
@@ -42,11 +56,67 @@ object Recall {
     val recalls = tiers.map { case (name, fn) =>
       val r = pairs(fn(spark, sfDir))
       spark.catalog.clearCache()
-      name -> (if (truth.isEmpty) 0.0 else r.intersect(truth).size.toDouble / truth.size)
+      name -> recallOf(r, truth)
     }
+
+    // ---- persistence round-trip: build → save → release → load into a
+    // fresh session → search → identical pairs (params = query entries)
+    val idxRoot = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/ann-index")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val fresh = spark.newSession()
+    val embF = fresh.read.parquet(s"$sfDir/embeddings.parquet")
+    val qF = embF.filter(col("vec_id") < 10)
+
+    val roundTrips: Seq[(String, Set[(Long, Long)], Set[(Long, Long)])] = Seq(
+      {
+        val idx = SS.lshBuild(emb, dim = 64, planes = 6, tables = 8)
+        val built = pairs(SS.lshSearch(idx, q, k = 5))
+        AnnIndexIO.lshSave(idx, s"$idxRoot/lsh")
+        idx.release(); spark.catalog.clearCache()
+        val loaded = AnnIndexIO.lshLoad(fresh, s"$idxRoot/lsh")
+        val got = pairs(SS.lshSearch(loaded, qF, k = 5))
+        loaded.release()
+        ("q20_lsh", built, got)
+      }, {
+        val idx = SS.ivfBuild(emb)
+        val built = pairs(SS.ivfSearch(idx, q, k = 5, nprobe = 8))
+        AnnIndexIO.ivfSave(idx, s"$idxRoot/ivf")
+        idx.release(); spark.catalog.clearCache()
+        val loaded = AnnIndexIO.ivfLoad(fresh, s"$idxRoot/ivf")
+        val got = pairs(SS.ivfSearch(loaded, qF, k = 5, nprobe = 8))
+        loaded.release()
+        ("q30_ivf", built, got)
+      }, {
+        val idx = SS.pqBuild(emb, dim = 64)
+        val built = pairs(SS.pqSearch(idx, q, k = 5, rerank = 200))
+        AnnIndexIO.pqSave(idx, s"$idxRoot/pq")
+        idx.release(); spark.catalog.clearCache()
+        val loaded = AnnIndexIO.pqLoad(fresh, s"$idxRoot/pq", embF)
+        val got = pairs(SS.pqSearch(loaded, qF, k = 5, rerank = 200))
+        loaded.release()
+        ("q45_pq", built, got)
+      }, {
+        val idx = SS.ivfPqBuild(emb, dim = 64)
+        val built = pairs(SS.ivfPqSearch(idx, q, k = 5, nprobe = 10, rerank = 192))
+        AnnIndexIO.ivfPqSave(idx, s"$idxRoot/ivfpq")
+        idx.release(); spark.catalog.clearCache()
+        val loaded = AnnIndexIO.ivfPqLoad(fresh, s"$idxRoot/ivfpq", embF)
+        val got = pairs(SS.ivfPqSearch(loaded, qF, k = 5, nprobe = 10, rerank = 192))
+        loaded.release()
+        ("q65_ivfpq", built, got)
+      })
+    spark.catalog.clearCache()
+
     val body = recalls.map { case (n, r) => "\"" + n + "\":" + f"$r%.4f" }
       .mkString("{", ",", "}")
+    val loadedBody = roundTrips.map { case (n, _, got) =>
+      "\"" + n + "\":" + f"${recallOf(got, truth)}%.4f" }
+      .mkString("{", ",", "}")
+    val identBody = roundTrips.map { case (n, built, got) =>
+      "\"" + n + "\":" + (built == got) }
+      .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"sf":"$sfDir","truth_pairs":${truth.size},"recall":$body}""")
+    println(s"""{"sf":"$sfDir","truth_pairs":${truth.size},"recall":$body,"recall_loaded":$loadedBody,"loaded_identical":$identBody}""")
   }
 }

@@ -809,6 +809,38 @@ object Dedup {
     * [[graft.streaming.MetricsSink.dropHook]] for the metrics table),
     * and [[embeddingHotBuckets]] reports the same buckets ad hoc at
     * the same (planes, seed, cap). */
+  /** Exact all-pairs near-dup within EXPLICIT blocks (a label/partition
+    * column), for corpora whose blocking key is trusted metadata rather
+    * than an LSH bucket. Quadratic in block size by design — pairs per
+    * block ≤ n²/2 — so it is GUARDED: if any block exceeds
+    * `maxBlockRows` the call fails fast (one cheap grouped count before
+    * the join) with a message routing to [[embeddingNearDupPairs]] /
+    * [[graft.ops.SimilaritySearch.semanticNearDupPairs]], instead of
+    * silently launching a (corpus/blocks)² join that a 100 TB corpus
+    * turns into the job that never finishes. */
+  def labelBlockedNearDupPairs(
+      emb: DataFrame, blockCol: String, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBlockRows: Long = 100000L): DataFrame = {
+    val oversize = emb.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlockRows)
+      .orderBy(col("n").desc).limit(3).collect()
+    require(oversize.isEmpty,
+      s"labelBlockedNearDupPairs: block(s) ${oversize.map(r =>
+          s"${r.get(0)}=${r.getLong(1)} rows").mkString(", ")} exceed " +
+        s"maxBlockRows=$maxBlockRows — the within-block all-pairs join is " +
+        "quadratic in block size. Use embeddingNearDupPairs (LSH-bucketed) " +
+        "or SimilaritySearch.semanticNearDupPairs (cluster-blocked) for " +
+        "unbounded blocks, or raise maxBlockRows deliberately.")
+    val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"), col(blockCol))
+    val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"), col(blockCol))
+    a.join(b, Seq(blockCol))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   def embeddingNearDupPairs(
       emb: DataFrame, dim: Int, minCosine: Double, planes: Int = 8, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding",

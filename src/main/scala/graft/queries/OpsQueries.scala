@@ -661,16 +661,12 @@ object OpsQueries {
 
   /** Embedding near-dup pairs above cosine 0.45, blocked by the label
     * column (exact within block — deterministic double arithmetic, so
-    * DuckDB-oracle-checkable; the LSH-blocked variant is the unlabeled
-    * scale path, gated by its recall spec). */
-  def q23EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = table(spark, dir, "embeddings")
-    val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("label"))
-    val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("label"))
-    a.join(b, Seq("label"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cos", Dedup.cosine(col("v1"), col("v2")))
-      .filter(col("cos") >= 0.45)
+    * DuckDB-oracle-checkable). Routed through the GUARDED
+    * [[Dedup.labelBlockedNearDupPairs]]: an oversized block fails fast
+    * with a message pointing at the LSH/cluster-blocked scale paths
+    * rather than launching a quadratic join. */
+  def q23EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.labelBlockedNearDupPairs(
+      table(spark, dir, "embeddings"), blockCol = "label", minCosine = 0.45)
       .select(col("id1"), col("id2"))
-  }
 }

@@ -55,16 +55,83 @@ object Queries {
 
   private[graft] def cachedTableCount: Int = tableCache.size
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads via the nanosAsLong legacy conf. Normalize `ts` back
-    * to a micros TimestampType column with exact integer arithmetic
-    * (`div`, not double division — ns-since-epoch exceeds double's 2^53
-    * exact range). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** The events table's `ts` column has shipped in three parquet
+    * encodings across testdata regenerations, and the loader adapts to
+    * whichever is on disk (the reference parses every ingest boundary
+    * defensively — backend/lib/rpc-service/data-types.js:3-46 — and a
+    * hard-coded encoding here broke 17 queries when the export format
+    * drifted):
+    *
+    *   - INT64 TIMESTAMP(NANOS): Spark reads it only under the
+    *     `nanosAsLong` legacy conf (as a raw long), so the footer probe
+    *     below decides whether to set that conf BEFORE the first read;
+    *     normalized with exact integer arithmetic (`div`, not double
+    *     division — ns-since-epoch exceeds double's 2^53 exact range).
+    *   - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false): reads as
+    *     TIMESTAMP_NTZ; cast to session-tz TimestampType (every entry
+    *     point pins the session to UTC, so the instant is preserved and
+    *     matches DuckDB's `epoch(ts)` naive-as-UTC semantics).
+    *   - TIMESTAMP(isAdjustedToUTC=true): already TimestampType.
+    *
+    * The probe memoizes per path (one footer read, not one per query)
+    * and the conf is only ever set when the file really is nanos. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(eventsRaw(spark, dir))
+
+  /** Un-normalized events read (`ts` still in its on-disk type), with
+    * the nanos conf side-effect applied when needed. Streaming specs use
+    * this for `readStream.schema(...)` and then [[normalizeTs]]. */
+  private[graft] def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    if (tsIsNanos(spark, s"$dir/events.parquet"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Normalize whatever `ts` type the reader produced to TimestampType.
+    * Works on batch and streaming DataFrames alike (pure column algebra). */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected INT64-nanos, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP (see SchemaContractSpec)")
+    }
+  }
+
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Footer probe: is the parquet `ts` column annotated TIMESTAMP(NANOS)?
+    * Reads ONE footer (first data file if `path` is a directory) so the
+    * global `nanosAsLong` conf is only set when genuinely required —
+    * setting it unconditionally would silently read any OTHER nanos
+    * column in the session as a raw long. */
+  private def tsIsNanos(spark: SparkSession, path: String): Boolean =
+    tsNanosCache.computeIfAbsent(path, { p =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val hconf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(hconf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName).head
+        else root
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") &&
+          (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+      } finally reader.close()
+    })
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 

@@ -61,18 +61,20 @@ final class MetricsSink(spark: SparkSession, root: String) {
     (buckets, members) => record(loop,
       Map("hot_buckets_dropped" -> buckets, "hot_members_dropped" -> members))
 
-  /** The metrics table (empty-schema DataFrame when nothing recorded). */
+  /** The metrics table (empty-schema DataFrame when nothing recorded).
+    *
+    * Always reads with the FIXED schema, never inference: a concurrent
+    * first [[record]] can have created the directory without a committed
+    * footer yet, and schema inference over zero readable footers throws
+    * `UNABLE_TO_INFER_SCHEMA`. With the explicit schema, empty-dir,
+    * dir-with-in-flight-write, and populated-dir all return the same
+    * shape — the read is race-free against writers. */
   def table(): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(root)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("loop", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType))))
+    if (fs.exists(p)) spark.read.schema(MetricsSink.schema).parquet(root)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], MetricsSink.schema)
   }
 
   /** Engine-level bridge: one point per finished micro-batch with the
@@ -95,4 +97,17 @@ final class MetricsSink(spark: SparkSession, root: String) {
           "durationMs" -> p.durationMs.values().asScala.map(_.longValue()).sum))
     }
   }
+}
+
+object MetricsSink {
+  import org.apache.spark.sql.types._
+  /** The one metrics-table schema, shared by writer, reader, and the
+    * empty case (the `day` partition column resolves by name against
+    * the directory layout). */
+  val schema: StructType = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("loop", StringType),
+    StructField("metric", StringType),
+    StructField("value", LongType),
+    StructField("day", DateType)))
 }

@@ -89,6 +89,27 @@ class OpsSpec extends SparkSpec {
     assert(hot.agg(max("members")).collect()(0).getLong(0) == 40)
   }
 
+  test("label-blocked all-pairs: finds planted pair, guards oversized blocks") {
+    val rnd = new scala.util.Random(11)
+    def vec(seed: Int) = Array.fill(8)((rnd.nextInt(100) + seed).toFloat)
+    val base = vec(0)
+    val near = base.clone(); near(0) += 0.5f
+    val emb = (Seq((1L, base, 0), (2L, near, 0), (3L, vec(500), 1)) ++
+      (4L to 20L).map(i => (i, vec(i.toInt * 37), (i % 3).toInt)))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.labelBlockedNearDupPairs(emb, "label", minCosine = 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair missing from $pairs")
+    // cross-label pair must never appear even if cosine-close
+    assert(pairs.forall { case (a, b) => !(a == 1L && b == 3L) })
+    // the guard: a block over the cap fails fast with the routing message
+    val e = intercept[IllegalArgumentException] {
+      Dedup.labelBlockedNearDupPairs(emb, "label", 0.9, maxBlockRows = 3)
+    }
+    assert(e.getMessage.contains("embeddingNearDupPairs"),
+      s"guard message must route to the LSH path: ${e.getMessage}")
+  }
+
   test("simhash: near-dup within small hamming distance, random docs far") {
     val fps = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

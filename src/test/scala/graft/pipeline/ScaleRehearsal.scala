@@ -61,11 +61,11 @@ object ScaleRehearsal {
         col("label"))
     }.reduce(_ unionByName _)
 
-    // events carry TIMESTAMP(NANOS): read the ts as a raw long (the
-    // same nanosAsLong path Queries.events uses) and write it back as
-    // int64 nanos so the sf1 table reads through the same normalizer
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$SrcDir/events.parquet")
+    // read events through the shared schema-adaptive normalizer (the
+    // source encoding has drifted between testdata regenerations); the
+    // normalized TimestampType column writes back as TIMESTAMP(MICROS,
+    // adjustedToUTC) which the normalizer passes through on re-read
+    val ev = graft.queries.Queries.events(spark, SrcDir)
     val bigEv: DataFrame = (0 until Copies).map { c =>
       ev.select(
         (col("event_id") + lit(c.toLong * 100000000L)).as("event_id"),

@@ -21,11 +21,11 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // raw on-disk schema for the file source, then the SAME shared
+    // normalizer the batch path uses — no open-coded encoding assumption
+    val raw = graft.queries.Queries.eventsRaw(spark, dir)
+    val stream = graft.queries.Queries.normalizeTs(
+      spark.readStream.schema(raw.schema).parquet(staged.toString))
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
