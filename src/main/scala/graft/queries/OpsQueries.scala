@@ -9,6 +9,13 @@ import graft.ops.{AsOfJoin, Bpe, Cdc, ConnectedComponents, Corpus, Dedup, PageRa
 object OpsQueries {
   import Queries.table
 
+  /** The documents table with [[Queries.parallelFloor]] applied — used
+    * by the queries whose dominant cost is per-character work in the
+    * scan stage (shingling, window hashing, chunking), which a
+    * one-row-group input would otherwise serialize onto one core. */
+  private def docsPar(spark: SparkSession, dir: String): DataFrame =
+    Queries.parallelFloor(table(spark, dir, "documents"))
+
   /** Token counting + BPE estimate (integer-exact, oracle-matched). */
   def q13DocTokens(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
@@ -33,7 +40,7 @@ object OpsQueries {
     * near-dup sweep), integer intersection/union counts, pairs sharing
     * ≥ 8 bigrams. Cross-shard dedup is q17's MinHash-LSH. */
   def q16NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(table(spark, dir, "documents"), n = 2, minIntersect = 8,
+    Dedup.ngramJaccardPairs(docsPar(spark, dir), n = 2, minIntersect = 8,
       blockCol = Some("source"))
 
   /** MinHash+LSH near-dup candidates (bigram shingles) verified at
@@ -43,7 +50,7 @@ object OpsQueries {
     // 32 bands × 2 rows: ~99.99% banding recall at j=0.5 (16×4 would
     // miss ~36% of pairs sitting exactly at the threshold); the
     // estimator gate + exact verify keep precision regardless
-    Dedup.minhashDedupPairs(table(spark, dir, "documents"),
+    Dedup.minhashDedupPairs(docsPar(spark, dir),
       n = 2, numHashes = 64, bands = 32, minJaccard = 0.5)
 
   /** SimHash fingerprints (xxhash64-based; rows-only). */
@@ -109,7 +116,7 @@ object OpsQueries {
     * ≥ 10 words at any alignment, integer-exact and fully
     * SQL-restatable (md5 windows) → DuckDB oracle. */
   def q66ExactSubstr(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exactSubstrSpans(table(spark, dir, "documents"), windowWords = 10)
+    Dedup.exactSubstrSpans(docsPar(spark, dir), windowWords = 10)
       .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
         col("n_windows"))
 
@@ -355,7 +362,7 @@ object OpsQueries {
     * with any "benchmark" doc (every 50th document plays the benchmark
     * set). Benchmark side broadcast; corpus never self-joins. */
   def q43Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
+    val docs = docsPar(spark, dir)
     Dedup.contaminationPairs(
       docs.filter(col("doc_id") % 50 =!= 0),
       docs.filter(col("doc_id") % 50 === 0),
@@ -376,7 +383,7 @@ object OpsQueries {
     * At sf0.01 this contracts 24 multi-document clusters (largest 18)
     * through genuine multi-hop chains. */
   def q46DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
+    val docs = docsPar(spark, dir)
     val edges = Dedup.ngramJaccardPairs(docs, n = 2, minIntersect = 8,
       blockCol = Some("source"), withSizes = false)
     val comp = ConnectedComponents.connectedComponents(edges, "id1", "id2")
@@ -641,7 +648,7 @@ object OpsQueries {
     * Σ count × log-ratio. ROUND(,6) on both sides absorbs
     * summation-order last bits (the q61/q64 contract). */
   def q72DsirWeights(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.dsirWeights(table(spark, dir, "documents"),
+    TextAnalysis.dsirWeights(docsPar(spark, dir),
       isTarget = col("lang") === "en", nBuckets = 512)
       .select(col("doc_id"), col("n_feats"),
         round(col("dsir_weight"), 6).as("dsir_weight"))
@@ -650,14 +657,14 @@ object OpsQueries {
     * (12-char windows, modulus 32 → ~32-char chunks), chunks shared by
     * ≥ 2 distinct docs counted per doc. Integer-exact. */
   def q73CdcStats(spark: SparkSession, dir: String): DataFrame =
-    Cdc.cdcDedupStats(table(spark, dir, "documents"),
+    Cdc.cdcDedupStats(docsPar(spark, dir),
       windowChars = 12, modulus = 32, minDocs = 2)
 
   /** Cross-document bigram novelty: distinct shingles whose corpus-wide
     * first occurrence (min doc_id) is this doc — the "new content
     * contributed" data-selection signal. Integer-exact. */
   def q74Novelty(spark: SparkSession, dir: String): DataFrame =
-    Dedup.noveltyStats(table(spark, dir, "documents"), n = 2)
+    Dedup.noveltyStats(docsPar(spark, dir), n = 2)
 
   /** Embedding near-dup pairs above cosine 0.45, blocked by the label
     * column (exact within block — deterministic double arithmetic, so

@@ -133,6 +133,26 @@ object Queries {
       } finally reader.close()
     })
 
+  /** Minimum map-side parallelism for compute-heavy per-row stages.
+    *
+    * A small corpus often arrives as ONE parquet row group, and a row
+    * group is Spark's minimum split: the scan yields one task no matter
+    * how many cores the session has. For scan-cheap queries that is
+    * irrelevant, but operators whose cost is per-character work INSIDE
+    * the scan stage (shingle explodes, rolling window hashes, substring
+    * chunking) then run serially on one core — measured 3.5× wall on
+    * q73's CDC chunking at sf0.1 (one 0.6 MB row group) vs the same
+    * operator over a 32-file input 10× the size.
+    *
+    * No-op when the scan already yields >= defaultParallelism splits —
+    * the 100 TB case, where adding a corpus-wide text shuffle would be
+    * exactly wrong — so the floor only pays (one tiny shuffle) where it
+    * buys whole-cluster parallelism. */
+  private[graft] def parallelFloor(df: DataFrame): DataFrame = {
+    val floor = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
+  }
+
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
   /** A1/A5 + F-pushdown — pricing summary (TPC-H Q1 shape).

@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *     with timestamps untouched — per-user session/window structure
   *     is preserved while every hour bucket carries 10× the rows, so
   *     the windowed family (q31/q32/q39/q51/q55/q60) runs above
-  *     sf0.1. The ts column is kept as raw int64 nanos (what
-  *     Queries.events normalizes from).
+  *     sf0.1. The ts column is written normalized (TIMESTAMP, UTC) —
+  *     one of the encodings Queries.events adapts to.
   *
   * Run: `sbt "Test/runMain graft.pipeline.ScaleRehearsal"` then
   * Bench with SPARK_GRAFT_SF_DIR=target/sf1. The DedupStream leg
