@@ -39,24 +39,42 @@ object Bench {
       // every run failed → report the -1 sentinel, not Double.MaxValue
       name -> (if (dt == Double.MaxValue) -1.0 else dt)
     }.toMap
-    // 0.1 ms precision keeps the line compact (a 69-query line of
-    // full-precision doubles overflowed the driver's stdout-tail
-    // capture in round 7 and clipped six queries)
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    // failed queries (-1 sentinel) stay visible per-query but are
-    // excluded from the total
-    val total = results.values.filter(_ >= 0).sum
-    // "runs" self-describes the statistic each per-query number carries
-    // (min over N executions) so round-over-round readers never compare
-    // a min-of-3 against a steal-inflated single run unknowingly
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"min","queries":$qs,"sf":"$sfDir"}"""
-    // belt-and-braces artifact: the full JSON also lands in a file so
-    // round-over-round comparisons never depend on stdout capture
+    // The driver captures only the LAST 2000 chars of stdout, and sbt
+    // appends a ~80-char "[success] ... completed" line after ours — so
+    // the stdout line must stay under ~1900 chars or its head is clipped
+    // (BENCH_r08 lost its opening brace exactly this way: tail had all 74
+    // entries but "parsed" stayed null). 10 ms precision + basename sf
+    // bring a 74-query line to ~1850; the file artifact keeps 0.1 ms.
+    def fmt(v: Double, prec: Int): String =
+      if (v < 0) "-1"
+      else {
+        // strip trailing zeros ("0.30"→"0.3", "35.00"→"35") — still
+        // valid JSON numbers, ~1 char/query back on a 74-entry line
+        val s = String.format(s"%.${prec}f", Double.box(v))
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+      }
+    def jsonLine(prec: Int, sf: String): String = {
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }
+        .mkString("{", ",", "}")
+      // failed queries (-1 sentinel) stay visible per-query but are
+      // excluded from the total
+      val total = results.values.filter(_ >= 0).sum
+      // "runs" self-describes the statistic each per-query number carries
+      // (min over N executions) so round-over-round readers never compare
+      // a min-of-3 against a steal-inflated single run unknowingly
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","runs":$runs,"stat":"min","queries":$qs,"sf":"$sf"}"""
+    }
+    // adaptive precision: if the suite grows enough that even the
+    // compact form would clip, degrade stdout to 1 dp (0.1 s) rather
+    // than lose the line's head — the file artifact keeps 0.1 ms
+    val sfTag = new java.io.File(sfDir).getName
+    val line = Seq(2, 1).map(jsonLine(_, sfTag)).find(_.length <= 1900)
+      .getOrElse(jsonLine(1, sfTag))
+    // belt-and-braces artifact: the full-precision JSON also lands in a
+    // file so round-over-round comparisons never depend on stdout capture
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), jsonLine(4, sfDir) + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
     // stop Spark BEFORE printing: the compact JSON must be the LAST
     // stdout line (driver contract — BENCH_r07 captured a clipped tail
