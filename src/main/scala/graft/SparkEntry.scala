@@ -81,6 +81,10 @@ object SparkEntry {
     "q72_dsir_weights" -> (OpsQueries.q72DsirWeights _),
     "q73_cdc_chunks" -> (OpsQueries.q73CdcStats _),
     "q74_novelty" -> (OpsQueries.q74Novelty _),
+    "q75_bloom_clean" -> (OpsQueries.q75BloomClean _),
+    "q76_simhash_neardup" -> (OpsQueries.q76SimhashNearDup _),
+    "q77_trigram_lm" -> (OpsQueries.q77TrigramLm _),
+    "q78_kmeans_assign" -> (OpsQueries.q78KmeansAssign _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -669,6 +673,74 @@ object SparkEntry {
         |SELECT tot.doc_id, tot.n_shingles,
         |  COALESCE(nov.n_novel, CAST(0 AS BIGINT)) AS n_novel
         |FROM tot LEFT JOIN nov USING (doc_id)""".stripMargin,
+    // q75: bloom-prefiltered decontamination must equal the plain
+    // exact anti-join — the oracle IS the no-sketch formulation, so a
+    // single false-negative-shaped bug in the bloom path hash-fails
+    "q75_bloom_clean" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+        |bench AS (SELECT * FROM grams WHERE doc_id % 50 = 0),
+        |corp AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+        |dirty AS (
+        |  SELECT c.doc_id FROM corp c JOIN bench b ON c.shingle = b.shingle
+        |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 4)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id % 50 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+    // q76: brute-force all-pairs Hamming over SQL-restated portable
+    // fingerprints (the same 257-polynomial char fold as q22, per
+    // DISTINCT word, ±1 votes per bit, sign → bit) — deliberately
+    // blind to the engine's pigeonhole blocking, so it gates the
+    // no-lost-pairs guarantee end-to-end
+    "q76_simhash_neardup" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+        |wh AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT) AS h
+        |  FROM occ),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM wh, (SELECT unnest(range(0, 64)) AS b) t GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::HUGEINT << b)
+        |    ELSE 0::HUGEINT END) AS HUGEINT) AS simu FROM bits GROUP BY 1),
+        |s64 AS (
+        |  SELECT doc_id, CAST(CASE WHEN simu >= 9223372036854775808::HUGEINT
+        |    THEN simu - 18446744073709551616::HUGEINT ELSE simu END AS BIGINT) AS sim
+        |  FROM sims)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM s64 a JOIN s64 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+    "q77_trigram_lm" ->
+      """WITH words AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM words),
+        |tri AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3 FROM idx),
+        |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n3 FROM tri GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS ctx_n FROM c3 GROUP BY 1, 2)
+        |SELECT c3.w1, c3.w2, c3.w3, n3, ctx_n
+        |FROM c3 JOIN c2 USING (w1, w2) WHERE n3 >= 2""".stripMargin,
+    // q78: integer-exact argmin — dist*8+cid linearizes the
+    // (dist, cid) lexicographic tie-break for arg_min (cid < 8)
+    "q78_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, xq AS cq FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS dist
+        |  FROM e, cent c),
+        |a AS (SELECT vec_id, CAST(arg_min(cid, dist * 8 + cid) AS BIGINT) AS cid,
+        |    min(dist) AS mind FROM d GROUP BY 1)
+        |SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(mind) AS BIGINT) AS inertia, min(vec_id) AS min_member
+        |FROM a GROUP BY 1""".stripMargin,
     "q51_lag_delta" ->
       """SELECT event_id, user_id,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

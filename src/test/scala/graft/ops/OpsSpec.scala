@@ -646,4 +646,53 @@ class OpsSpec extends SparkSpec {
       assert(got(r.getLong(0)) == expected)
     }
   }
+
+  test("simhashPortable matches a direct char-fold reference") {
+    val fps = Dedup.simhashPortable(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.collect().foreach { r =>
+      val votes = new Array[Int](64)
+      r.getString(1).split(" ", -1).distinct.foreach { w =>
+        val h = TextAnalysis.fingerprint64(w)
+        (0 until 64).foreach { b =>
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        }
+      }
+      var exp = 0L
+      (0 until 64).foreach(b => if (votes(b) > 0) exp |= 1L << b)
+      assert(fps(r.getLong(0)) == exp, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("balanced pigeonhole: exact same pairs as contiguous chunks and brute force") {
+    val fps = Dedup.simhashPortable(docs).persist()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contiguous = pairSet(Dedup.simhashPairs(fps, maxDist = 3))
+    val balanced = pairSet(Dedup.simhashPairsBalanced(fps, maxDist = 3))
+    val local = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, s1) <- local; (i2, s2) <- local
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (i1, i2)).toSet
+    fps.unpersist()
+    assert(balanced == brute, "balanced blocking lost or invented pairs")
+    assert(contiguous == brute, "contiguous blocking lost or invented pairs")
+    // partition sanity: the data-dependent blocks still cover 0-63 once
+    val blocks = Dedup.balancedBitBlocks(Dedup.simhashPortable(docs))
+    assert(blocks.flatten.sorted == (0 until 64))
+    assert(blocks.size == 4)
+  }
+
+  test("trigramCounts: hand-computed counts and context totals") {
+    val tiny = Seq((1L, "a b a b a"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramCounts(tiny)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // doc1 trigrams: (a,b,a) (b,a,b) (a,b,a); docs 2-3 too short
+    assert(got == Map(
+      ("a", "b", "a") -> ((2L, 2L)),
+      ("b", "a", "b") -> ((1L, 1L))))
+  }
 }
