@@ -647,6 +647,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("second-vote candidate gate (minBandCollisions=2) keeps the verified pair set") {
+    def pairs(mbc: Int) =
+      Dedup.minhashDedupPairs(docs, n = 2, numHashes = 64, bands = 32,
+          minJaccard = 0.5, minBandCollisions = mbc)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(1)
+    assert(base.nonEmpty, "fixture must plant at least one high-jaccard pair")
+    assert(pairs(2) == base,
+      "the second-vote gate must not change the verified output on high-J pairs")
+  }
+
   test("simhashPortable matches a direct char-fold reference") {
     val fps = Dedup.simhashPortable(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -64,8 +64,19 @@ object MinhashProfile {
       .filter(col("inter_n") >= col("union_n") * minJaccard)
     t("exact verify")(println("  n_pairs=" + fin.count()))
 
-    t("end-to-end (operator)")(
+    t("end-to-end (operator, mbc=1)")(
       println("  n=" + Dedup.minhashDedupPairs(docs, n, numHashes, bands, minJaccard).count()))
+    spark.catalog.clearCache()
+    val v2 = t("end-to-end (operator, mbc=2)") {
+      val d = Dedup.minhashDedupPairs(docs, n, numHashes, bands, minJaccard,
+        minBandCollisions = 2)
+      println("  n=" + d.count()); d
+    }
+    spark.catalog.clearCache()
+    val v1 = Dedup.minhashDedupPairs(docs, n, numHashes, bands, minJaccard)
+    println("PROF pairset diff (1 vs 2): " +
+      v1.select("id1", "id2").exceptAll(v2.select("id1", "id2")).count() + " lost, " +
+      v2.select("id1", "id2").exceptAll(v1.select("id1", "id2")).count() + " gained")
     spark.stop()
   }
 }
