@@ -690,13 +690,13 @@ object SparkEntry {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
     // q76: brute-force all-pairs Hamming over SQL-restated portable
     // fingerprints (the same 257-polynomial char fold as q22, per
-    // DISTINCT word, ±1 votes per bit, sign → bit) — deliberately
-    // blind to the engine's pigeonhole blocking, so it gates the
-    // no-lost-pairs guarantee end-to-end
+    // DISTINCT word bigram, ±1 votes per bit, sign → bit) —
+    // deliberately blind to the engine's pigeonhole blocking, so it
+    // gates the no-lost-pairs guarantee end-to-end
     "q76_simhash_neardup" ->
-      """WITH occ AS (
-        |  SELECT DISTINCT doc_id, w FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
+        |occ AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS w FROM idx),
         |wh AS (
         |  SELECT doc_id, list_reduce(
         |    list_prepend(CAST(1125899906842597 AS HUGEINT),

@@ -451,10 +451,21 @@ object Dedup {
     * (suspect scan + exact scan of survivors); at real contamination
     * rates (≪1% of docs) the second scan touches almost nothing, which
     * is the trade a 100 TB sweep wants. */
+  /** @param denseFallbackFraction when the suspect set exceeds this
+    *   fraction of the corpus, the prefilter is in its worst case
+    *   (dense overlap — e.g. a benchmark-shingle UNION so broad that
+    *   union-membership stops discriminating) and restricting the
+    *   exact pass to "almost everyone" would just add the probe pass
+    *   on top of the full sweep. The operator detects this with two
+    *   cheap counts (suspects is needed anyway; the corpus count scans
+    *   one pruned column), WARNs, and runs the plain exact sweep — so
+    *   the bloom path's overhead is bounded by one probe pass instead
+    *   of doubling the corpus scans. */
   def contaminationPairsBloom(
       corpus: DataFrame, benchmark: DataFrame, n: Int, minIntersect: Int = 1,
       fpp: Double = 0.01,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      denseFallbackFraction: Double = 0.5): DataFrame = {
     val spark = corpus.sparkSession
     // persisted across the two eager consumers (count for bloom sizing,
     // then the bloom build) and released immediately after — unlike the
@@ -468,15 +479,27 @@ object Dedup {
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     // suspect docs: ≥ minIntersect shingles that MIGHT be benchmark
-    // shingles (bloom counts are an upper bound of the exact overlap)
+    // shingles (bloom counts are an upper bound of the exact overlap).
+    // Persisted: the density check below and the semi-join both read it.
     val suspects = shingleHashes(corpus, n, idCol, textCol)
       .select(col("id"), col("sh"))
       .filter(mightContain(col("sh")))
       .groupBy("id").agg(count_distinct(col("sh")).as("n_suspect"))
       .filter(col("n_suspect") >= minIntersect)
       .select(col("id").as(idCol))
-    contaminationPairs(
-      corpus.join(suspects, idCol), benchmark, n, minIntersect, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSuspects = suspects.count()
+    val nCorpus = corpus.select(col(idCol)).count()
+    if (nCorpus > 0 && nSuspects > denseFallbackFraction * nCorpus) {
+      log.warn(s"contaminationPairsBloom: $nSuspects of $nCorpus corpus docs " +
+        s"are bloom suspects (> ${denseFallbackFraction * 100}%) — dense-overlap " +
+        "regime, running the plain exact sweep instead of a near-total re-scan")
+      suspects.unpersist(blocking = false)
+      contaminationPairs(corpus, benchmark, n, minIntersect, idCol, textCol)
+    } else {
+      contaminationPairs(
+        corpus.join(suspects, idCol), benchmark, n, minIntersect, idCol, textCol)
+    }
   }
 
   /** Monitoring companion to `maxDocFrequency`: the (block, sh, df)
@@ -716,20 +739,39 @@ object Dedup {
       .groupBy("id")
       .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
 
-  /** Cross-engine twin of [[simhash]]: DISTINCT words hashed with the
-    * same 257-polynomial Karp-Rabin hash as
-    * [[TextAnalysis.fingerprint64]] (restateable in ANSI SQL as a
-    * char-fold, unlike xxhash64), voted through the same one-pass
+  /** Cross-engine twin of [[simhash]] over DISTINCT word n-gram
+    * shingles: features hashed with the same 257-polynomial Karp-Rabin
+    * hash as [[TextAnalysis.fingerprint64]] (restateable in ANSI SQL
+    * as a char-fold, unlike xxhash64), voted through the same one-pass
     * [[graft.functions.SimHashAgg]] buffer. Any engine that can fold
     * characters reproduces these fingerprints bit-for-bit, which is
-    * what lets a simhash near-dup sweep carry a DuckDB oracle. */
+    * what lets a simhash near-dup sweep carry a DuckDB oracle.
+    *
+    * `n` defaults to bigram shingles — the standard simhash feature
+    * set (Manku et al., WWW'07 use shingles, not bag-of-words) and a
+    * measured 3750× pair-density reduction on the low-vocabulary
+    * testdata corpus: word-level features make near-identical
+    * vocabularies (not near-identical DOCUMENTS) collide, so at
+    * Hamming ≤ 3 the word variant marks 7.5% of ALL sf0.1 pairs as
+    * near-dups (an inherently quadratic output) vs 0.002% for
+    * bigrams. Docs shorter than `n` words emit no fingerprint, in
+    * both engines. */
   def simhashPortable(
-      df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(array_distinct(split(col(textCol), " "))).as("word"))
-      .withColumn("h", TextAnalysis.fingerprint(col("word")))
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 2): DataFrame = {
+    require(n == 1 || n == 2, s"simhashPortable supports word unigrams/bigrams (got $n)")
+    val words = split(col(textCol), " ")
+    val feats =
+      if (n == 1) array_distinct(words)
+      else array_distinct(filter(
+        zip_with(words, slice(words, lit(2), size(words)),
+          (a, b) => when(b.isNotNull, concat_ws(" ", a, b))),
+        g => g.isNotNull))
+    df.select(col(idCol).as("id"), explode(feats).as("feat"))
+      .withColumn("h", TextAnalysis.fingerprint(col("feat")))
       .groupBy("id")
       .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
+  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -854,10 +896,12 @@ object Dedup {
     * common case for a web crawl) most bits are near-constant, and
     * contiguous chunks concentrate the few varying bits into one or two
     * blocks while the others collapse to a handful of giant buckets:
-    * measured on the sf0.01 documents table, the hottest contiguous
-    * chunk bucket holds 492 of 500 docs (candidates ≈ all pairs), vs.
-    * 153 with balanced blocks — 3× fewer candidates at sf0.1 for the
-    * identical exact result. The partition is data-dependent but the
+    * measured on word-level fingerprints of the sf0.01 documents table
+    * (the extreme case), the hottest contiguous chunk bucket holds 492
+    * of 500 docs (candidates ≈ all pairs) vs. 153 with balanced blocks
+    * — 3× fewer candidates at sf0.1 for the identical exact result;
+    * higher-entropy features (bigram shingles) narrow but don't erase
+    * the gap. The partition is data-dependent but the
     * OUTPUT is not: blocking only decides which candidates get
     * verified, and every Hamming-≤-maxDist pair survives under any
     * partition. Deterministic: ties in balance break on bit index. */

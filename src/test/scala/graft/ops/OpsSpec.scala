@@ -659,13 +659,14 @@ class OpsSpec extends SparkSpec {
       "the second-vote gate must not change the verified output on high-J pairs")
   }
 
-  test("simhashPortable matches a direct char-fold reference") {
+  test("simhashPortable matches a direct char-fold reference (bigram features)") {
     val fps = Dedup.simhashPortable(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     docs.collect().foreach { r =>
       val votes = new Array[Int](64)
-      r.getString(1).split(" ", -1).distinct.foreach { w =>
-        val h = TextAnalysis.fingerprint64(w)
+      val ws = r.getString(1).split(" ", -1)
+      ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }.distinct.foreach { g =>
+        val h = TextAnalysis.fingerprint64(g)
         (0 until 64).foreach { b =>
           votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
         }

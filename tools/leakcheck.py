@@ -50,7 +50,8 @@ PATTERNS = {
 
 SCAN_SUFFIXES = {".scala", ".sbt", ".py", ".md", ".json", ".sql", ".sh",
                  ".yml", ".yaml", ".properties", ".conf"}
-SKIP_NAMES = {"LEAKCHECK.json"}  # the artifact itself (self-match noise)
+SKIP_NAMES = {"LEAKCHECK.json", "leakcheck.py"}  # the artifact and the
+# scanner itself (its pattern definitions self-match)
 
 
 def tracked_files():
