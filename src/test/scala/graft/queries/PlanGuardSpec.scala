@@ -102,4 +102,35 @@ class PlanGuardSpec extends SparkSpec {
         s"span dedup reads extra columns: ${s.schema.fieldNames.mkString(",")}")
     }
   }
+
+  test("q78: k-means assignment is map-side argmin — no joins, one aggregate exchange") {
+    val p = planOf(OpsQueries.q78KmeansAssign(spark, dir))
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      "broadcast-literal centroids must never become a join")
+    val exchanges = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1,
+      s"assignment should shuffle once (the k-key aggregate), got ${exchanges.size}")
+  }
+
+  test("q77: trigram LM never nested-loops; no KEYED shuffle carries raw text") {
+    val p = planOf(OpsQueries.q77TrigramLm(spark, dir))
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "the c3/c2 join must be a hash/merge join on (w1, w2)")
+    collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      // parallelFloor's small-corpus round-robin repartition legitimately
+      // moves text (and is a no-op at scale); a HASH-keyed exchange
+      // carrying text would be a real plan regression
+      val roundRobin = e.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
+      assert(roundRobin || !e.child.schema.fieldNames.contains("text"),
+        s"a keyed exchange carries raw text: ${e.child.schema.fieldNames.mkString(",")}")
+    }
+  }
 }
