@@ -85,6 +85,7 @@ object SparkEntry {
     "q76_simhash_neardup" -> (OpsQueries.q76SimhashNearDup _),
     "q77_trigram_lm" -> (OpsQueries.q77TrigramLm _),
     "q78_kmeans_assign" -> (OpsQueries.q78KmeansAssign _),
+    "q79_window_chunks" -> (OpsQueries.q79WindowChunks _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -741,6 +742,14 @@ object SparkEntry {
         |SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_members,
         |  CAST(sum(mind) AS BIGINT) AS inertia, min(vec_id) AS min_member
         |FROM a GROUP BY 1""".stripMargin,
+    "q79_window_chunks" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS s FROM words)
+        |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id,
+        |  CAST(s AS BIGINT) AS start_word,
+        |  CAST(len(ws[s+1 : s+64]) AS BIGINT) AS n_words,
+        |  md5(array_to_string(ws[s+1 : s+64], ' ')) AS chunk_md5
+        |FROM st""".stripMargin,
     "q51_lag_delta" ->
       """SELECT event_id, user_id,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

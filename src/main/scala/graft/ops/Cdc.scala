@@ -96,4 +96,39 @@ object Cdc {
         sum(when(col("_dup").isNotNull, col("chunk_len")).otherwise(0L)).as("dup_chars"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** FIXED-window chunking with overlap — the retrieval/RAG chunker
+    * beside [[cdcChunks]]'s dedup chunker: every document becomes
+    * windows of `windowWords` words starting every `strideWords`
+    * (overlap = windowWords − strideWords), the shape embedding
+    * pipelines index. Deterministic, integer-exact, md5-portable —
+    * oracle-gated (q79), unlike CDC whose virtue is boundary
+    * stability rather than fixed geometry.
+    *
+    * Scale shape: starts are generated per-row with `sequence` (≈
+    * len/stride values, never a corpus-sized position explode), the
+    * window text never leaves the projection (only its md5 does), and
+    * there is NO shuffle at all — chunking is embarrassingly parallel
+    * over documents. The final chunk is the one containing the tail
+    * and may be short; `chunk_id` = start/stride.
+    *
+    * Output: (id, chunk_id, start_word, n_words, chunk_md5). */
+  def windowChunks(
+      df: DataFrame,
+      windowWords: Int = 64,
+      strideWords: Int = 48,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(windowWords > 0 && strideWords > 0 && strideWords <= windowWords,
+      s"need 0 < strideWords <= windowWords (got $strideWords, $windowWords)")
+    val words = split(col(textCol), " ")
+    df.select(col(idCol).as("id"), words.as("ws"))
+      .select(col("id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 1, lit(strideWords))).as("s"))
+      .select(col("id"),
+        (col("s") / strideWords).cast("long").as("chunk_id"),
+        col("s").cast("long").as("start_word"),
+        size(slice(col("ws"), col("s") + 1, lit(windowWords))).cast("long").as("n_words"),
+        md5(concat_ws(" ", slice(col("ws"), col("s") + 1, lit(windowWords)))).as("chunk_md5"))
+  }
 }

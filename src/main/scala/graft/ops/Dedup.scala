@@ -920,7 +920,7 @@ object Dedup {
     * pair generator and its monitor: chunk c's key packs the block's
     * bits in block order (for the contiguous default this is exactly
     * the historical `(simhash >> 16c) & 0xffff`). */
-  private def simhashChunkKeys(
+  private[graft] def simhashChunkKeys(
       fps: DataFrame, blocks: Seq[Seq[Int]] = contiguousBitBlocks): DataFrame = {
     val chunks = blocks.zipWithIndex.map { case (bits, c) =>
       val key = bits.zipWithIndex.map { case (b, j) =>

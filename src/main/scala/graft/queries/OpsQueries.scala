@@ -732,4 +732,11 @@ object OpsQueries {
     * property-gated in KMeansSpec). */
   def q78KmeansAssign(spark: SparkSession, dir: String): DataFrame =
     KMeans.assignToSeeds(table(spark, dir, "embeddings"), k = 8)
+
+  /** Fixed-window RAG chunking with overlap ([[Cdc.windowChunks]]:
+    * 64-word windows every 48 words) — shuffle-free, md5-portable,
+    * integer-exact. */
+  def q79WindowChunks(spark: SparkSession, dir: String): DataFrame =
+    Cdc.windowChunks(docsPar(spark, dir), windowWords = 64, strideWords = 48)
+      .withColumnRenamed("id", "doc_id")
 }

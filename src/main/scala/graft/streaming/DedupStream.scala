@@ -88,16 +88,17 @@ object DedupStream {
   private val KeyFamily = 2 // word-chained xxhash64 grams (shingleHashes)
 
   private def ensureStoreMeta(
-      spark: SparkSession, root: String, parts: Int): Unit = {
+      spark: SparkSession, root: String, parts: Int,
+      family: Int = KeyFamily): Unit = {
     val dir = new org.apache.hadoop.fs.Path(root)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(dir, "_PARTS")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      require(txt == s"$parts/$KeyFamily",
+      require(txt == s"$parts/$family",
         s"dedup store $root was written with parts/family=$txt; this config is " +
-          s"$parts/$KeyFamily — rebuild the store or match the writing config")
+          s"$parts/$family — rebuild the store or match the writing config")
     } else {
       // commits live one level down (buckets/sigs/spans sub-stores)
       val hasCommits = fs.exists(dir) && fs.listStatus(dir).exists { s =>
@@ -108,7 +109,7 @@ object DedupStream {
       require(!hasCommits,
         s"dedup store $root has commits but no _PARTS marker, so its partition " +
           "count and shingle-key family cannot be verified. If it was written " +
-          s"by THIS key family at partition count P, adopt it by writing 'P/$KeyFamily' " +
+          s"by THIS key family at partition count P, adopt it by writing 'P/$family' " +
           s"to $root/_PARTS; otherwise rebuild it (signatures from another " +
           "family agree with new ones only by chance) or pin the old code")
       fs.mkdirs(dir)
@@ -116,7 +117,7 @@ object DedupStream {
       // leave an empty/partial marker that fails every later tick's
       // parts/family check until hand-repaired — the marker is either
       // absent (rewritten next tick) or complete
-      writeNameFile(spark, dir, "_PARTS", Set(s"$parts/$KeyFamily"))
+      writeNameFile(spark, dir, "_PARTS", Set(s"$parts/$family"))
     }
   }
 
@@ -428,6 +429,112 @@ object DedupStream {
     newBuckets.unpersist()
     batchKeys.unpersist()
     sigs.unpersist()
+    cand.unpersist()
+    out
+  }
+
+  private val fpSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("simhash", LongType, nullable = false)))
+
+  private val chunkKeySchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("chunk", IntegerTypeAlias, nullable = false),
+    StructField("key", LongType, nullable = false)))
+
+  /** Marker for the portable-bigram simhash key family — a simhash
+    * store and a minhash store must never be confused for one another
+    * even at matching partition counts. */
+  private val SimhashKeyFamily = 3
+
+  /** Incremental SimHash near-dup (streaming form of
+    * [[graft.ops.Dedup.simhashPairs]] over
+    * [[graft.ops.Dedup.simhashPortable]] fingerprints): per
+    * micro-batch, fingerprint the new docs, pigeonhole-key them, join
+    * the persisted chunk-key index on (chunk, key) — candidates are
+    * new×new and new×old, never old×old — and verify candidates at
+    * Hamming ≤ `maxDist` against the fingerprint store. State is ONE
+    * long per doc plus four chunk keys — the cheapest per-doc dedup
+    * state in the module (vs 64 longs for MinHash signatures).
+    *
+    * The pigeonhole partition is the FIXED contiguous 4×16 layout, not
+    * [[graft.ops.Dedup.balancedBitBlocks]]: balanced blocks are a
+    * corpus statistic, and an incremental store's key layout must be
+    * frozen at store creation or history keys stop matching new ones.
+    * (A rebalancing compaction could migrate the layout offline; the
+    * `_PARTS` family marker is where such a version bump would land.)
+    *
+    * Store layout, pruning, replay idempotence, and compaction follow
+    * [[step]] exactly: `chunks/batch=<tag>/pc=<k>` (k = hash(chunk,
+    * key) mod storeParts) and `fps/batch=<tag>/ps=<id mod
+    * storeParts>`; a tick reads only the store partitions its own
+    * keys hash into, and fingerprint reads prune to candidate ids. */
+  def simhashStep(
+      batch: DataFrame, storeDir: String,
+      maxDist: Int = 3, storeParts: Int = 64,
+      batchTag: String = java.util.UUID.randomUUID().toString): DataFrame = {
+    val spark = batch.sparkSession
+    ensureStoreMeta(spark, storeDir, storeParts, family = SimhashKeyFamily)
+    val parts = lit(storeParts.toLong)
+    val fps = Dedup.simhashPortable(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newKeys = Dedup.simhashChunkKeys(fps)
+      .withColumn("pc", pmod(xxhash64(col("chunk"), col("key")), parts).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val batchPc = newKeys.select("pc").distinct().collect().map(_.getInt(0)).toSet
+    val oldKeys = readStore(
+      spark, s"$storeDir/chunks", chunkKeySchema, batchTag, "pc", batchPc)
+    // exact-key prefilter on the history side, same argument as step's:
+    // partition pruning is coarse; only history rows sharing an exact
+    // (chunk, key) can pair with the batch
+    val batchCk = newKeys.select("chunk", "key").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldPruned =
+      if (batchCk.count() <= 1000000)
+        oldKeys.join(broadcast(batchCk), Seq("chunk", "key"), "left_semi")
+      else oldKeys
+
+    val all = newKeys.select("id", "chunk", "key").unionByName(oldPruned)
+    val cand = newKeys.select(col("chunk"), col("key"), col("id").as("nid"))
+      .join(all.select(col("chunk"), col("key"), col("id").as("oid")),
+        Seq("chunk", "key"))
+      .filter(col("nid") =!= col("oid"))
+      .select(least(col("nid"), col("oid")).as("id1"),
+        greatest(col("nid"), col("oid")).as("id2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val candPs = cand.select(explode(array(
+        pmod(col("id1"), parts).cast("int"),
+        pmod(col("id2"), parts).cast("int"))).as("ps"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val oldFps = readStore(
+      spark, s"$storeDir/fps", fpSchema, batchTag, "ps", candPs)
+    // new-wins on replay-behind-compaction, same as step's signatures
+    val allFps = fps.unionByName(
+      oldFps.join(fps.select("id"), Seq("id"), "left_anti"))
+    val pairs = cand
+      .join(allFps.toDF("id1", "fp1"), "id1")
+      .join(allFps.toDF("id2", "fp2"), "id2")
+      .select(col("id1"), col("id2"),
+        Dedup.hammingDist(col("fp1"), col("fp2")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+
+    val out = pairs.cache()
+    out.count()
+    newKeys.write.partitionBy("pc")
+      .mode("overwrite").parquet(s"$storeDir/chunks/batch=$batchTag")
+    fps.withColumn("ps", pmod(col("id"), parts).cast("int"))
+      .write.partitionBy("ps")
+      .mode("overwrite").parquet(s"$storeDir/fps/batch=$batchTag")
+    publishCommit(spark,
+      new org.apache.hadoop.fs.Path(s"$storeDir/chunks"), s"batch=$batchTag")
+    publishCommit(spark,
+      new org.apache.hadoop.fs.Path(s"$storeDir/fps"), s"batch=$batchTag")
+    newKeys.unpersist()
+    batchCk.unpersist()
+    fps.unpersist()
     cand.unpersist()
     out
   }

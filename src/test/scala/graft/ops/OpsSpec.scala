@@ -697,6 +697,26 @@ class OpsSpec extends SparkSpec {
     assert(blocks.size == 4)
   }
 
+  test("windowChunks: hand-computed geometry, overlap, short tail") {
+    // 10 words, window 4, stride 3 -> starts 0,3,6,9
+    val tiny = Seq((1L, (0 until 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Cdc.windowChunks(tiny, windowWords = 4, strideWords = 3)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    // md5 of a full window equals md5 of the joined words
+    val h = Cdc.windowChunks(tiny, 4, 3).filter(col("chunk_id") === 1)
+      .select("chunk_md5").collect()(0).getString(0)
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("w3 w4 w5 w6".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h == exp)
+    // every word position is covered by at least one chunk
+    val cover = Cdc.windowChunks(tiny, 4, 3).collect()
+      .flatMap(r => r.getLong(2) until (r.getLong(2) + r.getLong(3))).toSet
+    assert(cover == (0L until 10L).toSet)
+  }
+
   test("trigramCounts: hand-computed counts and context totals") {
     val tiny = Seq((1L, "a b a b a"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
     val got = TextAnalysis.trigramCounts(tiny)

@@ -87,6 +87,55 @@ class DedupStreamSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental simhash: cross-batch detection, no old×old re-pairing, replay idempotent, batch-equivalent on the union") {
+    val store = java.nio.file.Files.createTempDirectory("dsim").toString
+    // 200-word base: simhash votes are sums over ~199 ±1 feature bits,
+    // so a one-feature edit moves few bits (measured: drop-last → Hamming
+    // 1, append-one → 2; their pair ≤ 3 by the Hamming triangle
+    // inequality) — small docs flip too many near-zero votes for a
+    // stable ≤3 fixture
+    val base200 = (0 until 200).map(i => s"w${i}x")
+    val b1 = Seq(
+      doc(1L, base200),
+      doc(2L, (1000 until 1200).map(i => s"z$i"))).toDF("doc_id", "text")
+    val b2 = Seq(
+      doc(3L, base200.dropRight(1)),
+      doc(4L, (2000 until 2200).map(i => s"y$i"))).toDF("doc_id", "text")
+
+    val p1 = DedupStream.simhashStep(b1, store)
+    assert(p1.count() == 0, "unrelated batch-1 docs must not pair")
+    p1.unpersist()
+    val p2 = DedupStream.simhashStep(b2, store, batchTag = "b2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((1L, 3L)), s"got ${p2.mkString(",")}")
+
+    // replay of batch 2: same pairs, store commit overwritten not grown
+    val fpsBefore = spark.read.parquet(s"$store/fps/batch=b2").count()
+    val replay = DedupStream.simhashStep(b2, store, batchTag = "b2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == p2, "replayed batch must emit the same pairs")
+    assert(spark.read.parquet(s"$store/fps/batch=b2").count() == fpsBefore)
+
+    // batch 3 pairs with history but old×old never re-emits
+    val b3 = Seq(doc(5L, base200 :+ "extra")).toDF("doc_id", "text")
+    val p3 = DedupStream.simhashStep(b3, store, batchTag = "b3").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3 == Set((1L, 5L), (3L, 5L)), s"got ${p3.mkString(",")}")
+
+    // incremental union = one-shot batch sweep over all docs
+    val all = b1.unionByName(b2).unionByName(b3)
+    val batchPairs = Dedup.simhashPairs(Dedup.simhashPortable(all), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((p2 ++ p3) == batchPairs,
+      s"incremental ${(p2 ++ p3).mkString(",")} != batch ${batchPairs.mkString(",")}")
+
+    // a minhash store cannot be read as a simhash store (family marker)
+    val mstore = java.nio.file.Files.createTempDirectory("dsim2").toString
+    DedupStream.step(b1, mstore).unpersist()
+    val ex = intercept[IllegalArgumentException](DedupStream.simhashStep(b2, mstore))
+    assert(ex.getMessage.contains("parts/family"))
+  }
+
   test("incremental span dedup: arrival order wins, replay idempotent, batch-equivalent on one batch") {
     val store = java.nio.file.Files.createTempDirectory("sstore").toString
     val b1 = Seq(
