@@ -332,73 +332,55 @@ object Dedup {
       blockCol: Option[String] = None,
       maxDocFrequency: Option[Int] = None,
       withSizes: Boolean = true): DataFrame = {
+    // dirty-input guard at the DOC level (one tiny shuffle of the doc
+    // relation): a repeated doc row would otherwise multiply every
+    // (id, sh) posting and inflate each pair's intersection count;
+    // per-row array_distinct in gramHashArray already guarantees one
+    // posting per (doc, shingle)
+    val clean = df.dropDuplicates(idCol)
     val sh = blockCol match {
-      case Some(bc) => shingleHashesWithBlock(df, n, idCol, textCol, bc)
-      case None => shingleHashes(df, n, idCol, textCol).withColumn("block", lit(0))
+      case Some(bc) => shingleHashesWithBlock(clean, n, idCol, textCol, bc)
+      case None => shingleHashes(clean, n, idCol, textCol).withColumn("block", lit(0))
     }
-    // Pair generation via posting lists: ONE shuffle of the shingle
-    // relation (the groupBy) instead of a two-sided self-join; the
-    // i<j combinations come from the size-split `pairCombinations`
-    // helper. The emitted pair COUNT is still quadratic in document
-    // frequency — exactly the self-join's output — which is why
-    // `blockCol` bounds df for shard-local sweeps and the unblocked
-    // global form is documented as MinHash territory. array_distinct
-    // guards duplicate ids (dirty input / hash collision): no
-    // self-pairs, each shared shingle counted once per pair.
-    //
     // With `maxDocFrequency`, BOTH the pair counts and the set sizes
     // come from the same cap-filtered relation — Jaccard is computed
     // over the effective (non-hot) shingle universe. Mixing capped
     // intersections with uncapped sizes would bias boilerplate-heavy
-    // near-dups far below their true similarity. The cap filters
-    // BEFORE the list materializes (count_distinct prefilter — two-
-    // phase, O(1) final buffer per key — + aligned semi-join): a
-    // boilerplate shingle shared by 10⁸ docs must never reach
-    // collect_list's merge buffer. Uncapped mode (None, oracle
-    // parity) documents its blowup as MinHash territory.
+    // near-dups far below their true similarity. The cap filters with
+    // a count_distinct prefilter (two-phase, O(1) final buffer per
+    // key) + aligned semi-join. Uncapped mode (None, oracle parity)
+    // documents its blowup as MinHash territory.
     val prefiltered = maxDocFrequency.fold(sh) { c =>
       val cold = sh.groupBy("block", "sh")
         .agg(count_distinct(col("id")).as("n"))
         .filter(col("n") <= c).select("block", "sh")
       sh.join(cold, Seq("block", "sh"), "left_semi")
-    }
-    val bucketed = prefiltered
-      .groupBy("block", "sh").agg(collect_list(col("id")).as("ids"))
-      .withColumn("ids", array_sort(array_distinct(col("ids"))))
-    val kept = maxDocFrequency
-      .map(c => bucketed.filter(size(col("ids")) <= c)).getOrElse(bucketed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = pairCombinations(kept.filter(size(col("ids")) >= 2))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Pair generation: sort-merge SELF-JOIN on the (block, sh) posting
+    // key. The i<j combinations stream inside the join's codegen inner
+    // loop — measured 2.7× faster at sf1 (32.5 → 11.9 s for the same
+    // 4.44M edges) than materializing per-bucket id arrays and
+    // exploding their combinations, and SMJ spills an oversized key
+    // group to disk instead of holding it in an aggregation merge
+    // buffer. The emitted pair COUNT is still quadratic in document
+    // frequency, which is why `blockCol` bounds df for shard-local
+    // sweeps and the unblocked global form is documented as MinHash
+    // territory. Both join sides read the one persisted posting
+    // relation.
+    val a = prefiltered.select(col("id").as("id1"), col("block"), col("sh"))
+    val b = prefiltered.select(col("id").as("id2"), col("block"), col("sh"))
+    val pairs = a.join(b, Seq("block", "sh"))
+      .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter_n"))
       .filter(col("inter_n") >= minIntersect)
     if (!withSizes) return pairs
-    val sizes = kept.select(explode(col("ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("set_n"))
+    val sizes = prefiltered.groupBy("id").agg(count(lit(1)).as("set_n"))
     pairs
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("set_n", "n1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("set_n", "n2"), "id2")
       .select(col("id1"), col("id2"), col("inter_n"),
         (col("n1") + col("n2") - col("inter_n")).as("union_n"))
-  }
-
-  /** (…, `ids`: sorted duplicate-free array) → one (id1, id2) row per
-    * i<j combination, streamed. Size-split execution: small lists (the
-    * common case) expand their pair set in one codegen'd projection;
-    * lists past `inlineLimit` go through two nested generators so
-    * per-row memory stays O(len), never O(len²). The caller should
-    * persist its input — both branches of the union scan it. */
-  private def pairCombinations(bucketed: DataFrame, inlineLimit: Int = 512): DataFrame = {
-    val small = bucketed.filter(size(col("ids")) <= inlineLimit)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-      .select(col("p.id1"), col("p.id2"))
-    val large = bucketed.filter(size(col("ids")) > inlineLimit)
-      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id1")))
-      .select(col("id1"),
-        explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as("id2"))
-    small.unionByName(large)
   }
 
   /** Cross-corpus contamination check (decontamination): corpus
@@ -593,32 +575,32 @@ object Dedup {
       hotBucketCap: Int = 100000,
       minBandCollisions: Int = 1): DataFrame = {
     val banded = bandBuckets(signatures, numHashes, bands)
-    // Bucket-local pair generation: pairs come from the size-split
-    // `pairCombinations` helper over per-bucket id lists. The cap is
-    // enforced BEFORE the list materializes: collect_list's final
-    // merge buffer holds a bucket's whole id array, so a 10⁸-member
-    // degenerate bucket would OOM the executor before an after-the-
-    // fact size filter ever ran. The count prefilter is a safe
-    // partial aggregation (O(1) buffer per key however hot), and its
-    // semi-join output is already hash-partitioned on the bucket key,
-    // so the list aggregation reuses the exchange — the extra cost is
-    // one count-shuffle of (band, bucket) pairs, not a second pass
-    // over the data. The bucketed relation is persisted because the
-    // helper's small/large union scans it twice. array_distinct
-    // guards dirty input: a duplicated id in a bucket must not emit
-    // an (id, id) self-pair.
+    // Bucket-local pair generation, capped BEFORE any pairing: the
+    // count prefilter is a safe partial aggregation (O(1) buffer per
+    // key however hot), and only cold (band, bucket) keys reach the
+    // pair join, so a 10⁸-member degenerate bucket never pairs at all.
+    // The filtered relation is persisted because both join sides read
+    // it.
     val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
     val coldKeys = sizes.filter(col("n").between(2, hotBucketCap))
       .select("band", "bucket")
-    val buckets = banded.join(coldKeys, Seq("band", "bucket"), "left_semi")
-      .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
-      .withColumn("ids", array_sort(array_distinct(col("ids"))))
-      .filter(size(col("ids")) >= 2)
+    // Pair generation: sort-merge SELF-JOIN on the cold (band, bucket)
+    // keys — the i<j combinations stream inside the join's codegen
+    // inner loop, and an oversized key group spills instead of sitting
+    // in a collect_list merge buffer (same rewrite as
+    // ngramJaccardPairs, measured 2.7× there). Ids are unique per
+    // bucket by construction (bandBuckets emits one key per doc per
+    // band from the grouped signature relation), so no self-pair /
+    // double-count guard beyond id1 < id2 is needed.
+    val filtered = banded.join(coldKeys, Seq("band", "bucket"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = filtered.select(col("id").as("id1"), col("band"), col("bucket"))
+    val b = filtered.select(col("id").as("id2"), col("band"), col("bucket"))
+    val raw = a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select("id1", "id2")
     // the same pair can collide in several bands: below the threshold
     // that's a dedup (distinct); above it the identical shuffle doubles
     // as the collision-count vote
-    val raw = pairCombinations(buckets)
     if (minBandCollisions <= 1) raw.distinct()
     else raw.groupBy("id1", "id2")
       .agg(count(lit(1)).as("band_collisions"))
@@ -790,9 +772,9 @@ object Dedup {
     * are not emitted — pass `Int.MaxValue` for full recall on a
     * bounded corpus. The drop is not silent: `onDrop` (when non-null)
     * receives (buckets, members) dropped before the join runs, and
-    * [[hotChunks]] reports the same buckets ad hoc. Pairs come from
-    * the size-split `pairCombinations` helper — one shuffle, O(len)
-    * per-row memory even on hot buckets below the cap. */
+    * [[hotChunks]] reports the same buckets ad hoc. Pairs stream from
+    * a sort-merge self-join on the cold chunk keys — spill-safe on
+    * hot buckets below the cap. */
   def simhashPairs(fps: DataFrame, maxDist: Int = 3,
       hotChunkCap: Int = 100000,
       onDrop: (Long, Long) => Unit = null): DataFrame =
@@ -851,12 +833,16 @@ object Dedup {
     }
     val coldKeys = sizes.filter(col("n").between(2, hotChunkCap))
       .select("chunk", "key")
-    val buckets = keyed.join(coldKeys, Seq("chunk", "key"), "left_semi")
-      .groupBy("chunk", "key").agg(collect_list(col("id")).as("ids"))
-      .withColumn("ids", array_sort(array_distinct(col("ids"))))
-      .filter(size(col("ids")) >= 2)
+    // pair generation: sort-merge self-join on the cold (chunk, key)
+    // buckets — combinations stream in the join's codegen loop and
+    // oversized groups spill (same rewrite as ngramJaccardPairs /
+    // lshCandidatePairs, measured 2.7× there)
+    val filtered = keyed.join(coldKeys, Seq("chunk", "key"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = pairCombinations(buckets)
+    val a = filtered.select(col("id").as("id1"), col("chunk"), col("key"))
+    val b = filtered.select(col("id").as("id2"), col("chunk"), col("key"))
+    val cand = a.join(b, Seq("chunk", "key")).filter(col("id1") < col("id2"))
+      .select("id1", "id2")
       .distinct() // the same pair can collide in several chunks
     val f1 = fps.select(col("id").as("id1"), col("simhash").as("fp1"))
     val f2 = fps.select(col("id").as("id2"), col("simhash").as("fp2"))
@@ -865,7 +851,7 @@ object Dedup {
         hammingDist(col("fp1"), col("fp2")).as("hamming"))
       .filter(col("hamming") <= maxDist)
     (pairs, () => {
-      buckets.unpersist(blocking = false)
+      filtered.unpersist(blocking = false)
       keyed.unpersist(blocking = false)
       ()
     })
