@@ -86,6 +86,9 @@ object SparkEntry {
     "q77_trigram_lm" -> (OpsQueries.q77TrigramLm _),
     "q78_kmeans_assign" -> (OpsQueries.q78KmeansAssign _),
     "q79_window_chunks" -> (OpsQueries.q79WindowChunks _),
+    "q80_emb_moments" -> (OpsQueries.q80EmbMoments _),
+    "q81_cluster_keeper" -> (OpsQueries.q81ClusterKeeper _),
+    "q82_gopher_rules" -> (OpsQueries.q82GopherRules _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -750,6 +753,57 @@ object SparkEntry {
         |  CAST(len(ws[s+1 : s+64]) AS BIGINT) AS n_words,
         |  md5(array_to_string(ws[s+1 : s+64], ' ')) AS chunk_md5
         |FROM st""".stripMargin,
+    // q80: the homogeneous-coordinate trick — xq ++ [1] makes the
+    // upper-triangle products carry second moments (i,j<64), first
+    // moments (j=64), and the row count (64,64) in one aggregation
+    "q80_emb_moments" ->
+      """WITH e AS (SELECT list_concat(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |    [CAST(1 AS BIGINT)]) AS xq FROM embeddings),
+        |ei AS (SELECT xq, unnest(range(0, 65)) AS i FROM e),
+        |eij AS (SELECT xq, i, unnest(range(i, 65)) AS j FROM ei)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(sum(xq[i + 1] * xq[j + 1]) AS BIGINT) AS s
+        |FROM eij GROUP BY 1, 2""".stripMargin,
+    // q81: q46's component closure + per-component argmax(n_chars,
+    // tie min doc_id) via the same key-arithmetic arg_min as q78
+    "q81_cluster_keeper" ->
+      s"""SELECT component,
+         |  CAST(arg_min(c.doc_id, (-d.n_chars) * 4294967296 + c.doc_id) AS BIGINT)
+         |    AS keeper_id,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         |FROM ($q46Sql) c JOIN documents d ON c.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin,
+    "q82_gopher_rules" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS BIGINT)
+        |      AS sum_word_len,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+        |  FROM w),
+        |wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n FROM
+        |  (SELECT doc_id, word, count(*) AS c FROM wx GROUP BY 1, 2) GROUP BY 1),
+        |stopn AS (SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS n_stop_distinct
+        |  FROM wx WHERE word IN ('the','a','of','and','to','in','is','that')
+        |  GROUP BY 1)
+        |SELECT m.doc_id, m.n_words, m.sum_word_len, m.n_distinct_words,
+        |  coalesce(top.top_word_n, 0) AS top_word_n,
+        |  coalesce(stopn.n_stop_distinct, 0) AS n_stop_distinct,
+        |  m.n_words BETWEEN 20 AND 100000 AS r_word_count,
+        |  (3 * m.n_words <= m.sum_word_len AND m.sum_word_len <= 10 * m.n_words)
+        |    AS r_mean_len,
+        |  coalesce(stopn.n_stop_distinct, 0) >= 2 AS r_stop,
+        |  5 * coalesce(top.top_word_n, 0) <= m.n_words AS r_rep,
+        |  (m.n_words BETWEEN 20 AND 100000
+        |    AND 3 * m.n_words <= m.sum_word_len AND m.sum_word_len <= 10 * m.n_words
+        |    AND coalesce(stopn.n_stop_distinct, 0) >= 2
+        |    AND 5 * coalesce(top.top_word_n, 0) <= m.n_words) AS kept
+        |FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+        |  LEFT JOIN stopn ON m.doc_id = stopn.doc_id""".stripMargin,
     "q51_lag_delta" ->
       """SELECT event_id, user_id,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

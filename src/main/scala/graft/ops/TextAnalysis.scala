@@ -117,28 +117,73 @@ object TextAnalysis {
     *     length = sum/n in the caller's precision).
     * The thresholding itself is left to the caller — cut-offs are
     * corpus policy, the signals are the operator. */
+  /** Top word frequency = longest equal run of the sorted array:
+    * O(n log n) per row, where the naive per-distinct-word rescan is
+    * O(distinct × n) — quadratic on exactly the long boilerplate
+    * documents repetition filtering exists to flag. */
+  private[ops] def topWordRun(words: Column): Column =
+    aggregate(
+      array_sort(words),
+      struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+      (acc, w) => {
+        val cur = when(w === acc.getField("prev"), acc.getField("cur") + 1L)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), cur.as("cur"),
+          greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  private[ops] def sumWordLen(words: Column): Column =
+    aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   def repetitionMetrics(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = split(col(textCol), " ")
     df.select(
       col(idCol),
       size(words).cast("long").as("n_words"),
       size(array_distinct(words)).cast("long").as("n_distinct_words"),
-      // top word frequency = longest equal run of the sorted array:
-      // O(n log n) per row, where the naive per-distinct-word rescan is
-      // O(distinct × n) — quadratic on exactly the long boilerplate
-      // documents this operator exists to flag
-      aggregate(
-        array_sort(words),
-        struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
-        (acc, w) => {
-          val cur = when(w === acc.getField("prev"), acc.getField("cur") + 1L)
-            .otherwise(lit(1L))
-          struct(w.as("prev"), cur.as("cur"),
-            greatest(acc.getField("best"), cur).as("best"))
-        },
-        acc => acc.getField("best")).as("top_word_n"),
-      aggregate(transform(words, w => length(w).cast("long")),
-        lit(0L), (acc, x) => acc + x).as("sum_word_len"))
+      topWordRun(words).as("top_word_n"),
+      sumWordLen(words).as("sum_word_len"))
+  }
+
+  /** Gopher-style rule filter (Rae et al. 2021, Appendix A1.1,
+    * restated as integer-exact predicates so every engine agrees
+    * bit-for-bit — no float ratios, thresholds cross-multiplied):
+    *   - `r_word_count`: minWords ≤ n_words ≤ maxWords
+    *   - `r_mean_len`:   mean word length in [3, 10] characters,
+    *                     i.e. 3·n_words ≤ Σ len(w) ≤ 10·n_words
+    *   - `r_stop`:       ≥ 2 distinct stopwords present
+    *   - `r_rep`:        most frequent word ≤ 20% of the document,
+    *                     i.e. 5·top_word_n ≤ n_words
+    * `kept` = all four. One map-side projection, no shuffle, no UDF —
+    * the rule bundle composes the [[repetitionMetrics]] column algebra
+    * with an `array_intersect` against the broadcast-literal stopword
+    * set. The standard first-stage corpus gate (cheap, rule-based)
+    * ahead of the LEARNED classifier ([[QualityClassifier]], q64). */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Long = 20, maxWords: Long = 100000,
+      stopwords: Seq[String] =
+        Seq("the", "a", "of", "and", "to", "in", "is", "that")): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val base = df.select(
+      col(idCol),
+      size(words).cast("long").as("n_words"),
+      sumWordLen(words).as("sum_word_len"),
+      size(array_distinct(words)).cast("long").as("n_distinct_words"),
+      topWordRun(words).as("top_word_n"),
+      size(array_intersect(array_distinct(words),
+        typedlit(stopwords))).cast("long").as("n_stop_distinct"))
+    base.select(col(idCol), col("n_words"), col("sum_word_len"),
+        col("n_distinct_words"), col("top_word_n"), col("n_stop_distinct"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_word_count"),
+        (lit(3L) * col("n_words") <= col("sum_word_len") &&
+          col("sum_word_len") <= lit(10L) * col("n_words")).as("r_mean_len"),
+        (col("n_stop_distinct") >= 2L).as("r_stop"),
+        (lit(5L) * col("top_word_n") <= col("n_words")).as("r_rep"))
+      .withColumn("kept",
+        col("r_word_count") && col("r_mean_len") && col("r_stop") && col("r_rep"))
   }
 
   // ------------------------------------------------------------ PII scrub

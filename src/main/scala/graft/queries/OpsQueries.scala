@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Bpe, Cdc, ConnectedComponents, Corpus, Dedup, KMeans, PageRank, QualityClassifier, RangeJoin, SimilaritySearch, TextAnalysis}
+import graft.ops.{AsOfJoin, Bpe, Cdc, ConnectedComponents, Corpus, Dedup, KMeans, PageRank, Pca, QualityClassifier, RangeJoin, SimilaritySearch, TextAnalysis}
 
 /** The training-data-pipeline operators (SURVEY extended surface) as
   * driver-checkable queries over the documents/embeddings tables. */
@@ -739,4 +739,40 @@ object OpsQueries {
   def q79WindowChunks(spark: SparkSession, dir: String): DataFrame =
     Cdc.windowChunks(docsPar(spark, dir), windowWords = 64, strideWords = 48)
       .withColumnRenamed("id", "doc_id")
+
+  /** PCA sufficient statistics over the embedding corpus
+    * ([[Pca.momentStats]]): integer-exact second/first moments + count
+    * in ONE pass via the homogeneous-coordinate trick. The corpus
+    * never shuffles — each scan task emits ≤ 2,145 partial rows. */
+  def q80EmbMoments(spark: SparkSession, dir: String): DataFrame =
+    Pca.momentStats(Queries.parallelFloor(table(spark, dir, "embeddings")))
+
+  /** Quality-aware near-dup cluster representative (the SemDeDup
+    * "keep best per cluster" semantics on the q46 component graph):
+    * per component, the keeper maximizes n_chars with doc_id as the
+    * deterministic tie-break — a struct-min aggregation, no window. */
+  def q81ClusterKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(spark, dir)
+    val edges = Dedup.ngramJaccardPairs(docs, n = 2, minIntersect = 8,
+      blockCol = Some("source"), withSizes = false)
+    val comp = ConnectedComponents.connectedComponents(edges, "id1", "id2")
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        col("n_chars"))
+      .groupBy("component")
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id")))
+          .as("_k"))
+      .select(col("component"), col("_k.id").as("keeper_id"),
+        col("n_members"), col("total_chars"))
+  }
+
+  /** Gopher-style rule gate ([[TextAnalysis.gopherRules]]): the cheap
+    * integer-exact first-stage corpus filter ahead of the learned
+    * classifier (q64) — per-doc stats, four rule booleans, `kept`. */
+  def q82GopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(table(spark, dir, "documents"))
 }
