@@ -108,7 +108,30 @@ object Recall {
       })
     spark.catalog.clearCache()
 
-    val body = recalls.map { case (n, r) => "\"" + n + "\":" + f"$r%.4f" }
+    // ---- PCA-reduced-space leg: fit k=16 on the corpus, project both
+    // sides, brute-force cosine in the 16-dim space (4× less distance
+    // arithmetic + broadcast bytes), recall vs the 64-dim truth — the
+    // recorded evidence for the dimensionality-reduction serving path.
+    val pcaModel = graft.ops.Pca.fit(emb, k = 32)
+    def pcaRecallAt(kDims: Int): Double = {
+      val m = graft.ops.Pca.Model(pcaModel.mean,
+        pcaModel.components.take(kDims), pcaModel.eigenvalues)
+      val projAll = graft.ops.Pca.project(emb, m)
+        .select(col("vec_id"),
+          transform(col("pc"), x => x.cast("float")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r = recallOf(
+        pairs(SS.bruteForceTopK(projAll.filter(col("vec_id") < 10), projAll, k = 5)),
+        truth)
+      projAll.unpersist()
+      spark.catalog.clearCache()
+      r
+    }
+    val pcaLegs = Seq("pca16_brute" -> pcaRecallAt(16),
+      "pca32_brute" -> pcaRecallAt(32))
+
+    val body = (recalls ++ pcaLegs)
+      .map { case (n, r) => "\"" + n + "\":" + f"$r%.4f" }
       .mkString("{", ",", "}")
     val loadedBody = roundTrips.map { case (n, _, got) =>
       "\"" + n + "\":" + f"${recallOf(got, truth)}%.4f" }
@@ -117,6 +140,10 @@ object Recall {
       "\"" + n + "\":" + (built == got) }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"sf":"$sfDir","truth_pairs":${truth.size},"recall":$body,"recall_loaded":$loadedBody,"loaded_identical":$identBody}""")
+    val ve = {
+      val tot = pcaModel.eigenvalues.sum
+      (k: Int) => if (tot == 0.0) 0.0 else pcaModel.eigenvalues.take(k).sum / tot
+    }
+    println(s"""{"sf":"$sfDir","truth_pairs":${truth.size},"recall":$body,"recall_loaded":$loadedBody,"loaded_identical":$identBody,"pca_var_explained":{"16":${f"${ve(16)}%.4f"},"32":${f"${ve(32)}%.4f"}}}""")
   }
 }

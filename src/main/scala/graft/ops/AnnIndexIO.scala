@@ -148,6 +148,31 @@ object AnnIndexIO {
     index.encoded.write.mode("overwrite").parquet(s"$path/encoded")
   }
 
+  // ------------------------------------------------------------- PCA
+
+  /** A fitted [[Pca.Model]] is the same kind of asset as an ANN
+    * index's model matrices: O(d²) numbers that outlive the fitting
+    * session — fit once on the cluster, save, project any later
+    * corpus without repeating the moment pass. Bit-exact round-trip
+    * through parquet DOUBLE columns (same rationale as the ANN
+    * codebooks: never JSON-text floats). */
+  def pcaSave(spark: SparkSession, model: Pca.Model, path: String): Unit = {
+    writeMeta(spark, path, "kind" -> "pca",
+      "k" -> model.k, "dim" -> model.dim)
+    saveMatrix(spark, path, "mean", Seq((0, model.mean.toSeq)))
+    saveMatrix(spark, path, "components",
+      model.components.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+    saveMatrix(spark, path, "eigenvalues", Seq((0, model.eigenvalues.toSeq)))
+  }
+
+  def pcaLoad(spark: SparkSession, path: String): Pca.Model = {
+    val m = readMeta(spark, path)
+    require(m.get("kind").asText == "pca", s"not a PCA model at $path")
+    Pca.Model(loadMatrix(spark, path, "mean").head,
+      loadMatrix(spark, path, "components"),
+      loadMatrix(spark, path, "eigenvalues").head)
+  }
+
   /** `corpus` supplies raw vectors for the exact re-rank stage. */
   def ivfPqLoad(spark: SparkSession, path: String, corpus: DataFrame): IvfPqIndex = {
     val m = readMeta(spark, path)

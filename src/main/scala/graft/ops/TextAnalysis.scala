@@ -75,8 +75,11 @@ object TextAnalysis {
       t => t.isNotNull)).as("t"))
       .select(col("t.w1"), col("t.w2"), col("t.w3"))
     val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
-    val c2 = c3.groupBy("w1", "w2").agg(sum(col("n3")).as("ctx_n"))
-    c3.join(c2, Seq("w1", "w2"))
+    // context totals as a window over the (already compact) trigram
+    // relation: one exchange on (w1, w2) + sort, where the agg-and-
+    // join-back alternative pays a second exchange of c3 plus the join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
+    c3.withColumn("ctx_n", sum(col("n3")).over(w))
       .select(col("w1"), col("w2"), col("w3"), col("n3"), col("ctx_n"))
   }
 

@@ -105,6 +105,27 @@ class PcaSpec extends SparkSpec {
     assert(m.components.flatMap(_.toSeq).sameElements(m2.components.flatMap(_.toSeq)))
   }
 
+  test("pcaSave/pcaLoad round-trips the model bit-exactly") {
+    val m = Pca.fit(planted, k = 3, dim = dim)
+    val path = java.nio.file.Files.createTempDirectory("pca-io").toString
+    AnnIndexIO.pcaSave(spark, m, path)
+    val l = AnnIndexIO.pcaLoad(spark, path)
+    assert(l.mean.sameElements(m.mean))
+    assert(l.eigenvalues.sameElements(m.eigenvalues))
+    assert(l.components.length == m.components.length)
+    for (c <- m.components.indices)
+      assert(l.components(c).sameElements(m.components(c)))
+    // a non-PCA dir fails loudly
+    val other = java.nio.file.Files.createTempDirectory("pca-io2").toString
+    AnnIndexIO.pcaSave(spark, m, other)
+    val metaPath = new org.apache.hadoop.fs.Path(other, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write("""{"kind":"lsh"}""".getBytes); out.close()
+    val ex = intercept[IllegalArgumentException](AnnIndexIO.pcaLoad(spark, other))
+    assert(ex.getMessage.contains("not a PCA model"))
+  }
+
   test("full-rank projection is an isometry of the centered cloud") {
     val m = Pca.fit(planted, k = dim, dim = dim)
     val rows = Pca.project(planted, m)
