@@ -89,6 +89,7 @@ object SparkEntry {
     "q80_emb_moments" -> (OpsQueries.q80EmbMoments _),
     "q81_cluster_keeper" -> (OpsQueries.q81ClusterKeeper _),
     "q82_gopher_rules" -> (OpsQueries.q82GopherRules _),
+    "q83_pca_project" -> (OpsQueries.q83PcaProject _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -775,6 +776,19 @@ object SparkEntry {
          |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
          |FROM ($q46Sql) c JOIN documents d ON c.doc_id = d.doc_id
          |GROUP BY 1""".stripMargin,
+    // q83: the rotation is fixture-pinned (DumpPcaFixture — fitExact
+    // is bit-deterministic, so the runtime fit reproduces it exactly);
+    // the projection algebra (center, multiply, sequential sum over i)
+    // is re-derived here in list arithmetic
+    "q83_pca_project" ->
+      """WITH fx AS (SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/fixtures/pca_components.parquet')),
+        |mn AS (SELECT ws FROM fx WHERE c = -1),
+        |comp AS (SELECT c, ws FROM fx WHERE c >= 0)
+        |SELECT e.vec_id, CAST(comp.c AS BIGINT) AS component,
+        |  ROUND(list_sum(list_transform(range(1, 65),
+        |    i -> (CAST(e.embedding[i] AS DOUBLE) - mn.ws[i]) * comp.ws[i])), 6) AS y
+        |FROM embeddings e, mn, comp""".stripMargin,
     "q82_gopher_rules" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws

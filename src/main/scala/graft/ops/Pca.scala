@@ -76,10 +76,12 @@ object Pca {
   /** Covariance-method fit: one double-precision moment pass (same
     * single-aggregation shape as [[momentStats]], homogeneous trick
     * included), then a driver-side Jacobi eigensolve of the d×d
-    * covariance. Deterministic: no sampling, fixed sweep order. */
+    * covariance. Deterministic up to float-sum merge order (the
+    * distributed double sum's combine order can vary with scheduling
+    * at the last-ulp level — harmless for model quality; use
+    * [[fitExact]] when bit-reproducibility across runs matters). */
   def fit(emb: DataFrame, k: Int, vecCol: String = "embedding",
       dim: Int = 64): Model = {
-    require(k >= 1 && k <= dim, s"k=$k out of range 1..$dim")
     val d1 = dim + 1
     val base = emb.select(concat(
       transform(col(vecCol), x => x.cast("double")), array(lit(1.0))).as("x"))
@@ -95,6 +97,43 @@ object Pca {
       val i = r.getInt(0); val j = r.getInt(1); val s = r.getDouble(2)
       sums(i)(j) = s; sums(j)(i) = s
     }
+    fitFromSums(sums, k, dim)
+  }
+
+  /** BIT-deterministic fit: the moment pass is [[momentStats]]'s
+    * integer aggregation on the round(x·scale) grid, so the covariance
+    * fed to the eigensolve is derived from EXACT integers by a fixed
+    * formula — the fitted model is byte-identical across runs,
+    * schedulers, and partitionings (the double path's sum-merge order
+    * is not). The grid costs ~1/scale quantization noise on the input,
+    * irrelevant beside sampling noise for any real corpus.
+    *
+    * Overflow bound: n · (scale · max|x|)² must stay below 2⁶³ —
+    * 9·10¹⁸ gives ~10¹² rows of unit-norm-ish vectors at scale=1000.
+    * Past that, lower `scale` (the product shrinks quadratically) or
+    * accept the double path. */
+  def fitExact(emb: DataFrame, k: Int, vecCol: String = "embedding",
+      dim: Int = 64, scale: Int = 1000): Model = {
+    val d1 = dim + 1
+    val rows = momentStats(emb, vecCol, dim).collect()
+    val s2 = scale.toDouble * scale
+    val sums = Array.ofDim[Double](d1, d1)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      // de-quantize: raw products carry scale² (both factors), first
+      // moments carry scale (the homogeneous 1 is unscaled), n carries 1
+      val v =
+        if (i == dim && j == dim) r.getLong(2).toDouble
+        else if (j == dim) r.getLong(2) / scale.toDouble
+        else r.getLong(2) / s2
+      sums(i)(j) = v; sums(j)(i) = v
+    }
+    fitFromSums(sums, k, dim)
+  }
+
+  private def fitFromSums(
+      sums: Array[Array[Double]], k: Int, dim: Int): Model = {
+    require(k >= 1 && k <= dim, s"k=$k out of range 1..$dim")
     val n = sums(dim)(dim)
     require(n > 0, "PCA fit on an empty relation")
     val mean = Array.tabulate(dim)(i => sums(i)(dim) / n)

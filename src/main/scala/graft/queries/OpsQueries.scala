@@ -775,4 +775,20 @@ object OpsQueries {
     * classifier (q64) — per-doc stats, four rule booleans, `kept`. */
   def q82GopherRules(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherRules(table(spark, dir, "documents"))
+
+  /** PCA projection of the embedding corpus onto the top-8 components
+    * ([[Pca.fitExact]] + [[Pca.project]]): the fit is bit-deterministic
+    * (integer moment pass), the projection a broadcast-literal map-side
+    * product — oracle-gated against the dumped rotation fixture
+    * (DumpPcaFixture), same trust split as q64: the eigensolve is not
+    * SQL-expressible but deterministic; the PROJECTION algebra is
+    * re-derived independently in the oracle. */
+  def q83PcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val m = Pca.fitExact(emb, k = 8)
+    Pca.project(emb, m)
+      .select(col("vec_id"), posexplode(col("pc")).as(Seq("component", "y")))
+      .select(col("vec_id"), col("component").cast("long").as("component"),
+        round(col("y"), 6).as("y"))
+  }
 }

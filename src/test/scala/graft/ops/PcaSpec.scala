@@ -105,6 +105,19 @@ class PcaSpec extends SparkSpec {
     assert(m.components.flatMap(_.toSeq).sameElements(m2.components.flatMap(_.toSeq)))
   }
 
+  test("fitExact is bit-identical across partitionings (integer moment pass)") {
+    val a = Pca.fitExact(planted, k = 4, dim = dim)
+    val b = Pca.fitExact(planted.repartition(7), k = 4, dim = dim)
+    assert(a.mean.sameElements(b.mean))
+    assert(a.eigenvalues.sameElements(b.eigenvalues))
+    for (c <- a.components.indices)
+      assert(a.components(c).sameElements(b.components(c)))
+    // and it agrees with the double-path fit up to the 1/scale grid
+    val d = Pca.fit(planted, k = 4, dim = dim)
+    val cos = a.components(0).zip(d.components(0)).map { case (x, y) => x * y }.sum
+    assert(math.abs(cos) > 0.9999, s"grid fit diverged from double fit: cos=$cos")
+  }
+
   test("pcaSave/pcaLoad round-trips the model bit-exactly") {
     val m = Pca.fit(planted, k = 3, dim = dim)
     val path = java.nio.file.Files.createTempDirectory("pca-io").toString

@@ -117,10 +117,13 @@ class PlanGuardSpec extends SparkSpec {
       s"assignment should shuffle once (the k-key aggregate), got ${exchanges.size}")
   }
 
-  test("q77: trigram LM never nested-loops; no KEYED shuffle carries raw text") {
+  test("q77: trigram LM is join-free; no KEYED shuffle carries raw text") {
     val p = planOf(OpsQueries.q77TrigramLm(spark, dir))
-    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
-      "the c3/c2 join must be a hash/merge join on (w1, w2)")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty,
+      "context totals are a window over c3 — a join here means the " +
+        "aggregate-and-join-back shape regressed")
     collectAll(p) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.foreach { e =>
@@ -132,5 +135,42 @@ class PlanGuardSpec extends SparkSpec {
       assert(roundRobin || !e.child.schema.fieldNames.contains("text"),
         s"a keyed exchange carries raw text: ${e.child.schema.fieldNames.mkString(",")}")
     }
+  }
+
+  test("q80: the PCA moment pass never joins and never shuffles the corpus") {
+    val p = planOf(OpsQueries.q80EmbMoments(spark, dir))
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "momentStats is a single aggregation — no joins")
+    collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      val roundRobin = e.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
+      // the only keyed exchange is the tiny (i, j)-keyed partial-agg
+      // output; an exchange still carrying the vector column means the
+      // partial aggregation stopped happening map-side
+      assert(roundRobin || !e.child.schema.fieldNames.exists(
+          n => n == "embedding" || n == "xq"),
+        s"a keyed exchange carries the embedding column: " +
+          e.child.schema.fieldNames.mkString(","))
+    }
+    val keyed = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+    }
+    assert(keyed.size <= 1,
+      s"one (i,j)-keyed aggregate exchange expected, got ${keyed.size}")
+  }
+
+  test("q82: the Gopher rule gate is one scan + projection — zero exchanges, zero joins") {
+    val p = planOf(OpsQueries.q82GopherRules(spark, dir))
+    assert(collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "per-doc rule algebra must not shuffle")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "the stopword set is a broadcast literal, never a join")
   }
 }
