@@ -447,6 +447,69 @@ object DedupStream {
     * even at matching partition counts. */
   private val SimhashKeyFamily = 3
 
+  /** Marker for the whole-document md5 content-hash family. */
+  private val ExactKeyFamily = 4
+
+  private val exactHashSchema: StructType = StructType(Seq(
+    StructField("h", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("keeper", LongType, nullable = false)))
+
+  /** Incremental WHOLE-DOCUMENT exact dedup (the streaming form of
+    * [[graft.ops.Dedup.exactDedup]], and the most common production
+    * dedup-on-ingest): per micro-batch, each document's md5 content
+    * hash checks against the accumulated first-occurrence store; emits
+    * one row per DUPLICATE batch document — (id, keeper_id), keeper =
+    * the store's first claimant, or the batch's min id for content
+    * first seen in this batch. Newly-claimed hashes fold into the
+    * store. The cheapest state per distinct CONTENT in the module: one
+    * (h, keeper) row, nothing per duplicate.
+    *
+    * Same arrival-order semantics shift vs the batch operator as
+    * [[spanStep]] (first batch wins; min id within a batch — a late
+    * re-crawl dedups against the existing corpus), the same
+    * `hashes/batch=<tag>/ph=<k>` pruned-read store layout, the same
+    * batch-tag overwrite commits (idempotent under foreachBatch
+    * replay), and its own key-family marker so a span or simhash
+    * store can never be misread as a content-hash store. */
+  def exactStep(
+      batch: DataFrame, storeDir: String,
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      storeParts: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    ensureStoreMeta(spark, storeDir, storeParts, family = ExactKeyFamily)
+    val parts = lit(storeParts.toLong)
+    val hs = batch.select(col("doc_id").as("id"), md5(col("text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchPh = hs
+      .select(pmod(xxhash64(col("h")), parts).cast("int").as("ph"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // history drops rows THIS batch's docs claimed (replay-behind-
+    // compaction new-wins, same rule and comment as spanStep)
+    val old = readStore(
+        spark, s"$storeDir/hashes", exactHashSchema, batchTag, "ph", batchPh)
+      .join(hs.select(col("id").as("keeper")).distinct(), Seq("keeper"), "left_anti")
+    val withOld = hs.groupBy("h").agg(min(col("id")).as("bkeeper"))
+      .join(old.withColumnRenamed("keeper", "okeeper"), Seq("h"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = withOld.select(col("h"),
+      coalesce(col("okeeper"), col("bkeeper")).as("keeper"))
+    val out = hs.join(keepers, Seq("h"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"), col("keeper").as("keeper_id"))
+      .cache()
+    out.count()
+    withOld.filter(col("okeeper").isNull)
+      .select(col("h"), col("bkeeper").as("keeper"))
+      .withColumn("ph", pmod(xxhash64(col("h")), parts).cast("int"))
+      .write.partitionBy("ph")
+      .mode("overwrite").parquet(s"$storeDir/hashes/batch=$batchTag")
+    publishCommit(spark,
+      new org.apache.hadoop.fs.Path(s"$storeDir/hashes"), s"batch=$batchTag")
+    hs.unpersist()
+    withOld.unpersist()
+    out
+  }
+
   /** Incremental SimHash near-dup (streaming form of
     * [[graft.ops.Dedup.simhashPairs]] over
     * [[graft.ops.Dedup.simhashPortable]] fingerprints): per

@@ -161,6 +161,16 @@ object PipelineDemo {
     println(s"DEDUP_STREAM pairs=${crossPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toList}")
     crossPairs.unpersist()
 
+    // incremental whole-doc exact dedup: batch-2 doc 12 repeats batch-1
+    // doc 1's content verbatim → (12, keeper 1)
+    val exactStore = java.nio.file.Files.createTempDirectory("demo-exact").toString
+    graft.streaming.DedupStream.exactStep(dd1, exactStore, batchTag = "0").unpersist()
+    val exDup = graft.streaming.DedupStream.exactStep(
+      Seq((12L, words.mkString(" "))).toDF("doc_id", "text"),
+      exactStore, batchTag = "1")
+    println(s"EXACT_STREAM dups=${exDup.collect().map(r => (r.getLong(0), r.getLong(1))).toList}")
+    exDup.unpersist()
+
     // --- watermarked stream-stream attribution join: one in-horizon
     // click matches, the no-impression click drops
     {

@@ -136,6 +136,49 @@ class DedupStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("parts/family"))
   }
 
+  test("incremental exact dedup: cross-batch keeper, within-batch min id, replay idempotent, no old×old, family guard") {
+    val store = java.nio.file.Files.createTempDirectory("estore").toString
+    val b1 = Seq(
+      doc(1L, base),
+      doc(2L, (100 until 140).map(i => s"z$i"))).toDF("doc_id", "text")
+    // 3 duplicates 1 (cross-batch); 5 and 4 duplicate each other
+    // (within-batch → min id 4 keeps); 6 is fresh
+    val b2 = Seq(
+      doc(3L, base),
+      doc(4L, (300 until 340).map(i => s"v$i")),
+      doc(5L, (300 until 340).map(i => s"v$i")),
+      doc(6L, (400 until 440).map(i => s"u$i"))).toDF("doc_id", "text")
+
+    val p1 = DedupStream.exactStep(b1, store)
+    assert(p1.count() == 0, "all batch-1 content is first-seen")
+    p1.unpersist()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = pairs(DedupStream.exactStep(b2, store, batchTag = "b2"))
+    assert(p2 == Set((3L, 1L), (5L, 4L)), s"got ${p2.mkString(",")}")
+
+    // replay: identical output, commit overwritten not grown
+    val before = spark.read.parquet(s"$store/hashes/batch=b2").count()
+    val replay = pairs(DedupStream.exactStep(b2, store, batchTag = "b2"))
+    assert(replay == p2, "replayed batch must emit the same keeper mapping")
+    assert(spark.read.parquet(s"$store/hashes/batch=b2").count() == before,
+      "replay must overwrite its own commit")
+    // store state: one row per DISTINCT content, none for duplicates
+    assert(spark.read.parquet(s"$store/hashes").count() == 4L)
+
+    // batch 3: duplicate of batch-2 content keeps batch-2's WINNER as
+    // keeper (arrival order, transitively stable); old×old never re-emits
+    val b3 = Seq(doc(7L, (300 until 340).map(i => s"v$i"))).toDF("doc_id", "text")
+    val p3 = pairs(DedupStream.exactStep(b3, store, batchTag = "b3"))
+    assert(p3 == Set((7L, 4L)), s"got ${p3.mkString(",")}")
+
+    // a minhash store cannot be read as an exact store (family marker)
+    val mstore = java.nio.file.Files.createTempDirectory("estore2").toString
+    DedupStream.step(b1, mstore).unpersist()
+    val ex = intercept[IllegalArgumentException](DedupStream.exactStep(b2, mstore))
+    assert(ex.getMessage.contains("parts/family"))
+  }
+
   test("incremental span dedup: arrival order wins, replay idempotent, batch-equivalent on one batch") {
     val store = java.nio.file.Files.createTempDirectory("sstore").toString
     val b1 = Seq(
