@@ -460,18 +460,46 @@ object Dedup {
     b.unpersist() // both consumers are eager; nothing downstream reads b
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    def suspectsOf(docs: DataFrame): DataFrame =
+      shingleHashes(docs, n, idCol, textCol)
+        .select(col("id"), col("sh"))
+        .filter(mightContain(col("sh")))
+        .groupBy("id").agg(count_distinct(col("sh")).as("n_suspect"))
+        .filter(col("n_suspect") >= minIntersect)
+        .select(col("id").as(idCol))
+    val nCorpus = corpus.select(col(idCol)).count()
+    // cheap density estimate FIRST: probe only a deterministic
+    // ~2000-doc hash sample. In the clearly-dense regime this skips
+    // the full probe pass entirely (the old flow paid a near-complete
+    // corpus scan just to learn the prefilter was pointless); in the
+    // sparse regime it costs ~1/25 of a probe. Sampling noise at the
+    // 0.5 boundary is ~±1% (n=2000), and a borderline miss is safe:
+    // the EXACT density gate below still runs behind it. Tiny corpora
+    // (≤ 2× the sample target) skip the estimate — the sample would
+    // BE the probe.
+    val sampleTarget = 2000L
+    if (nCorpus > 2 * sampleTarget) {
+      val mod = math.max(1L, nCorpus / sampleTarget)
+      val sample = corpus.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSample = sample.count()
+      val nSampleSuspects = suspectsOf(sample).count()
+      sample.unpersist(blocking = false)
+      if (nSample > 0 && nSampleSuspects > denseFallbackFraction * nSample) {
+        log.warn(s"contaminationPairsBloom: $nSampleSuspects of $nSample " +
+          s"SAMPLED corpus docs are bloom suspects (> " +
+          s"${denseFallbackFraction * 100}%) — dense-overlap regime, " +
+          "running the plain exact sweep without the full probe pass")
+        bc.destroy()
+        return contaminationPairs(corpus, benchmark, n, minIntersect, idCol, textCol)
+      }
+    }
     // suspect docs: ≥ minIntersect shingles that MIGHT be benchmark
     // shingles (bloom counts are an upper bound of the exact overlap).
     // Persisted: the density check below and the semi-join both read it.
-    val suspects = shingleHashes(corpus, n, idCol, textCol)
-      .select(col("id"), col("sh"))
-      .filter(mightContain(col("sh")))
-      .groupBy("id").agg(count_distinct(col("sh")).as("n_suspect"))
-      .filter(col("n_suspect") >= minIntersect)
-      .select(col("id").as(idCol))
+    val suspects = suspectsOf(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSuspects = suspects.count()
-    val nCorpus = corpus.select(col(idCol)).count()
     if (nCorpus > 0 && nSuspects > denseFallbackFraction * nCorpus) {
       log.warn(s"contaminationPairsBloom: $nSuspects of $nCorpus corpus docs " +
         s"are bloom suspects (> ${denseFallbackFraction * 100}%) — dense-overlap " +
