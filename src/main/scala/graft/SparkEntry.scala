@@ -90,6 +90,7 @@ object SparkEntry {
     "q81_cluster_keeper" -> (OpsQueries.q81ClusterKeeper _),
     "q82_gopher_rules" -> (OpsQueries.q82GopherRules _),
     "q83_pca_project" -> (OpsQueries.q83PcaProject _),
+    "q84_backoff_lm" -> (OpsQueries.q84BackoffLm _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -730,6 +731,42 @@ object SparkEntry {
         |c2 AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS ctx_n FROM c3 GROUP BY 1, 2)
         |SELECT c3.w1, c3.w2, c3.w3, n3, ctx_n
         |FROM c3 JOIN c2 USING (w1, w2) WHERE n3 >= 2""".stripMargin,
+    // q84: stupid-backoff restated — reference (src0) trigram/bigram/
+    // unigram counts, then per-doc trigram instances CASE through the
+    // backoff chain; ln + sum + ROUND 6 absorbs engine sum-order ulps
+    "q84_backoff_lm" ->
+      """WITH rw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0'),
+        |runi AS (SELECT w, CAST(count(*) AS BIGINT) AS n1
+        |  FROM (SELECT unnest(ws) AS w FROM rw) GROUP BY 1),
+        |rn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM (SELECT unnest(ws) AS w FROM rw)),
+        |rbig AS (SELECT ws[i] AS w2, ws[i+1] AS w3, CAST(count(*) AS BIGINT) AS n2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM rw) GROUP BY 1, 2),
+        |rtri AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3,
+        |    CAST(count(*) AS BIGINT) AS n3
+        |  FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM rw) GROUP BY 1, 2, 3),
+        |rctx AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS ctx_n FROM rtri GROUP BY 1, 2),
+        |dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |dtri AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM dw)),
+        |terms AS (SELECT d.doc_id,
+        |    CASE
+        |      WHEN t.n3 IS NOT NULL THEN ln(CAST(t.n3 AS DOUBLE) / c.ctx_n)
+        |      WHEN b.n2 IS NOT NULL THEN ln(CAST(0.4 AS DOUBLE) * CAST(b.n2 AS DOUBLE) / u2.n1)
+        |      WHEN u3.n1 IS NOT NULL THEN ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * CAST(u3.n1 AS DOUBLE) / rn.n)
+        |      ELSE ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) / rn.n)
+        |    END AS term
+        |  FROM dtri d
+        |  LEFT JOIN rtri t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
+        |  LEFT JOIN rctx c ON d.w1 = c.w1 AND d.w2 = c.w2
+        |  LEFT JOIN rbig b ON d.w2 = b.w2 AND d.w3 = b.w3
+        |  LEFT JOIN runi u2 ON d.w2 = u2.w
+        |  LEFT JOIN runi u3 ON d.w3 = u3.w
+        |  CROSS JOIN rn),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |    sum(term) AS score FROM terms GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_trigrams, 0) AS n_trigrams,
+        |  ROUND(COALESCE(per.score, 0.0), 6) AS score
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     // q78: integer-exact argmin — dist*8+cid linearizes the
     // (dist, cid) lexicographic tie-break for arg_min (cid < 8)
     "q78_kmeans_assign" ->

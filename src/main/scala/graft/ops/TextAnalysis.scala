@@ -83,6 +83,70 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("w3"), col("n3"), col("ctx_n"))
   }
 
+  /** Stupid-backoff trigram LM document scoring (Brants et al.,
+    * EMNLP '07 — the web-scale LM score that deliberately skips
+    * normalized smoothing): train counts on a trusted REFERENCE
+    * subset, score every document as Σ over its trigram instances of
+    *   ln(n3/ctx_n)                  trigram seen in the reference
+    *   ln(α · n2(w2,w3)/n1(w2))      else, bigram seen
+    *   ln(α² · n1(w3)/N)             else, word seen
+    *   ln(α² / N)                    else (OOV floor — a fixed,
+    *                                 documented choice; stupid backoff
+    *                                 leaves OOV to the consumer)
+    * with α = 0.4 (the paper's constant). The higher-order companion
+    * to [[unigramLogPerplexity]] (q67): a CCNet-style quality signal
+    * where burstiness and local word order matter.
+    *
+    * Scale shape: reference statistics are `trigramCounts` + two
+    * smaller aggregations (all keyed by words, partial-agg friendly);
+    * scoring is three left joins of the corpus trigram instances
+    * against those stats — each keyed on words, never on documents, so
+    * skew follows vocabulary (bounded) not corpus size. N is the one
+    * driver scalar (same contract as BM25's corpus constants). */
+  def stupidBackoffScores(
+      df: DataFrame, ref: DataFrame, alpha: Double = 0.4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    // per-doc trigram INSTANCES (multiplicity kept), same array-algebra
+    // explode as trigramCounts
+    val docTris = df.select(col(idCol), explode(filter(transform(words, (w, i) =>
+        when(i < size(words) - 2,
+          struct(w.as("w1"),
+            element_at(words, i + lit(2)).as("w2"),
+            element_at(words, i + lit(3)).as("w3")))),
+      t => t.isNotNull)).as("t"))
+      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
+    val tri3 = trigramCounts(ref, textCol)
+    val refWords = ref.select(explode(split(col(textCol), " ")).as("w"))
+    val bigr = ref.select(explode(filter(transform(words, (w, i) =>
+        when(i < size(words) - 1,
+          struct(w.as("w2"), element_at(words, i + lit(2)).as("w3")))),
+      t => t.isNotNull)).as("t"))
+      .select(col("t.w2"), col("t.w3"))
+      .groupBy("w2", "w3").agg(count(lit(1)).as("n2"))
+    val uni = refWords.groupBy("w").agg(count(lit(1)).as("n1"))
+    val bigN = refWords.count().toDouble
+    val scored = docTris
+      .join(tri3, Seq("w1", "w2", "w3"), "left")
+      .join(bigr, Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("n1").as("n1_w2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("n1").as("n1_w3")), Seq("w3"), "left")
+      .withColumn("term",
+        when(col("n3").isNotNull,
+          log(col("n3").cast("double") / col("ctx_n")))
+        .when(col("n2").isNotNull,
+          log(lit(alpha) * col("n2").cast("double") / col("n1_w2")))
+        .when(col("n1_w3").isNotNull,
+          log(lit(alpha * alpha) * col("n1_w3").cast("double") / lit(bigN)))
+        .otherwise(log(lit(alpha * alpha) / lit(bigN))))
+    val perDoc = scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("term")).as("score"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        round(coalesce(col("score"), lit(0.0)), 6).as("score"))
+  }
+
   /** Smoothed TF-IDF score per (doc, term): `tf × (ln((N+1)/(df+1))+1)`.
     * Library surface for ranking/weighting; floating-point, so spec-
     * gated rather than cross-engine hash-gated. */

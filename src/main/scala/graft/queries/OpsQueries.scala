@@ -791,4 +791,14 @@ object OpsQueries {
       .select(col("vec_id"), col("component").cast("long").as("component"),
         round(col("y"), 6).as("y"))
   }
+
+  /** Stupid-backoff trigram LM document scoring
+    * ([[TextAnalysis.stupidBackoffScores]]): counts trained on the
+    * src0 trusted-seed subset, every document scored with α=0.4
+    * backoff through bigram → unigram → OOV floor — the higher-order
+    * companion to q67's unigram perplexity. */
+  def q84BackoffLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(spark, dir)
+    TextAnalysis.stupidBackoffScores(docs, docs.filter(col("source") === "src0"))
+  }
 }
