@@ -160,6 +160,27 @@ object Multimodal {
     }
   }
 
+  /** Windowed PCM feature extraction for audio-kind assets
+    * ([[RiffCodecs.wavPcmWindows]]): one row per analysis window with
+    * integer-exact energy / peak / zero-crossing statistics — the
+    * classic VAD/energy front-end, computed straight off the `data`
+    * chunk bytes (no float sample materialization, no audio library).
+    * Non-PCM or undecodable assets contribute zero rows (dead-letter
+    * contract). Same scale shape as [[sampleFrames]]: the explode is
+    * row-wise inside mapPartitions, bytes never enter a shuffle key. */
+  def audioWindows(
+      assets: Dataset[MediaAsset], windowSamples: Int = 1024,
+      hop: Int = 1024)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { a =>
+        RiffCodecs.wavPcmWindows(a.bytes, windowSamples, hop).map(w =>
+          (a.asset_id, w.start, w.n, w.sumAbs, w.peak, w.zeroCross))
+      }
+    }.toDF("asset_id", "start_sample", "n_samples",
+      "sum_abs", "peak", "zero_crossings")
+  }
+
   /** Video metadata pass: AVI fills dims + frame-clock duration
     * ([[RiffCodecs.decodeAvi]]); MP4/ISO-BMFF fills duration + brand
     * ([[RiffCodecs.decodeMp4]]; its stbl frame index feeds

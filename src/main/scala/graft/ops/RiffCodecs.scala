@@ -286,6 +286,77 @@ object RiffCodecs {
     else Some(WavInfo(channels, rate, bits, dataLen * 1000L / byteRate))
   }
 
+  /** One analysis window of channel-0 PCM: integer-exact energy /
+    * peak / zero-crossing features — the classic VAD/energy front-end
+    * statistics, computed without ever materializing float samples. */
+  final case class WavWindow(
+      start: Long, n: Int, sumAbs: Long, peak: Int, zeroCross: Int)
+
+  /** Windowed PCM feature extraction from a WAV's `data` chunk
+    * (PCM format 1, 8- or 16-bit; channel 0 of interleaved frames).
+    * Returns per-window (start sample, count, Σ|s|, max|s|,
+    * zero crossings) — integer-exact, so the fixture gate is
+    * byte-for-byte. Undecodable/compressed input → empty (the
+    * dead-letter-never-throw contract shared by every codec here).
+    *
+    * Scale note: windows are bounded by the asset, and the caller
+    * explodes (asset × window) rows — same shape as the video frame
+    * demux; raw bytes never enter a shuffle key. */
+  def wavPcmWindows(
+      b: Array[Byte], windowSamples: Int = 1024,
+      hop: Int = 1024): Seq[WavWindow] = {
+    if (!isRiff(b, "WAVE") || windowSamples <= 0 || hop <= 0) return Nil
+    var channels = 0; var bits = 0; var fmt = -1
+    var dataOff = -1; var dataLen = 0
+    var o = 12
+    var ok = true
+    while (ok && o + 8 <= b.length) {
+      val id = fourcc(b, o)
+      val size = le32(b, o + 4).toLong & 0xffffffffL
+      if (o + 8L + size > b.length) ok = false
+      else {
+        val sz = size.toInt
+        if (id == "fmt " && sz >= 16) {
+          fmt = le16(b, o + 8)
+          channels = le16(b, o + 8 + 2)
+          bits = le16(b, o + 8 + 14)
+        } else if (id == "data") { dataOff = o + 8; dataLen = sz }
+        o += 8 + sz + (sz & 1)
+      }
+    }
+    if (fmt != 1 || channels <= 0 || dataOff < 0 ||
+      (bits != 8 && bits != 16)) return Nil
+    val bytesPerSample = bits / 8
+    val frame = bytesPerSample * channels
+    val nSamples = dataLen / frame
+    def sample(i: Int): Int = {
+      val p = dataOff + i * frame // channel 0 of frame i
+      if (bits == 16) (((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)).toShort.toInt
+      else (b(p) & 0xff) - 128 // 8-bit WAV is unsigned, midpoint 128
+    }
+    val out = Seq.newBuilder[WavWindow]
+    var s = 0
+    while (s < nSamples) {
+      val n = math.min(windowSamples, nSamples - s)
+      var sumAbs = 0L; var peak = 0; var zc = 0
+      var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val v = sample(s + i)
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > peak) peak = a
+        val neg = v < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
+      }
+      out += WavWindow(s.toLong, n, sumAbs, peak, zc)
+      s += hop
+    }
+    out.result()
+  }
+
   /** MKV/WebM metadata + video-frame demux from the EBML element tree:
     * frame slices are (offset, length) into the original bytes, in
     * (timestamp, offset) order — the Matroska analog of [[Mp4Info]]'s

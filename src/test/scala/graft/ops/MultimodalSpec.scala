@@ -181,6 +181,59 @@ class MultimodalSpec extends SparkSpec {
     cc("RIFF") ++ le32b(body.length) ++ body
   }
 
+  /** WAV with explicit little-endian PCM payload bytes. */
+  private def wavPcm(rate: Int, bits: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+    val byteRate = rate * channels * bits / 8
+    val fmt = le16b(1) ++ le16b(channels) ++ le32b(rate) ++ le32b(byteRate) ++
+      le16b(channels * bits / 8) ++ le16b(bits)
+    val body = cc("WAVE") ++ chunk("fmt ", fmt) ++ chunk("data", data)
+    cc("RIFF") ++ le32b(body.length) ++ body
+  }
+
+  test("wavPcmWindows: hand-computed energy/peak/zero-crossing windows (16-bit stereo, 8-bit mono)") {
+    // 16-bit stereo, channel-0 samples 100,-200,300,0,-1,50 (ch1 = 0)
+    val ch0 = Seq(100, -200, 300, 0, -1, 50)
+    val pcm16 = ch0.flatMap(s => le16b(s & 0xffff) ++ le16b(0)).toArray
+    val w = RiffCodecs.wavPcmWindows(
+      wavPcm(16000, 16, 2, pcm16), windowSamples = 4, hop = 2)
+    assert(w.map(x => (x.start, x.n, x.sumAbs, x.peak, x.zeroCross)) == Seq(
+      (0L, 4, 600L, 300, 2),  // +,-,+,0(+): two sign flips
+      (2L, 4, 351L, 300, 2),  // +,0(+),-,+
+      (4L, 2, 51L, 50, 1)))   // -,+
+
+    // 8-bit mono is unsigned around 128: bytes 128,138,118 → 0,10,-10
+    val w8 = RiffCodecs.wavPcmWindows(
+      wavPcm(8000, 8, 1, Array[Byte](128.toByte, 138.toByte, 118.toByte)),
+      windowSamples = 3, hop = 3)
+    assert(w8.map(x => (x.start, x.n, x.sumAbs, x.peak, x.zeroCross)) ==
+      Seq((0L, 3, 20L, 10, 1)))
+
+    // dead-letter contract: junk, non-PCM format tag, bad params → empty
+    assert(RiffCodecs.wavPcmWindows(Array[Byte](1, 2, 3)).isEmpty)
+    val nonPcm = {
+      val fmt = le16b(3) ++ le16b(1) ++ le32b(8000) ++ le32b(32000) ++
+        le16b(4) ++ le16b(32) // IEEE-float format tag
+      val body = cc("WAVE") ++ chunk("fmt ", fmt) ++ chunk("data", Array.fill[Byte](8)(1))
+      cc("RIFF") ++ le32b(body.length) ++ body
+    }
+    assert(RiffCodecs.wavPcmWindows(nonPcm).isEmpty)
+    assert(RiffCodecs.wavPcmWindows(wavPcm(8000, 8, 1, Array[Byte](1)), 0, 4).isEmpty)
+  }
+
+  test("audioWindows: per-window rows for audio assets, junk contributes none") {
+    implicit val s = spark
+    val good = MediaAsset(60L, "audio",
+      wavPcm(16000, 16, 1, Seq(5, -6).flatMap(x => le16b(x & 0xffff)).toArray),
+      MediaMeta(0, 0, 0L, 0, ""))
+    val junk = MediaAsset(61L, "audio", Array[Byte](9, 9, 9),
+      MediaMeta(0, 0, 0L, 0, ""))
+    val rows = Multimodal.audioWindows(Seq(good, junk).toDS(), 2, 2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 60L && r.getLong(1) == 0L && r.getInt(2) == 2 &&
+      r.getLong(3) == 11L && r.getInt(4) == 6 && r.getInt(5) == 1)
+  }
+
   test("AVI demux: sampled frames are the container's actual JPEG payloads") {
     // 6 MJPEG frames at 2 fps (500 ms/frame) → 3 s of video, each frame
     // a real JDK-encoded JPEG with distinct dimensions

@@ -99,6 +99,22 @@ object PipelineDemo {
       .select("asset_id", "target_width", "target_height").collect()
     println(s"MULTIMODAL resize=${resized.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList}")
     println(s"MULTIMODAL frames=${Multimodal.sampleFrames(decoded, 1000).count()}")
+    // audio: a real 16-bit PCM WAV through the windowed energy features
+    locally {
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def cc(s: String) = s.getBytes("US-ASCII")
+      def chunk(id: String, b: Array[Byte]) = cc(id) ++ le32(b.length) ++ b
+      val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+      val pcm = Seq(1000, -2000, 3000, -4000).flatMap(v => le16(v & 0xffff)).toArray
+      val body = cc("WAVE") ++ chunk("fmt ", fmt) ++ chunk("data", pcm)
+      val audio = Seq(Multimodal.MediaAsset(3, "audio",
+        cc("RIFF") ++ le32(body.length) ++ body,
+        Multimodal.MediaMeta(0, 0, 0, 0, ""))).toDS()
+      val aw = Multimodal.audioWindows(audio, 2, 2).collect()
+      println(s"MULTIMODAL audio_windows=${aw.length} sum_abs=${aw.map(_.getLong(3)).toList}")
+    }
     // real MKV container: EBML-built fixture with two JPEG SimpleBlocks;
     // the demux serves actual frame bytes back through the JPEG decoder
     locally {

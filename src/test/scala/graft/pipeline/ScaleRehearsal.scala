@@ -179,6 +179,30 @@ object ScaleRehearsal {
       spans.unpersist()
       println(f"SUBSTR_TICK $c%d spans=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
+
+    // incremental whole-doc exact dedup at 10x: the rehearsal copies
+    // prepend "c$c " so their content is DISTINCT — whole-doc dups
+    // need identical text, so plant them: tick 0 seeds the store with
+    // the originals; every later tick re-sends the SAME texts under
+    // shifted ids and must emit exactly one dup row per re-sent doc
+    // against the ORIGINAL keepers, with flat per-tick time (the
+    // store grows only by tick 0's distinct hashes, reads stay
+    // O(batch))
+    val estore = java.nio.file.Files.createTempDirectory("sf1-estore").toString
+    val originals = all.filter(col("doc_id") < 100000000L).persist()
+    originals.count()
+    (0 until 10).foreach { c =>
+      val batch =
+        if (c == 0) originals
+        else originals.select(
+          (col("doc_id") + lit(c * 1000000000L)).as("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      val dups = graft.streaming.DedupStream.exactStep(
+        batch, estore, batchTag = s"e$c")
+      val n = dups.count()
+      dups.unpersist()
+      println(f"EXACT_TICK $c%d dups=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
     spark.stop()
   }
 }
