@@ -91,6 +91,7 @@ object SparkEntry {
     "q82_gopher_rules" -> (OpsQueries.q82GopherRules _),
     "q83_pca_project" -> (OpsQueries.q83PcaProject _),
     "q84_backoff_lm" -> (OpsQueries.q84BackoffLm _),
+    "q85_shard_manifest" -> (OpsQueries.q85ShardManifest _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -466,6 +467,25 @@ object SparkEntry {
         |FROM (SELECT doc_id, row_number() OVER (
         |        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |      FROM documents)""".stripMargin,
+    // q85: q49's shard assignment re-derived, then per-shard counts,
+    // ceil(len/4) token totals, the order-insensitive Σ md5-prefix
+    // checksum, and arg_min-by-pos first doc (pos*2^32+id linearizes
+    // the tie-free (pos, id) order like q78/q81)
+    "q85_shard_manifest" ->
+      """WITH sh AS (SELECT doc_id,
+        |    CAST((rn - 1) // 64 AS BIGINT) AS shard_id,
+        |    CAST((rn - 1) % 64 AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, row_number() OVER (
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |        FROM documents)),
+        |j AS (SELECT sh.shard_id, sh.pos, d.doc_id, d.text
+        |  FROM sh JOIN documents d ON sh.doc_id = d.doc_id)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS content_sum,
+        |  CAST(arg_min(doc_id, pos * 4294967296 + doc_id) AS BIGINT) AS first_doc
+        |FROM j GROUP BY 1""".stripMargin,
     "q50_cube" ->
       """SELECT source, lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -260,6 +260,51 @@ object Corpus {
       .drop("_draw", "_rank")
   }
 
+  /** Per-shard manifest of a [[shuffleShards]] assignment: the
+    * verification artifact a training-data delivery ships beside its
+    * shard files — one row per shard with the row count, the
+    * token-estimate total, an ORDER-INSENSITIVE content checksum
+    * (Σ over docs of the first 8 md5 hex digits as int64 — engine-
+    * portable, and any dropped/duplicated/altered document moves it),
+    * and the shard's first document. One aggregation over the shard
+    * assignment; no windows, no collects. */
+  def shardManifest(
+      df: DataFrame, shardSize: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shuffleShards(df, shardSize, idCol)
+      .select(col(idCol), col("shard_id"), col("pos_in_shard"))
+    sh.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(length(col(textCol)) / lit(4.0)).cast("long")).as("sum_tokens"),
+        sum(conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long"))
+          .as("content_sum"),
+        min(struct(col("pos_in_shard").as("p"), col(idCol).as("d"))).as("_f"))
+      .select(col("shard_id"), col("n_docs"), col("sum_tokens"),
+        col("content_sum"), col("_f.d").as("first_doc"))
+  }
+
+  /** Write the corpus as deterministic training shards + manifest:
+    * `outDir/data/shard_id=K/` parquet (each shard's rows carry
+    * `pos_in_shard` so a reader restores the exact training order) and
+    * `outDir/manifest/` ([[shardManifest]] rows). Returns the manifest.
+    * The delivery contract: a consumer re-derives the manifest from
+    * the data files and rejects the delivery on any mismatch —
+    * ShardWriterSpec does exactly that round-trip. At scale the data
+    * write is one shuffle by shard (the assignment's own global sort);
+    * the manifest is a tiny second aggregate of the same relation. */
+  def writeShards(
+      df: DataFrame, outDir: String, shardSize: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // shuffleShards preserves every input column and appends the
+    // assignment — the write needs no join back
+    shuffleShards(df, shardSize, idCol)
+      .write.partitionBy("shard_id").mode("overwrite").parquet(s"$outDir/data")
+    val manifest = shardManifest(df, shardSize, idCol, textCol)
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    manifest
+  }
+
   /** Deterministic WEIGHTED MIXTURE ORDER — the training-schedule step:
     * each stratum's documents (in their own hash-shuffled order) are
     * interleaved so that after any prefix of the output, every stratum

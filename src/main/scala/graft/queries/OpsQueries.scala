@@ -801,4 +801,11 @@ object OpsQueries {
     val docs = docsPar(spark, dir)
     TextAnalysis.stupidBackoffScores(docs, docs.filter(col("source") === "src0"))
   }
+
+  /** Per-shard delivery manifest ([[Corpus.shardManifest]] over the
+    * q49 shard assignment): row counts, token totals, an
+    * order-insensitive int64 content checksum, and each shard's first
+    * document — the verification artifact shipped beside shard files. */
+  def q85ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shardManifest(table(spark, dir, "documents"), shardSize = 64)
 }
