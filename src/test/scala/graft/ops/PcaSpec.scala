@@ -118,6 +118,20 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(cos) > 0.9999, s"grid fit diverged from double fit: cos=$cos")
   }
 
+  test("momentStats overflow fails loudly (ANSI), never silently wraps") {
+    // quantized values ~3e9 → a single product ~9e18 crosses 2^63;
+    // the documented bound n·(scale·max|x|)² < 2^63 is enforced by
+    // ANSI arithmetic, not by luck
+    val huge = Seq((0L, Seq(3.0e6f, 0f)), (1L, Seq(3.0e6f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pca.momentStats(huge, dim = 2).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("overflow") ||
+      ex.getCause != null && ex.getCause.getMessage.toLowerCase.contains("overflow"),
+      s"expected a loud overflow, got: ${ex.getMessage}")
+  }
+
   test("pcaSave/pcaLoad round-trips the model bit-exactly") {
     val m = Pca.fit(planted, k = 3, dim = dim)
     val path = java.nio.file.Files.createTempDirectory("pca-io").toString
