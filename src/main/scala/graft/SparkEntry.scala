@@ -92,6 +92,7 @@ object SparkEntry {
     "q83_pca_project" -> (OpsQueries.q83PcaProject _),
     "q84_backoff_lm" -> (OpsQueries.q84BackoffLm _),
     "q85_shard_manifest" -> (OpsQueries.q85ShardManifest _),
+    "q86_corpus_pipeline" -> (OpsQueries.q86CorpusPipeline _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -119,6 +120,31 @@ object SparkEntry {
     }.mkString(",\n")
     s"$base,\n$iterations\nSELECT node, ROUND(r, 6) AS pr FROM r5"
   }
+
+  // q76's portable-simhash fingerprint chain (words → distinct bigram
+  // shingles → Karp-Rabin HUGEINT hashes → majority bit votes → signed
+  // 64-bit fingerprint), shared verbatim by q86's composed pipeline so
+  // the near-dup stage cannot drift from the standalone query
+  private val simhashCtes: String =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
+      |occ AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS w FROM idx),
+      |wh AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |      list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))),
+      |    (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT) AS h
+      |  FROM occ),
+      |bits AS (
+      |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM wh, (SELECT unnest(range(0, 64)) AS b) t GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::HUGEINT << b)
+      |    ELSE 0::HUGEINT END) AS HUGEINT) AS simu FROM bits GROUP BY 1),
+      |s64 AS (
+      |  SELECT doc_id, CAST(CASE WHEN simu >= 9223372036854775808::HUGEINT
+      |    THEN simu - 18446744073709551616::HUGEINT ELSE simu END AS BIGINT) AS sim
+      |  FROM sims)""".stripMargin
 
   // q46's transitive-closure oracle, shared verbatim by q57 (the kept
   // projection) so the two can never drift on pair threshold or
@@ -720,29 +746,61 @@ object SparkEntry {
     // deliberately blind to the engine's pigeonhole blocking, so it
     // gates the no-lost-pairs guarantee end-to-end
     "q76_simhash_neardup" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
-        |occ AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS w FROM idx),
-        |wh AS (
-        |  SELECT doc_id, list_reduce(
-        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
-        |      list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))),
-        |    (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT) AS h
-        |  FROM occ),
-        |bits AS (
-        |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM wh, (SELECT unnest(range(0, 64)) AS b) t GROUP BY 1, 2),
-        |sims AS (
-        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::HUGEINT << b)
-        |    ELSE 0::HUGEINT END) AS HUGEINT) AS simu FROM bits GROUP BY 1),
-        |s64 AS (
-        |  SELECT doc_id, CAST(CASE WHEN simu >= 9223372036854775808::HUGEINT
-        |    THEN simu - 18446744073709551616::HUGEINT ELSE simu END AS BIGINT) AS sim
-        |  FROM sims)
+      s"""WITH $simhashCtes
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
         |FROM s64 a JOIN s64 b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+    // q86: the composed clean-corpus pipeline — every stage's CTE is
+    // the (shared or verbatim) oracle of its standalone query, so the
+    // composition cannot drift from the pieces: exact keepers (q15),
+    // SimHash pairs (q76 chain, shared) + transitive closure (q46's
+    // recursion shape), contamination suspects (q43), Gopher gate (q82)
+    "q86_corpus_pipeline" ->
+      s"""WITH RECURSIVE $simhashCtes,
+        |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |sp AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM s64 a JOIN s64 b
+        |  ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM sp UNION SELECT id2, id1 FROM sp),
+        |reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+        |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+        |bench AS (SELECT * FROM grams WHERE doc_id % 50 = 0),
+        |corp AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+        |sus AS (SELECT DISTINCT corpus_id FROM (
+        |  SELECT c.doc_id AS corpus_id, b.doc_id AS bid FROM corp c JOIN bench b
+        |    ON c.shingle = b.shingle GROUP BY 1, 2 HAVING count(*) >= 4)),
+        |gw AS (SELECT doc_id, list_filter(ws, x -> len(x) > 0) AS fws FROM words),
+        |gm AS (SELECT doc_id, CAST(len(fws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(fws, x -> len(x))), 0) AS BIGINT) AS swl
+        |  FROM gw),
+        |gx AS (SELECT doc_id, unnest(fws) AS word FROM gw),
+        |gtop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS topn FROM
+        |  (SELECT doc_id, word, count(*) AS c FROM gx GROUP BY 1, 2) GROUP BY 1),
+        |gstop AS (SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS nstop
+        |  FROM gx WHERE word IN ('the','a','of','and','to','in','is','that') GROUP BY 1),
+        |gok AS (SELECT gm.doc_id,
+        |  (gm.n_words BETWEEN 20 AND 100000
+        |   AND 3 * gm.n_words <= gm.swl AND gm.swl <= 10 * gm.n_words
+        |   AND coalesce(gstop.nstop, 0) >= 2
+        |   AND 5 * coalesce(gtop.topn, 0) <= gm.n_words) AS r_quality
+        |  FROM gm LEFT JOIN gtop ON gm.doc_id = gtop.doc_id
+        |  LEFT JOIN gstop ON gm.doc_id = gstop.doc_id)
+        |SELECT d.doc_id,
+        |  (ex.doc_id IS NOT NULL) AS r_exact,
+        |  (coalesce(comp.component, d.doc_id) = d.doc_id) AS r_neardup,
+        |  (d.doc_id % 50 <> 0 AND sus.corpus_id IS NULL) AS r_clean,
+        |  gok.r_quality,
+        |  ((ex.doc_id IS NOT NULL)
+        |    AND coalesce(comp.component, d.doc_id) = d.doc_id
+        |    AND d.doc_id % 50 <> 0 AND sus.corpus_id IS NULL
+        |    AND gok.r_quality) AS kept
+        |FROM documents d
+        |LEFT JOIN ex ON d.doc_id = ex.doc_id
+        |LEFT JOIN comp ON d.doc_id = comp.doc_id
+        |LEFT JOIN sus ON d.doc_id = sus.corpus_id
+        |JOIN gok ON d.doc_id = gok.doc_id""".stripMargin,
     "q77_trigram_lm" ->
       """WITH words AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |idx AS (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM words),

@@ -808,4 +808,50 @@ object OpsQueries {
     * document — the verification artifact shipped beside shard files. */
   def q85ShardManifest(spark: SparkSession, dir: String): DataFrame =
     Corpus.shardManifest(table(spark, dir, "documents"), shardSize = 64)
+
+  /** The composed clean-corpus pipeline — the engine's flagship recipe
+    * as ONE explainable query: per document, a boolean per stage plus
+    * the final verdict.
+    *   - `r_exact`:   exact-dup keeper election (q15 semantics)
+    *   - `r_neardup`: SimHash near-dup clusters (q76 pairs →
+    *                  connected components), keeper = component min
+    *   - `r_clean`:   decontamination (q43 semantics; benchmark docs
+    *                  themselves are excluded from training)
+    *   - `r_quality`: the Gopher rule gate (q82)
+    *   - `kept` = all four — the corpus a training run would read.
+    * Every stage reuses the standalone operator, and the oracle reuses
+    * each stage's own SQL (the SimHash chain verbatim-shared), so the
+    * composition is gated end-to-end, not just piecewise. */
+  def q86CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(spark, dir)
+    val exKeep = docs
+      .groupBy(md5(col("text")).as("_h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("_ex"))
+    val fps = Dedup.simhashPortable(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.simhashPairsBalanced(fps, maxDist = 3)
+    val comp = ConnectedComponents.connectedComponents(pairs, "id1", "id2")
+    val suspects = Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        n = 2, minIntersect = 4)
+      .select(col("corpus_id").as("doc_id")).distinct()
+      .withColumn("_sus", lit(true))
+    val gq = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("kept").as("r_quality"))
+    docs.select(col("doc_id"))
+      .join(exKeep, Seq("doc_id"), "left")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(suspects, Seq("doc_id"), "left")
+      .join(gq, Seq("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("_ex"), lit(false)).as("r_exact"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .as("r_neardup"),
+        (col("doc_id") % 50 =!= 0 && coalesce(col("_sus"), lit(false)) === false)
+          .as("r_clean"),
+        col("r_quality"))
+      .withColumn("kept",
+        col("r_exact") && col("r_neardup") && col("r_clean") && col("r_quality"))
+  }
 }
