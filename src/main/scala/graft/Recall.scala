@@ -108,10 +108,11 @@ object Recall {
       })
     spark.catalog.clearCache()
 
-    // ---- PCA-reduced-space leg: fit k=16 on the corpus, project both
-    // sides, brute-force cosine in the 16-dim space (4× less distance
-    // arithmetic + broadcast bytes), recall vs the 64-dim truth — the
-    // recorded evidence for the dimensionality-reduction serving path.
+    // ---- PCA-reduced-space legs: fit k=32 on the corpus, then measure
+    // brute-force cosine recall in BOTH the truncated 16-dim and full
+    // 32-dim projected spaces (4×/2× less distance arithmetic +
+    // broadcast bytes) vs the 64-dim truth — the recorded evidence for
+    // the dimensionality-reduction serving path.
     val pcaModel = graft.ops.Pca.fit(emb, k = 32)
     def pcaRecallAt(kDims: Int): Double = {
       val m = graft.ops.Pca.Model(pcaModel.mean,

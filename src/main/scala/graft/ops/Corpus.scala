@@ -267,14 +267,20 @@ object Corpus {
     * (Σ over docs of the first 8 md5 hex digits as int64 — engine-
     * portable, and any dropped/duplicated/altered document moves it),
     * and the shard's first document. One aggregation over the shard
-    * assignment; no windows, no collects. */
+    * assignment; no windows, no collects, no join back ([[shuffleShards]]
+    * preserves every input column, so `textCol` rides along). */
   def shardManifest(
       df: DataFrame, shardSize: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val sh = shuffleShards(df, shardSize, idCol)
-      .select(col(idCol), col("shard_id"), col("pos_in_shard"))
-    sh.join(df.select(col(idCol), col(textCol)), Seq(idCol))
-      .groupBy("shard_id")
+      textCol: String = "text"): DataFrame =
+    manifestAgg(shuffleShards(df, shardSize, idCol), idCol, textCol)
+
+  /** The manifest aggregation over an ALREADY-ASSIGNED relation (one
+    * that carries `shard_id`/`pos_in_shard` plus the data columns) —
+    * lets [[writeShards]] derive data files and manifest from the SAME
+    * assignment instead of re-running the global sort. */
+  private def manifestAgg(
+      assigned: DataFrame, idCol: String, textCol: String): DataFrame =
+    assigned.groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(ceil(length(col(textCol)) / lit(4.0)).cast("long")).as("sum_tokens"),
         sum(conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long"))
@@ -282,27 +288,30 @@ object Corpus {
         min(struct(col("pos_in_shard").as("p"), col(idCol).as("d"))).as("_f"))
       .select(col("shard_id"), col("n_docs"), col("sum_tokens"),
         col("content_sum"), col("_f.d").as("first_doc"))
-  }
 
   /** Write the corpus as deterministic training shards + manifest:
     * `outDir/data/shard_id=K/` parquet (each shard's rows carry
     * `pos_in_shard` so a reader restores the exact training order) and
-    * `outDir/manifest/` ([[shardManifest]] rows). Returns the manifest.
+    * `outDir/manifest/` ([[shardManifest]] rows). Returns the manifest
+    * AS WRITTEN (re-read from `outDir/manifest`), so the returned rows
+    * can never diverge from the shipped artifact.
     * The delivery contract: a consumer re-derives the manifest from
     * the data files and rejects the delivery on any mismatch —
     * ShardWriterSpec does exactly that round-trip. At scale the data
-    * write is one shuffle by shard (the assignment's own global sort);
-    * the manifest is a tiny second aggregate of the same relation. */
+    * write is one shuffle by shard (the assignment's own global sort,
+    * paid ONCE — both the data write and the manifest aggregate scan
+    * the same assigned relation, which [[globalIndex]] pins with its
+    * internal persist, so they cannot observe different assignments
+    * even under a non-deterministic input). */
   def writeShards(
       df: DataFrame, outDir: String, shardSize: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // shuffleShards preserves every input column and appends the
-    // assignment — the write needs no join back
-    shuffleShards(df, shardSize, idCol)
-      .write.partitionBy("shard_id").mode("overwrite").parquet(s"$outDir/data")
-    val manifest = shardManifest(df, shardSize, idCol, textCol)
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
-    manifest
+    val assigned = shuffleShards(df, shardSize, idCol)
+    assigned.write.partitionBy("shard_id").mode("overwrite")
+      .parquet(s"$outDir/data")
+    manifestAgg(assigned, idCol, textCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    df.sparkSession.read.parquet(s"$outDir/manifest")
   }
 
   /** Deterministic WEIGHTED MIXTURE ORDER — the training-schedule step:

@@ -46,8 +46,14 @@ object Pca {
   def momentStats(emb: DataFrame, vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
     val d1 = dim + 1
+    // fail loudly on a dim mismatch: slice() below would otherwise
+    // silently DROP (i, j) pairs with j > i + dim on longer vectors
+    val checked = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"momentStats: embedding length "),
+        size(col(vecCol)).cast("string"), lit(s" != dim=$dim"))))
     val base = emb.select(
-      concat(KMeans.quantized(col(vecCol)), array(lit(1L))).as("xq"))
+      concat(KMeans.quantized(checked), array(lit(1L))).as("xq"))
     val e1 = base.select(col("xq"), posexplode(col("xq")).as(Seq("i", "xi")))
     // slice is 1-based: start i+1 keeps 0-based elements i..d, so the
     // inner posexplode position jj maps to column j = i + jj

@@ -710,6 +710,9 @@ object OpsQueries {
     * to the blocking, so it gates the pigeonhole's no-lost-pairs
     * guarantee end-to-end. */
   def q76SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // cache contract: fps backs every pigeonhole probe of the lazily
+    // returned result; the harness (Bench/Verify) clearCache()s after
+    // materializing each query — same lifecycle as globalIndex
     val fps = Dedup.simhashPortable(docsPar(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.simhashPairsBalanced(fps, maxDist = 3)
@@ -827,6 +830,8 @@ object OpsQueries {
     val exKeep = docs
       .groupBy(md5(col("text")).as("_h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("_ex"))
+    // cache contract: released by the harness's per-query clearCache
+    // (the lazily returned result still references fps — see q76)
     val fps = Dedup.simhashPortable(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.simhashPairsBalanced(fps, maxDist = 3)

@@ -132,6 +132,19 @@ class PcaSpec extends SparkSpec {
       s"expected a loud overflow, got: ${ex.getMessage}")
   }
 
+  test("momentStats rejects a dim mismatch instead of silently truncating") {
+    // a 4-dim vector against dim=2 used to drop the (i, j) pairs with
+    // j > i + 2 without error — now it must raise
+    val wide = Seq((0L, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pca.momentStats(wide, dim = 2).collect()
+    }
+    val msg = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("momentStats") && msg.contains("dim=2"),
+      s"expected the dim-mismatch raise, got: ${ex.getMessage}")
+  }
+
   test("pcaSave/pcaLoad round-trips the model bit-exactly") {
     val m = Pca.fit(planted, k = 3, dim = dim)
     val path = java.nio.file.Files.createTempDirectory("pca-io").toString
