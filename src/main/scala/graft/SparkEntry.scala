@@ -93,6 +93,12 @@ object SparkEntry {
     "q84_backoff_lm" -> (OpsQueries.q84BackoffLm _),
     "q85_shard_manifest" -> (OpsQueries.q85ShardManifest _),
     "q86_corpus_pipeline" -> (OpsQueries.q86CorpusPipeline _),
+    "q87_len_histogram" -> (OpsQueries.q87LenHistogram _),
+    "q88_source_overlap" -> (OpsQueries.q88SourceOverlap _),
+    "q89_oov_rate" -> (OpsQueries.q89OovRate _),
+    "q90_lev_neardup" -> (OpsQueries.q90LevNeardup _),
+    "q91_prefix_dedup" -> (OpsQueries.q91PrefixDedup _),
+    "q92_corpus_delta" -> (OpsQueries.q92CorpusDelta _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1182,6 +1188,85 @@ object SparkEntry {
         |SELECT words.doc_id, count(*) AS n_tokens,
         |  ROUND(avg(-ln(CAST(model.c AS DOUBLE) / (SELECT total FROM tot))), 6) AS logppl
         |FROM words JOIN model ON words.w = model.word
-        |GROUP BY words.doc_id""".stripMargin
+        |GROUP BY words.doc_id""".stripMargin,
+    // q87: width-16 token-length buckets per lang; tokenCount restated
+    // as the same space-counting arithmetic; cumulative docs via a
+    // window over the tiny aggregate
+    "q87_len_histogram" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT lang, n - n % 16 AS bucket_lo,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS sum_tokens
+        |  FROM t GROUP BY 1, 2)
+        |SELECT lang, bucket_lo, n_docs, sum_tokens,
+        |  CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket_lo) AS BIGINT)
+        |    AS cum_docs
+        |FROM b""".stripMargin,
+    // q88: source-pair distinct-bigram overlap — the q16 gram CTE
+    // collapsed to (source, shingle); engine-side xxhash64 keys vs
+    // string shingles here give identical COUNTS (the q16 equivalence)
+    "q88_source_overlap" ->
+      """WITH words AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT source, ws, unnest(range(1, len(ws))) AS i FROM words),
+        |grams AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS set_n
+        |  FROM grams GROUP BY 1),
+        |inter AS (SELECT a.source AS s1, b.source AS s2,
+        |    CAST(count(*) AS BIGINT) AS inter_n
+        |  FROM grams a JOIN grams b
+        |    ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, inter_n, x.set_n + y.set_n - inter_n AS union_n
+        |FROM inter JOIN sizes x ON s1 = x.source JOIN sizes y ON s2 = y.source""".stripMargin,
+    // q89: OOV occurrences vs the top-16 vocabulary (count desc, word
+    // asc — deterministic); left join marks in-vocab tokens
+    "q89_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok AS vw FROM (
+        |  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |  ORDER BY n DESC, tok ASC LIMIT 16))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM toks LEFT JOIN vocab ON tok = vw
+        |GROUP BY doc_id""".stripMargin,
+    // q90: the q76 SimHash chain (shared verbatim) as candidates, then
+    // Levenshtein-verified at <= 16 — classic edit distance, identical
+    // in both engines on this ASCII corpus
+    "q90_lev_neardup" ->
+      s"""WITH $simhashCtes,
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |  FROM s64 a JOIN s64 b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+        |SELECT id1, id2, hamming,
+        |  CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS lev
+        |FROM cand
+        |JOIN documents d1 ON id1 = d1.doc_id
+        |JOIN documents d2 ON id2 = d2.doc_id
+        |WHERE levenshtein(d1.text, d2.text) <= 16""".stripMargin,
+    // q91: q15's keeper election on the first-8-token prefix key;
+    // list_slice/array_to_string restate Spark's slice/concat_ws
+    "q91_prefix_dedup" ->
+      """SELECT md5(array_to_string(
+        |    list_slice(string_split(text, ' '), 1, 8), ' ')) AS prefix_md5,
+        |  min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q92: full-outer delta between the two synthetic corpus versions
+    // (old drops id%13=5; new drops id%17=3 and rewrites id%11=0)
+    "q92_corpus_delta" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE doc_id % 13 <> 5),
+        |n AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 17 <> 3)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
   )
 }

@@ -314,6 +314,29 @@ object Corpus {
     df.sparkSession.read.parquet(s"$outDir/manifest")
   }
 
+  /** CORPUS DELTA AUDIT — the delivery-diff step: given two versions of
+    * a corpus, classify every document id as `added` (new only),
+    * `removed` (old only), `changed` (both sides, content hash moved),
+    * or `unchanged`. What a 100 TB re-crawl actually ships downstream
+    * is this delta, not the full corpus — and the audit is what lets a
+    * consumer invalidate exactly the dedup/index state the change
+    * touches.
+    *
+    * Scale shape: each side collapses to (id, md5) AT THE SCAN (16-byte
+    * hash, text never shuffles), then ONE full-outer sort-merge join on
+    * the id. No windows, no collects. */
+  def deltaAudit(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("_h_old"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("_h_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_h_old").isNull, lit("added"))
+          .when(col("_h_new").isNull, lit("removed"))
+          .when(col("_h_old") =!= col("_h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Deterministic WEIGHTED MIXTURE ORDER — the training-schedule step:
     * each stratum's documents (in their own hash-shuffled order) are
     * interleaved so that after any prefix of the output, every stratum

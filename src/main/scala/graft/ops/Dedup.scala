@@ -1079,6 +1079,79 @@ object Dedup {
         coalesce(col("_novel"), lit(0L)).as("n_novel"))
   }
 
+  /** HEAD/BOILERPLATE dedup: group documents by the md5 of their first
+    * `prefixWords` whitespace tokens and elect the lowest-id
+    * representative — the crawl-pipeline step that collapses pages
+    * sharing a templated head (same title block / nav boilerplate)
+    * even when tails differ. Same shape as [[exactDedup]]: ONE hash
+    * aggregation on a 16-byte key, no text comparison, no window.
+    * Documents shorter than `prefixWords` key on their full text. */
+  def prefixDedup(df: DataFrame, prefixWords: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(prefixWords > 0, "prefixWords must be positive")
+    val key = md5(concat_ws(" ",
+      slice(split(col(textCol), " "), 1, prefixWords)))
+    df.groupBy(key.as("prefix_md5"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Pairwise SOURCE-level n-gram overlap matrix — the corpus-mixing
+    * diagnostic (which crawls/snapshots duplicate each other, where a
+    * new source adds nothing): for every source pair, the number of
+    * distinct word n-grams they share plus the union size (integer
+    * Jaccard pieces, oracle-exact).
+    *
+    * Scale shape: the corpus collapses FIRST to the distinct
+    * (source, shingle-hash) relation — bounded by |sources| × shingle
+    * universe, not by document count — then a self-join on the 8-byte
+    * hash emits each shingle's source-pair combinations (≤ |sources|²
+    * per shingle, |sources| is hundreds-to-thousands, not corpus-
+    * sized). Same SMJ pair-generation shape as [[ngramJaccardPairs]],
+    * one persisted relation feeding both join sides and the sizes. */
+  def sourceOverlap(df: DataFrame, n: Int = 2,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val sh = df
+      .select(col(srcCol).as("src"), explode(gramHashArray(col(textCol), n)).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("set_n"))
+    val inter = sh.select(col("src").as("s1"), col("sh"))
+      .join(sh.select(col("src").as("s2"), col("sh")), Seq("sh"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter_n"))
+    inter
+      .join(sizes.withColumnRenamed("src", "s1").withColumnRenamed("set_n", "n1"), "s1")
+      .join(sizes.withColumnRenamed("src", "s2").withColumnRenamed("set_n", "n2"), "s2")
+      .select(col("s1"), col("s2"), col("inter_n"),
+        (col("n1") + col("n2") - col("inter_n")).as("union_n"))
+  }
+
+  /** EDIT-DISTANCE VERIFIED near-dup pairs: the [[simhashPortable]] →
+    * [[simhashPairsBalanced]] candidate chain (exact Hamming ≤
+    * `maxDist`, no lost pairs — q76's oracle-gated guarantee), each
+    * surviving pair then verified at `levenshtein ≤ maxLev` on the raw
+    * text. The standard two-tier fuzzy-dedup layout: a sketch prunes
+    * the quadratic space, the expensive exact measure runs only on the
+    * output-proportional candidate set.
+    *
+    * Scale shape: the candidate relation is output-proportional (never
+    * all-pairs); texts join back onto it by id — two equi-joins whose
+    * small side is the pair set — and the O(len²) Levenshtein kernel
+    * runs banded (Spark's 3-arg form bails out at `maxLev`, so cost is
+    * O(len·maxLev) per candidate, zero for wildly different lengths). */
+  def levVerifiedPairs(df: DataFrame, maxDist: Int = 3, maxLev: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxLev >= 0, "maxLev must be non-negative")
+    val pairs = simhashPairsBalanced(simhashPortable(df), maxDist)
+    val t1 = df.select(col(idCol).as("id1"), col(textCol).as("_t1"))
+    val t2 = df.select(col(idCol).as("id2"), col(textCol).as("_t2"))
+    pairs.join(t1, "id1").join(t2, "id2")
+      .withColumn("lev", levenshtein(col("_t1"), col("_t2"), maxLev))
+      .filter(col("lev") >= 0 && col("lev") <= maxLev)
+      .select(col("id1"), col("id2"),
+        col("hamming").cast("long").as("hamming"), col("lev").cast("long").as("lev"))
+  }
+
   /** Monitoring companion to [[embeddingNearDupPairs]]' cap: the
     * (bucket, members) rows it excludes at this cap. */
   def embeddingHotBuckets(

@@ -43,6 +43,55 @@ object TextAnalysis {
       .withColumn("n_stopword_a", wordOccurrences(t, "a"))
   }
 
+  /** Sequence-length distribution per language — the telemetry a
+    * packing/truncation decision reads (what share of the corpus fits a
+    * context window, where the mass sits). Fixed-width buckets of the
+    * whitespace token count (`bucket_lo = n_tokens - n_tokens mod
+    * width`), per bucket the doc count + token mass, plus the running
+    * doc total within each language (ordered by bucket).
+    *
+    * Scale shape: ONE partial-aggregating shuffle on (lang, bucket) —
+    * cardinality ≈ languages × (max_len / width), tiny at any corpus
+    * size — and the cumulative window runs over that tiny aggregate,
+    * never over documents. */
+  def lengthHistogram(df: DataFrame, bucketWidth: Int = 16,
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val n = tokenCount(col(textCol))
+    val agg = df
+      .groupBy(col(langCol).as("lang"),
+        (n - n % bucketWidth).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(n).as("sum_tokens"))
+    agg.withColumn("cum_docs",
+      sum(col("n_docs")).over(
+        Window.partitionBy("lang").orderBy("bucket_lo")))
+  }
+
+  /** Per-document out-of-vocabulary statistics against the corpus's own
+    * top-`vocabSize` words (count-desc, word-asc tie-break — fully
+    * deterministic): token total and the number of token OCCURRENCES
+    * outside the head vocabulary. The classic cheap quality/language
+    * drift signal (a doc full of tail tokens is boilerplate, code, or
+    * another language).
+    *
+    * Scale shape: the vocabulary is ONE word-keyed count aggregate
+    * followed by a driver-side top-k (TakeOrdered — k rows cross the
+    * driver, never the vocabulary), then a BROADCAST semi-join back
+    * onto the exploded token stream; the only corpus-sized shuffle is
+    * the per-doc count aggregate. */
+  def oovStats(df: DataFrame, vocabSize: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(true).as("_in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** The exploded (id, word, tf) term-frequency relation plus corpus
     * document frequency per word — the base relation for TF-IDF and
     * vocabulary analytics. Two aggregations, both on the hashed word

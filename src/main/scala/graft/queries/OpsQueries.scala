@@ -859,4 +859,55 @@ object OpsQueries {
       .withColumn("kept",
         col("r_exact") && col("r_neardup") && col("r_clean") && col("r_quality"))
   }
+
+  /** Sequence-length distribution per language
+    * ([[TextAnalysis.lengthHistogram]], width-16 buckets): doc counts,
+    * token mass, cumulative docs — the packing/truncation telemetry.
+    * One tiny (lang, bucket) aggregate; the window runs over it, never
+    * over documents. */
+  def q87LenHistogram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthHistogram(
+      table(spark, dir, "documents"), bucketWidth = 16)
+
+  /** Pairwise source-level bigram overlap matrix
+    * ([[Dedup.sourceOverlap]]): integer intersection/union of each
+    * source pair's distinct-shingle sets — the corpus-mixing
+    * diagnostic. */
+  def q88SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(docsPar(spark, dir), n = 2)
+
+  /** Per-document out-of-vocabulary occurrence counts against the
+    * corpus top-16 vocabulary ([[TextAnalysis.oovStats]]) — the cheap
+    * tail-token quality signal. Vocabulary = one TakeOrdered top-k,
+    * broadcast back. */
+  def q89OovRate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovStats(table(spark, dir, "documents"), vocabSize = 16)
+
+  /** Edit-distance VERIFIED near-dup pairs ([[Dedup.levVerifiedPairs]]):
+    * the q76 SimHash pigeonhole candidates (exact Hamming ≤ 3, no lost
+    * pairs) re-measured with banded Levenshtein ≤ 16 on the raw text —
+    * the two-tier fuzzy-dedup verify stage. */
+  def q90LevNeardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.levVerifiedPairs(docsPar(spark, dir), maxDist = 3, maxLev = 16)
+
+  /** Head/boilerplate dedup ([[Dedup.prefixDedup]]): keeper election on
+    * the md5 of the first 8 tokens — one hash aggregation, q15's shape
+    * on the templated-head key. */
+  def q91PrefixDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixDedup(table(spark, dir, "documents"), prefixWords = 8)
+
+  /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
+    * deterministic synthetic versions of the documents table (old drops
+    * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites
+    * doc_id ≡ 0 mod 11): per-id added/removed/changed/unchanged — the
+    * delivery-diff step. */
+  def q92CorpusDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val vOld = docs.filter(col("doc_id") % 13 =!= 5)
+    val vNew = docs.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    Corpus.deltaAudit(vOld, vNew)
+  }
 }
