@@ -146,6 +146,16 @@ object ConnectedComponents {
       val next = sym(smallStar(symAll(largeStar(e)))).localCheckpoint(true)
       val nextSum = checksum(next)
       onRound(iter, nextSum._1)
+      // adaptive mid-contraction switch: star rounds collapse the edge
+      // set geometrically (a 4.4M-edge near-dup graph drops to ~100k
+      // after ONE round — CcProfile), so the later rounds pay ~4 Spark
+      // jobs of scheduler floor to move kilobytes. Each round preserves
+      // connectivity and the non-isolated node set exactly, so finishing
+      // under the same bound with the driver union-find is the identical
+      // labelling at a fraction of the fixed cost. localThreshold=0
+      // still forces every round distributed (spec hook).
+      if (nextSum._1 <= localThreshold)
+        return localUnionFind(next)
       // the checksum is probabilistic (a collision between two DISTINCT
       // successive edge sets would stop the contraction half-done), so a
       // checksum match is only the trigger: confirm with one exact

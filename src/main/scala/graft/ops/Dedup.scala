@@ -397,7 +397,14 @@ object Dedup {
   def contaminationPairs(
       corpus: DataFrame, benchmark: DataFrame, n: Int, minIntersect: Int = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val c = shingleHashes(corpus, n, idCol, textCol)
+    // dirty-input guard at the DOC level (the ngramJaccardPairs
+    // contract): one tiny shuffle of the doc relation. Per-row
+    // array_distinct in gramHashArray then guarantees one posting per
+    // (doc, shingle), so the hit rows are (corpus_id, bench_id, sh)-
+    // distinct BY CONSTRUCTION — deduplicating the hits instead would
+    // shuffle the full corpus-side hit relation (measured: the single
+    // largest exchange of the q43 sweep) to remove nothing
+    val c = shingleHashes(corpus.dropDuplicates(idCol), n, idCol, textCol)
       .select(col("id").as("corpus_id"), col("sh"))
     // benchmark side is tiny: full set-dedup is free and protects
     // bench_n/inter_n against duplicated eval rows
@@ -406,11 +413,6 @@ object Dedup {
       .dropDuplicates("bench_id", "sh")
     val bSizes = b.groupBy("bench_id").agg(count(lit(1)).as("bench_n"))
     c.join(broadcast(b), "sh")
-      // set semantics under dirty input: dedup on the HIT rows (small),
-      // never a corpus-wide shingle shuffle — a duplicated corpus doc
-      // row or an intra-doc hash collision must not double-count a
-      // shared shingle and halve the effective threshold
-      .dropDuplicates("corpus_id", "bench_id", "sh")
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("inter_n"))
       .filter(col("inter_n") >= minIntersect)
