@@ -88,5 +88,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(rounds.nonEmpty, "distributed contraction reports per-round telemetry")
     assert(rounds.map(_._1).toList == (1 to rounds.size).toList)
     assert(rounds.forall(_._2 > 0))
+
+    // mid-contraction switch: a threshold between the round-1 edge
+    // count and the initial count makes round 1 run distributed, then
+    // the geometric collapse hands the rest to the driver union-find —
+    // identical labels, exactly one telemetry round
+    val afterRound1 = rounds.head._2
+    val midRounds = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val mid = ConnectedComponents.connectedComponents(df,
+        onRound = (i, n) => midRounds += ((i, n)), localThreshold = afterRound1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid == dist, "mid-contraction local finish must match")
+    assert(midRounds.size < rounds.size,
+      s"switch must cut rounds: ${midRounds.size} vs ${rounds.size}")
   }
 }
