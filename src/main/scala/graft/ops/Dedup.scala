@@ -1137,16 +1137,30 @@ object Dedup {
     * output-proportional candidate set.
     *
     * Scale shape: the candidate relation is output-proportional (never
-    * all-pairs); texts join back onto it by id — two equi-joins whose
-    * small side is the pair set — and the O(len²) Levenshtein kernel
-    * runs banded (Spark's 3-arg form bails out at `maxLev`, so cost is
-    * O(len·maxLev) per candidate, zero for wildly different lengths). */
+    * all-pairs), so the corpus text NEVER shuffles: the candidate id
+    * set broadcasts into a semi-join that prunes the text relation
+    * map-side (same bounded-broadcast contract as the dedup caps —
+    * 16 B/id; a candidate set too large to broadcast means the
+    * upstream sketch caps failed first), and the two text joins then
+    * run over the pruned candidate-sized relation. The O(len²)
+    * Levenshtein kernel runs banded (Spark's 3-arg form bails out at
+    * `maxLev`, so cost is O(len·maxLev) per candidate, zero for wildly
+    * different lengths). */
   def levVerifiedPairs(df: DataFrame, maxDist: Int = 3, maxLev: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxLev >= 0, "maxLev must be non-negative")
     val pairs = simhashPairsBalanced(simhashPortable(df), maxDist)
-    val t1 = df.select(col(idCol).as("id1"), col(textCol).as("_t1"))
-    val t2 = df.select(col(idCol).as("id2"), col(textCol).as("_t2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = pairs
+      .select(explode(array(col("id1"), col("id2"))).as(idCol)).distinct()
+    // persisted: t1 and t2 would otherwise each re-scan the corpus and
+    // re-run the semi-join (module cache contract, like the pair ops)
+    val texts = df
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t1 = texts.select(col(idCol).as("id1"), col(textCol).as("_t1"))
+    val t2 = texts.select(col(idCol).as("id2"), col(textCol).as("_t2"))
     pairs.join(t1, "id1").join(t2, "id2")
       .withColumn("lev", levenshtein(col("_t1"), col("_t2"), maxLev))
       .filter(col("lev") >= 0 && col("lev") <= maxLev)
