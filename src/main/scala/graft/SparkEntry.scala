@@ -99,6 +99,9 @@ object SparkEntry {
     "q90_lev_neardup" -> (OpsQueries.q90LevNeardup _),
     "q91_prefix_dedup" -> (OpsQueries.q91PrefixDedup _),
     "q92_corpus_delta" -> (OpsQueries.q92CorpusDelta _),
+    "q93_salted_sum" -> (OpsQueries.q93SaltedSum _),
+    "q94_salted_join" -> (OpsQueries.q94SaltedJoin _),
+    "q95_incremental_cc" -> (OpsQueries.q95IncrementalCc _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1267,6 +1270,30 @@ object SparkEntry {
         |       WHEN n.doc_id IS NULL THEN 'removed'
         |       WHEN o.h <> n.h THEN 'changed'
         |       ELSE 'unchanged' END AS status
-        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // q93: the UNSALTED group-by — salting must reshape only the plan.
+    // round(value*100) on positive doubles: identical grid both engines
+    "q93_salted_sum" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    // q94: the plain join — the salted inner join is salt-invariant
+    "q94_salted_join" ->
+      """WITH d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_user_events
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, events.user_id, n_user_events
+        |FROM events JOIN d USING (user_id)""".stripMargin,
+    // q95: the oracle is the BATCH transitive closure over the whole
+    // SimHash pair set (q76 chain + q86's recursion shape) — the
+    // incremental half-then-update path must converge to it exactly
+    "q95_incremental_cc" ->
+      s"""WITH RECURSIVE $simhashCtes,
+        |sp AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM s64 a JOIN s64 b
+        |  ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM sp UNION SELECT id2, id1 FROM sp),
+        |reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin
   )
 }

@@ -173,6 +173,43 @@ object ConnectedComponents {
     out
   }
 
+  /** INCREMENTAL component maintenance — fold a batch of NEW pairs into
+    * an existing labelling without re-reading the historical pair set.
+    * A labelling IS a spanning star of its graph (id → component), so
+    * contracting (labels-as-edges ∪ new pairs) yields exactly the
+    * components of (history ∪ batch): the relational form of union-find
+    * "union by existing roots". Cost scales with |labels| + |batch|,
+    * never with the historical pair count — the property a streaming
+    * dedup pipeline needs when clusters accrete across weeks of ticks.
+    * Labels relabel downward only (merged components take the overall
+    * minimum, consistent with [[connectedComponents]]).
+    *
+    * Output covers every id seen in `labels` OR the batch; singleton
+    * components (self-labelled, untouched by the batch) are preserved.
+    */
+  def updateComponents(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      idCol1: String = "id1",
+      idCol2: String = "id2",
+      localThreshold: Long = 1L << 20): DataFrame = {
+    val le = labels.select(col("id").cast("long").as("id1"),
+      col("component").cast("long").as("id2"))
+    val ne = newEdges.select(col(idCol1).cast("long").as("id1"),
+      col(idCol2).cast("long").as("id2"))
+    val cc = connectedComponents(le.union(ne), "id1", "id2",
+      localThreshold = localThreshold)
+    // self-labelled singletons fall out of the edge-only contraction
+    // (self-pairs are filtered at entry); restore them, plus any
+    // batch-side self-pairs introducing genuinely new singleton ids
+    val ids = labels.select(col("id"))
+      .union(ne.select(col("id1").as("id")))
+      .union(ne.select(col("id2").as("id")))
+      .distinct()
+    ids.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Small-graph solve: path-halving union-find over the collected edge
     * list, labels = component minima (identical semantics to the star
     * contraction). Bounded by `localThreshold` at the call site. */

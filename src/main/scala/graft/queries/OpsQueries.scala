@@ -896,6 +896,54 @@ object OpsQueries {
   def q91PrefixDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.prefixDedup(table(spark, dir, "documents"), prefixWords = 8)
 
+  /** Skew-salted two-phase aggregation gate ([[SkewJoin.saltedSum]]):
+    * events value (quantized to the round(value·100) integer grid)
+    * summed by event_type — 5 genuinely hot keys, each spread over 32
+    * salt tasks before the merge. The oracle is the UNSALTED GROUP BY,
+    * so the gate proves salting reshapes the plan without moving the
+    * answer. */
+  def q93SaltedSum(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewJoin.saltedSum(Queries.events(spark, dir),
+      col("event_type"), round(col("value") * 100).cast("long"), salts = 32)
+      .select(col("key").as("event_type"), col("sum").as("sum_cents"),
+        col("count").as("n"))
+
+  /** Skew-salted equi-join gate ([[SkewJoin.saltedJoin]]): events
+    * enriched with a derived per-user dimension under an 8-way salt
+    * (hot side salted, dim replicated). Oracle = the plain join — the
+    * inner-join result is salt-invariant by construction and the gate
+    * holds it to that. */
+  def q94SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(spark, dir)
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+    graft.ops.SkewJoin.saltedJoin(
+        ev.select(col("event_id"), col("user_id")), dim, "user_id", salts = 8)
+      .select(col("event_id"), col("user_id"), col("n_user_events"))
+  }
+
+  /** Incremental cluster maintenance gate
+    * ([[ConnectedComponents.updateComponents]]): the q76 SimHash pair
+    * set split into two deterministic halves — components of half 1,
+    * then the second half folded in INCREMENTALLY (labels-as-edges ∪
+    * batch, never re-reading history). The oracle is the transitive
+    * closure over ALL pairs, so the gate proves the incremental path
+    * converges to exactly the batch answer. Every document labelled;
+    * singletons label themselves. */
+  def q95IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(spark, dir)
+    // cache contract: released by the harness's per-query clearCache
+    val pairs = Dedup.simhashPairsBalanced(Dedup.simhashPortable(docs), maxDist = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = pairs.filter((col("id1") + col("id2")) % 2 === 0)
+    val second = pairs.filter((col("id1") + col("id2")) % 2 =!= 0)
+    val labels0 = ConnectedComponents.connectedComponents(first, "id1", "id2")
+    val updated = ConnectedComponents.updateComponents(labels0, second, "id1", "id2")
+    docs.select(col("doc_id"))
+      .join(updated.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
     * deterministic synthetic versions of the documents table (old drops
     * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites

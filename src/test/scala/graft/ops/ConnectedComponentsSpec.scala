@@ -102,4 +102,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(midRounds.size < rounds.size,
       s"switch must cut rounds: ${midRounds.size} vs ${rounds.size}")
   }
+
+  test("updateComponents: incremental batches converge to the batch answer") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    val (h1, h2) = edges.partition { case (a, b) => (a + b) % 2 == 0 }
+    val full = ConnectedComponents.connectedComponents(edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels0 = ConnectedComponents.connectedComponents(h1.toDF("id1", "id2"))
+    val updated = ConnectedComponents.updateComponents(labels0, h2.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every node of the full graph is labelled identically
+    assert(full.forall { case (id, c) => updated.get(id).contains(c) },
+      "incremental labelling must match the batch labelling")
+    // chain-merge case: two components joined ONLY by the new batch
+    val chainLabels = ConnectedComponents.connectedComponents(
+      Seq((1L, 2L), (10L, 11L)).toDF("id1", "id2"))
+    val merged = ConnectedComponents.updateComponents(chainLabels,
+        Seq((2L, 10L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    // singleton preservation: a self-labelled id untouched by the batch
+    val single = ConnectedComponents.updateComponents(
+        Seq((7L, 7L)).toDF("id", "component"),
+        Seq((1L, 2L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
 }
