@@ -186,7 +186,14 @@ object ConnectedComponents {
     *
     * Output covers every id seen in `labels` OR the batch; singleton
     * components (self-labelled, untouched by the batch) are preserved.
-    */
+    *
+    * Iterative callers (a tick loop folding batch after batch) must
+    * `localCheckpoint` the returned labelling between ticks: each
+    * output's logical plan nests its input's, and without lineage
+    * truncation the analyzer re-walks an exponentially growing tree —
+    * the same pathology the contraction loop checkpoints away
+    * (measured in the ScaleRehearsal CC_TICK leg: 1.5→72 s/tick with
+    * persist alone, flat with checkpoint). */
   def updateComponents(
       labels: DataFrame,
       newEdges: DataFrame,
