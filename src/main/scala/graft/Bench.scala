@@ -53,9 +53,15 @@ object Bench {
         val s = String.format(s"%.${prec}f", Double.box(v))
         if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
       }
-    def jsonLine(prec: Int, sf: String): String = {
+    def jsonLine(prec: Int, sf: String, shortKeys: Boolean = false): String = {
+      // stdout uses the bare "qNN" keys (the driver contract's own
+      // example form — {"q1":sec}): at 95 queries even a 0-dp line with
+      // full names is ~2070 chars and the driver's 2000-char tail
+      // capture would clip the HEAD (the BENCH_r08 failure). Short keys
+      // bring 2-dp to ~1200 chars; the file artifact keeps full names.
+      def key(k: String): String = if (shortKeys) k.takeWhile(_ != '_') else k
       val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }
+        .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v, prec) }
         .mkString("{", ",", "}")
       // failed queries (-1 sentinel) stay visible per-query but are
       // excluded from the total
@@ -74,8 +80,9 @@ object Bench {
     // 84 queries outgrew even 1 dp (~1950 chars) — degrade stdout to
     // whole seconds before ever letting the head clip; the file
     // artifact below always keeps 0.1 ms
-    val line = Seq(2, 1, 0).map(jsonLine(_, sfTag)).find(_.length <= 1900)
-      .getOrElse(jsonLine(0, sfTag))
+    val line = Seq(2, 1, 0).map(jsonLine(_, sfTag, shortKeys = true))
+      .find(_.length <= 1900)
+      .getOrElse(jsonLine(0, sfTag, shortKeys = true))
     // belt-and-braces artifact: the full-precision JSON also lands in a
     // file so round-over-round comparisons never depend on stdout capture
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
