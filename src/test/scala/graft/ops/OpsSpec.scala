@@ -47,6 +47,34 @@ class OpsSpec extends SparkSpec {
     assert(copy(0).getAs[Double]("j") == 1.0)
   }
 
+  test("packed-key pair aggregate equals the generic path (wide ids, int ids, string ids)") {
+    // The packed path fires when the id span fits 32 bits (the `docs`
+    // fixture). Re-running the same corpus with ids spread past 2^32
+    // forces the generic two-key aggregate; with string ids it must
+    // also fall back; with int ids it must pack AND keep the int
+    // schema. All four must emit the identical edge set.
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      Dedup.ngramJaccardPairs(df, n = 2, minIntersect = 2)
+        .select(col("id1").cast("long"), col("id2").cast("long"), col("inter_n"), col("union_n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val packed = edges(docs)
+    val spread = 1L << 33
+    val wide = edges(docs.withColumn("doc_id", col("doc_id") * spread))
+      .map { case (a, b, i, u) => (a / spread, b / spread, i, u) }
+    assert(packed == wide, s"packed vs wide diff: ${(packed -- wide) ++ (wide -- packed)}")
+    val intDf = docs.withColumn("doc_id", col("doc_id").cast("int"))
+    val intPairs = Dedup.ngramJaccardPairs(intDf, n = 2, minIntersect = 2)
+    assert(intPairs.schema("id1").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(edges(intDf) == packed)
+    val strPairs = Dedup.ngramJaccardPairs(
+      docs.withColumn("doc_id", concat(lit("d"), col("doc_id"))), n = 2, minIntersect = 2)
+      .select(substring(col("id1"), 2, 10).cast("long"), substring(col("id2"), 2, 10).cast("long"),
+        col("inter_n"), col("union_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map { case (a, b, i, u) => if (a < b) (a, b, i, u) else (b, a, i, u) }.toSet
+    assert(strPairs == packed)
+  }
+
   test("minhash LSH recovers every high-jaccard pair the exact scan finds") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 2, minIntersect = 2)
       .filter(col("inter_n") >= col("union_n") * 0.5)
