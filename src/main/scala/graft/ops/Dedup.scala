@@ -30,6 +30,66 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  // ------------------------------------------------- pair-key packing
+
+  /** Single-long pair-key packing for the (id1, id2) shuffles that
+    * dominate the pairwise family. When the corpus's integral id span
+    * fits in 32 bits (one tiny agg over the caller's already-persisted
+    * keyed relation), (id1−base, id2−base) packs bijectively into ONE
+    * long via shiftleft|bitwiseOR — pure bit concatenation, valid even
+    * across the sign bit — and the downstream distinct/count aggregate
+    * takes Spark's single-long-key codegen fast path: measured 1.8–2.2×
+    * on the 183M-row sf1 pair stream (PairGenProfile), the single
+    * largest cost of the Jaccard/cluster query family. Wide ids (e.g.
+    * xxhash64-bridged string keys) return None and callers keep the
+    * generic two-key aggregate with identical output and schema. */
+  private[ops] def pairPackBase(keyed: DataFrame, idCol: String = "id")
+      : Option[(Long, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val idType = keyed.schema(idCol).dataType
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val r = keyed.agg(min(col(idCol).cast("long")).as("mn"),
+          max(col(idCol).cast("long")).as("mx")).collect()(0)
+        if (!r.isNullAt(0) &&
+            BigInt(r.getLong(1)) - BigInt(r.getLong(0)) < (BigInt(1) << 32))
+          Some((r.getLong(0), idType))
+        else None
+      case _ => None // string/decimal ids: generic path only
+    }
+  }
+
+  private def packPair(base: Long): Column =
+    shiftleft(col("id1").cast("long") - base, 32)
+      .bitwiseOR(col("id2").cast("long") - base)
+
+  private def unpackPair(base: Long,
+      idType: org.apache.spark.sql.types.DataType): Seq[Column] = Seq(
+    (shiftrightunsigned(col("_pk"), 32) + base).cast(idType).as("id1"),
+    (col("_pk").bitwiseAND(lit((1L << 32) - 1)) + base).cast(idType).as("id2"))
+
+  /** `pairs.select(id1, id2).distinct()` through the packed fast path
+    * when `pack` is available, the generic two-key distinct otherwise. */
+  private[ops] def distinctPairs(pairs: DataFrame,
+      pack: Option[(Long, org.apache.spark.sql.types.DataType)]): DataFrame =
+    pack match {
+      case Some((b, t)) =>
+        pairs.select(packPair(b).as("_pk")).distinct().select(unpackPair(b, t): _*)
+      case None => pairs.select("id1", "id2").distinct()
+    }
+
+  /** `pairs.groupBy(id1, id2).agg(count(1) as cntName)` through the
+    * packed fast path when `pack` is available. */
+  private[ops] def countPairs(pairs: DataFrame,
+      pack: Option[(Long, org.apache.spark.sql.types.DataType)],
+      cntName: String): DataFrame =
+    pack match {
+      case Some((b, t)) =>
+        pairs.groupBy(packPair(b).as("_pk")).agg(count(lit(1)).as(cntName))
+          .select(unpackPair(b, t) :+ col(cntName): _*)
+      case None => pairs.groupBy("id1", "id2").agg(count(lit(1)).as(cntName))
+    }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on a content hash: keep the lowest-id representative
@@ -371,42 +431,11 @@ object Dedup {
     val b = prefiltered.select(col("id").as("id2"), col("block"), col("sh"))
     val joined = a.join(b, Seq("block", "sh"))
       .filter(col("id1") < col("id2"))
-    // Data-adaptive PACKED pair key: when the corpus's id span fits in
-    // 32 bits (one tiny agg over the already-persisted posting
-    // relation), the (id1, id2) group key packs into ONE long —
-    // shiftleft|bitwiseOR is pure bit concatenation, bijective even
-    // across the sign bit — and the count aggregate takes Spark's
-    // single-long-key codegen fast path: measured 2.2x on the 183M-row
-    // sf1 pair stream (PairGenProfile), the single largest cost of the
-    // Jaccard/cluster query family. Wide ids (e.g. xxhash64-bridged
-    // string keys) fall back to the generic two-key aggregate with
-    // identical output.
-    val idType = prefiltered.schema("id").dataType
-    val integral = idType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false // string/decimal ids: generic path only
-    }
-    val range = if (integral)
-      prefiltered
-        .agg(min(col("id").cast("long")).as("mn"), max(col("id").cast("long")).as("mx"))
-        .collect()(0)
-      else null
-    val packable = integral && !range.isNullAt(0) &&
-      (BigInt(range.getLong(1)) - BigInt(range.getLong(0))) < (BigInt(1) << 32)
-    val counted =
-      if (packable) {
-        val base = range.getLong(0)
-        joined
-          .groupBy(shiftleft(col("id1").cast("long") - base, 32)
-            .bitwiseOR(col("id2").cast("long") - base).as("_pk"))
-          .agg(count(lit(1)).as("inter_n"))
-          .select(
-            (shiftrightunsigned(col("_pk"), 32) + base).cast(idType).as("id1"),
-            (col("_pk").bitwiseAND(lit((1L << 32) - 1)) + base).cast(idType).as("id2"),
-            col("inter_n"))
-      } else joined.groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
-    val pairs = counted.filter(col("inter_n") >= minIntersect)
+    // Packed single-long pair key when the id span allows (see
+    // pairPackBase) — the count aggregate over this stream is the
+    // operator's dominant cost.
+    val pairs = countPairs(joined, pairPackBase(prefiltered), "inter_n")
+      .filter(col("inter_n") >= minIntersect)
     if (!withSizes) return pairs
     val sizes = prefiltered.groupBy("id").agg(count(lit(1)).as("set_n"))
     pairs
@@ -663,10 +692,11 @@ object Dedup {
       .select("id1", "id2")
     // the same pair can collide in several bands: below the threshold
     // that's a dedup (distinct); above it the identical shuffle doubles
-    // as the collision-count vote
-    if (minBandCollisions <= 1) raw.distinct()
-    else raw.groupBy("id1", "id2")
-      .agg(count(lit(1)).as("band_collisions"))
+    // as the collision-count vote. Both take the packed single-long
+    // key fast path when the id span allows (see pairPackBase).
+    val pack = pairPackBase(filtered)
+    if (minBandCollisions <= 1) distinctPairs(raw, pack)
+    else countPairs(raw, pack, "band_collisions")
       .filter(col("band_collisions") >= minBandCollisions)
       .select("id1", "id2")
   }
@@ -904,9 +934,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = filtered.select(col("id").as("id1"), col("chunk"), col("key"))
     val b = filtered.select(col("id").as("id2"), col("chunk"), col("key"))
-    val cand = a.join(b, Seq("chunk", "key")).filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct() // the same pair can collide in several chunks
+    // the same pair can collide in several chunks — packed single-long
+    // distinct when the id span allows (see pairPackBase)
+    val cand = distinctPairs(
+      a.join(b, Seq("chunk", "key")).filter(col("id1") < col("id2")),
+      pairPackBase(filtered))
     val f1 = fps.select(col("id").as("id1"), col("simhash").as("fp1"))
     val f2 = fps.select(col("id").as("id2"), col("simhash").as("fp2"))
     val pairs = cand.join(f1, "id1").join(f2, "id2")
