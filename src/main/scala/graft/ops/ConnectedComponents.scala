@@ -37,9 +37,20 @@ object ConnectedComponents {
   private def symAll(e: DataFrame): DataFrame =
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
 
-  /** Canonical undirected-symmetric closure (deduplicated) — used once
-    * per round so the convergence checksum compares canonical sets. */
-  private def sym(e: DataFrame): DataFrame = symAll(e).distinct()
+  /** ORIENTED canonical form: one row per undirected edge, src > dst.
+    * The edge relation is carried oriented between rounds — the
+    * symmetric closure is recovered by `symAll` (a union, no shuffle)
+    * exactly where a star needs both directions, while every
+    * per-round SHUFFLE (the dedup distinct, the checkpoint
+    * materialization, the convergence checksum) moves half the rows of
+    * the symmetric form. Both star outputs already satisfy src > dst
+    * (large-star points larger nodes at minima, small-star points
+    * smaller neighbors at a yet-smaller minimum), so the
+    * least/greatest projection is a no-op there in practice — kept for
+    * the invariant, it costs one codegen'd map-side projection. */
+  private def orient(e: DataFrame): DataFrame =
+    e.select(greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst")).distinct()
 
   /** Large-star: every node u points its LARGER neighbors at
     * m(u) = min(N(u) ∪ {u}). */
@@ -75,17 +86,19 @@ object ConnectedComponents {
     *   deep graph may need the cap raised — the exception says so
     *   rather than guessing.
     * @param onRound telemetry hook, called after every contraction round
-    *   with (round, canonical edge count) — the count is the checksum's
-    *   own aggregate, so observing convergence costs nothing extra. A
+    *   with (round, canonical UNDIRECTED edge count — one per edge, not
+    *   per direction) — the count is the checksum's own aggregate, so
+    *   observing convergence costs nothing extra. A
     *   100 TB run wires this to its metrics sink; a stalling contraction
     *   is visible long before maxIter throws.
     * @param localThreshold adaptive small-graph fast path: when the
-    *   CANONICAL edge count (known from the first checksum, before any
-    *   round runs) is at or under this bound, solve with one collect +
-    *   union-find on the driver instead of paying ~4 Spark jobs ×
-    *   O(log n) rounds of scheduler floor. Same contract as Spark's own
-    *   broadcast-join threshold: a deliberately bounded driver
-    *   materialization (16 bytes/edge ⇒ ≤ ~16 MB at the default 2²⁰)
+    *   canonical UNDIRECTED edge count (known from the first checksum,
+    *   before any round runs) is at or under this bound, solve with one
+    *   collect + union-find on the driver instead of paying ~4 Spark
+    *   jobs × O(log n) rounds of scheduler floor. Same contract as
+    *   Spark's own broadcast-join threshold: a deliberately bounded
+    *   driver materialization (16 bytes/edge ⇒ ≤ ~16 MB at the default
+    *   2²⁰)
     *   that removes the fixed cost exactly where distribution buys
     *   nothing. A near-dup edge set is tiny relative to its corpus —
     *   at 100 TB the pair GENERATION is the distributed workload, and
@@ -115,7 +128,7 @@ object ConnectedComponents {
           "to long (e.g. xxhash64), and never use fractional ids " +
           "(cast('long') would silently truncate distinct ids together)")
     }
-    var e = sym(
+    var e = orient(
       edges.select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
         .filter(col("src") =!= col("dst")))
@@ -143,7 +156,7 @@ object ConnectedComponents {
             "still contracting; re-run with a larger maxIter")
       // eager localCheckpoint: materializes the round AND truncates the
       // logical plan so the next round starts from a leaf relation
-      val next = sym(smallStar(symAll(largeStar(e)))).localCheckpoint(true)
+      val next = orient(smallStar(symAll(largeStar(symAll(e))))).localCheckpoint(true)
       val nextSum = checksum(next)
       onRound(iter, nextSum._1)
       // adaptive mid-contraction switch: star rounds collapse the edge
@@ -166,9 +179,11 @@ object ConnectedComponents {
       e = next // previous round's checkpoint RDD is released by the ContextCleaner
       prevSum = nextSum
     }
-    // final star: every non-min node has its component min as a smaller
-    // neighbor; the min node maps to itself
-    val out = e.groupBy("src").agg(min("dst").as("mn"))
+    // final star over the symmetric closure: every non-min node has its
+    // component min as a smaller neighbor; the min node maps to itself
+    // (it appears only as `dst` in the oriented set, so the
+    // symmetrization here is what gives it a row)
+    val out = symAll(e).groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("component"))
     out
   }
