@@ -37,12 +37,16 @@ object Dedup {
     * fits in 32 bits (one tiny agg over the caller's already-persisted
     * keyed relation), (id1−base, id2−base) packs bijectively into ONE
     * long via shiftleft|bitwiseOR — pure bit concatenation, valid even
-    * across the sign bit — and the downstream distinct/count aggregate
-    * takes Spark's single-long-key codegen fast path: measured 1.8–2.2×
-    * on the 183M-row sf1 pair stream (PairGenProfile), the single
-    * largest cost of the Jaccard/cluster query family. Wide ids (e.g.
-    * xxhash64-bridged string keys) return None and callers keep the
-    * generic two-key aggregate with identical output and schema. */
+    * across the sign bit — so the downstream distinct/count aggregate
+    * hashes and shuffles one 8-byte key instead of two (24→16 bytes
+    * per group row). Measured honestly with interleaved A/B rounds in
+    * a canary-validated quiet window (PairGenProfile, 183M-row sf1
+    * pair stream): packed won every matched round by 5–30%; earlier
+    * 2× readings were host-steal artifacts, so the pack is a modest
+    * constant-factor win whose real value is the strictly smaller
+    * shuffle at 100 TB. Wide ids (e.g. xxhash64-bridged string keys)
+    * return None and callers keep the generic two-key aggregate with
+    * identical output and schema. */
   private[ops] def pairPackBase(keyed: DataFrame, idCol: String = "id")
       : Option[(Long, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types._

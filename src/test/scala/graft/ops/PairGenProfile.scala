@@ -34,15 +34,23 @@ object PairGenProfile {
     val joined = a.join(b, Seq("block", "sh")).filter(col("id1") < col("id2"))
 
     timed("join only (count)")(joined.count())
-    timed("join + (id1,id2) count agg") {
+    // INTERLEAVED A/B: host steal varies on minute timescales, so
+    // sequential one-shot comparisons don't cancel it — alternate the
+    // two aggregates and compare per-variant MINIMA.
+    val gen = Array.fill(3)(0.0); val pk = Array.fill(3)(0.0)
+    for (i <- 0 until 3) {
+      val t0 = System.nanoTime()
       joined.groupBy("id1", "id2").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 8).count()
-    }
-    timed("join + packed-key count agg") {
+      gen(i) = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
       // doc_ids < 2^31 on this corpus: experiment only, not the operator
       joined.groupBy((col("id1") * lit(4294967296L) + col("id2")).as("pk"))
         .agg(count(lit(1)).as("n")).filter(col("n") >= 8).count()
+      pk(i) = (System.nanoTime() - t1) / 1e9
+      println(f"PROF round $i generic=${gen(i)}%.2f packed=${pk(i)}%.2f")
     }
+    println(f"PROF MIN generic=${gen.min}%.2f packed=${pk.min}%.2f")
     timed("full ngramJaccardPairs (sizes)") {
       Dedup.ngramJaccardPairs(docs, n = 2, minIntersect = 8,
         blockCol = Some("source")).count()
