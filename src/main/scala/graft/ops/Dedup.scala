@@ -437,8 +437,12 @@ object Dedup {
       .filter(col("id1") < col("id2"))
     // Packed single-long pair key when the id span allows (see
     // pairPackBase) — the count aggregate over this stream is the
-    // operator's dominant cost.
-    val pairs = countPairs(joined, pairPackBase(prefiltered), "inter_n")
+    // operator's dominant cost. The span probe reads the DOC-grain
+    // input relation (a pruned single-column source scan), NOT the
+    // posting relation: probing `prefiltered` would materialize the
+    // persist in a separate job and de-pipeline the shingle explode
+    // from the join that consumes it (measured +3–4 s on q16 at sf1).
+    val pairs = countPairs(joined, pairPackBase(df, idCol), "inter_n")
       .filter(col("inter_n") >= minIntersect)
     if (!withSizes) return pairs
     val sizes = prefiltered.groupBy("id").agg(count(lit(1)).as("set_n"))
@@ -665,11 +669,19 @@ object Dedup {
     *   0.999 of J=0.5 pairs (1.0 above 0.6) while background pairs —
     *   whose expected collision count is ≪1 — mostly collide once:
     *   measured 43.6M → 2.0M candidates on the sf1 rehearsal corpus
-    *   for the identical verified output. */
+    *   for the identical verified output.
+    * @param packFrom optional CHEAP relation with an `id` column of
+    *   the same type bounding the id universe, used only to probe the
+    *   span for the packed pair key. Pass the raw doc relation when
+    *   `signatures` is an expensive not-yet-materialized computation —
+    *   probing `signatures` itself would run that computation in a
+    *   separate job and de-pipeline its persist from the pair join
+    *   (the minhashDedupPairs path measured +4 s at sf1). */
   def lshCandidatePairs(
       signatures: DataFrame, numHashes: Int, bands: Int,
       hotBucketCap: Int = 100000,
-      minBandCollisions: Int = 1): DataFrame = {
+      minBandCollisions: Int = 1,
+      packFrom: Option[DataFrame] = None): DataFrame = {
     val banded = bandBuckets(signatures, numHashes, bands)
     // Bucket-local pair generation, capped BEFORE any pairing: the
     // count prefilter is a safe partial aggregation (O(1) buffer per
@@ -697,8 +709,11 @@ object Dedup {
     // the same pair can collide in several bands: below the threshold
     // that's a dedup (distinct); above it the identical shuffle doubles
     // as the collision-count vote. Both take the packed single-long
-    // key fast path when the id span allows (see pairPackBase).
-    val pack = pairPackBase(filtered)
+    // key fast path when the id span allows (see pairPackBase). The
+    // span probe prefers the caller's cheap relation; otherwise the
+    // doc-grain signature relation — never the exploded band relation,
+    // which would de-pipeline `filtered`'s persist from the pair join.
+    val pack = pairPackBase(packFrom.getOrElse(signatures))
     if (minBandCollisions <= 1) distinctPairs(raw, pack)
     else countPairs(raw, pack, "band_collisions")
       .filter(col("band_collisions") >= minBandCollisions)
@@ -748,7 +763,8 @@ object Dedup {
     val sigs = minhashSignatures(sh, numHashes, withSetSize = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(sigs, numHashes, bands,
-      minBandCollisions = minBandCollisions)
+      minBandCollisions = minBandCollisions,
+      packFrom = Some(df.select(col(idCol).as("id"))))
 
     // estimator gate: est(J) = matching signature components / numHashes.
     // The per-pair signature travels as ONE array column, and the match
@@ -939,10 +955,12 @@ object Dedup {
     val a = filtered.select(col("id").as("id1"), col("chunk"), col("key"))
     val b = filtered.select(col("id").as("id2"), col("chunk"), col("key"))
     // the same pair can collide in several chunks — packed single-long
-    // distinct when the id span allows (see pairPackBase)
+    // distinct when the id span allows (see pairPackBase). Span probed
+    // on the doc-grain fingerprint relation, not the exploded chunk
+    // keys, to keep `filtered`'s persist pipelined into the pair join.
     val cand = distinctPairs(
       a.join(b, Seq("chunk", "key")).filter(col("id1") < col("id2")),
-      pairPackBase(filtered))
+      pairPackBase(fps))
     val f1 = fps.select(col("id").as("id1"), col("simhash").as("fp1"))
     val f2 = fps.select(col("id").as("id2"), col("simhash").as("fp2"))
     val pairs = cand.join(f1, "id1").join(f2, "id2")
