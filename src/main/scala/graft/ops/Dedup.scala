@@ -1236,7 +1236,14 @@ object Dedup {
   def levVerifiedPairs(df: DataFrame, maxDist: Int = 3, maxLev: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxLev >= 0, "maxLev must be non-negative")
-    val pairs = simhashPairsBalanced(simhashPortable(df), maxDist)
+    // persisted: the fingerprint relation backs FIVE consumers inside
+    // the balanced pigeonhole (balance probe, chunk keys, pack probe,
+    // both hamming join sides) — unpersisted it recomputes the
+    // char-fold fingerprint chain for each (module cache contract,
+    // released by the harness's clearCache like the other pair ops)
+    val fps = simhashPortable(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = simhashPairsBalanced(fps, maxDist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = pairs
       .select(explode(array(col("id1"), col("id2"))).as(idCol)).distinct()

@@ -931,8 +931,12 @@ object OpsQueries {
     * singletons label themselves. */
   def q95IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsPar(spark, dir)
-    // cache contract: released by the harness's per-query clearCache
-    val pairs = Dedup.simhashPairsBalanced(Dedup.simhashPortable(docs), maxDist = 3)
+    // cache contract: released by the harness's per-query clearCache;
+    // fps persisted too — five pigeonhole consumers read it (see
+    // levVerifiedPairs)
+    val fps = Dedup.simhashPortable(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.simhashPairsBalanced(fps, maxDist = 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = pairs.filter((col("id1") + col("id2")) % 2 === 0)
     val second = pairs.filter((col("id1") + col("id2")) % 2 =!= 0)
