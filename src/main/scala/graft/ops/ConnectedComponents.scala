@@ -97,10 +97,14 @@ object ConnectedComponents {
     *   collect + union-find on the driver instead of paying ~4 Spark
     *   jobs × O(log n) rounds of scheduler floor. Same contract as
     *   Spark's own broadcast-join threshold: a deliberately bounded
-    *   driver materialization (16 bytes/edge ⇒ ≤ ~16 MB at the default
-    *   2²⁰)
-    *   that removes the fixed cost exactly where distribution buys
-    *   nothing. A near-dup edge set is tiny relative to its corpus —
+    *   driver materialization (16 bytes/edge ⇒ ≤ ~8 MB at the default
+    *   2¹⁹) that removes the fixed cost exactly where distribution
+    *   buys nothing. The default is 2¹⁹ UNDIRECTED edges — the same
+    *   effective bound the pre-oriented code's 2²⁰ symmetric-row
+    *   threshold admitted, and safely under the ~1e6-edge crossover
+    *   where the driver union-find's boxed-Long HashMap starts losing
+    *   to distributed contraction (CcProfile evidence in BENCH_NOTES).
+    *   A near-dup edge set is tiny relative to its corpus —
     *   at 100 TB the pair GENERATION is the distributed workload, and
     *   whichever side of this bound its output lands on gets the right
     *   execution. Set to 0 to force distributed contraction.
@@ -111,7 +115,7 @@ object ConnectedComponents {
       idCol2: String = "id2",
       maxIter: Int = 100,
       onRound: (Int, Long) => Unit = (_, _) => (),
-      localThreshold: Long = 1L << 20): DataFrame = {
+      localThreshold: Long = 1L << 19): DataFrame = {
     // labels are MIN node ids, so ids must be genuinely INTEGRAL — a
     // string id would ANSI-throw in the cast below, and a fractional
     // type (double/decimal) would silently truncate, merging distinct
@@ -214,7 +218,7 @@ object ConnectedComponents {
       newEdges: DataFrame,
       idCol1: String = "id1",
       idCol2: String = "id2",
-      localThreshold: Long = 1L << 20): DataFrame = {
+      localThreshold: Long = 1L << 19): DataFrame = {
     val le = labels.select(col("id").cast("long").as("id1"),
       col("component").cast("long").as("id2"))
     val ne = newEdges.select(col(idCol1).cast("long").as("id1"),

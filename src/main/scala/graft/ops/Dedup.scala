@@ -63,9 +63,20 @@ object Dedup {
     }
   }
 
-  private def packPair(base: Long): Column =
-    shiftleft(col("id1").cast("long") - base, 32)
-      .bitwiseOR(col("id2").cast("long") - base)
+  private def packPair(base: Long): Column = {
+    // fail LOUDLY if a caller-supplied probe relation did not actually
+    // bound the pair ids (offset outside [0, 2^32) would sign-bleed
+    // into the other id's field and silently merge unrelated pairs);
+    // two codegen'd comparisons per row, nothing next to the shuffle
+    def off(c: String): Column = {
+      val o = col(c).cast("long") - base
+      when(o >= 0L && o < (1L << 32), o).otherwise(raise_error(concat(
+        lit(s"pairPack: $c offset out of [0, 2^32) — the packFrom/probe " +
+          "relation does not bound the pair ids (value "),
+        col(c).cast("string"), lit(s", base $base)"))))
+    }
+    shiftleft(off("id1"), 32).bitwiseOR(off("id2"))
+  }
 
   private def unpackPair(base: Long,
       idType: org.apache.spark.sql.types.DataType): Seq[Column] = Seq(

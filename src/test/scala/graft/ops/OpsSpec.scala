@@ -73,6 +73,16 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .map { case (a, b, i, u) => if (a < b) (a, b, i, u) else (b, a, i, u) }.toSet
     assert(strPairs == packed)
+    // the two cases the "bijective across the sign bit" claim lives on:
+    // NEGATIVE ids (base < 0) and offsets crossing 2^31 (packed long
+    // goes negative via shiftleft; span still < 2^32 so it must pack)
+    val neg = edges(docs.withColumn("doc_id", col("doc_id") - lit(1000000L)))
+      .map { case (a, b, i, u) => (a + 1000000L, b + 1000000L, i, u) }
+    assert(neg == packed, "negative-id packed path diverged")
+    val stretch = 97000000L // 101 ids * 97e6 ≈ 3.1e9 < 2^32: packable, crosses 2^31
+    val wideOff = edges(docs.withColumn("doc_id", col("doc_id") * stretch))
+      .map { case (a, b, i, u) => (a / stretch, b / stretch, i, u) }
+    assert(wideOff == packed, "sign-bit-crossing packed path diverged")
   }
 
   test("minhash LSH recovers every high-jaccard pair the exact scan finds") {
