@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes the forked main's final stdout line as the bench
+// artifact; sbt's default LoggedOutput prefixes every child line with
+// "[info] " (making the JSON unparseable) and appends its own
+// "[success] ..." line after. Pass child stdout through verbatim and
+// drop the success banner so the bare JSON line is the last thing on
+// stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -60,6 +60,13 @@ object Bench {
       // capture would clip the HEAD (the BENCH_r08 failure). Short keys
       // bring 2-dp to ~1200 chars; the file artifact keeps full names.
       def key(k: String): String = if (shortKeys) k.takeWhile(_ != '_') else k
+      // two registry names sharing a qNN prefix would silently emit
+      // duplicate JSON keys (last-one-wins on the driver side) — fail
+      // the bench instead so the collision is fixed at naming time
+      val shortened = results.keys.toSeq.map(key)
+      require(shortened.distinct.size == shortened.size,
+        "bench stdout keys collide after prefix-shortening: " +
+          shortened.groupBy(identity).filter(_._2.size > 1).keys.mkString(", "))
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v, prec) }
         .mkString("{", ",", "}")

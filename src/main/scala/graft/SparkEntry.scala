@@ -134,6 +134,47 @@ object SparkEntry {
   // shingles → Karp-Rabin HUGEINT hashes → majority bit votes → signed
   // 64-bit fingerprint), shared verbatim by q86's composed pipeline so
   // the near-dup stage cannot drift from the standalone query
+  // Planted-neighbor ANN corpus (OpsQueries.annCorpus /
+  // SimilaritySearch.plantedNeighborCorpus) restated in SQL: copy c of
+  // query q is (1 − c·0.01)·q + c·0.01·u computed in DOUBLE and
+  // rounded ONCE to FLOAT32 — bit-identical to the Spark side from the
+  // same parquet floats, so the tiers' (query, neighbor, rank) output
+  // hash-matches the brute-force oracle below. Planted ids start at
+  // 2^40 (disjoint from real corpus ids).
+  private val plantedCtes: String =
+    """pq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |pu AS (SELECT vec_id - 10 AS qid, embedding AS uv FROM embeddings
+      |       WHERE vec_id >= 10 AND vec_id < 20),
+      |planted AS (
+      |  SELECT 1099511627776 + pq.qid * 5 + c AS vec_id,
+      |    list_transform(range(1, len(qv) + 1), i ->
+      |      CAST((CAST(1.0 AS DOUBLE) - CAST(c AS DOUBLE) * CAST(0.01 AS DOUBLE))
+      |             * CAST(qv[i] AS DOUBLE)
+      |           + CAST(c AS DOUBLE) * CAST(0.01 AS DOUBLE)
+      |             * CAST(uv[i] AS DOUBLE) AS FLOAT)) AS embedding
+      |  FROM pq JOIN pu USING (qid), (SELECT unnest(range(1, 6)) AS c) cs),
+      |pcorpus AS (SELECT vec_id, embedding FROM embeddings
+      |            UNION ALL SELECT vec_id, embedding FROM planted)""".stripMargin
+
+  // The four approximate ANN tiers (q20 LSH, q30 IVF, q45 PQ, q65
+  // IVF-PQ) share ONE oracle: over the planted corpus each tier's
+  // top-5 provably equals brute force (planted cosine floor 0.9987 vs
+  // distractor ceiling 0.61 — DeterminismProbe verified pair-identity
+  // at sf0.01/sf0.1), so the exact formulation is the hash reference
+  // for all of them. The oracle is deliberately blind to buckets /
+  // cells / codes — it gates the no-lost-neighbor guarantee end-to-end.
+  private val annPlantedTopkSql: String =
+    s"""WITH $plantedCtes,
+      |s AS (SELECT pq.qid, c.vec_id AS nid,
+      |        list_cosine_similarity(CAST(pq.qv AS DOUBLE[]),
+      |          CAST(c.embedding AS DOUBLE[])) AS cos
+      |      FROM pcorpus c, pq WHERE c.vec_id <> pq.qid)
+      |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+      |  SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM s)
+      |WHERE rank <= 5""".stripMargin
+
   private val simhashCtes: String =
     """words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
@@ -295,6 +336,40 @@ object SparkEntry {
         |FROM pairs
         |JOIN sizes s1 ON pairs.id1 = s1.doc_id
         |JOIN sizes s2 ON pairs.id2 = s2.doc_id""".stripMargin,
+    // q17: the EXACT global bigram-Jaccard ≥ 0.5 sweep (q16's shape
+    // without source blocking). The engine's LSH candidates are
+    // exact-verified (precision 1) and banding recall is exactly 1 on
+    // this corpus (true pairs at J ≥ 0.82, none in [0.45, 0.5) —
+    // DeterminismProbe), so the approximate path hash-matches the
+    // exact oracle; deliberately blind to bands/signatures.
+    "q17_minhash_pairs" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS set_n FROM grams GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter_n
+        |  FROM grams a JOIN grams b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id1, id2, inter_n, s1.set_n + s2.set_n - inter_n AS union_n
+        |FROM pairs
+        |JOIN sizes s1 ON pairs.id1 = s1.doc_id
+        |JOIN sizes s2 ON pairs.id2 = s2.doc_id
+        |WHERE inter_n >= (s1.set_n + s2.set_n - inter_n) * 0.5""".stripMargin,
+    "q20_lsh_topk" -> annPlantedTopkSql,
+    "q30_ivf_topk" -> annPlantedTopkSql,
+    "q45_pq_topk" -> annPlantedTopkSql,
+    "q65_ivfpq_topk" -> annPlantedTopkSql,
+    // q53: exact all-pairs cosine ≥ 0.92 over the planted corpus — the
+    // threshold regime where the k-means cell blocking provably loses
+    // nothing (family diameter ≤ 0.05 rad, distractor ceiling 0.61)
+    "q53_semantic_dedup" ->
+      s"""WITH $plantedCtes
+        |SELECT a.vec_id AS id1, b.vec_id AS id2
+        |FROM pcorpus a JOIN pcorpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.92""".stripMargin,
     "q19_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT qid, vec_id AS nid,
@@ -754,6 +829,11 @@ object SparkEntry {
     // DISTINCT word bigram, ±1 votes per bit, sign → bit) —
     // deliberately blind to the engine's pigeonhole blocking, so it
     // gates the no-lost-pairs guarantee end-to-end
+    // q18: the fingerprint relation itself (q76's input) — every
+    // 64-bit simhash checked bit-for-bit via the same shared CTE chain
+    "q18_simhash" ->
+      s"""WITH $simhashCtes
+        |SELECT doc_id AS id, sim AS simhash FROM s64""".stripMargin,
     "q76_simhash_neardup" ->
       s"""WITH $simhashCtes
         |SELECT a.doc_id AS id1, b.doc_id AS id2,

@@ -227,8 +227,14 @@ object ConnectedComponents {
       localThreshold = localThreshold)
     // self-labelled singletons fall out of the edge-only contraction
     // (self-pairs are filtered at entry); restore them, plus any
-    // batch-side self-pairs introducing genuinely new singleton ids
+    // batch-side self-pairs introducing genuinely new singleton ids.
+    // labels' component column rides along too: connectedComponents-
+    // produced labellings are self-covering (every component value is
+    // also an id), but a caller-supplied labelling need not be — and
+    // a component-only node must survive into the output rather than
+    // silently vanish.
     val ids = labels.select(col("id"))
+      .union(labels.select(col("component").as("id")))
       .union(ne.select(col("id1").as("id")))
       .union(ne.select(col("id2").as("id")))
       .distinct()

@@ -327,8 +327,15 @@ object Corpus {
     * the id. No windows, no collects. */
   def deltaAudit(oldDf: DataFrame, newDf: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // dirty-input guard: a duplicated id row would otherwise emit one
+    // status row per copy-pair. Collapsing to max(md5) per id is
+    // DETERMINISTIC (unlike a dropDuplicates pick) and rides the same
+    // shuffle as the join; conflicting duplicate ids audit as the
+    // lexicographically-greatest content hash on each side.
     val o = oldDf.select(col(idCol), md5(col(textCol)).as("_h_old"))
+      .groupBy(idCol).agg(max("_h_old").as("_h_old"))
     val n = newDf.select(col(idCol), md5(col(textCol)).as("_h_new"))
+      .groupBy(idCol).agg(max("_h_new").as("_h_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("_h_old").isNull, lit("added"))

@@ -484,8 +484,14 @@ object Dedup {
     // (doc, shingle), so the hit rows are (corpus_id, bench_id, sh)-
     // distinct BY CONSTRUCTION — deduplicating the hits instead would
     // shuffle the full corpus-side hit relation (measured: the single
-    // largest exchange of the q43 sweep) to remove nothing
-    val c = shingleHashes(corpus.dropDuplicates(idCol), n, idCol, textCol)
+    // largest exchange of the q43 sweep) to remove nothing. The kept
+    // row per id is DETERMINISTIC (max md5(text), same hash-agg shape
+    // as dropDuplicates): conflicting duplicate ids always contribute
+    // the same row's shingles, run over run.
+    val cleanCorpus = corpus.select(col(idCol), col(textCol))
+      .groupBy(col(idCol))
+      .agg(max_by(col(textCol), md5(col(textCol))).as(textCol))
+    val c = shingleHashes(cleanCorpus, n, idCol, textCol)
       .select(col("id").as("corpus_id"), col("sh"))
     // benchmark side is tiny: full set-dedup is free and protects
     // bench_n/inter_n against duplicated eval rows
@@ -1191,8 +1197,14 @@ object Dedup {
     require(prefixWords > 0, "prefixWords must be positive")
     val key = md5(concat_ws(" ",
       slice(split(col(textCol), " "), 1, prefixWords)))
+    // n_copies counts DISTINCT ids, so a duplicated doc ROW cannot
+    // inflate it (the ngramJaccardPairs dirty-input contract, paid as
+    // a per-group distinct buffer instead of a second shuffle). A
+    // duplicated id whose copies DISAGREE on the prefix still lands in
+    // both groups — that input violates the id-uniqueness contract and
+    // is surfaced by exactDedup/deltaAudit, not silently merged here.
     df.groupBy(key.as("prefix_md5"))
-      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+      .agg(min(col(idCol)).as("rep_id"), count_distinct(col(idCol)).as("n_copies"))
   }
 
   /** Pairwise SOURCE-level n-gram overlap matrix — the corpus-mixing
@@ -1203,11 +1215,23 @@ object Dedup {
     *
     * Scale shape: the corpus collapses FIRST to the distinct
     * (source, shingle-hash) relation — bounded by |sources| × shingle
-    * universe, not by document count — then a self-join on the 8-byte
-    * hash emits each shingle's source-pair combinations (≤ |sources|²
-    * per shingle, |sources| is hundreds-to-thousands, not corpus-
-    * sized). Same SMJ pair-generation shape as [[ngramJaccardPairs]],
-    * one persisted relation feeding both join sides and the sizes. */
+    * universe, not by document count. The pair join then emits
+    * Σ c_sh² rows (c_sh = sources containing the shingle), which is
+    * fine for rare shingles but quadratic on exactly the ubiquitous
+    * ones that carry no mixing signal — a bigram present in all S
+    * sources of a thousands-of-sources registry would emit S² rows
+    * per such shingle. So shingles are ROUTED BY DENSITY, exactly:
+    *   - cold (c_sh ≤ S/2): direct source-pair self-join, cost c²;
+    *   - hot (c_sh > S/2): counted through their COMPLEMENT postings
+    *     (the sources NOT containing the shingle, ≤ S − c rows) via
+    *     inclusion–exclusion — inter_hot(s1,s2) = H − miss(s1) −
+    *     miss(s2) + bothMissing(s1,s2), with H = #hot shingles.
+    * Per-shingle cost is min(c, S−c)² — a shingle in EVERY source
+    * costs ZERO join rows instead of S². No caps, no recall loss: the
+    * output is bit-identical to the naive join (q88's DuckDB oracle
+    * gates that), and [[sourceHotShingles]] reports what got routed.
+    * The final assembly runs on the S²/2 source-pair grid — S is
+    * hundreds-to-thousands by contract, never corpus-sized. */
   def sourceOverlap(df: DataFrame, n: Int = 2,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
     val sh = df
@@ -1215,15 +1239,66 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("set_n"))
-    val inter = sh.select(col("src").as("s1"), col("sh"))
-      .join(sh.select(col("src").as("s2"), col("sh")), Seq("sh"))
+    val srcs = sh.select("src").distinct()
+    val nSrc = srcs.agg(count(lit(1)).as("n_src"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("c")).crossJoin(nSrc)
+    val tagged = sh.join(freq, "sh")
+    val cold = tagged.filter(col("c") * 2 <= col("n_src")).select("src", "sh")
+    val hot = tagged.filter(col("c") * 2 > col("n_src")).select("src", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotKeys = hot.select("sh").distinct()
+    val coldInter = cold.select(col("src").as("s1"), col("sh"))
+      .join(cold.select(col("src").as("s2"), col("sh")), Seq("sh"))
       .filter(col("s1") < col("s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("inter_n"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("cold_n"))
+    // complement postings: (src, sh) pairs where the HOT shingle is
+    // ABSENT from the source — ≤ (S − c) rows per hot shingle, i.e.
+    // small exactly when the direct join would be large
+    val comp = hotKeys.crossJoin(broadcast(srcs))
+      .join(hot, Seq("src", "sh"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotCount = hotKeys.agg(count(lit(1)).as("h"))
+    val miss = comp.groupBy("src").agg(count(lit(1)).as("miss"))
+    val both = comp.select(col("src").as("s1"), col("sh"))
+      .join(comp.select(col("src").as("s2"), col("sh")), Seq("sh"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("both_n"))
+    val grid = srcs.select(col("src").as("s1"))
+      .crossJoin(broadcast(srcs.select(col("src").as("s2"))))
+      .filter(col("s1") < col("s2"))
+    val inter = grid
+      .join(coldInter, Seq("s1", "s2"), "left")
+      .join(both, Seq("s1", "s2"), "left")
+      .join(miss.select(col("src").as("s1"), col("miss").as("m1")), Seq("s1"), "left")
+      .join(miss.select(col("src").as("s2"), col("miss").as("m2")), Seq("s2"), "left")
+      .crossJoin(hotCount)
+      .select(col("s1"), col("s2"),
+        (coalesce(col("cold_n"), lit(0L)) + col("h")
+          - coalesce(col("m1"), lit(0L)) - coalesce(col("m2"), lit(0L))
+          + coalesce(col("both_n"), lit(0L))).as("inter_n"))
+      .filter(col("inter_n") >= 1)
     inter
       .join(sizes.withColumnRenamed("src", "s1").withColumnRenamed("set_n", "n1"), "s1")
       .join(sizes.withColumnRenamed("src", "s2").withColumnRenamed("set_n", "n2"), "s2")
       .select(col("s1"), col("s2"), col("inter_n"),
         (col("n1") + col("n2") - col("inter_n")).as("union_n"))
+  }
+
+  /** Monitoring companion to [[sourceOverlap]]'s density routing: the
+    * (sh, c) rows carried by the complement path at this corpus's
+    * source count (c_sh > S/2). Nothing is dropped — this exists so
+    * an operator run on a suspicious corpus can SEE which shingles
+    * are ubiquitous boilerplate (nav bars, licence headers) rather
+    * than mixing signal. */
+  def sourceHotShingles(df: DataFrame, n: Int = 2,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val sh = df
+      .select(col(srcCol).as("src"), explode(gramHashArray(col(textCol), n)).as("sh"))
+      .distinct()
+    val nSrc = sh.select("src").distinct().agg(count(lit(1)).as("n_src"))
+    sh.groupBy("sh").agg(count(lit(1)).as("c")).crossJoin(nSrc)
+      .filter(col("c") * 2 > col("n_src"))
+      .select("sh", "c")
   }
 
   /** EDIT-DISTANCE VERIFIED near-dup pairs: the [[simhashPortable]] →
@@ -1244,8 +1319,16 @@ object Dedup {
     * Levenshtein kernel runs banded (Spark's 3-arg form bails out at
     * `maxLev`, so cost is O(len·maxLev) per candidate, zero for wildly
     * different lengths). */
+  /** @param maxBroadcastIds bound on the candidate-id set that
+    *   broadcasts into the text semi-join (~16 B/id → the default is
+    *   ~80 MB, inside a sane `autoBroadcastJoinThreshold` headroom).
+    *   Enforced with a limit-count BEFORE the broadcast (the
+    *   requireBoundedQueries pattern) so a runaway candidate set —
+    *   which means the upstream sketch caps failed first — dies with
+    *   a diagnosis instead of a driver OOM. */
   def levVerifiedPairs(df: DataFrame, maxDist: Int = 3, maxLev: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastIds: Long = 5000000L): DataFrame = {
     require(maxLev >= 0, "maxLev must be non-negative")
     // persisted: the fingerprint relation backs FIVE consumers inside
     // the balanced pigeonhole (balance probe, chunk keys, pack probe,
@@ -1258,6 +1341,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = pairs
       .select(explode(array(col("id1"), col("id2"))).as(idCol)).distinct()
+    // the broadcast bound, ENFORCED (not just documented): a candidate
+    // set past maxBroadcastIds means the simhash chunk caps upstream
+    // failed to prune — fail loudly with that diagnosis before the
+    // broadcast build can OOM the driver. limit-count scans at most
+    // maxBroadcastIds+1 rows of the (persisted-pairs-derived) id set.
+    require(ids.limit(math.min(maxBroadcastIds + 1, Int.MaxValue).toInt).count() <= maxBroadcastIds,
+      s"levVerifiedPairs: candidate-id set exceeds maxBroadcastIds=$maxBroadcastIds " +
+        "(the text-pruning semi-join broadcasts ids by design). A candidate set " +
+        "this large means the upstream sketch caps (simhashPairs hotChunkCap) " +
+        "failed to prune — inspect Dedup.hotChunks / lower maxDist, or raise " +
+        "maxBroadcastIds deliberately with broadcast headroom to match")
     // persisted: t1 and t2 would otherwise each re-scan the corpus and
     // re-run the semi-join (module cache contract, like the pair ops)
     val texts = df

@@ -875,4 +875,41 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
+
+  /** Deterministic PLANTED-NEIGHBOR benchmark relation: the corpus
+    * plus, for each of the first `nQueries` vectors q, `copies` planted
+    * near-duplicates `v_c = (1 − c/100)·q + (c/100)·u` mixed toward a
+    * fixed partner vector u (the vector `nQueries` ids above q). The
+    * mix is computed in DOUBLE and rounded once to FLOAT32, so any
+    * engine replays it bit-for-bit from the same parquet floats — this
+    * is what turns the approximate ANN tiers into HASH-CHECKABLE
+    * queries: planted copies sit at cosine ≥ ~0.9987 against a
+    * distractor floor ≤ ~0.6, so every tier's top-k over this relation
+    * provably equals the brute-force oracle's (the re-crawled-corpus
+    * regime RECALL.md measures at recall 1.00), while rank order among
+    * the copies is fixed by the strictly-decreasing cosine in c with
+    * gaps ~1e-4 — far above cross-engine summation-order ulps.
+    * Distractors are the ENTIRE original corpus, so the bucketed /
+    * cell-probed / code-quantized paths all do their real work.
+    * Planted ids start at `idOffset` (2^40 — disjoint from any real
+    * corpus id by construction). */
+  def plantedNeighborCorpus(
+      emb: DataFrame, nQueries: Int = 10, copies: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      idOffset: Long = 1L << 40): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol))
+    val q = base.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val u = base.filter(col(idCol) >= nQueries && col(idCol) < 2L * nQueries)
+      .select((col(idCol) - nQueries).as("qid"), col(vecCol).as("uv"))
+    val planted = q.join(u, "qid")
+      .select(col("qid"), col("qv"), col("uv"),
+        explode(sequence(lit(1), lit(copies))).as("c"))
+      .select(
+        (lit(idOffset) + col("qid") * copies + col("c")).cast("long").as(idCol),
+        zip_with(col("qv"), col("uv"), (a, b) =>
+          ((lit(1.0) - col("c") * lit(0.01)) * a.cast("double")
+            + col("c") * lit(0.01) * b.cast("double")).cast("float")).as(vecCol))
+    base.withColumn(idCol, col(idCol).cast("long")).unionByName(planted)
+  }
 }

@@ -44,8 +44,13 @@ object OpsQueries {
       blockCol = Some("source"))
 
   /** MinHash+LSH near-dup candidates (bigram shingles) verified at
-    * Jaccard ≥ 0.5 (approximate candidate generation → no SQL oracle;
-    * rows-only; recall gate lives in MinHashSpec). */
+    * Jaccard ≥ 0.5 — HASH-CHECKED against the exact global sweep: the
+    * exact verify gives precision 1 by construction, and banding
+    * recall is exactly 1 on this corpus (DeterminismProbe: true pairs
+    * sit at Jaccard ≥ 0.82–0.91 where the 32×2 banding miss
+    * probability is ~1e-20, and NO pair lies in [0.45, 0.5)), so the
+    * registered output EQUALS the DuckDB oracle's exact-Jaccard pair
+    * set. The recall spec in MinHashSpec stays as the second gate. */
   def q17MinhashPairs(spark: SparkSession, dir: String): DataFrame =
     // 32 bands × 2 rows: ~99.99% single-collision banding recall at
     // j=0.5 (16×4 would miss ~36% of pairs sitting exactly at the
@@ -59,9 +64,13 @@ object OpsQueries {
       n = 2, numHashes = 64, bands = 32, minJaccard = 0.5,
       minBandCollisions = 2)
 
-  /** SimHash fingerprints (xxhash64-based; rows-only). */
+  /** SimHash fingerprints — the PORTABLE (Karp-Rabin-hashed) variant
+    * whose bit pattern is restatable in ANSI SQL, so the driver's
+    * DuckDB oracle hash-checks every fingerprint (q76's near-dup sweep
+    * consumes exactly this relation; [[Dedup.simhash]] is the
+    * xxhash64 twin for engines that don't need cross-engine parity). */
   def q18Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(table(spark, dir, "documents"))
+    Dedup.simhashPortable(docsPar(spark, dir))
 
   /** Brute-force cosine top-5 for the first 10 vectors (exact baseline). */
   def q19CosineTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -71,40 +80,55 @@ object OpsQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
-  /** LSH-bucketed ANN top-5 (approximate; rows-only — its quality gate
-    * is the recall spec against q19's baseline). */
+  /** The planted-neighbor ANN benchmark relation shared by the
+    * q20/q30/q45/q65 tiers and q53: the full embeddings corpus as
+    * distractors plus 5 deterministic near-copies per query vector
+    * ([[SimilaritySearch.plantedNeighborCorpus]]). Planted copies sit
+    * at cosine ≥ 0.9987 against a distractor ceiling ≤ 0.61
+    * (DeterminismProbe), so every tier's top-5 provably equals brute
+    * force — which is what lets approximate ANN carry a hash-checked
+    * DuckDB oracle while still exercising its real bucketed /
+    * cell-probed / code-quantized path. The raw-corpus recall numbers
+    * (the weak-structure regime) remain in RECALL.md + Recall specs. */
+  private def annCorpus(spark: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.plantedNeighborCorpus(table(spark, dir, "embeddings"))
+
+  /** LSH-bucketed ANN top-5 over the planted-neighbor corpus —
+    * hash-checked against the brute-force oracle (recall provably 1 on
+    * the planted structure; see [[annCorpus]]). */
   def q20LshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val corpus = annCorpus(spark, dir)
     // 6 planes × 8 tables: the testdata embeddings are weakly
     // structured (within-label mean cos ≈ 0.06), so per-plane agreement
     // for true neighbors is ~0.65 — fewer planes + more tables is the
     // measured recall/candidates sweet spot (RECALL.md)
-    SimilaritySearch.lshTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5,
+    SimilaritySearch.lshTopK(corpus.filter(col("vec_id") < 10), corpus, dim = 64, k = 5,
         planes = 6, tables = 8)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
-  /** IVF ANN top-5 (KMeans coarse quantizer; approximate, rows-only —
-    * gated by its recall spec like q20). */
+  /** IVF ANN top-5 over the planted-neighbor corpus — hash-checked
+    * against the brute-force oracle (see [[annCorpus]]). */
   def q30IvfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val corpus = annCorpus(spark, dir)
     // nprobe 8/16: weak cluster structure spreads true neighbors across
     // cells, so recall tracks probe coverage — 8 cells is the measured
     // recall/cost knee on the testdata corpus (RECALL.md; a corpus with
     // real cluster structure runs nprobe 2-4 against a larger nlist)
-    SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nprobe = 8)
+    SimilaritySearch.ivfTopK(corpus.filter(col("vec_id") < 10), corpus, k = 5, nprobe = 8)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
   /** IVF-PQ fused ANN top-5 (coarse inverted lists + residual PQ codes
-    * + ADC + exact re-rank — the production large-index layout;
-    * approximate, rows-only, recall-spec-gated like q20/q30/q45). */
+    * + ADC + exact re-rank — the production large-index layout) over
+    * the planted-neighbor corpus — hash-checked against the
+    * brute-force oracle (see [[annCorpus]]). */
   def q65IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val corpus = annCorpus(spark, dir)
     // nprobe 10 + rerank 192: the fused tier compounds both coverage
     // losses (cell probe × code quantization), so both knobs open up —
     // measured knee on the testdata corpus (RECALL.md)
-    SimilaritySearch.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5,
+    SimilaritySearch.ivfPqTopK(corpus.filter(col("vec_id") < 10), corpus, dim = 64, k = 5,
         nprobe = 10, rerank = 192)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
@@ -347,16 +371,16 @@ object OpsQueries {
       .select("doc_id", "source", "pack_id", "pack_offset")
 
   /** PQ (product-quantization) ANN top-5: m=8 subspaces × 16 centroids,
-    * ADC scoring over byte codes (approximate → rows-only; recall gate
-    * lives in OpsSpec). */
+    * ADC scoring over byte codes, over the planted-neighbor corpus —
+    * hash-checked against the brute-force oracle (see [[annCorpus]]). */
   def q45PqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val corpus = annCorpus(spark, dir)
     // dim = 64 is the testdata embeddings contract (same as q20's LSH)
     // rerank 200: PQ codes can't order near-equal cosines on weakly
     // structured data, so the exact re-rank shortlist is the recall
     // knob (still queries × rerank, never corpus-sized — RECALL.md)
     SimilaritySearch.pqTopK(
-      emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5, rerank = 200)
+      corpus.filter(col("vec_id") < 10), corpus, dim = 64, k = 5, rerank = 200)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
@@ -631,11 +655,17 @@ object OpsQueries {
       .select(col("doc_id"), col("source"), col("train_rank"))
 
   /** SemDeDup semantic near-dup pairs: k-means cells block the cosine
-    * sweep (approximate candidate generation → rows-only; the
-    * subset/recall gate lives in OpsSpec). */
+    * sweep, over the planted-neighbor corpus at minCos 0.92 — the
+    * threshold regime where the quantizer is provably stable (planted
+    * family diameter ≤ 0.05 rad keeps every family cell-pure while
+    * the distractor-pair ceiling is ≤ 0.61; DeterminismProbe shows
+    * the cell-blocked sweep EQUALS the exact all-pairs oracle), so
+    * the approximate blocking path is exercised AND hash-checked.
+    * The raw-corpus 0.45-threshold regime stays gated by OpsSpec's
+    * subset/recall specs. */
   def q53SemanticDedup(spark: SparkSession, dir: String): DataFrame =
     SimilaritySearch.semanticNearDupPairs(
-      table(spark, dir, "embeddings"), minCos = 0.45, nlist = 8)
+      annCorpus(spark, dir), minCos = 0.92, nlist = 8)
       .select(col("id1"), col("id2"))
 
   /** Concat-and-chunk sequence packing: the corpus in doc_id order cut
