@@ -986,7 +986,8 @@ object SparkEntry {
     // is re-derived here in list arithmetic
     "q83_pca_project" ->
       """WITH fx AS (SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/fixtures/pca_components.parquet')),
+        |  '/root/repo/src/test/resources/fixtures/pca_components.parquet')
+        |  WHERE corpus_n = (SELECT count(*) FROM embeddings)),
         |mn AS (SELECT ws FROM fx WHERE c = -1),
         |comp AS (SELECT c, ws FROM fx WHERE c >= 0)
         |SELECT e.vec_id, CAST(comp.c AS BIGINT) AS component,
@@ -1194,7 +1195,8 @@ object SparkEntry {
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
         |  WHERE length(w) > 0),
         |wt AS (SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/fixtures/bpe_word_tokens.parquet')),
+        |  '/root/repo/src/test/resources/fixtures/bpe_word_tokens.parquet')
+        |  WHERE corpus_n = (SELECT count(*) FROM documents)),
         |agg AS (
         |  SELECT words.doc_id, sum(wt.n_tokens) AS n_bpe, count(*) AS n_ws
         |  FROM words JOIN wt ON words.w = wt.word GROUP BY words.doc_id)
@@ -1212,7 +1214,8 @@ object SparkEntry {
     // the literal token must not pick up the intercept twice.
     "q64_quality_score" ->
       """WITH wtall AS (SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/fixtures/quality_weights.parquet')),
+        |  '/root/repo/src/test/resources/fixtures/quality_weights.parquet')
+        |  WHERE corpus_n = (SELECT count(*) FROM documents)),
         |wt AS (SELECT * FROM wtall WHERE word <> '__INTERCEPT__'),
         |words AS (
         |  SELECT doc_id, w FROM (

@@ -6,9 +6,15 @@ import graft.queries.Queries
 import org.apache.spark.sql.functions._
 
 /** Regenerates `fixtures/bpe_word_tokens.parquet` (and the provenance
-  * table `fixtures/bpe_merges.parquet`): the q63 BPE model trained on
-  * the sf0.01 `documents` corpus, materialized as ONE parquet file per
-  * table committed to the repo.
+  * table `fixtures/bpe_merges.parquet`): the q63 BPE model trained
+  * PER SCALE FACTOR on the sf0.01 AND sf0.1 `documents` corpora,
+  * materialized as ONE parquet file per table committed to the repo.
+  * Rows are tagged with `corpus_n` (the training corpus's document
+  * count — 500 / 5000), and the oracle SQL selects the slice whose
+  * tag equals `(SELECT count(*) FROM documents)`, so the SAME static
+  * SQL hash-matches at every oracle-swept scale factor (the model is
+  * a function of the training corpus; a per-SF model is the honest
+  * per-SF oracle).
   *
   * Purpose: the DuckDB oracle for q63_bpe_tokens. BPE training/encoding
   * is not SQL-expressible, but it is a pure deterministic function of
@@ -26,33 +32,37 @@ import org.apache.spark.sql.functions._
   * `sbt "Test/runMain graft.pipeline.DumpBpeFixture"`.
   */
 object DumpBpeFixture {
-  val SfDir = "/root/testdata/sf0.01"
+  val SfDirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
   val NumMerges = 50 // keep in sync with OpsQueries.q63BpeTokens
 
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     import spark.implicits._
-    val docs = Queries.table(spark, SfDir, "documents")
-    val merges = Bpe.train(docs, numMerges = NumMerges)
-    val ranks = merges.zipWithIndex.toMap
+    val (wordTables, mergeTables) = SfDirs.map { sfDir =>
+      val docs = Queries.table(spark, sfDir, "documents")
+      val corpusN = docs.count()
+      val merges = Bpe.train(docs, numMerges = NumMerges)
+      val ranks = merges.zipWithIndex.toMap
 
-    // every distinct word of the corpus, encoded once on the driver —
-    // bounded by vocabulary (the same bound train() itself relies on)
-    val words = docs
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .distinct().as[String].collect().sorted
-    val wordTokens = words.toSeq
-      .map(w => (w, Bpe.encodeWord(w, ranks).length.toLong))
-      .toDF("word", "n_tokens")
+      // every distinct word of the corpus, encoded once on the driver —
+      // bounded by vocabulary (the same bound train() itself relies on)
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .distinct().as[String].collect().sorted
+      val wordTokens = words.toSeq
+        .map(w => (w, Bpe.encodeWord(w, ranks).length.toLong, corpusN))
+        .toDF("word", "n_tokens", "corpus_n")
+      val mergeTable = merges.zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r, corpusN) }
+        .toDF("rank", "left", "right", "corpus_n")
+      println(s"$sfDir: ${merges.size} merges over ${words.length} distinct " +
+        s"words (corpus_n=$corpusN)")
+      (wordTokens, mergeTable)
+    }.unzip
 
-    val mergeTable = merges.zipWithIndex
-      .map { case ((l, r), i) => (i.toLong, l, r) }
-      .toDF("rank", "left", "right")
-
-    writeOne(wordTokens, "bpe_word_tokens.parquet")
-    writeOne(mergeTable, "bpe_merges.parquet")
-    println(s"trained ${merges.size} merges over ${words.length} distinct words")
+    writeOne(wordTables.reduce(_ unionByName _), "bpe_word_tokens.parquet")
+    writeOne(mergeTables.reduce(_ unionByName _), "bpe_merges.parquet")
     spark.stop()
   }
 

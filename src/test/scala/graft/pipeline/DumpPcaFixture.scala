@@ -3,11 +3,15 @@ package graft.pipeline
 import graft.TestSpark
 import graft.ops.Pca
 import graft.queries.Queries
+import org.apache.spark.sql.functions._
 
 /** Regenerates `fixtures/pca_components.parquet`: the q83 rotation —
-  * [[Pca.fitExact]] (k=8) on the sf0.01 `embeddings` corpus, dumped as
-  * rows (c, ws): c = -1 carries the feature means, c = 0..7 the
-  * unit-norm components in eigenvalue-descending order.
+  * [[Pca.fitExact]] (k=8) PER SCALE FACTOR on the sf0.01 AND sf0.1
+  * `embeddings` corpora, dumped as rows (c, ws, corpus_n): c = -1
+  * carries the feature means, c = 0..7 the unit-norm components in
+  * eigenvalue-descending order. The oracle SQL selects the slice
+  * whose `corpus_n` equals `(SELECT count(*) FROM embeddings)`, so
+  * the same static SQL hash-matches at every oracle-swept SF.
   *
   * Purpose: the DuckDB oracle for q83_pca_project. The eigensolve is
   * not SQL-expressible but BIT-deterministic (integer moment pass +
@@ -17,21 +21,27 @@ import graft.queries.Queries
   * property-gated in PcaSpec).
   *
   * MUST be re-dumped whenever Pca.fitExact semantics, the q83 k/scale,
-  * or the sf0.01 embeddings change. Run:
+  * or the testdata embeddings change. Run:
   * `sbt "Test/runMain graft.pipeline.DumpPcaFixture"`.
   */
 object DumpPcaFixture {
-  val SfDir = "/root/testdata/sf0.01"
+  val SfDirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     import spark.implicits._
-    val emb = Queries.table(spark, SfDir, "embeddings")
-    // keep in sync with OpsQueries.q83PcaProject
-    val m = Pca.fitExact(emb, k = 8)
-    val rows = ((-1, m.mean.toSeq) +:
-      m.components.toSeq.zipWithIndex.map { case (w, c) => (c, w.toSeq) })
-    val table = rows.toDF("c", "ws")
+    val table = SfDirs.map { sfDir =>
+      val emb = Queries.table(spark, sfDir, "embeddings")
+      val corpusN = emb.count()
+      // keep in sync with OpsQueries.q83PcaProject
+      val m = Pca.fitExact(emb, k = 8)
+      println(s"$sfDir: k=${m.k}, varianceExplained=${m.varianceExplained} " +
+        s"(corpus_n=$corpusN)")
+      ((-1, m.mean.toSeq) +:
+        m.components.toSeq.zipWithIndex.map { case (w, c) => (c, w.toSeq) })
+        .toDF("c", "ws")
+        .withColumn("corpus_n", lit(corpusN))
+    }.reduce(_ unionByName _)
 
     val tmp = java.nio.file.Files.createTempDirectory("pca-fixture").toString
     table.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -41,8 +51,7 @@ object DumpPcaFixture {
     val dest = java.nio.file.Paths.get(s"${TestSpark.fixtures}/pca_components.parquet")
     java.nio.file.Files.copy(part.toPath, dest,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    println(s"wrote $dest (${java.nio.file.Files.size(dest)} bytes, " +
-      s"k=${m.k}, varianceExplained=${m.varianceExplained})")
+    println(s"wrote $dest (${java.nio.file.Files.size(dest)} bytes)")
     spark.stop()
   }
 }
