@@ -102,6 +102,7 @@ object SparkEntry {
     "q93_salted_sum" -> (OpsQueries.q93SaltedSum _),
     "q94_salted_join" -> (OpsQueries.q94SaltedJoin _),
     "q95_incremental_cc" -> (OpsQueries.q95IncrementalCc _),
+    "q96_sparse_contamination" -> (OpsQueries.q96SparseContamination _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1062,6 +1063,25 @@ object SparkEntry {
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
         |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle FROM idx),
+        |bench AS (SELECT * FROM grams WHERE doc_id % 50 = 0),
+        |corp AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+        |sizes AS (SELECT doc_id AS bench_id, count(*) AS bench_n FROM bench GROUP BY 1),
+        |pairs AS (
+        |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS inter_n
+        |  FROM corp c JOIN bench b ON c.shingle = b.shingle
+        |  GROUP BY 1, 2 HAVING count(*) >= 4)
+        |SELECT corpus_id, bench_id, inter_n, bench_n
+        |FROM pairs JOIN sizes USING (bench_id)""".stripMargin,
+    // q96: q43's exact formulation at 8-gram order — the oracle is
+    // deliberately blind to the Bloom prefilter, so a false-negative-
+    // shaped bug in the sketch path (a dropped genuine suspect)
+    // hash-fails. 8-gram windows: i ranges to len(ws) - 7.
+    "q96_sparse_contamination" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id,
+        |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||
+        |  ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle FROM idx),
         |bench AS (SELECT * FROM grams WHERE doc_id % 50 = 0),
         |corp AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
         |sizes AS (SELECT doc_id AS bench_id, count(*) AS bench_n FROM bench GROUP BY 1),

@@ -719,6 +719,27 @@ object OpsQueries {
     * and emit the CLEAN corpus — q43's pair sweep turned into the
     * surviving-documents projection. Exact despite the sketch: Bloom
     * only over-selects, and every suspect is re-checked. */
+  /** SPARSE-regime Bloom decontamination — the prefilter in its value
+    * regime (q75's bigram fixture is dense by the corpus's ~31-word
+    * vocabulary and always takes the measured fallback): 8-gram
+    * shingles collide only through genuinely duplicated passages (the
+    * production contamination-screen order — GPT-3 appendix C and The
+    * Pile screen on 13-grams for exactly this reason), so suspect
+    * density here is ~0.2% and the probe pass prunes ~99.8% of the
+    * corpus before the exact verify. Measured min-of-3 at sf0.1:
+    * bloom 3.7 s vs exact 9.7 s; crossover bracketed at 25% density
+    * (prune wins) vs 100% (fallback correctly fires) — BENCH_NOTES
+    * round 11. Exact despite the sketch: Bloom only over-selects and
+    * every suspect is re-verified, so the oracle is the no-sketch
+    * formulation. */
+  def q96SparseContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    Dedup.contaminationPairsBloom(corpus, bench, n = 8, minIntersect = 4)
+      .select(col("corpus_id"), col("bench_id"), col("inter_n"), col("bench_n"))
+  }
+
   def q75BloomClean(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsPar(spark, dir)
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
