@@ -240,6 +240,73 @@ object ScaleRehearsal {
       require(diff == 0L, s"incremental labelling diverged on $diff nodes")
       println("CC_TICK final_equal_batch=true")
     }
+
+    // many-source stress for sourceOverlap: 1000 synthetic sources
+    // over the sf1 corpus, whose ~31-word shared vocabulary makes
+    // nearly EVERY bigram ubiquitous (present in ≫ S/2 sources). The
+    // pre-round-11 direct self-join would emit Σ c_sh² ≈ |universe|·S²
+    // ≈ 1e9 pair rows; the density routing counts those shingles
+    // through their (tiny) complements instead, so the leg must
+    // finish in seconds with the exact 499,500-pair matrix.
+    {
+      val many = all.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(1000))))
+      val t0 = System.nanoTime()
+      val m = graft.ops.Dedup.sourceOverlap(many, n = 2)
+      val n = m.count()
+      val hot = graft.ops.Dedup.sourceHotShingles(many, n = 2).count()
+      spark.catalog.clearCache()
+      println(f"SKEW source_overlap_1k_sources pairs=$n%d hot_shingles=$hot%d " +
+        f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      require(n == 999L * 1000L / 2, s"expected the full 499500-pair matrix, got $n")
+    }
+
+    // degenerate near-dup stress for levVerifiedPairs: 1M IDENTICAL
+    // docs — every fingerprint equal, so each pigeonhole chunk holds
+    // one 1M-member bucket. The hotChunkCap (100k) must drop the
+    // buckets loudly and the operator must COMPLETE in seconds with 0
+    // pairs, instead of attempting the 5·10¹¹-pair quadratic (which
+    // no engine can verify; the guard + warning IS the correct
+    // behavior at this shape).
+    {
+      val sameDoc = "the same document every single time " * 5
+      val degenerate = spark.range(1000000L)
+        .select(col("id").as("doc_id"), lit(sameDoc).as("text"))
+      val t0 = System.nanoTime()
+      val n = graft.ops.Dedup.levVerifiedPairs(degenerate).count()
+      spark.catalog.clearCache()
+      println(f"SKEW lev_1M_identical pairs=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      require(n == 0L, s"capped degenerate corpus must emit 0 pairs, got $n")
+    }
+
+    // dense-but-bounded near-dup leg: 1000 families × 20 members. Each
+    // family uses a disjoint salted vocabulary (cross-family
+    // fingerprints are effectively independent 64-bit draws — Hamming
+    // ≤ 3 essentially never), and members differ ONLY in how many
+    // times a two-word block repeats at the tail (2..21 repetitions),
+    // which keeps every member's DISTINCT-bigram set identical →
+    // within-family sketch Hamming is exactly 0 and ALL 1000·C(20,2)
+    // = 190k pairs reach the banded-Levenshtein verify. lev between
+    // members is Δreps · len(block) (pure suffix repetition), so only
+    // Δreps = 1 survives maxLev 16 → exactly 19 pairs/family. The leg
+    // gates the verify stage under real candidate pressure: 20k docs,
+    // 190k candidates through the broadcast-id guard, 19000 survivors.
+    {
+      val fam = spark.range(20000L).selectExpr(
+        "id AS doc_id",
+        """concat(
+             concat_ws(' ', transform(sequence(0, 30),
+               i -> concat('w', i, '_', cast(id div 20 as string)))),
+             repeat(concat(' w0_', cast(id div 20 as string),
+                           ' w1_', cast(id div 20 as string)),
+                    cast(id % 20 + 2 as int))
+           ) AS text""")
+      val t0 = System.nanoTime()
+      val n = graft.ops.Dedup.levVerifiedPairs(fam).count()
+      spark.catalog.clearCache()
+      println(f"SKEW lev_1k_families pairs=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      require(n == 19000L, s"expected 1000*19 Δreps=1 verified pairs, got $n")
+    }
     spark.stop()
   }
 }
