@@ -242,15 +242,19 @@ object ScaleRehearsal {
     }
 
     // many-source stress for sourceOverlap: 1000 synthetic sources
-    // over the sf1 corpus, whose ~31-word shared vocabulary makes
-    // nearly EVERY bigram ubiquitous (present in ≫ S/2 sources). The
-    // pre-round-11 direct self-join would emit Σ c_sh² ≈ |universe|·S²
-    // ≈ 1e9 pair rows; the density routing counts those shingles
-    // through their (tiny) complements instead, so the leg must
-    // finish in seconds with the exact 499,500-pair matrix.
+    // over the sf1 corpus, every doc carrying a 3-token boilerplate
+    // header (nav-bar/licence-header in miniature) — the header
+    // bigrams are present in ALL 1000 sources, the exact shape whose
+    // direct self-join emits S² = 1e6 pair rows PER ubiquitous
+    // shingle. The density routing counts those through their (empty)
+    // complements instead; mid-frequency corpus bigrams (measured
+    // c ≤ 299 at this split) stay on the cold path — the leg
+    // exercises BOTH routes and must produce the exact full matrix
+    // in seconds.
     {
-      val many = all.withColumn("source",
-        concat(lit("s"), pmod(col("doc_id"), lit(1000))))
+      val many = all
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(1000))))
+        .withColumn("text", concat(lit("hdr0 hdr1 hdr2 "), col("text")))
       val t0 = System.nanoTime()
       val m = graft.ops.Dedup.sourceOverlap(many, n = 2)
       val n = m.count()
@@ -259,6 +263,7 @@ object ScaleRehearsal {
       println(f"SKEW source_overlap_1k_sources pairs=$n%d hot_shingles=$hot%d " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       require(n == 999L * 1000L / 2, s"expected the full 499500-pair matrix, got $n")
+      require(hot >= 2L, s"header bigrams must route to the complement path, got $hot")
     }
 
     // degenerate near-dup stress for levVerifiedPairs: 1M IDENTICAL
