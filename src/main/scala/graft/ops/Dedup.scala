@@ -1231,15 +1231,43 @@ object Dedup {
     * output is bit-identical to the naive join (q88's DuckDB oracle
     * gates that), and [[sourceHotShingles]] reports what got routed.
     * The final assembly runs on the S²/2 source-pair grid — S is
-    * hundreds-to-thousands by contract, never corpus-sized. */
+    * hundreds-to-thousands by contract, never corpus-sized.
+    *
+    * COST GATE: the routed plan is ~10 extra stages (frequency tag,
+    * complement anti-join, two bounded self-joins, grid assembly)
+    * whose fixed scheduling overhead exceeds the direct join's entire
+    * cost at small S — a ubiquitous shingle at S ≤ `routeMinSources`
+    * emits at most 64² = 4096 join rows, which is noise, while the
+    * routed plan's overhead measured ~5× the direct join at S = 20
+    * (sf0.1). So the source count — ONE bounded count on the persisted
+    * (src, shingle) relation the operator computes anyway, the
+    * pairPackBase probe idiom — picks the formulation: direct at
+    * S ≤ routeMinSources, density-routed above. Both produce
+    * bit-identical output; the 1k-source rehearsal leg and the
+    * randomized Round11OpsSpec property pin the routed path. */
   def sourceOverlap(df: DataFrame, n: Int = 2,
-      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+      srcCol: String = "source", textCol: String = "text",
+      routeMinSources: Int = 64): DataFrame = {
     val sh = df
       .select(col(srcCol).as("src"), explode(gramHashArray(col(textCol), n)).as("sh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("set_n"))
     val srcs = sh.select("src").distinct()
+    if (srcs.count() <= routeMinSources) {
+      // small-S regime: the quadratic term the routing removes is
+      // bounded at routeMinSources² rows per shingle — run the plain
+      // self-join and skip the routed plan's stage overhead entirely
+      val inter = sh.select(col("src").as("s1"), col("sh"))
+        .join(sh.select(col("src").as("s2"), col("sh")), Seq("sh"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("inter_n"))
+      return inter
+        .join(sizes.withColumnRenamed("src", "s1").withColumnRenamed("set_n", "n1"), "s1")
+        .join(sizes.withColumnRenamed("src", "s2").withColumnRenamed("set_n", "n2"), "s2")
+        .select(col("s1"), col("s2"), col("inter_n"),
+          (col("n1") + col("n2") - col("inter_n")).as("union_n"))
+    }
     val nSrc = srcs.agg(count(lit(1)).as("n_src"))
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("c")).crossJoin(nSrc)
     val tagged = sh.join(freq, "sh")

@@ -26,7 +26,9 @@ class Round11OpsSpec extends SparkSpec {
     // exactness: every source pair shares "the corpus" (inter 1);
     // s0-s1 additionally share "shared pair" (inter 2). Set sizes:
     // s0/s1 have 4 distinct bigrams, the rest 3.
-    val got = Dedup.sourceOverlap(docs, n = 2)
+    // routeMinSources = 0 forces the density-routed plan (12 sources
+    // would otherwise take the small-S direct formulation)
+    val got = Dedup.sourceOverlap(docs, n = 2, routeMinSources = 0)
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3))).toSet
     // the engine orders pairs by STRING comparison (s10 < s2)
@@ -46,7 +48,7 @@ class Round11OpsSpec extends SparkSpec {
   test("sourceOverlap: all-identical sources (every shingle hot, cold join empty)") {
     val docs = (0 until 5).map(i => (i.toLong, "a b c d e", s"s$i"))
       .toDF("doc_id", "text", "source")
-    val got = Dedup.sourceOverlap(docs, n = 2)
+    val got = Dedup.sourceOverlap(docs, n = 2, routeMinSources = 0)
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3))).toSet
     // 4 bigrams shared by every pair; union also 4
@@ -111,5 +113,65 @@ class Round11OpsSpec extends SparkSpec {
     // kept text shares all 4 bigrams with the benchmark doc; the
     // discarded text would have shared none
     assert(got == Set((1L, 9L, 4L)), s"kept=$keep got=$got")
+  }
+
+  test("sourceOverlap: randomized corpora match driver-side set arithmetic (both routes engaged)") {
+    // Property gate on the hot/cold inclusion–exclusion assembly: for
+    // seeded random corpora spanning dense (tiny vocab → shingles past
+    // the S/2 threshold) and sparse regimes, the routed matrix must
+    // equal plain pairwise set intersection/union computed from the
+    // SAME per-source shingle sets. Isolates everything downstream of
+    // the (src, sh) explode — the routing math, complement postings,
+    // and grid assembly — against an oracle with no joins at all.
+    val rnd = new scala.util.Random(911L)
+    var hotTrials = 0
+    var coldPairsSeen = 0L
+    for (trial <- 0 until 8) {
+      val nSrc = 2 + rnd.nextInt(9)
+      // even trials: tiny vocab → bigrams land in most sources (dense,
+      // hot shingles exist); odd trials: wide vocab → each bigram hits
+      // few sources (sparse, cold-only)
+      val vocabN = if (trial % 2 == 0) 3 + rnd.nextInt(6) else 30 + rnd.nextInt(30)
+      val vocab = (0 until vocabN).map(i => s"w$i")
+      val docs = (0 until nSrc).flatMap { s =>
+        (0 until (1 + rnd.nextInt(4))).map { d =>
+          val len = 2 + rnd.nextInt(8)
+          val text = (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+          ((s * 100 + d).toLong, text, s"s$s")
+        }
+      }.toDF("doc_id", "text", "source")
+      // per-source distinct shingle sets via the operator's own gram
+      // definition (select/explode/distinct is not under test; the
+      // routed assembly is)
+      val sets = docs
+        .select(col("source").as("src"),
+          explode(Dedup.gramHashArray(col("text"), 2)).as("sh"))
+        .distinct().collect()
+        .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size.toLong if inter >= 1
+      } yield (a, b, inter, (sets(a) | sets(b)).size.toLong)).toSet
+      // both formulations must match the set arithmetic: the routed
+      // plan (forced) AND the small-S direct plan (default gate)
+      val routed = Dedup.sourceOverlap(docs, n = 2, routeMinSources = 0)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val direct = Dedup.sourceOverlap(docs, n = 2)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(routed == expected,
+        s"ROUTED trial=$trial nSrc=$nSrc vocab=${vocab.size}: " +
+          s"extra=${routed.diff(expected)} missing=${expected.diff(routed)}")
+      assert(direct == expected,
+        s"DIRECT trial=$trial nSrc=$nSrc vocab=${vocab.size}: " +
+          s"extra=${direct.diff(expected)} missing=${expected.diff(direct)}")
+      if (Dedup.sourceHotShingles(docs, n = 2).count() > 0) hotTrials += 1
+      coldPairsSeen += expected.size
+    }
+    // the sweep must actually exercise both routes, not vacuously pass
+    assert(hotTrials >= 1, "no trial produced a hot shingle — widen the dense regime")
+    assert(hotTrials < 8, "every trial was dense — widen the sparse regime")
+    assert(coldPairsSeen > 0)
   }
 }
