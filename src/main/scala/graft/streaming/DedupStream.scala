@@ -602,6 +602,114 @@ object DedupStream {
     out
   }
 
+  // ------------------------------------------------ cluster maintenance
+
+  private val labelSchema = StructType(Seq(
+    StructField("id", LongType), StructField("component", LongType)))
+
+  /** The labels sub-store's `_CHAIN`: ordered snapshot history, one
+    * line per commit as `<zero-padded seq> batch=<tag>`. Unlike the
+    * key/signature sub-stores (immutable rows, set semantics), a
+    * labelling is a VERSIONED relation — a node's label changes when
+    * its component merges — so readers need "the latest snapshot
+    * before mine", which requires commit ORDER. The chain file is the
+    * order; a snapshot dir the chain does not list is invisible
+    * (crash between snapshot write and publish → the dir is garbage,
+    * the replay overwrites it and publishes). */
+  private def readChain(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
+    readNameFile(fs, new org.apache.hadoop.fs.Path(root, "_CHAIN"))
+      .getOrElse(Set.empty).toSeq
+      .map { line =>
+        val parts = line.split(" ", 2)
+        (parts(0).toLong, parts(1))
+      }.sortBy(_._1)
+
+  private def writeChain(
+      spark: SparkSession, root: org.apache.hadoop.fs.Path,
+      chain: Seq[(Long, String)]): Unit =
+    writeNameFile(spark, root, "_CHAIN",
+      chain.map { case (seq, name) => f"$seq%012d $name" }.toSet)
+
+  /** Streaming near-dup CLUSTER MAINTENANCE: the per-tick composition
+    * of [[simhashStep]] (candidate pairs of the batch against itself
+    * and history, exact Hamming ≤ `maxDist`) with
+    * [[graft.ops.ConnectedComponents.updateComponents]] (labels-as-
+    * edges ∪ batch pairs — union by existing roots). Each tick emits
+    * the FULL corpus labelling (id, component), components labelled by
+    * their minimum doc id exactly as the batch operator would label
+    * the union of every pair ever seen — the q95 equivalence, made
+    * durable.
+    *
+    * Per-tick cost ∝ |labels| + |batch| (the incremental-CC contract:
+    * history PAIRS are never re-read — prior connectivity rides in as
+    * the label star), and the snapshot write is the same O(|labels|)
+    * order as the contraction's own final materialization, so the
+    * store adds no new asymptotic term. Snapshots are whole relations
+    * under `labels/batch=<tag>`, published by an ordered `_CHAIN`
+    * append; a replayed tick reads the latest snapshot EXCLUDING its
+    * own tag (same exclude-own-commit rule as [[readStore]]), rewrites
+    * its snapshot deterministically, and leaves the chain unchanged —
+    * replay-idempotent end to end because [[simhashStep]] already is.
+    * [[compactLabels]] GCs superseded snapshots; chain growth until
+    * then is one 20-byte line per tick. */
+  def clusterStep(
+      batch: DataFrame, storeDir: String,
+      maxDist: Int = 3, storeParts: Int = 64,
+      batchTag: String = java.util.UUID.randomUUID().toString): DataFrame = {
+    val spark = batch.sparkSession
+    val pairs = simhashStep(batch, storeDir, maxDist, storeParts, batchTag)
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/labels")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chain = readChain(fs, root)
+    val tagName = s"batch=$batchTag"
+    val prev = chain.filterNot(_._2 == tagName).lastOption match {
+      case Some((_, name)) =>
+        spark.read.schema(labelSchema).parquet(s"$storeDir/labels/$name")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
+    }
+    // new docs enter as self-labelled singletons: a batch doc with no
+    // candidate pair must still appear in the labelling, and a re-seen
+    // id's (id, id) self-edge is a no-op beside its existing label
+    val singles = batch.select(col("doc_id").cast("long").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+    val updated = graft.ops.ConnectedComponents.updateComponents(
+      prev.unionByName(singles), pairs, "id1", "id2")
+    updated.write.mode("overwrite").parquet(s"$storeDir/labels/$tagName")
+    pairs.unpersist()
+    if (!chain.exists(_._2 == tagName)) {
+      val seq = chain.map(_._1).maxOption.getOrElse(0L) + 1L
+      writeChain(spark, root, chain :+ (seq, tagName))
+    }
+    // hand back the DURABLE snapshot: the caller's tick loop needs no
+    // localCheckpoint discipline (lineage ends at the parquet read)
+    spark.read.schema(labelSchema).parquet(s"$storeDir/labels/$tagName")
+  }
+
+  /** Offline maintenance for [[clusterStep]]'s label store: every
+    * snapshot except the chain's LATEST is superseded by definition
+    * (each tick writes the full labelling), so compaction truncates
+    * the chain to its last entry — seq preserved, monotonicity keeps
+    * ordering across the cut — and deletes every `batch=*` dir the
+    * truncated chain no longer lists (including orphans from crashed
+    * publishes). SINGLE-WRITER contract, same as [[compact]]: run
+    * between ticks, never concurrently with a step. */
+  def compactLabels(spark: SparkSession, storeDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/labels")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val chain = readChain(fs, root)
+    chain.lastOption.foreach { last =>
+      writeChain(spark, root, Seq(last))
+      fs.listStatus(root).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("batch="))
+        .filterNot(_.getPath.getName == last._2)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+  }
+
   /** Incremental SPAN dedup (the streaming form of
     * [[graft.ops.Dedup.spanDedup]]): per micro-batch, each document's
     * 10-word spans check against the accumulated span-keeper store —

@@ -569,4 +569,63 @@ class DedupStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 3L)), s"got ${pairs.mkString(",")}")
   }
+
+  test("clusterStep: labels accrete across ticks, equal batch CC, replay idempotent, compactable") {
+    val store = java.nio.file.Files.createTempDirectory("dclu").toString
+    // 200-word family (see the simhashStep spec for why small docs
+    // can't hold a stable Hamming ≤ 3): docs 1/3/5 are one component,
+    // 2 and 4 are singletons
+    val base200 = (0 until 200).map(i => s"w${i}x")
+    val b1 = Seq(
+      doc(1L, base200),
+      doc(2L, (1000 until 1200).map(i => s"z$i"))).toDF("doc_id", "text")
+    val b2 = Seq(
+      doc(3L, base200.dropRight(1)),
+      doc(4L, (2000 until 2200).map(i => s"y$i"))).toDF("doc_id", "text")
+    val b3 = Seq(doc(5L, base200 :+ "extra")).toDF("doc_id", "text")
+
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val l1 = labelMap(DedupStream.clusterStep(b1, store, batchTag = "c1"))
+    assert(l1 == Map(1L -> 1L, 2L -> 2L), l1.toString)
+    val l2 = labelMap(DedupStream.clusterStep(b2, store, batchTag = "c2"))
+    assert(l2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L), l2.toString)
+    val l3 = labelMap(DedupStream.clusterStep(b3, store, batchTag = "c3"))
+
+    // stream=batch equivalence: the accreted labelling equals the batch
+    // composition (one-shot pairs over the union, CC, singletons kept)
+    val all = b1.unionByName(b2).unionByName(b3)
+    val batchPairs = Dedup.simhashPairs(Dedup.simhashPortable(all), maxDist = 3)
+    val cc = graft.ops.ConnectedComponents
+      .connectedComponents(batchPairs, "id1", "id2")
+    val expected = labelMap(
+      all.select(col("doc_id").cast("long").as("id")).distinct()
+        .join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component")))
+    assert(l3 == expected, s"stream $l3 != batch $expected")
+
+    // replay of the last tick: same labels, chain not grown
+    def chainLines = {
+      val p = java.nio.file.Paths.get(s"$store/labels/_CHAIN")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    val chainBefore = chainLines
+    val replay = labelMap(DedupStream.clusterStep(b3, store, batchTag = "c3"))
+    assert(replay == l3, "replayed tick must emit the same labelling")
+    assert(chainLines == chainBefore, "replay must not grow the chain")
+
+    // compaction: only the latest snapshot survives; labels unchanged
+    DedupStream.compactLabels(spark, store)
+    val dirs = new java.io.File(s"$store/labels").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=c3"), dirs.toString)
+    val after = labelMap(spark.read.parquet(s"$store/labels/batch=c3"))
+    assert(after == l3, "compaction must not change the labelling")
+    // and the NEXT tick reads the compacted snapshot as history
+    val b4 = Seq(doc(6L, (3000 until 3200).map(i => s"u$i"))).toDF("doc_id", "text")
+    val l4 = labelMap(DedupStream.clusterStep(b4, store, batchTag = "c4"))
+    assert(l4 == l3 + (6L -> 6L), l4.toString)
+  }
 }
