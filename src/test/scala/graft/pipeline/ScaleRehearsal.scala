@@ -241,6 +241,40 @@ object ScaleRehearsal {
       println("CC_TICK final_equal_batch=true")
     }
 
+    // store-backed cluster maintenance at 10x: the same accretion
+    // through DedupStream.clusterStep — per tick a sixth of the sf1
+    // corpus flows in, simhashStep pairs it against history, and the
+    // durable labelling folds forward (snapshot + ordered _CHAIN
+    // publish). Per-tick cost must stay flat-ish (|labels| grows to
+    // corpus size but the contraction is label-bounded); the final
+    // snapshot must equal the one-shot batch composition.
+    {
+      import graft.ops.{ConnectedComponents => CC, Dedup}
+      val cstore = java.nio.file.Files
+        .createTempDirectory("rehearse-cluster").toString
+      var labels: org.apache.spark.sql.DataFrame = null
+      (0 until 6).foreach { c =>
+        val batch = all.filter(pmod(col("doc_id"), lit(6)) === c)
+        val t0 = System.nanoTime()
+        labels = graft.streaming.DedupStream.clusterStep(
+          batch, cstore, batchTag = s"c$c")
+        val n = labels.count()
+        println(f"CLUSTER_TICK $c%d labelled=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      val batchPairs = Dedup.simhashPairs(Dedup.simhashPortable(all), maxDist = 3)
+      val full = all.select(col("doc_id").cast("long").as("id")).distinct()
+        .join(CC.connectedComponents(batchPairs, "id1", "id2"), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+      val cdiff = labels.withColumnRenamed("component", "c1")
+        .join(full.withColumnRenamed("component", "c2"), Seq("id"), "full_outer")
+        .filter(not(col("c1") <=> col("c2")))
+        .count()
+      require(cdiff == 0L, s"store-backed labelling diverged on $cdiff nodes")
+      spark.catalog.clearCache()
+      println("CLUSTER_TICK final_equal_batch=true")
+    }
+
     // many-source stress for sourceOverlap: 1000 synthetic sources
     // over the sf1 corpus, every doc carrying a 3-token boilerplate
     // header (nav-bar/licence-header in miniature) — the header
