@@ -173,4 +173,39 @@ class PlanGuardSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }.isEmpty, "the stopword set is a broadcast literal, never a join")
   }
+
+  test("q88: the small-S direct path prunes to (source, text) and never nested-loops") {
+    // the cost gate routes the sf-fixture source counts (≤ 64) to the
+    // direct formulation — its plan must stay one pruned scan feeding
+    // hash joins (the routed path's bounded broadcast-nested-loops
+    // must NOT appear below the gate)
+    val p = planOf(OpsQueries.q88SourceOverlap(spark, dir))
+    // the shingle relation is persisted (the cost-gate count
+    // materializes it), so the plan reads the cache, not parquet: the
+    // cached relation itself must already be pruned to (src, sh)
+    val cached = collectAll(p) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(cached.nonEmpty, "expected the persisted (src, sh) relation")
+    cached.foreach { s =>
+      // branches alias src → s1/s2 and some read src alone (the sizes
+      // aggregate); the invariant is WIDTH — never text or doc_id
+      assert(s.output.size <= 2,
+        s"cached relation carries too much: ${s.output.map(_.name).mkString(",")}")
+    }
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "the direct path must not contain the routed plan's cross joins")
+  }
+
+  test("q96: the sparse decontaminator scans only (doc_id, text) on both sides") {
+    val p = planOf(OpsQueries.q96SparseContamination(spark, dir))
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.schema.fieldNames.toSet.subsetOf(Set("doc_id", "text")),
+        s"scan reads too much: ${s.schema.fieldNames.mkString(",")}")
+    }
+  }
 }
