@@ -952,4 +952,48 @@ object DedupStream {
       }
       .start()
   }
+
+  /** Structured Streaming entry for [[clusterStep]]: files in, a
+    * durable corpus labelling maintained under `storeDir/labels`
+    * (the chain's LATEST snapshot is the result — read it with
+    * [[latestLabels]]). Same (queryId, batchId) commit keying as
+    * [[start]], so checkpoint replays rewrite their own snapshot and
+    * a restart against a deleted checkpoint cannot clobber an earlier
+    * run's history. */
+  def startClusters(
+      spark: SparkSession,
+      docsPath: String,
+      docsSchema: StructType,
+      storeDir: String,
+      checkpoint: String,
+      maxDist: Int = 3,
+      storeParts: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    spark.readStream.schema(docsSchema).parquet(docsPath)
+      .writeStream
+      .queryName("cluster-maintenance")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qid = Option(batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
+        clusterStep(batch, storeDir, maxDist, storeParts,
+          batchTag = s"$qid-$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** The chain's latest labelling snapshot — empty when no tick has
+    * published yet. */
+  def latestLabels(spark: SparkSession, storeDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/labels")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readChain(fs, root).lastOption match {
+      case Some((_, name)) =>
+        spark.read.schema(labelSchema).parquet(s"$storeDir/labels/$name")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
+    }
+  }
 }

@@ -628,4 +628,57 @@ class DedupStreamSpec extends SparkSpec {
     val l4 = labelMap(DedupStream.clusterStep(b4, store, batchTag = "c4"))
     assert(l4 == l3 + (6L -> 6L), l4.toString)
   }
+
+  test("clusterStep: an unpublished snapshot (crash before chain publish) is invisible and GC'd") {
+    val store = java.nio.file.Files.createTempDirectory("dclu2").toString
+    val b1 = Seq(doc(1L, (0 until 200).map(i => s"w${i}x"))).toDF("doc_id", "text")
+    DedupStream.clusterStep(b1, store, batchTag = "k1")
+    // simulate a tick that wrote its snapshot but crashed before the
+    // chain publish: a POISONED labelling parquet under an unlisted dir
+    Seq((1L, 999L)).toDF("id", "component")
+      .write.parquet(s"$store/labels/batch=orphan")
+    // history reads ignore it (the chain is visibility)...
+    val b2 = Seq(doc(2L, (500 until 700).map(i => s"v$i"))).toDF("doc_id", "text")
+    val l2 = DedupStream.clusterStep(b2, store, batchTag = "k2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(1L -> 1L, 2L -> 2L), s"orphan snapshot leaked: $l2")
+    // ...and compaction collects it
+    DedupStream.compactLabels(spark, store)
+    val dirs = new java.io.File(s"$store/labels").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=k2"), dirs.toString)
+  }
+
+  test("startClusters: files in, durable labelling maintained across restarts") {
+    val root = java.nio.file.Files.createTempDirectory("dcluw").toString
+    val docsDir = s"$root/docs"
+    new java.io.File(docsDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$docsDir/$name.parquet"))
+    }
+    def tick(): Unit = {
+      val q = DedupStream.startClusters(spark, docsDir, schema,
+        s"$root/store", s"$root/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val base200 = (0 until 200).map(i => s"w${i}x")
+    stage("b1", Seq(doc(1L, base200), doc(2L, (1000 until 1200).map(i => s"z$i"))))
+    tick()
+    stage("b2", Seq(doc(3L, base200.dropRight(1))))
+    tick() // a SEPARATE query run resuming the same checkpoint
+    val labels = DedupStream.latestLabels(spark, s"$root/store")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), labels.toString)
+  }
 }
