@@ -103,6 +103,7 @@ object SparkEntry {
     "q94_salted_join" -> (OpsQueries.q94SaltedJoin _),
     "q95_incremental_cc" -> (OpsQueries.q95IncrementalCc _),
     "q96_sparse_contamination" -> (OpsQueries.q96SparseContamination _),
+    "q97_cluster_store" -> (OpsQueries.q97ClusterStore _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1390,13 +1391,20 @@ object SparkEntry {
     // q95: the oracle is the BATCH transitive closure over the whole
     // SimHash pair set (q76 chain + q86's recursion shape) — the
     // incremental half-then-update path must converge to it exactly
-    "q95_incremental_cc" ->
-      s"""WITH RECURSIVE $simhashCtes,
-        |sp AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM s64 a JOIN s64 b
-        |  ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sim, b.sim)) <= 3),
-        |edges AS (SELECT id1 AS a, id2 AS b FROM sp UNION SELECT id2, id1 FROM sp),
-        |reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
-        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin
+    "q95_incremental_cc" -> simhashClosureSql,
+    // q97 shares q95's oracle VERBATIM: the store-backed clusterStep
+    // accretion and the in-memory incremental fold must both land on
+    // the transitive closure over all Hamming ≤ 3 pairs — one SQL
+    // string so the two gates cannot drift
+    "q97_cluster_store" -> simhashClosureSql
   )
+
+  private lazy val simhashClosureSql: String =
+    s"""WITH RECURSIVE $simhashCtes,
+      |sp AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM s64 a JOIN s64 b
+      |  ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM sp UNION SELECT id2, id1 FROM sp),
+      |reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin
 }

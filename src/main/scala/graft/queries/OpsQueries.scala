@@ -999,6 +999,40 @@ object OpsQueries {
         coalesce(col("component"), col("doc_id")).as("component"))
   }
 
+  /** The DURABLE LABEL STORE, oracle-gated
+    * ([[graft.streaming.DedupStream.foldLabels]]): the corpus's
+    * Hamming ≤ 3 pair set and its doc ids split into three
+    * deterministic micro-batches, each tick folding through the
+    * `_CHAIN`-published snapshot store (write → ordered publish →
+    * read-back, replay-excluded by tag). The final snapshot must
+    * equal the transitive closure over ALL pairs — q95's oracle
+    * VERBATIM — so the snapshot machinery sits inside the DuckDB
+    * hash gate, not behind specs alone. The pair STORE (simhashStep)
+    * is deliberately not in this loop: its per-tick orchestration is
+    * fixed cost at sf scale and it carries its own spec +
+    * CLUSTER_TICK rehearsal gates; the full composition is
+    * [[graft.streaming.DedupStream.clusterStep]]. Fresh store per
+    * invocation; deterministic tags make accidental reuse a no-op
+    * replay. */
+  def q97ClusterStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(spark, dir)
+    val fps = Dedup.simhashPortable(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.simhashPairsBalanced(fps, maxDist = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val store = java.nio.file.Files
+      .createTempDirectory("q97store").toString
+    var labels: DataFrame = docs.sparkSession.emptyDataFrame
+    (0 until 3).foreach { c =>
+      labels = graft.streaming.DedupStream.foldLabels(
+        docs.filter(pmod(col("doc_id"), lit(3)) === c).select(
+          col("doc_id").cast("long").as("id")),
+        pairs.filter(pmod(col("id1") + col("id2"), lit(3)) === c),
+        store, batchTag = s"t$c")
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
     * deterministic synthetic versions of the documents table (old drops
     * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites

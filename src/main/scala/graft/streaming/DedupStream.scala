@@ -415,10 +415,10 @@ object DedupStream {
     // in-memory relations; the store append is the batch's commit point)
     val out = pairs.cache()
     out.count()
-    newBuckets.write.partitionBy("pb")
+    newBuckets.repartition(col("pb")).write.partitionBy("pb")
       .mode("overwrite").parquet(s"$storeDir/buckets/batch=$batchTag")
     sigs.withColumn("ps", pmod(col("id"), parts).cast("int"))
-      .write.partitionBy("ps")
+      .repartition(col("ps")).write.partitionBy("ps")
       .mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchTag")
     // post-compaction stores gate visibility through the manifest;
     // publishing is idempotent under foreachBatch replay
@@ -501,7 +501,7 @@ object DedupStream {
     withOld.filter(col("okeeper").isNull)
       .select(col("h"), col("bkeeper").as("keeper"))
       .withColumn("ph", pmod(xxhash64(col("h")), parts).cast("int"))
-      .write.partitionBy("ph")
+      .repartition(col("ph")).write.partitionBy("ph")
       .mode("overwrite").parquet(s"$storeDir/hashes/batch=$batchTag")
     publishCommit(spark,
       new org.apache.hadoop.fs.Path(s"$storeDir/hashes"), s"batch=$batchTag")
@@ -586,10 +586,10 @@ object DedupStream {
 
     val out = pairs.cache()
     out.count()
-    newKeys.write.partitionBy("pc")
+    newKeys.repartition(col("pc")).write.partitionBy("pc")
       .mode("overwrite").parquet(s"$storeDir/chunks/batch=$batchTag")
     fps.withColumn("ps", pmod(col("id"), parts).cast("int"))
-      .write.partitionBy("ps")
+      .repartition(col("ps")).write.partitionBy("ps")
       .mode("overwrite").parquet(s"$storeDir/fps/batch=$batchTag")
     publishCommit(spark,
       new org.apache.hadoop.fs.Path(s"$storeDir/chunks"), s"batch=$batchTag")
@@ -658,8 +658,26 @@ object DedupStream {
       batch: DataFrame, storeDir: String,
       maxDist: Int = 3, storeParts: Int = 64,
       batchTag: String = java.util.UUID.randomUUID().toString): DataFrame = {
-    val spark = batch.sparkSession
     val pairs = simhashStep(batch, storeDir, maxDist, storeParts, batchTag)
+    val out = foldLabels(
+      batch.select(col("doc_id").cast("long").as("id")),
+      pairs, storeDir, batchTag)
+    pairs.unpersist()
+    out
+  }
+
+  /** The durable label fold on its own — [[clusterStep]] minus the
+    * pair generation: fold `pairs` (id1, id2) and the batch's ids into
+    * the chain-published labelling under `storeDir/labels`. Exposed
+    * separately so a caller with its own candidate source (a batch
+    * pair sweep, an external edge feed) gets the same snapshot
+    * machinery, and so the store path is hash-gateable without paying
+    * a per-tick sketch pass (q97). Replay contract identical to
+    * [[clusterStep]]. */
+  def foldLabels(
+      batchIds: DataFrame, pairs: DataFrame,
+      storeDir: String, batchTag: String): DataFrame = {
+    val spark = batchIds.sparkSession
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/labels")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val chain = readChain(fs, root)
@@ -673,12 +691,11 @@ object DedupStream {
     // new docs enter as self-labelled singletons: a batch doc with no
     // candidate pair must still appear in the labelling, and a re-seen
     // id's (id, id) self-edge is a no-op beside its existing label
-    val singles = batch.select(col("doc_id").cast("long").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
+    val singles = batchIds.select(col(batchIds.columns.head).cast("long").as("id"))
+      .distinct().select(col("id"), col("id").as("component"))
     val updated = graft.ops.ConnectedComponents.updateComponents(
       prev.unionByName(singles), pairs, "id1", "id2")
     updated.write.mode("overwrite").parquet(s"$storeDir/labels/$tagName")
-    pairs.unpersist()
     if (!chain.exists(_._2 == tagName)) {
       val seq = chain.map(_._1).maxOption.getOrElse(0L) + 1L
       writeChain(spark, root, chain :+ (seq, tagName))
@@ -779,7 +796,7 @@ object DedupStream {
       .cache()
     out.count()
     claimed.withColumn("ph", pmod(xxhash64(col("h")), parts).cast("int"))
-      .write.partitionBy("ph")
+      .repartition(col("ph")).write.partitionBy("ph")
       .mode("overwrite").parquet(s"$storeDir/spans/batch=$batchTag")
     publishCommit(spark,
       new org.apache.hadoop.fs.Path(s"$storeDir/spans"), s"batch=$batchTag")
@@ -908,7 +925,7 @@ object DedupStream {
       .join(histH, Seq("h"), "left_anti")
       .select(col("h"), col("_f.id").as("keeper"))
       .withColumn("pw", pmod(xxhash64(col("h")), parts).cast("int"))
-      .write.partitionBy("pw")
+      .repartition(col("pw")).write.partitionBy("pw")
       .mode("overwrite").parquet(s"$storeDir/wins/batch=$batchTag")
     publishCommit(spark,
       new org.apache.hadoop.fs.Path(s"$storeDir/wins"), s"batch=$batchTag")
