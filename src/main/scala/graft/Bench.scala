@@ -23,7 +23,26 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
+    // steal index: a FIXED zero-data workload (pure codegen arithmetic
+    // + one tiny shuffle) timed before, midway through, and after the
+    // suite. Its true cost is a machine constant, so the MEDIAN of the
+    // three samples is this run's host-contention factor — future
+    // rounds divide totals by their canary ratio instead of guessing
+    // whether a regression is code or a noisy neighbor.
+    def canaryOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L)
+        .groupBy(pmod(col("id") * 2654435761L, lit(32)))
+        .agg(sum(col("id") % 1000003L))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // untimed codegen warm-up for the canary's own plan
+    val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce())
+    val mid = math.max(1, selected.size / 2)
+    val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == mid) canaries += canaryOnce()
       val dt = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // a failed run must never win the min — it would report a
@@ -39,6 +58,8 @@ object Bench {
       // every run failed → report the -1 sentinel, not Double.MaxValue
       name -> (if (dt == Double.MaxValue) -1.0 else dt)
     }.toMap
+    canaries += canaryOnce()
+    val canarySec = canaries.sorted.apply(canaries.size / 2)
     // The driver captures only the LAST 2000 chars of stdout, and sbt
     // appends a ~80-char "[success] ... completed" line after ours — so
     // the stdout line must stay under ~1900 chars or its head is clipped
@@ -78,7 +99,7 @@ object Bench {
       // a min-of-3 against a steal-inflated single run unknowingly
       // the headline total keeps 2 dp at every tier — only the
       // per-query map degrades (the 4-dp file artifact is authoritative)
-      s"""{"metric":"total","value":${fmt(total, math.max(prec, 2))},"unit":"sec","runs":$runs,"stat":"min","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total, math.max(prec, 2))},"unit":"sec","runs":$runs,"stat":"min","canary_sec":${fmt(canarySec, 2)},"queries":$qs,"sf":"$sf"}"""
     }
     // adaptive precision: if the suite grows enough that even the
     // compact form would clip, degrade stdout to 1 dp (0.1 s) rather

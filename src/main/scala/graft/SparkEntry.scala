@@ -104,6 +104,7 @@ object SparkEntry {
     "q95_incremental_cc" -> (OpsQueries.q95IncrementalCc _),
     "q96_sparse_contamination" -> (OpsQueries.q96SparseContamination _),
     "q97_cluster_store" -> (OpsQueries.q97ClusterStore _),
+    "q98_multimodal_meta" -> (OpsQueries.q98MultimodalMeta _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1396,7 +1397,37 @@ object SparkEntry {
     // accretion and the in-memory incremental fold must both land on
     // the transitive closure over all Hamming ≤ 3 pairs — one SQL
     // string so the two gates cannot drift
-    "q97_cluster_store" -> simhashClosureSql
+    "q97_cluster_store" -> simhashClosureSql,
+    // q98: the engine synthesizes REAL container bytes per doc id
+    // (MediaSynth: BMP / PCM16 WAV / MJPEG-shaped AVI) and recovers
+    // every column through the real codec walks; the oracle restates
+    // the synthesis arithmetic from doc_id alone — dims, frame clock
+    // (40 ms × nf), WAV duration floor(n·1000/8000), window count
+    // ceil(n/4), Σ|s| = n·mag (alternating ±mag samples), demuxed
+    // frame-byte totals, and exact container sizes (54+w·h BMP,
+    // 44+2n WAV, 100+nf·(8+L) AVI; all chunks even → pad-free)
+    "q98_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'avi' END AS fmt,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 31 WHEN 1 THEN 0
+        |    ELSE 16 + doc_id % 9 END AS INT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 17 WHEN 1 THEN 0
+        |    ELSE 9 + doc_id % 7 END AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |    WHEN 1 THEN ((8 + doc_id % 33) * 1000) // 8000
+        |    ELSE 40 * (1 + doc_id % 5) END AS BIGINT) AS duration_ms,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 8000 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |    WHEN 1 THEN (8 + doc_id % 33 + 3) // 4
+        |    ELSE 1 + doc_id % 5 END AS BIGINT) AS n_units,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |    WHEN 1 THEN (8 + doc_id % 33) * (50 + doc_id % 50)
+        |    ELSE (1 + doc_id % 5) * (64 + 2 * (doc_id % 32)) END AS BIGINT) AS payload,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 54 + (1 + doc_id % 31) * (1 + doc_id % 17)
+        |    WHEN 1 THEN 44 + 2 * (8 + doc_id % 33)
+        |    ELSE 100 + (1 + doc_id % 5) * (72 + 2 * (doc_id % 32)) END AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin
   )
 
   private lazy val simhashClosureSql: String =

@@ -1247,7 +1247,19 @@ object Dedup {
     * randomized Round11OpsSpec property pin the routed path. */
   def sourceOverlap(df: DataFrame, n: Int = 2,
       srcCol: String = "source", textCol: String = "text",
-      routeMinSources: Int = 64): DataFrame = {
+      routeMinSources: Int = 64): DataFrame =
+    sourceOverlapWithRelease(df, n, srcCol, textCol, routeMinSources)._1
+
+  /** [[sourceOverlap]] plus a release handle, same contract as
+    * [[simhashPairsWithRelease]]: the returned plan consumes the
+    * persisted postings (and, on the routed path, the hot/complement
+    * relations) — call the handle only after the matrix is
+    * materialized, so repeated invocations (a bench loop, a long
+    * multi-corpus run) don't accumulate MEMORY_AND_DISK blocks in the
+    * executor block store. */
+  def sourceOverlapWithRelease(df: DataFrame, n: Int = 2,
+      srcCol: String = "source", textCol: String = "text",
+      routeMinSources: Int = 64): (DataFrame, () => Unit) = {
     val sh = df
       .select(col(srcCol).as("src"), explode(gramHashArray(col(textCol), n)).as("sh"))
       .distinct()
@@ -1262,11 +1274,12 @@ object Dedup {
         .join(sh.select(col("src").as("s2"), col("sh")), Seq("sh"))
         .filter(col("s1") < col("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("inter_n"))
-      return inter
+      val out = inter
         .join(sizes.withColumnRenamed("src", "s1").withColumnRenamed("set_n", "n1"), "s1")
         .join(sizes.withColumnRenamed("src", "s2").withColumnRenamed("set_n", "n2"), "s2")
         .select(col("s1"), col("s2"), col("inter_n"),
           (col("n1") + col("n2") - col("inter_n")).as("union_n"))
+      return (out, () => { sh.unpersist(); () })
     }
     val nSrc = srcs.agg(count(lit(1)).as("n_src"))
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("c")).crossJoin(nSrc)
@@ -1305,11 +1318,12 @@ object Dedup {
           - coalesce(col("m1"), lit(0L)) - coalesce(col("m2"), lit(0L))
           + coalesce(col("both_n"), lit(0L))).as("inter_n"))
       .filter(col("inter_n") >= 1)
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("src", "s1").withColumnRenamed("set_n", "n1"), "s1")
       .join(sizes.withColumnRenamed("src", "s2").withColumnRenamed("set_n", "n2"), "s2")
       .select(col("s1"), col("s2"), col("inter_n"),
         (col("n1") + col("n2") - col("inter_n")).as("union_n"))
+    (out, () => { sh.unpersist(); hot.unpersist(); comp.unpersist(); () })
   }
 
   /** Monitoring companion to [[sourceOverlap]]'s density routing: the

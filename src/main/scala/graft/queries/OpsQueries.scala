@@ -1022,6 +1022,15 @@ object OpsQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val store = java.nio.file.Files
       .createTempDirectory("q97store").toString
+    // bench repetition must not leak /tmp for the process lifetime:
+    // the returned view lazily reads the store, so deletion waits for
+    // JVM exit rather than racing the caller's hash pass
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
     var labels: DataFrame = docs.sparkSession.emptyDataFrame
     (0 until 3).foreach { c =>
       labels = graft.streaming.DedupStream.foldLabels(
@@ -1030,7 +1039,69 @@ object OpsQueries {
         pairs.filter(pmod(col("id1") + col("id2"), lit(3)) === c),
         store, batchTag = s"t$c")
     }
+    // each fold's writes already materialized; the returned view is a
+    // store read, lineage-free of these — release the blocks now
+    fps.unpersist()
+    pairs.unpersist()
     labels.select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** MULTIMODAL metadata extraction, oracle-gated
+    * ([[graft.ops.MediaSynth]] → [[graft.ops.Multimodal]]): per doc id
+    * a REAL container payload is synthesized (BMP image / PCM16 WAV /
+    * MJPEG-shaped AVI, kind = id mod 3, every parameter a small
+    * modulus of the id), then ALL metadata is recovered through the
+    * real decode paths — [[graft.ops.ImageCodecs.decodeBmp]] dims,
+    * [[graft.ops.RiffCodecs.decodeWav]] rate/duration +
+    * [[graft.ops.RiffCodecs.wavPcmWindows]] window features,
+    * [[graft.ops.RiffCodecs.decodeAvi]] dims/frame-clock +
+    * [[Multimodal.sampleFrames]] demuxed frame slices, and
+    * [[Multimodal.extractFeatures]] payload sizes. The DuckDB oracle
+    * restates the synthesis arithmetic from doc_id alone, so any
+    * writer/walker drift — a mis-walked chunk, an off-by-one frame
+    * slice, a wrong duration clock — breaks the hash. Bytes never
+    * enter a shuffle key; per-row work is mapPartitions
+    * (Multimodal's scale contract). */
+  def q98MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val assets = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(graft.ops.MediaSynth.assetFor)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = graft.ops.Multimodal.extractFeatures(assets)
+      .select(col("asset_id"), col("n_bytes"))
+    val images = graft.ops.Multimodal.decodeImages(assets.filter(_.kind == "image"))
+      .select(col("asset_id"), lit("image").as("kind"),
+        col("meta.format").as("fmt"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        lit(0L).as("duration_ms"), lit(0).as("sample_rate"),
+        lit(0L).as("n_units"), lit(0L).as("payload"))
+    val audioAssets = assets.filter(_.kind == "audio")
+    val audioWin = graft.ops.Multimodal.audioWindows(audioAssets, 4, 4)
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_units"), sum(col("sum_abs")).as("payload"))
+    val audio = graft.ops.Multimodal.decodeAudio(audioAssets)
+      .select(col("asset_id"), lit("audio").as("kind"),
+        col("meta.format").as("fmt"),
+        lit(0).as("width"), lit(0).as("height"),
+        col("meta.durationMs").as("duration_ms"),
+        col("meta.sampleRate").as("sample_rate"))
+      .join(audioWin, Seq("asset_id"))
+    val videoAssets = assets.filter(_.kind == "video")
+    val videoFrames = graft.ops.Multimodal.sampleFrames(videoAssets, everyMs = 40L)
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_units"),
+        sum(length(col("frame_bytes"))).cast("long").as("payload"))
+    val video = graft.ops.Multimodal.decodeVideo(videoAssets)
+      .select(col("asset_id"), lit("video").as("kind"),
+        col("meta.format").as("fmt"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.durationMs").as("duration_ms"), lit(0).as("sample_rate"))
+      .join(videoFrames, Seq("asset_id"))
+    images.unionByName(audio).unionByName(video)
+      .join(sizes, Seq("asset_id"))
+      .withColumnRenamed("asset_id", "doc_id")
   }
 
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two

@@ -87,6 +87,14 @@ object DedupStream {
     * First commit writes the marker; every later commit must match. */
   private val KeyFamily = 2 // word-chained xxhash64 grams (shingleHashes)
 
+  /** Family 0 = "no content-key family claimed yet": the labels
+    * sub-store hashes only ids/components (family-independent), so a
+    * store whose FIRST writer is [[foldLabels]] pins its partition
+    * count without committing to a shingle-key family; the first
+    * content-keyed writer (sketch/span/exact step) then upgrades the
+    * marker in place. Partition-count drift stays fatal either way. */
+  private val NoKeyFamily = 0
+
   private def ensureStoreMeta(
       spark: SparkSession, root: String, parts: Int,
       family: Int = KeyFamily): Unit = {
@@ -96,9 +104,17 @@ object DedupStream {
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      require(txt == s"$parts/$family",
+      val Array(p, f) = txt.split('/')
+      require(p.toInt == parts,
         s"dedup store $root was written with parts/family=$txt; this config is " +
           s"$parts/$family — rebuild the store or match the writing config")
+      if (family != NoKeyFamily) {
+        if (f.toInt == NoKeyFamily) // labels-first store: claim the family
+          writeNameFile(spark, dir, "_PARTS", Set(s"$parts/$family"))
+        else require(f.toInt == family,
+          s"dedup store $root was written with parts/family=$txt; this config is " +
+            s"$parts/$family — rebuild the store or match the writing config")
+      }
     } else {
       // commits live one level down (buckets/sigs/spans sub-stores)
       val hasCommits = fs.exists(dir) && fs.listStatus(dir).exists { s =>
@@ -259,7 +275,8 @@ object DedupStream {
     * never concurrently with a step on the same store. */
   def compact(spark: SparkSession, storeDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq("buckets" -> "pb", "sigs" -> "ps", "spans" -> "ph", "wins" -> "pw").foreach {
+    Seq("buckets" -> "pb", "sigs" -> "ps", "spans" -> "ph", "wins" -> "pw",
+        "chunks" -> "pc", "fps" -> "ps", "hashes" -> "ph").foreach {
       case (sub, partCol) =>
         val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
         val fs = root.getFileSystem(conf)
@@ -607,53 +624,15 @@ object DedupStream {
   private val labelSchema = StructType(Seq(
     StructField("id", LongType), StructField("component", LongType)))
 
-  /** The labels sub-store's `_CHAIN`: ordered snapshot history, one
-    * line per commit as `<zero-padded seq> batch=<tag>`. Unlike the
-    * key/signature sub-stores (immutable rows, set semantics), a
-    * labelling is a VERSIONED relation — a node's label changes when
-    * its component merges — so readers need "the latest snapshot
-    * before mine", which requires commit ORDER. The chain file is the
-    * order; a snapshot dir the chain does not list is invisible
-    * (crash between snapshot write and publish → the dir is garbage,
-    * the replay overwrites it and publishes). */
-  private def readChain(
-      fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
-    readNameFile(fs, new org.apache.hadoop.fs.Path(root, "_CHAIN"))
-      .getOrElse(Set.empty).toSeq
-      .map { line =>
-        val parts = line.split(" ", 2)
-        (parts(0).toLong, parts(1))
-      }.sortBy(_._1)
-
-  private def writeChain(
-      spark: SparkSession, root: org.apache.hadoop.fs.Path,
-      chain: Seq[(Long, String)]): Unit =
-    writeNameFile(spark, root, "_CHAIN",
-      chain.map { case (seq, name) => f"$seq%012d $name" }.toSet)
-
   /** Streaming near-dup CLUSTER MAINTENANCE: the per-tick composition
     * of [[simhashStep]] (candidate pairs of the batch against itself
-    * and history, exact Hamming ≤ `maxDist`) with
-    * [[graft.ops.ConnectedComponents.updateComponents]] (labels-as-
-    * edges ∪ batch pairs — union by existing roots). Each tick emits
-    * the FULL corpus labelling (id, component), components labelled by
-    * their minimum doc id exactly as the batch operator would label
-    * the union of every pair ever seen — the q95 equivalence, made
-    * durable.
-    *
-    * Per-tick cost ∝ |labels| + |batch| (the incremental-CC contract:
-    * history PAIRS are never re-read — prior connectivity rides in as
-    * the label star), and the snapshot write is the same O(|labels|)
-    * order as the contraction's own final materialization, so the
-    * store adds no new asymptotic term. Snapshots are whole relations
-    * under `labels/batch=<tag>`, published by an ordered `_CHAIN`
-    * append; a replayed tick reads the latest snapshot EXCLUDING its
-    * own tag (same exclude-own-commit rule as [[readStore]]), rewrites
-    * its snapshot deterministically, and leaves the chain unchanged —
-    * replay-idempotent end to end because [[simhashStep]] already is.
-    * [[compactLabels]] GCs superseded snapshots; chain growth until
-    * then is one 20-byte line per tick. */
+    * and history, exact Hamming ≤ `maxDist`) with a DELTA fold into
+    * the durable label store ([[foldLabels]]). The store's latest
+    * view ([[latestLabels]]) labels every doc ever ingested by its
+    * component's minimum doc id, exactly as the batch operator would
+    * label the union of every pair ever seen — the q95 equivalence,
+    * made durable — but each tick WRITES only O(|batch| +
+    * merge-affected members), never the corpus. */
   def clusterStep(
       batch: DataFrame, storeDir: String,
       maxDist: Int = 3, storeParts: Int = 64,
@@ -661,70 +640,220 @@ object DedupStream {
     val pairs = simhashStep(batch, storeDir, maxDist, storeParts, batchTag)
     val out = foldLabels(
       batch.select(col("doc_id").cast("long").as("id")),
-      pairs, storeDir, batchTag)
+      pairs, storeDir, batchTag, storeParts)
     pairs.unpersist()
     out
   }
 
-  /** The durable label fold on its own — [[clusterStep]] minus the
-    * pair generation: fold `pairs` (id1, id2) and the batch's ids into
-    * the chain-published labelling under `storeDir/labels`. Exposed
-    * separately so a caller with its own candidate source (a batch
-    * pair sweep, an external edge feed) gets the same snapshot
-    * machinery, and so the store path is hash-gateable without paying
-    * a per-tick sketch pass (q97). Replay contract identical to
-    * [[clusterStep]]. */
+  /** DELTA fold of one batch (ids + candidate pairs) into the durable
+    * label store under `storeDir/labels` — the batch-proportional form
+    * of incremental connected components. Returns the store's full
+    * latest labelling as a LAZY view ([[latestLabels]]); a tick loop
+    * that never forces it pays only the delta.
+    *
+    * Store layout: two sub-stores of identical (id, component) rows,
+    *   - `labels/byId/batch=<tag>/li=<k>`,  li = hash(id) mod parts —
+    *     answers "current label of these ids" with partition pruning;
+    *   - `labels/byComp/batch=<tag>/lc=<k>`, lc = hash(component) mod
+    *     parts — answers "members of these components" with pruning,
+    *     so a merge relabels only the merged roots' partitions.
+    * Both are APPEND-ONLY commit sets under the same `_MANIFEST`/
+    * `_FOLDED` visibility rules as every other sub-store. The trick
+    * that makes unordered delta commits a consistent versioned
+    * relation: component labels are MONOTONE NON-INCREASING (clusters
+    * only merge, and the label is the min member id), so
+    * latest-wins ≡ `min(component)` per id — no commit ordering, no
+    * snapshot chain, and replay idempotence for free (re-folding the
+    * same pairs can only re-derive the same minima, even when the
+    * replayed commit was already compacted into history and tag
+    * exclusion cannot reach it).
+    *
+    * Per-tick cost, the scale contract:
+    *   - READ: byId partitions of the PAIR ENDPOINTS only (a batch doc
+    *     with no candidate pair needs no lookup — its blind (id, id)
+    *     row is inert under min-wins if the id was seen before, since
+    *     any prior label ≤ id), plus byComp partitions of the roots
+    *     that actually merge. Both are merge-activity-proportional; a
+    *     tick of fresh content reads nothing.
+    *   - CONTRACT: [[graft.ops.ConnectedComponents.updateComponents]]
+    *     over the endpoints' prior labels ∪ the batch pairs — a
+    *     touched-subgraph-sized problem, usually solved by the driver
+    *     union-find fast path.
+    *   - WRITE: the contracted labels, relabelled members of merged
+    *     roots, and the batch's singleton rows — O(|batch| + affected
+    *     members). byComp receives only the merge-affected rows
+    *     (singletons are self-labelled; a never-paired id is always
+    *     covered by the contraction the first time a pair touches it).
+    * Nothing is ever O(|labels|) on the tick path; the full-corpus
+    * materialization happens only when a READER forces
+    * [[latestLabels]] or when [[compactLabels]] runs (offline,
+    * amortized). */
   def foldLabels(
       batchIds: DataFrame, pairs: DataFrame,
-      storeDir: String, batchTag: String): DataFrame = {
+      storeDir: String, batchTag: String,
+      storeParts: Int = 64): DataFrame = {
     val spark = batchIds.sparkSession
-    val root = new org.apache.hadoop.fs.Path(s"$storeDir/labels")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val chain = readChain(fs, root)
-    val tagName = s"batch=$batchTag"
-    val prev = chain.filterNot(_._2 == tagName).lastOption match {
-      case Some((_, name)) =>
-        spark.read.schema(labelSchema).parquet(s"$storeDir/labels/$name")
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
-    }
-    // new docs enter as self-labelled singletons: a batch doc with no
-    // candidate pair must still appear in the labelling, and a re-seen
-    // id's (id, id) self-edge is a no-op beside its existing label
-    val singles = batchIds.select(col(batchIds.columns.head).cast("long").as("id"))
-      .distinct().select(col("id"), col("id").as("component"))
-    val updated = graft.ops.ConnectedComponents.updateComponents(
-      prev.unionByName(singles), pairs, "id1", "id2")
-    updated.write.mode("overwrite").parquet(s"$storeDir/labels/$tagName")
-    if (!chain.exists(_._2 == tagName)) {
-      val seq = chain.map(_._1).maxOption.getOrElse(0L) + 1L
-      writeChain(spark, root, chain :+ (seq, tagName))
-    }
-    // hand back the DURABLE snapshot: the caller's tick loop needs no
-    // localCheckpoint discipline (lineage ends at the parquet read)
-    spark.read.schema(labelSchema).parquet(s"$storeDir/labels/$tagName")
+    ensureStoreMeta(spark, storeDir, storeParts, family = NoKeyFamily)
+    val parts = lit(storeParts.toLong)
+    val byIdDir = s"$storeDir/labels/byId"
+    val byCompDir = s"$storeDir/labels/byComp"
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // only pair endpoints need their PRIOR label — the ids whose
+    // connectivity this batch can change
+    val ends = pairs.select(col("id1").cast("long").as("id"))
+      .unionByName(pairs.select(col("id2").cast("long").as("id")))
+      .filter(col("id").isNotNull).distinct()
+      .persist(mad)
+    val endParts = ends
+      .select(pmod(xxhash64(col("id")), parts).cast("int").as("li"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // min-wins across commits = the endpoints' current labels
+    val prevT = readStore(spark, byIdDir, labelSchema, batchTag, "li", endParts)
+      .join(broadcast(ends), Seq("id"), "left_semi")
+      .groupBy("id").agg(min("component").as("component"))
+      .persist(mad)
+    // contract the touched subgraph: prior labels ride in as a star
+    val contracted = graft.ops.ConnectedComponents
+      .updateComponents(prevT, pairs, "id1", "id2")
+      .persist(mad)
+    contracted.count()
+    // roots that merged downward → their off-batch members must follow
+    val remap = prevT.select(col("component").as("id")).distinct()
+      .join(contracted, Seq("id"))
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as("old_root"), col("component").as("new_root"))
+      .persist(mad)
+    val remapParts = remap
+      .select(pmod(xxhash64(col("old_root")), parts).cast("int").as("lc"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // byComp rows keyed by a CURRENT root are exactly its members (a
+    // row goes stale only when its component merges away, and a merged
+    // -away root is never current again); distinct collapses rewrites
+    val membersExtra = readStore(
+        spark, byCompDir, labelSchema, batchTag, "lc", remapParts)
+      .join(broadcast(remap.withColumnRenamed("old_root", "component")),
+        Seq("component"))
+      .select(col("id"), col("new_root").as("component"))
+      .join(broadcast(contracted.select("id")), Seq("id"), "left_anti")
+      .distinct()
+    val moved = contracted.unionByName(membersExtra).persist(mad)
+    // blind singleton rows for the batch: new ids enter self-labelled;
+    // a re-seen id's (id, id) loses to its existing label under
+    // min-wins (labels are component MINIMA, so prior label ≤ id)
+    val singles = batchIds
+      .select(col(batchIds.columns.head).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .join(broadcast(contracted.select("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    moved.unionByName(singles)
+      .withColumn("li", pmod(xxhash64(col("id")), parts).cast("int"))
+      .repartition(col("li")).write.partitionBy("li")
+      .mode("overwrite").parquet(s"$byIdDir/batch=$batchTag")
+    moved
+      .withColumn("lc", pmod(xxhash64(col("component")), parts).cast("int"))
+      .repartition(col("lc")).write.partitionBy("lc")
+      .mode("overwrite").parquet(s"$byCompDir/batch=$batchTag")
+    publishCommit(spark,
+      new org.apache.hadoop.fs.Path(byIdDir), s"batch=$batchTag")
+    publishCommit(spark,
+      new org.apache.hadoop.fs.Path(byCompDir), s"batch=$batchTag")
+    ends.unpersist()
+    prevT.unpersist()
+    contracted.unpersist()
+    remap.unpersist()
+    moved.unpersist()
+    latestLabels(spark, storeDir)
   }
 
-  /** Offline maintenance for [[clusterStep]]'s label store: every
-    * snapshot except the chain's LATEST is superseded by definition
-    * (each tick writes the full labelling), so compaction truncates
-    * the chain to its last entry — seq preserved, monotonicity keeps
-    * ordering across the cut — and deletes every `batch=*` dir the
-    * truncated chain no longer lists (including orphans from crashed
-    * publishes). SINGLE-WRITER contract, same as [[compact]]: run
-    * between ticks, never concurrently with a step. */
-  def compactLabels(spark: SparkSession, storeDir: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(s"$storeDir/labels")
+  /** Every visible labels/byId commit, optionally tag-excluded — no
+    * partition pruning (the full-corpus read path). */
+  private def readAllById(
+      spark: SparkSession, storeDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/labels/byId")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val chain = readChain(fs, root)
-    chain.lastOption.foreach { last =>
-      writeChain(spark, root, Seq(last))
-      fs.listStatus(root).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("batch="))
-        .filterNot(_.getPath.getName == last._2)
-        .foreach(s => fs.delete(s.getPath, true))
+    val leaves = visibleCommits(fs, root).flatMap { b =>
+      val subs = fs.listStatus(b.getPath).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("li="))
+      if (subs.isEmpty) Seq(b.getPath.toString) else subs.toSeq.map(_.getPath.toString)
     }
+    if (leaves.nonEmpty) spark.read.schema(labelSchema).parquet(leaves: _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
+  }
+
+  /** Offline maintenance for the delta label store: resolve the
+    * accumulated byId commits to the current labelling (min-wins) and
+    * rewrite BOTH sub-stores as one commit each, dropping stale rows
+    * and restoring O(storeParts) files. Crash-safe exactly like
+    * [[compact]]: manifests are adopted before anything is written (a
+    * manifest-less listing only adopts `_SUCCESS`-bearing dirs), the
+    * `_FOLDED` resurrection guard extends before each swap, the swap
+    * itself is one atomic manifest replace per sub-store, and unlisted
+    * dirs are GC'd. A crash between the two sub-store swaps leaves
+    * them at different compaction generations but identical logical
+    * content (stale byComp rows are unreachable — their roots are
+    * merged away). SINGLE-WRITER contract: run between ticks. */
+  def compactLabels(spark: SparkSession, storeDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val roots = Seq("byId" -> "li", "byComp" -> "lc").map { case (sub, pc) =>
+      (sub, pc, new org.apache.hadoop.fs.Path(s"$storeDir/labels/$sub"))
+    }
+    val existing = roots.filter { case (_, _, r) => r.getFileSystem(conf).exists(r) }
+    if (existing.isEmpty) return
+    // adopt manifests first so every target dir below is born invisible
+    existing.foreach { case (_, _, root) =>
+      val fs = root.getFileSystem(conf)
+      if (readManifest(fs, root).isEmpty) {
+        val visible = visibleCommits(fs, root).filter(s => fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        writeManifest(spark, root, visible.map(_.getPath.getName).toSet)
+      }
+    }
+    val needsFold = existing.exists { case (_, _, root) =>
+      visibleCommits(root.getFileSystem(conf), root).size >= 2
+    }
+    if (needsFold) {
+      val target = s"batch=compact-${java.util.UUID.randomUUID()}"
+      val parts = lit(storeMetaParts(spark, storeDir).toLong)
+      val resolved = readAllById(spark, storeDir)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      resolved.withColumn("li", pmod(xxhash64(col("id")), parts).cast("int"))
+        .repartition(col("li")).write.partitionBy("li")
+        .mode("overwrite").parquet(s"$storeDir/labels/byId/$target")
+      resolved.withColumn("lc", pmod(xxhash64(col("component")), parts).cast("int"))
+        .repartition(col("lc")).write.partitionBy("lc")
+        .mode("overwrite").parquet(s"$storeDir/labels/byComp/$target")
+      resolved.unpersist()
+      existing.foreach { case (_, _, root) =>
+        val fs = root.getFileSystem(conf)
+        val srcNames = visibleCommits(fs, root).map(_.getPath.getName).toSet
+        writeNameFile(spark, root, "_FOLDED", readFolded(fs, root) ++ srcNames)
+        writeManifest(spark, root, Set(target)) // THE commit point per sub-store
+      }
+    }
+    // GC: with manifests in authority, unlisted batch= dirs are garbage
+    existing.foreach { case (_, _, root) =>
+      val fs = root.getFileSystem(conf)
+      readManifest(fs, root).foreach { nowVisible =>
+        fs.listStatus(root).filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith("batch="))
+          .filterNot(s => nowVisible.contains(s.getPath.getName))
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+    }
+  }
+
+  /** The store's partition count from its `_PARTS` marker — compaction
+    * must rewrite with the layout every reader prunes by. */
+  private def storeMetaParts(spark: SparkSession, storeDir: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_PARTS")
+    val in = fs.open(marker)
+    val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    txt.split('/')(0).toInt
   }
 
   /** Incremental SPAN dedup (the streaming form of
@@ -937,7 +1066,16 @@ object DedupStream {
   }
 
   /** Streaming wrapper: documents arrive as parquet files in
-    * `docsPath`; verified near-dup pairs append to `pairsDir`. */
+    * `docsPath`; verified near-dup pairs append to `pairsDir`.
+    *
+    * `compactEvery` > 0 folds the store's accumulated commits every
+    * that many ticks, INSIDE the foreachBatch loop — the one place the
+    * single-writer contract holds by construction — so a long-running
+    * stream keeps O(storeParts) files and an O(compactEvery) commit
+    * listing instead of accreting one commit per tick forever. Safe
+    * against the crash-before-checkpoint-commit replay: the `_FOLDED`
+    * ledger suppresses the replayed tick's re-publish beside its
+    * compacted copy (see [[compact]]/[[readFolded]]). */
   def start(
       spark: SparkSession,
       docsPath: String,
@@ -946,7 +1084,8 @@ object DedupStream {
       pairsDir: String,
       checkpoint: String,
       cfg: Config = Config(),
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      compactEvery: Int = 64): StreamingQuery = {
     spark.readStream.schema(docsSchema).parquet(docsPath)
       .writeStream
       .queryName("dedup-on-ingest")
@@ -965,18 +1104,22 @@ object DedupStream {
         val pairs = step(batch, storeDir, cfg, batchTag = tag)
         pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$tag")
         pairs.unpersist()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compact(spark, storeDir)
         ()
       }
       .start()
   }
 
   /** Structured Streaming entry for [[clusterStep]]: files in, a
-    * durable corpus labelling maintained under `storeDir/labels`
-    * (the chain's LATEST snapshot is the result — read it with
-    * [[latestLabels]]). Same (queryId, batchId) commit keying as
-    * [[start]], so checkpoint replays rewrite their own snapshot and
-    * a restart against a deleted checkpoint cannot clobber an earlier
-    * run's history. */
+    * durable corpus labelling maintained under `storeDir/labels` —
+    * read it with [[latestLabels]]. Same (queryId, batchId) commit
+    * keying as [[start]], so checkpoint replays rewrite their own
+    * delta commit and a restart against a deleted checkpoint cannot
+    * clobber an earlier run's history. `compactEvery` as in [[start]]
+    * — here it also folds the label sub-stores ([[compactLabels]]);
+    * the delta fold is idempotent even when its commit was compacted
+    * away before the replay (min-wins — see [[foldLabels]]). */
   def startClusters(
       spark: SparkSession,
       docsPath: String,
@@ -985,7 +1128,8 @@ object DedupStream {
       checkpoint: String,
       maxDist: Int = 3,
       storeParts: Int = 64,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      compactEvery: Int = 64): StreamingQuery = {
     spark.readStream.schema(docsSchema).parquet(docsPath)
       .writeStream
       .queryName("cluster-maintenance")
@@ -996,21 +1140,21 @@ object DedupStream {
             .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
         clusterStep(batch, storeDir, maxDist, storeParts,
           batchTag = s"$qid-$batchId")
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compact(spark, storeDir)
+          compactLabels(spark, storeDir)
+        }
         ()
       }
       .start()
   }
 
-  /** The chain's latest labelling snapshot — empty when no tick has
-    * published yet. */
-  def latestLabels(spark: SparkSession, storeDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(s"$storeDir/labels")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readChain(fs, root).lastOption match {
-      case Some((_, name)) =>
-        spark.read.schema(labelSchema).parquet(s"$storeDir/labels/$name")
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
-    }
-  }
+  /** The store's current full labelling — min-wins over every visible
+    * byId delta commit (labels are monotone non-increasing, so the
+    * minimum IS the latest). Lazy: listing is driver-side, the
+    * resolve is one hash aggregation when a caller forces it. Empty
+    * when no tick has published yet. */
+  def latestLabels(spark: SparkSession, storeDir: String): DataFrame =
+    readAllById(spark, storeDir)
+      .groupBy("id").agg(min("component").as("component"))
 }

@@ -244,10 +244,10 @@ object ScaleRehearsal {
     // store-backed cluster maintenance at 10x: the same accretion
     // through DedupStream.clusterStep — per tick a sixth of the sf1
     // corpus flows in, simhashStep pairs it against history, and the
-    // durable labelling folds forward (snapshot + ordered _CHAIN
-    // publish). Per-tick cost must stay flat-ish (|labels| grows to
-    // corpus size but the contraction is label-bounded); the final
-    // snapshot must equal the one-shot batch composition.
+    // DELTA label fold writes only the batch + merge-affected rows.
+    // The tick wall must stay flat as |labels| accretes (the fold
+    // never touches the corpus); the full labelling is resolved ONCE
+    // at the end and must equal the one-shot batch composition.
     {
       import graft.ops.{ConnectedComponents => CC, Dedup}
       val cstore = java.nio.file.Files
@@ -258,9 +258,9 @@ object ScaleRehearsal {
         val t0 = System.nanoTime()
         labels = graft.streaming.DedupStream.clusterStep(
           batch, cstore, batchTag = s"c$c")
-        val n = labels.count()
-        println(f"CLUSTER_TICK $c%d labelled=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        println(f"CLUSTER_TICK $c%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       }
+      println(s"CLUSTER_TICK final_labelled=${labels.count()}")
       val batchPairs = Dedup.simhashPairs(Dedup.simhashPortable(all), maxDist = 3)
       val full = all.select(col("doc_id").cast("long").as("id")).distinct()
         .join(CC.connectedComponents(batchPairs, "id1", "id2"), Seq("id"), "left")
@@ -290,8 +290,9 @@ object ScaleRehearsal {
         .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(1000))))
         .withColumn("text", concat(lit("hdr0 hdr1 hdr2 "), col("text")))
       val t0 = System.nanoTime()
-      val m = graft.ops.Dedup.sourceOverlap(many, n = 2)
+      val (m, release) = graft.ops.Dedup.sourceOverlapWithRelease(many, n = 2)
       val n = m.count()
+      release()
       val hot = graft.ops.Dedup.sourceHotShingles(many, n = 2).count()
       spark.catalog.clearCache()
       println(f"SKEW source_overlap_1k_sources pairs=$n%d hot_shingles=$hot%d " +

@@ -605,48 +605,61 @@ class DedupStreamSpec extends SparkSpec {
         .select(col("id"), coalesce(col("component"), col("id")).as("component")))
     assert(l3 == expected, s"stream $l3 != batch $expected")
 
-    // replay of the last tick: same labels, chain not grown
-    def chainLines = {
-      val p = java.nio.file.Paths.get(s"$store/labels/_CHAIN")
-      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
-    }
-    val chainBefore = chainLines
+    // replay of the last tick: same labels, no new delta commit
+    def byIdDirs = new java.io.File(s"$store/labels/byId").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val dirsBefore = byIdDirs
     val replay = labelMap(DedupStream.clusterStep(b3, store, batchTag = "c3"))
     assert(replay == l3, "replayed tick must emit the same labelling")
-    assert(chainLines == chainBefore, "replay must not grow the chain")
+    assert(byIdDirs == dirsBefore, "replay must not add a commit")
 
-    // compaction: only the latest snapshot survives; labels unchanged
+    // compaction: both sub-stores fold to one resolved commit each
+    // (stale pre-merge rows dropped); labels unchanged
     DedupStream.compactLabels(spark, store)
-    val dirs = new java.io.File(s"$store/labels").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("batch=c3"), dirs.toString)
-    val after = labelMap(spark.read.parquet(s"$store/labels/batch=c3"))
+    val dirs = byIdDirs
+    assert(dirs.size == 1 && dirs.head.startsWith("batch=compact-"), dirs.toString)
+    val after = labelMap(DedupStream.latestLabels(spark, store))
     assert(after == l3, "compaction must not change the labelling")
-    // and the NEXT tick reads the compacted snapshot as history
+    // and the NEXT tick reads the compacted store as history
     val b4 = Seq(doc(6L, (3000 until 3200).map(i => s"u$i"))).toDF("doc_id", "text")
     val l4 = labelMap(DedupStream.clusterStep(b4, store, batchTag = "c4"))
     assert(l4 == l3 + (6L -> 6L), l4.toString)
+
+    // the ADVICE-flagged scenario: a tick published its delta but the
+    // streaming checkpoint commit was lost, compactLabels ran between
+    // ticks, THEN the replay fires. Tag exclusion cannot reach inside
+    // the compacted commit, so the replay folds against history that
+    // already contains its own contribution — min-wins makes that a
+    // no-op rather than a labelling wipe.
+    DedupStream.compactLabels(spark, store)
+    val replayed = labelMap(DedupStream.clusterStep(b4, store, batchTag = "c4"))
+    assert(replayed == l4,
+      "replay after compaction must preserve the full labelling")
+    val replayedAgain = labelMap(DedupStream.clusterStep(b3, store, batchTag = "c3"))
+    assert(replayedAgain == l4,
+      "an OLDER tick replayed after compaction must not regress labels")
   }
 
-  test("clusterStep: an unpublished snapshot (crash before chain publish) is invisible and GC'd") {
+  test("clusterStep: a torn label commit (crash mid-write, no _SUCCESS) is never adopted and GC'd") {
     val store = java.nio.file.Files.createTempDirectory("dclu2").toString
     val b1 = Seq(doc(1L, (0 until 200).map(i => s"w${i}x"))).toDF("doc_id", "text")
     DedupStream.clusterStep(b1, store, batchTag = "k1")
-    // simulate a tick that wrote its snapshot but crashed before the
-    // chain publish: a POISONED labelling parquet under an unlisted dir
+    // simulate a tick that crashed mid-byId-write: task-committed
+    // parquet but no job _SUCCESS marker, and a POISONED label value
     Seq((1L, 999L)).toDF("id", "component")
-      .write.parquet(s"$store/labels/batch=orphan")
-    // history reads ignore it (the chain is visibility)...
-    val b2 = Seq(doc(2L, (500 until 700).map(i => s"v$i"))).toDF("doc_id", "text")
-    val l2 = DedupStream.clusterStep(b2, store, batchTag = "k2")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(l2 == Map(1L -> 1L, 2L -> 2L), s"orphan snapshot leaked: $l2")
-    // ...and compaction collects it
+      .withColumn("li", lit(0)).repartition(col("li"))
+      .write.partitionBy("li").parquet(s"$store/labels/byId/batch=torn")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$store/labels/byId/batch=torn/_SUCCESS"))
+    // compaction's adoption gate refuses the torn dir (no _SUCCESS)
+    // and GC collects it; the poisoned row never reaches the manifest
     DedupStream.compactLabels(spark, store)
-    val dirs = new java.io.File(s"$store/labels").listFiles()
+    val dirs = new java.io.File(s"$store/labels/byId").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("batch=k2"), dirs.toString)
+    assert(dirs == Set("batch=k1"), dirs.toString)
+    val labels = DedupStream.latestLabels(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L), s"torn commit leaked: $labels")
   }
 
   test("startClusters: files in, durable labelling maintained across restarts") {
