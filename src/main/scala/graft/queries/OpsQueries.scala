@@ -877,6 +877,11 @@ object OpsQueries {
     * each stage's own SQL (the SimHash chain verbatim-shared), so the
     * composition is gated end-to-end, not just piecewise. */
   def q86CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // deliberately NOT persisted: the five stage-side consumers of the
+    // documents scan are independent plan branches whose parquet
+    // re-reads are cheaper than a persist's materialization barrier —
+    // measured 3.65 s (scan per stage) vs 4.77 s (persisted) at sf0.1
+    // under canary-normalized steal (BENCH_NOTES round 12)
     val docs = docsPar(spark, dir)
     val exKeep = docs
       .groupBy(md5(col("text")).as("_h")).agg(min(col("doc_id")).as("doc_id"))
