@@ -693,76 +693,171 @@ object DedupStream {
       storeDir: String, batchTag: String,
       storeParts: Int = 64): DataFrame = {
     val spark = batchIds.sparkSession
+    val dbg = sys.env.contains("GRAFT_FOLD_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(l: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"FOLD_DBG $l%-24s ${(now - tMark) / 1e9}%6.2f s")
+      tMark = now
+    }
     ensureStoreMeta(spark, storeDir, storeParts, family = NoKeyFamily)
+    mark("ensureStoreMeta")
     val parts = lit(storeParts.toLong)
     val byIdDir = s"$storeDir/labels/byId"
     val byCompDir = s"$storeDir/labels/byComp"
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+    import spark.implicits._
+    // Spark's xxhash64(longCol) = XXH64 over the 8-byte value, seed 42
+    // — reproduced driver-side so the local fast path derives the same
+    // partition ints the distributed plan would (spec-pinned)
+    def liOf(id: Long): Int =
+      (math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(id, 42L), storeParts.toLong)).toInt
+
     // only pair endpoints need their PRIOR label — the ids whose
-    // connectivity this batch can change
-    val ends = pairs.select(col("id1").cast("long").as("id"))
-      .unionByName(pairs.select(col("id2").cast("long").as("id")))
-      .filter(col("id").isNotNull).distinct()
-      .persist(mad)
-    val endParts = ends
-      .select(pmod(xxhash64(col("id")), parts).cast("int").as("li"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    // min-wins across commits = the endpoints' current labels
-    val prevT = readStore(spark, byIdDir, labelSchema, batchTag, "li", endParts)
-      .join(broadcast(ends), Seq("id"), "left_semi")
-      .groupBy("id").agg(min("component").as("component"))
-      .persist(mad)
-    // contract the touched subgraph: prior labels ride in as a star
-    val contracted = graft.ops.ConnectedComponents
-      .updateComponents(prevT, pairs, "id1", "id2")
-      .persist(mad)
-    contracted.count()
-    // roots that merged downward → their off-batch members must follow
-    val remap = prevT.select(col("component").as("id")).distinct()
-      .join(contracted, Seq("id"))
-      .filter(col("component") =!= col("id"))
-      .select(col("id").as("old_root"), col("component").as("new_root"))
-      .persist(mad)
-    val remapParts = remap
-      .select(pmod(xxhash64(col("old_root")), parts).cast("int").as("lc"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    // byComp rows keyed by a CURRENT root are exactly its members (a
-    // row goes stale only when its component merges away, and a merged
-    // -away root is never current again); distinct collapses rewrites
-    val membersExtra = readStore(
-        spark, byCompDir, labelSchema, batchTag, "lc", remapParts)
-      .join(broadcast(remap.withColumnRenamed("old_root", "component")),
-        Seq("component"))
-      .select(col("id"), col("new_root").as("component"))
-      .join(broadcast(contracted.select("id")), Seq("id"), "left_anti")
-      .distinct()
-    val moved = contracted.unionByName(membersExtra).persist(mad)
+    // connectivity this batch can change. The pair set is
+    // merge-activity-proportional, so the COMMON case fits the driver:
+    // one bounded collect replaces the whole distributed contraction
+    // (its ~10 tiny jobs were pure scheduler+planner floor — FOLDPROF
+    // measured 17–45 s/tick of driver-side planning around sub-second
+    // jobs at sf0.1). Same bounded-fast-path idiom and 2^19 bound as
+    // ConnectedComponents.localThreshold; an oversized tick falls back
+    // to the distributed contraction below.
+    val maxLocal = 1 << 19
+    val pairRows = pairs
+      .select(col("id1").cast("long"), col("id2").cast("long"))
+      .filter(col("id1").isNotNull && col("id2").isNotNull)
+      .limit(maxLocal + 1).collect()
+    mark("pairs collect")
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    // (moved rows to write, ids already labelled by the contraction) —
+    // moved = contracted ∪ relabelled off-batch members of merged roots
+    val (moved, contractedIds): (DataFrame, DataFrame) =
+      if (pairRows.isEmpty) {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
+        (empty.persist(mad), empty)
+      } else if (pairRows.length <= maxLocal) {
+        // ---- bounded DRIVER path (the streaming-tick common case)
+        val edges = pairRows.map(r => (r.getLong(0), r.getLong(1)))
+        val endsSet = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+          .toArray.distinct
+        val endParts = endsSet.iterator.map(liOf).toSet
+        // min-wins across commits = the endpoints' current labels
+        val prevT = readStore(spark, byIdDir, labelSchema, batchTag, "li", endParts)
+          .join(broadcast(endsSet.toSeq.toDF("id")), Seq("id"), "left_semi")
+          .groupBy("id").agg(min("component").as("component"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        mark("prevT collect")
+        // union-find by MIN root over (prior-label star ∪ batch pairs):
+        // identical semantics to ConnectedComponents.updateComponents
+        val parent = new scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) {
+            val p = parent(r)
+            parent(r) = parent.getOrElse(p, p)
+            r = parent(r)
+          }
+          r
+        }
+        def union(a: Long, b: Long): Unit = {
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        prevT.foreach { case (id, c) => union(id, c) }
+        edges.foreach { case (a, b) => if (a != b) union(a, b) }
+        val contractedLocal = parent.keysIterator
+          .map(id => (id, find(id))).toArray
+        // roots that merged downward → their off-batch members follow
+        val remapLocal = prevT.iterator.map(_._2).toArray.distinct
+          .map(r => (r, find(r))).filter { case (r, nr) => nr != r }
+        mark("local contract")
+        val movedDF = contractedLocal.toSeq.toDF("id", "component")
+        val contractedIds = contractedLocal.map(_._1).toSeq.toDF("id")
+        val movedAll = if (remapLocal.isEmpty) movedDF else {
+          val remapParts = remapLocal.iterator.map(e => liOf(e._1)).toSet
+          // byComp rows keyed by a CURRENT root are exactly its members
+          // (rows go stale only when their root merges away, and a
+          // merged-away root is never current again); kept DISTRIBUTED
+          // — a giant cluster's membership must not transit the driver
+          val membersExtra = readStore(
+              spark, byCompDir, labelSchema, batchTag, "lc", remapParts)
+            .join(broadcast(remapLocal.toSeq.toDF("component", "new_root")),
+              Seq("component"))
+            .select(col("id"), col("new_root").as("component"))
+            .join(broadcast(contractedIds), Seq("id"), "left_anti")
+            .distinct()
+          movedDF.unionByName(membersExtra)
+        }
+        (movedAll.persist(mad), contractedIds)
+      } else {
+        // ---- distributed fallback: an oversized pair batch
+        val ends = pairs.select(col("id1").cast("long").as("id"))
+          .unionByName(pairs.select(col("id2").cast("long").as("id")))
+          .filter(col("id").isNotNull).distinct()
+          .persist(mad)
+        toRelease += ends
+        val endParts = ends
+          .select(pmod(xxhash64(col("id")), parts).cast("int").as("li"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val prevT = readStore(spark, byIdDir, labelSchema, batchTag, "li", endParts)
+          .join(broadcast(ends), Seq("id"), "left_semi")
+          .groupBy("id").agg(min("component").as("component"))
+          .persist(mad)
+        val contracted = graft.ops.ConnectedComponents
+          .updateComponents(prevT, pairs, "id1", "id2")
+          .persist(mad)
+        val remap = prevT.select(col("component").as("id")).distinct()
+          .join(contracted, Seq("id"))
+          .filter(col("component") =!= col("id"))
+          .select(col("id").as("old_root"), col("component").as("new_root"))
+          .persist(mad)
+        val remapParts = remap
+          .select(pmod(xxhash64(col("old_root")), parts).cast("int").as("lc"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        toRelease += prevT
+        toRelease += remap
+        toRelease += contracted
+        val membersExtra = readStore(
+            spark, byCompDir, labelSchema, batchTag, "lc", remapParts)
+          .join(broadcast(remap.withColumnRenamed("old_root", "component")),
+            Seq("component"))
+          .select(col("id"), col("new_root").as("component"))
+          .join(broadcast(contracted.select("id")), Seq("id"), "left_anti")
+          .distinct()
+        (contracted.unionByName(membersExtra).persist(mad),
+          contracted.select("id"))
+      }
     // blind singleton rows for the batch: new ids enter self-labelled;
     // a re-seen id's (id, id) loses to its existing label under
     // min-wins (labels are component MINIMA, so prior label ≤ id)
     val singles = batchIds
       .select(col(batchIds.columns.head).cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
-      .join(broadcast(contracted.select("id")), Seq("id"), "left_anti")
+      .join(broadcast(contractedIds), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     moved.unionByName(singles)
       .withColumn("li", pmod(xxhash64(col("id")), parts).cast("int"))
       .repartition(col("li")).write.partitionBy("li")
       .mode("overwrite").parquet(s"$byIdDir/batch=$batchTag")
+    mark("byId write")
     moved
       .withColumn("lc", pmod(xxhash64(col("component")), parts).cast("int"))
       .repartition(col("lc")).write.partitionBy("lc")
       .mode("overwrite").parquet(s"$byCompDir/batch=$batchTag")
+    mark("byComp write")
     publishCommit(spark,
       new org.apache.hadoop.fs.Path(byIdDir), s"batch=$batchTag")
     publishCommit(spark,
       new org.apache.hadoop.fs.Path(byCompDir), s"batch=$batchTag")
-    ends.unpersist()
-    prevT.unpersist()
-    contracted.unpersist()
-    remap.unpersist()
+    toRelease.foreach(_.unpersist())
     moved.unpersist()
+    mark("publish+unpersist")
     latestLabels(spark, storeDir)
   }
 
