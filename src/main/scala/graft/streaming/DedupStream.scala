@@ -687,11 +687,19 @@ object DedupStream {
     * Nothing is ever O(|labels|) on the tick path; the full-corpus
     * materialization happens only when a READER forces
     * [[latestLabels]] or when [[compactLabels]] runs (offline,
-    * amortized). */
+    * amortized).
+    *
+    * @param localFoldThreshold max collected pair rows for the DRIVER
+    *   contraction fast path (default = the 2^19 bound
+    *   [[graft.ops.ConnectedComponents]] uses, CcProfile-justified);
+    *   a larger pair batch falls back to the distributed contraction.
+    *   Exposed so specs can force either path (set 0 for distributed,
+    *   Int.MaxValue for local) — both must produce identical stores. */
   def foldLabels(
       batchIds: DataFrame, pairs: DataFrame,
       storeDir: String, batchTag: String,
-      storeParts: Int = 64): DataFrame = {
+      storeParts: Int = 64,
+      localFoldThreshold: Int = 1 << 19): DataFrame = {
     val spark = batchIds.sparkSession
     val dbg = sys.env.contains("GRAFT_FOLD_DEBUG")
     var tMark = System.nanoTime()
@@ -724,11 +732,11 @@ object DedupStream {
     // jobs at sf0.1). Same bounded-fast-path idiom and 2^19 bound as
     // ConnectedComponents.localThreshold; an oversized tick falls back
     // to the distributed contraction below.
-    val maxLocal = 1 << 19
+    val maxLocal = localFoldThreshold
     val pairRows = pairs
       .select(col("id1").cast("long"), col("id2").cast("long"))
       .filter(col("id1").isNotNull && col("id2").isNotNull)
-      .limit(maxLocal + 1).collect()
+      .limit(math.min(maxLocal, Int.MaxValue - 1) + 1).collect()
     mark("pairs collect")
     val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 

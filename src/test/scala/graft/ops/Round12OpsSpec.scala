@@ -99,4 +99,35 @@ class Round12OpsSpec extends SparkSpec {
     val l5 = fold(Seq.empty[Long], Seq((40L, 99L)), "t5")
     assert(l5 == l4 + (99L -> 40L), l5.toString)
   }
+
+  test("foldLabels: driver fast path and distributed fallback produce identical stores") {
+    import graft.streaming.DedupStream
+    // the same 4-tick accretion folded twice — once forced LOCAL
+    // (threshold = MaxValue), once forced DISTRIBUTED (threshold = 0);
+    // includes every shape the paths branch on: fresh singletons,
+    // within-batch chains, merges of two existing clusters (off-batch
+    // member relabel through byComp), re-seen pair-free ids, and
+    // endpoints never ingested
+    val ticks = Seq(
+      (Seq(10L, 11L, 12L, 20L, 21L, 30L),
+        Seq((10L, 11L), (11L, 12L), (20L, 21L)), "t1"),
+      (Seq(5L), Seq((5L, 21L)), "t2"),
+      (Seq(1L, 50L), Seq((1L, 12L), (1L, 21L)), "t3"),
+      (Seq(20L, 60L), Seq((60L, 99L)), "t4"))
+    def run(threshold: Int): Map[Long, Long] = {
+      val store = java.nio.file.Files.createTempDirectory(s"r12dual$threshold").toString
+      var out: org.apache.spark.sql.DataFrame = null
+      ticks.foreach { case (ids, ps, tag) =>
+        out = DedupStream.foldLabels(ids.toDF("id"), ps.toDF("id1", "id2"),
+          store, tag, localFoldThreshold = threshold)
+      }
+      out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val local = run(Int.MaxValue)
+    val dist = run(0)
+    assert(local == dist, s"paths diverged:\nlocal $local\ndist  $dist")
+    assert(local == Map(1L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L,
+      20L -> 1L, 21L -> 1L, 30L -> 30L, 50L -> 50L,
+      60L -> 60L, 99L -> 60L), local.toString)
+  }
 }
