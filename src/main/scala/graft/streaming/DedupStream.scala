@@ -779,14 +779,23 @@ object DedupStream {
       val edges = pairRows.map(r => (r.getLong(0), r.getLong(1)))
       val endsSet = edges.iterator.flatMap(e => Iterator(e._1, e._2))
         .toArray.distinct
-      // min-wins across commits = the endpoints' current labels
+      // min-wins across commits = the endpoints' current labels. A
+      // small endpoint set ALSO pushes a literal isin to the scan —
+      // with compaction's sorted files, parquet row-group min-max
+      // stats then skip everything but the matching groups, so the
+      // lookup reads O(matching row groups), not O(touched partition)
       val prevT: Array[(Long, Long)] =
         if (endsSet.isEmpty) Array.empty
-        else readStore(spark, byIdDir, labelSchema, batchTag, "li",
+        else {
+          val base = readStore(spark, byIdDir, labelSchema, batchTag, "li",
             endsSet.iterator.map(liOf).toSet)
-          .join(broadcast(endsSet.toSeq.toDF("id")), Seq("id"), "left_semi")
-          .groupBy("id").agg(min("component").as("component"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val pushed = if (endsSet.length <= 1024)
+            base.filter(col("id").isin(endsSet.toSeq: _*)) else base
+          pushed
+            .join(broadcast(endsSet.toSeq.toDF("id")), Seq("id"), "left_semi")
+            .groupBy("id").agg(min("component").as("component"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
       mark("prevT collect")
       // union-find by MIN root over (prior-label star ∪ batch pairs):
       // identical semantics to ConnectedComponents.updateComponents
@@ -826,14 +835,19 @@ object DedupStream {
       // the merged roots is usually tick-small — limit-guard-collect
       // it; a giant-cluster merge (> l0Bound members) must not transit
       // the driver and falls back to the distributed relabel.
-      def membersExtraDF(contractedIds: DataFrame): DataFrame =
-        readStore(spark, byCompDir, labelSchema, batchTag, "lc",
-            remapLocal.iterator.map(e => liOf(e._1)).toSet)
+      def membersExtraDF(contractedIds: DataFrame): DataFrame = {
+        val base = readStore(spark, byCompDir, labelSchema, batchTag, "lc",
+          remapLocal.iterator.map(e => liOf(e._1)).toSet)
+        val pushed = if (remapLocal.length <= 1024)
+          base.filter(col("component").isin(remapLocal.map(_._1).toSeq: _*))
+        else base
+        pushed
           .join(broadcast(remapLocal.toSeq.toDF("component", "new_root")),
             Seq("component"))
           .select(col("id"), col("new_root").as("component"))
           .join(broadcast(contractedIds), Seq("id"), "left_anti")
           .distinct()
+      }
       val contractedIds = contractedLocal.map(_._1).toSeq.toDF("id")
       val membersLocal: Option[Array[(Long, Long)]] =
         if (remapLocal.isEmpty) Some(Array.empty)
@@ -982,11 +996,18 @@ object DedupStream {
       val resolved = readAllById(spark, storeDir)
         .groupBy("id").agg(min("component").as("component"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // sorted within partitions: tight per-row-group id/component
+      // min-max stats, so the tick path's pushed isin/equality filters
+      // skip row groups inside a big compacted partition file — the
+      // read cost of an endpoint lookup stays proportional to the
+      // MATCHING row groups, not the partition
       resolved.withColumn("li", pmod(xxhash64(col("id")), parts).cast("int"))
-        .repartition(col("li")).write.partitionBy("li")
+        .repartition(col("li")).sortWithinPartitions("id")
+        .write.partitionBy("li")
         .mode("overwrite").parquet(s"$storeDir/labels/byId/$target")
       resolved.withColumn("lc", pmod(xxhash64(col("component")), parts).cast("int"))
-        .repartition(col("lc")).write.partitionBy("lc")
+        .repartition(col("lc")).sortWithinPartitions("component")
+        .write.partitionBy("lc")
         .mode("overwrite").parquet(s"$storeDir/labels/byComp/$target")
       resolved.unpersist()
       existing.foreach { case (_, _, root) =>
