@@ -16,6 +16,24 @@ object OpsQueries {
   private def docsPar(spark: SparkSession, dir: String): DataFrame =
     Queries.parallelFloor(table(spark, dir, "documents"))
 
+  /** Materializes `df` into a temp parquet store and returns a
+    * lineage-free read of it — the q97 cache contract: queries that
+    * persist intermediates write their final plan here, release the
+    * blocks, and hand the caller a plan that holds no cached state.
+    * The temp dir is removed at JVM exit (the caller's hash pass may
+    * still be reading it), never during the process. */
+  private def materializeViaTemp(df: DataFrame, prefix: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory(prefix).toString
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(out))
+    }
+    df.write.mode("overwrite").parquet(out)
+    df.sparkSession.read.parquet(out)
+  }
+
   /** Token counting + BPE estimate (integer-exact, oracle-matched). */
   def q13DocTokens(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
@@ -928,9 +946,16 @@ object OpsQueries {
   /** Pairwise source-level bigram overlap matrix
     * ([[Dedup.sourceOverlap]]): integer intersection/union of each
     * source pair's distinct-shingle sets — the corpus-mixing
-    * diagnostic. */
-  def q88SourceOverlap(spark: SparkSession, dir: String): DataFrame =
-    Dedup.sourceOverlap(docsPar(spark, dir), n = 2)
+    * diagnostic. The matrix is materialized through
+    * [[materializeViaTemp]] so the persisted posting/hot/complement
+    * blocks are released here, not left to the harness's clearCache. */
+  def q88SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val (matrix, release) =
+      Dedup.sourceOverlapWithRelease(docsPar(spark, dir), n = 2)
+    val out = materializeViaTemp(matrix, "q88overlap")
+    release()
+    out
+  }
 
   /** Per-document out-of-vocabulary occurrence counts against the
     * corpus top-16 vocabulary ([[TextAnalysis.oovStats]]) — the cheap
@@ -1104,9 +1129,15 @@ object OpsQueries {
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.durationMs").as("duration_ms"), lit(0).as("sample_rate"))
       .join(videoFrames, Seq("asset_id"))
-    images.unionByName(audio).unionByName(video)
+    val meta = images.unionByName(audio).unionByName(video)
       .join(sizes, Seq("asset_id"))
       .withColumnRenamed("asset_id", "doc_id")
+    // the synthesized container bytes are the dominant cached payload:
+    // materialize the (tiny) metadata projection and release them here
+    // rather than letting GBs of asset blocks outlive the query
+    val out = materializeViaTemp(meta, "q98mm")
+    assets.unpersist()
+    out
   }
 
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two

@@ -104,14 +104,24 @@ object DedupStream {
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      val Array(p, f) = txt.split('/')
-      require(p.toInt == parts,
+      // defensive parse: a truncated or hand-edited marker must surface
+      // the actionable store/config diagnostic, not a bare MatchError
+      val (p, f) = txt.split('/') match {
+        case Array(a, b) if a.nonEmpty && b.nonEmpty &&
+            a.forall(_.isDigit) && b.forall(_.isDigit) =>
+          (a.toInt, b.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"dedup store $root has a malformed _PARTS marker '$txt' " +
+            s"(expected '<parts>/<family>', e.g. '$parts/$family') — " +
+            "rebuild the store or restore the marker to the writing config")
+      }
+      require(p == parts,
         s"dedup store $root was written with parts/family=$txt; this config is " +
           s"$parts/$family — rebuild the store or match the writing config")
       if (family != NoKeyFamily) {
-        if (f.toInt == NoKeyFamily) // labels-first store: claim the family
+        if (f == NoKeyFamily) // labels-first store: claim the family
           writeNameFile(spark, dir, "_PARTS", Set(s"$parts/$family"))
-        else require(f.toInt == family,
+        else require(f == family,
           s"dedup store $root was written with parts/family=$txt; this config is " +
             s"$parts/$family — rebuild the store or match the writing config")
       }
@@ -689,6 +699,14 @@ object DedupStream {
     * [[latestLabels]] or when [[compactLabels]] runs (offline,
     * amortized).
     *
+    * CRASH CONTRACT: byId and byComp are committed by two separate
+    * publishes (byId first). Under checkpointed replay this is
+    * invisible (the tag re-folds idempotently), but a restart that
+    * ABANDONS the checkpoint after a crash between the two publishes
+    * must run [[compactLabels]] first — it detects byId-vs-byComp
+    * commit divergence and rebuilds byComp from byId's resolved
+    * labelling.
+    *
     * @param localFoldThreshold max collected pair rows for the DRIVER
     *   contraction fast path (default = the 2^19 bound
     *   [[graft.ops.ConnectedComponents]] uses, CcProfile-justified);
@@ -900,8 +918,14 @@ object DedupStream {
       val endParts = ends
         .select(pmod(xxhash64(col("id")), parts).cast("int").as("li"))
         .distinct().collect().map(_.getInt(0)).toSet
+      // NO broadcast hints in this branch: it only runs when the pair
+      // batch exceeds the local threshold, exactly when ends/contracted/
+      // remap can be multi-million rows — a forced broadcast would
+      // collect them to the driver on the path meant to absorb
+      // oversized ticks. AQE picks a broadcast join at runtime when a
+      // side turns out small, so the common case loses nothing.
       val prevT = readStore(spark, byIdDir, labelSchema, batchTag, "li", endParts)
-        .join(broadcast(ends), Seq("id"), "left_semi")
+        .join(ends, Seq("id"), "left_semi")
         .groupBy("id").agg(min("component").as("component"))
         .persist(mad)
       val contracted = graft.ops.ConnectedComponents
@@ -920,17 +944,17 @@ object DedupStream {
       toRelease += contracted
       val membersExtra = readStore(
           spark, byCompDir, labelSchema, batchTag, "lc", remapParts)
-        .join(broadcast(remap.withColumnRenamed("old_root", "component")),
+        .join(remap.withColumnRenamed("old_root", "component"),
           Seq("component"))
         .select(col("id"), col("new_root").as("component"))
-        .join(broadcast(contracted.select("id")), Seq("id"), "left_anti")
+        .join(contracted.select("id"), Seq("id"), "left_anti")
         .distinct()
       val moved = contracted.unionByName(membersExtra).persist(mad)
       toRelease += moved
       val singles = batchIds
         .select(col(batchIds.columns.head).cast("long").as("id"))
         .filter(col("id").isNotNull).distinct()
-        .join(broadcast(contracted.select("id")), Seq("id"), "left_anti")
+        .join(contracted.select("id"), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component"))
       writePartitioned(moved.unionByName(singles), moved)
     }
@@ -970,7 +994,12 @@ object DedupStream {
     * dirs are GC'd. A crash between the two sub-store swaps leaves
     * them at different compaction generations but identical logical
     * content (stale byComp rows are unreachable — their roots are
-    * merged away). SINGLE-WRITER contract: run between ticks. */
+    * merged away). ALSO the repair path for a mid-[[foldLabels]] crash
+    * whose checkpoint was abandoned: byId-vs-byComp commit-set
+    * divergence forces a fold that rebuilds byComp from byId's
+    * resolved labelling — run this unconditionally on any restart that
+    * does not replay the interrupted tag. SINGLE-WRITER contract: run
+    * between ticks. */
   def compactLabels(spark: SparkSession, storeDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val roots = Seq("byId" -> "li", "byComp" -> "lc").map { case (sub, pc) =>
@@ -987,9 +1016,36 @@ object DedupStream {
         writeManifest(spark, root, visible.map(_.getPath.getName).toSet)
       }
     }
-    val needsFold = existing.exists { case (_, _, root) =>
-      visibleCommits(root.getFileSystem(conf), root).size >= 2
+    // foldLabels commits byId then byComp (two publishes, not one
+    // atomic point). A crash between them followed by a restart that
+    // ABANDONS the streaming checkpoint (so the tag is never replayed)
+    // leaves byComp missing that tick's relabel rows — a later merge
+    // of an affected root would then strand its off-batch members.
+    // compaction heals this by construction (both sub-stores are
+    // rebuilt from byId's resolved labelling), so commit-set
+    // divergence forces a fold even when a sub-store has < 2 commits.
+    // Post-compaction-crash generation skew also lands here; re-folding
+    // it is merely redundant, never wrong. byId is the authority — a
+    // fold only runs when it exists (folding byComp from a missing
+    // byId would wipe it), and a byComp missing ENTIRELY (crash before
+    // its first write) is adopted empty so the divergence check sees it.
+    val haveById = roots.head._3.getFileSystem(conf).exists(roots.head._3)
+    if (haveById) roots.foreach { case (_, _, root) =>
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) {
+        fs.mkdirs(root)
+        writeManifest(spark, root, Set.empty[String])
+      }
     }
+    val active = if (haveById) roots else existing
+    val commitSets = active.map { case (sub, _, root) =>
+      sub -> visibleCommits(root.getFileSystem(conf), root)
+        .map(_.getPath.getName).toSet
+    }.toMap
+    val diverged = commitSets.size == 2 &&
+      commitSets("byId") != commitSets("byComp")
+    val needsFold =
+      haveById && (diverged || commitSets.valuesIterator.exists(_.size >= 2))
     if (needsFold) {
       val target = s"batch=compact-${java.util.UUID.randomUUID()}"
       val parts = lit(storeMetaParts(spark, storeDir).toLong)
@@ -1010,7 +1066,7 @@ object DedupStream {
         .write.partitionBy("lc")
         .mode("overwrite").parquet(s"$storeDir/labels/byComp/$target")
       resolved.unpersist()
-      existing.foreach { case (_, _, root) =>
+      active.foreach { case (_, _, root) =>
         val fs = root.getFileSystem(conf)
         val srcNames = visibleCommits(fs, root).map(_.getPath.getName).toSet
         writeNameFile(spark, root, "_FOLDED", readFolded(fs, root) ++ srcNames)
@@ -1018,7 +1074,7 @@ object DedupStream {
       }
     }
     // GC: with manifests in authority, unlisted batch= dirs are garbage
-    existing.foreach { case (_, _, root) =>
+    active.foreach { case (_, _, root) =>
       val fs = root.getFileSystem(conf)
       readManifest(fs, root).foreach { nowVisible =>
         fs.listStatus(root).filter(_.isDirectory)

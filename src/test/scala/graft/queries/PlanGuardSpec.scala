@@ -178,8 +178,12 @@ class PlanGuardSpec extends SparkSpec {
     // the cost gate routes the sf-fixture source counts (≤ 64) to the
     // direct formulation — its plan must stay one pruned scan feeding
     // hash joins (the routed path's bounded broadcast-nested-loops
-    // must NOT appear below the gate)
-    val p = planOf(OpsQueries.q88SourceOverlap(spark, dir))
+    // must NOT appear below the gate). Guarded on the COMPUTE plan
+    // (the registered query materializes it into a temp store and
+    // returns a lineage-free read — see the cache-contract test below)
+    val (matrix, release) = graft.ops.Dedup.sourceOverlapWithRelease(
+      Queries.parallelFloor(Queries.table(spark, dir, "documents")), n = 2)
+    val p = planOf(matrix)
     // the shingle relation is persisted (the cost-gate count
     // materializes it), so the plan reads the cache, not parquet: the
     // cached relation itself must already be pruned to (src, sh)
@@ -195,6 +199,19 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       "the direct path must not contain the routed plan's cross joins")
+    release()
+  }
+
+  test("q88/q98 cache contract: no persisted blocks outlive the query") {
+    // both queries persist intermediates (postings / synthesized
+    // container bytes); the registered forms must release them before
+    // returning — a bench loop repeating them must not accrete blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(OpsQueries.q88SourceOverlap(spark, dir).count() > 0)
+    assert(OpsQueries.q98MultimodalMeta(spark, dir).count() > 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"persisted RDDs outlived the queries: ${leaked.mkString(",")}")
   }
 
   test("q96: the sparse decontaminator scans only (doc_id, text) on both sides") {

@@ -662,6 +662,32 @@ class DedupStreamSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L), s"torn commit leaked: $labels")
   }
 
+  test("compactLabels: heals byId/byComp divergence from a mid-fold crash + abandoned checkpoint") {
+    val store = java.nio.file.Files.createTempDirectory("dcrash").toString
+    def fold(tag: String, ids: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      DedupStream.foldLabels(ids.toDF("id"), pairs.toDF("id1", "id2"), store, tag)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fold("t1", Seq(1L, 2L, 3L), Seq((2L, 3L)))   // {2,3} → root 2
+    fold("t2", Seq(1L), Seq((1L, 2L)))            // root 2 merges into 1
+    // crash between the two t2 publishes: byId committed, byComp did
+    // not (manifest-less store — visibility is the listing, so
+    // deleting the dir IS the crash state); the checkpoint is then
+    // abandoned, so tag t2 never replays
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$store/labels/byComp/batch=t2"))
+    // the documented restart contract: compactLabels detects the
+    // commit-set divergence (byComp has < 2 commits — the size gate
+    // alone would skip it) and rebuilds byComp from byId's labelling
+    DedupStream.compactLabels(spark, store)
+    // a later merge of root 1 must carry the OFF-BATCH members 2 and 3
+    // (their relabel rows lived only in the lost byComp commit)
+    val healed = fold("t3", Seq(0L), Seq((0L, 1L)))
+    assert(healed == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L),
+      s"stranded members after repair: $healed")
+  }
+
   test("startClusters: files in, durable labelling maintained across restarts") {
     val root = java.nio.file.Files.createTempDirectory("dcluw").toString
     val docsDir = s"$root/docs"
