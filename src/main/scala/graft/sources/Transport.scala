@@ -172,28 +172,9 @@ final class RpcTransport(cfg: RpcTransportConfig) extends EventTransport {
   }
 
   private def rpcRequest(method: String, params: String): JsonNode =
-    Retry.withRetries(attempts = cfg.attempts) {
-      val endpoint = cfg.endpoints(rnd.nextInt(cfg.endpoints.length))
-      val body = s"""{"method":"$method","params":$params,"id":1,"jsonrpc":"2.0"}"""
-      val builder = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(endpoint))
-        .timeout(java.time.Duration.ofMillis(cfg.requestTimeoutMs.toLong))
-        .header("content-type", "application/json")
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-      cfg.authToken.foreach(t => builder.header("Authorization", s"Bearer $t"))
-      val resp = http.send(builder.build(),
-        java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2)
-        throw new java.io.IOException(
-          s"RPC $method failed - HTTP ${resp.statusCode()}: ${resp.body().take(512)}")
-      val json = mapper.readTree(resp.body())
-      val err = json.get("error")
-      if (err != null) throw new java.io.IOException(s"RPC $method error: $err")
-      val result = json.get("result")
-      if (result == null)
-        throw new java.io.IOException(s"RPC $method response missing result")
-      result
-    }
+    JsonRpc.post(cfg.endpoints, method, params, cfg.authToken,
+      attempts = cfg.attempts, timeoutMs = cfg.requestTimeoutMs,
+      http = http, rnd = rnd)
 
   override def chainHead(): Int =
     rpcRequest("Filecoin.ChainHead", "[]").get("Height").asInt
