@@ -105,6 +105,7 @@ object SparkEntry {
     "q96_sparse_contamination" -> (OpsQueries.q96SparseContamination _),
     "q97_cluster_store" -> (OpsQueries.q97ClusterStore _),
     "q98_multimodal_meta" -> (OpsQueries.q98MultimodalMeta _),
+    "q99_multimodal_ext" -> (OpsQueries.q99MultimodalExt _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1427,6 +1428,38 @@ object SparkEntry {
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 54 + (1 + doc_id % 31) * (1 + doc_id % 17)
         |    WHEN 1 THEN 44 + 2 * (8 + doc_id % 33)
         |    ELSE 100 + (1 + doc_id % 5) * (72 + 2 * (doc_id % 32)) END AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    // q99: the second container trio (MediaSynth.extAssetFor: baseline
+    // JFIF JPEG / ISO-BMFF MP4 with explicit stsz/stco/stsc tables /
+    // Matroska-EBML with one Xiph-laced SimpleBlock), recovered via the
+    // JPEG marker scan, the MP4 chunk walk, and the MKV lacing demux.
+    // Arithmetic (Round13OpsSpec asserts the writers): frame f of nf is
+    // L+2f bytes → Σ = nf·L + nf·(nf−1); byte totals 45+n JPEG,
+    // 196+4·nf+Σ MP4, 78+nf+Σ MKV; frame clock 40 ms both videos
+    "q99_multimodal_ext" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' ELSE 'video' END AS kind,
+        |  CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'isom' ELSE 'matroska' END AS fmt,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 63 WHEN 1 THEN 0
+        |    ELSE 16 + doc_id % 9 END AS INT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 47 WHEN 1 THEN 0
+        |    ELSE 9 + doc_id % 7 END AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |    WHEN 1 THEN 40 * (1 + doc_id % 5)
+        |    ELSE 40 * (1 + doc_id % 4) END AS BIGINT) AS duration_ms,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |    WHEN 1 THEN 1 + doc_id % 5
+        |    ELSE 1 + doc_id % 4 END AS BIGINT) AS n_units,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |    WHEN 1 THEN (1 + doc_id % 5) * (32 + 2 * (doc_id % 20)) + (1 + doc_id % 5) * (doc_id % 5)
+        |    ELSE (1 + doc_id % 4) * (24 + 2 * (doc_id % 40)) + (1 + doc_id % 4) * (doc_id % 4)
+        |    END AS BIGINT) AS payload,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 45 + 10 + doc_id % 40
+        |    WHEN 1 THEN 196 + 4 * (1 + doc_id % 5)
+        |      + (1 + doc_id % 5) * (32 + 2 * (doc_id % 20)) + (1 + doc_id % 5) * (doc_id % 5)
+        |    ELSE 78 + (1 + doc_id % 4)
+        |      + (1 + doc_id % 4) * (24 + 2 * (doc_id % 40)) + (1 + doc_id % 4) * (doc_id % 4)
+        |    END AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin
   )
 

@@ -96,4 +96,147 @@ object MediaSynth {
           9 + (id % 7).toInt, 64 + 2 * (id % 32).toInt), empty)
     }
   }
+
+  // ==== the q99 containers: JPEG / ISO-BMFF MP4 / Matroska-EBML ====
+  // Same contract as the q98 trio: REAL container layouts whose every
+  // decodable field is arithmetic of the id, so the codec walks
+  // ([[ImageCodecs.decodeJpeg]], [[RiffCodecs.decodeMp4]]'s
+  // stsz/stco/stsc resolution, [[RiffCodecs.decodeMkv]]'s
+  // SimpleBlock-lacing demux) sit inside a DuckDB hash gate.
+  // Closed-form byte lengths (asserted writer-side in Round13OpsSpec):
+  //   - JPEG: SOI(2) + JFIF-APP0(18) + SOF0(13) + SOS(10) + n + EOI(2)
+  //     → n_bytes = 45 + n.
+  //   - MP4:  ftyp(16) + moov(172 + 4·nf) + mdat(8 + Σ) with frame f
+  //     sized L+2f (a REAL non-uniform stsz table), two stco chunks
+  //     split ceil/floor by stsc → n_bytes = 196 + 4·nf + Σ,
+  //     Σ = nf·L + nf·(nf−1); mvhd timescale 1000, duration 40·nf.
+  //   - MKV:  EBML(16) + Segment(6 + Info 19 + Tracks 21 +
+  //     Cluster(16 + nf + Σ)) with ONE Xiph-laced SimpleBlock carrying
+  //     all nf frames → n_bytes = 78 + nf + Σ; Duration float ticks
+  //     40·nf at the default 1 ms TimestampScale.
+
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  /** Baseline JFIF JPEG: SOI, APP0, a real SOF0 frame header carrying
+    * (h, w), a one-component SOS, `entropyLen` deterministic entropy
+    * bytes, EOI. Dimension recovery must walk the marker segments. */
+  def jpeg(id: Long, w: Int, h: Int, entropyLen: Int): Array[Byte] = {
+    val m = (a: Int, b: Int) => Array(a.toByte, b.toByte)
+    val app0 = m(0xff, 0xe0) ++ be16(16) ++ cc("JFIF") ++
+      Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+    val sof0 = m(0xff, 0xc0) ++ be16(11) ++ Array[Byte](8) ++
+      be16(h) ++ be16(w) ++ Array[Byte](1, 1, 0x11, 0)
+    val sos = m(0xff, 0xda) ++ be16(8) ++ Array[Byte](1, 1, 0, 0, 63, 0)
+    val entropy = Array.tabulate(entropyLen)(j => ((id + j) % 256).toByte)
+    m(0xff, 0xd8) ++ app0 ++ sof0 ++ sos ++ entropy ++ m(0xff, 0xd9)
+  }
+
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ cc(tpe) ++ payload
+
+  /** Minimal ISO-BMFF MP4 with a REAL video sample table: nf frames of
+    * NON-uniform size L+2f in the mdat, indexed by an explicit stsz
+    * size table, two stco chunk offsets, and an stsc run split
+    * ceil(nf/2)/rest — [[RiffCodecs.decodeMp4]] must chunk-walk all
+    * three tables to recover the slices. mvhd: timescale 1000,
+    * duration 40·nf. */
+  def mp4(id: Long, nf: Int, frameLen: Int): Array[Byte] = {
+    require(frameLen % 2 == 0, "frameLen must be even")
+    val sizes = Array.tabulate(nf)(f => frameLen + 2 * f)
+    val c1 = (nf + 1) / 2 // samples in chunk 1 (stsc first run)
+    val moovLen = 172 + 4 * nf // fixed layout below; asserted in spec
+    val dataStart = 16 + moovLen + 8
+    val o1 = dataStart
+    val o2 = dataStart + sizes.take(c1).sum
+    val ftyp = box("ftyp", cc("isom") ++ be32(0))
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(40 * nf))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ cc("vide"))
+    val stsz = box("stsz",
+      be32(0) ++ be32(0) ++ be32(nf) ++ sizes.flatMap(be32))
+    val stco = box("stco", be32(0) ++ be32(2) ++ be32(o1) ++ be32(o2))
+    val stsc = box("stsc", be32(0) ++ be32(2) ++
+      be32(1) ++ be32(c1) ++ be32(1) ++
+      be32(2) ++ be32(nf - c1) ++ be32(1))
+    val stbl = box("stbl", stsz ++ stco ++ stsc)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr ++ minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", mvhd ++ trak)
+    require(moov.length == moovLen,
+      s"moov layout drifted: ${moov.length} != $moovLen")
+    val frames = sizes.zipWithIndex.flatMap { case (len, f) =>
+      Array.tabulate(len)(j => ((id + f + j) % 256).toByte)
+    }
+    ftyp ++ moov ++ box("mdat", frames)
+  }
+
+  // EBML building blocks: element = id bytes ++ size vint ++ payload.
+  // Leaves/small masters use 1-byte size vints; Segment/Cluster/
+  // SimpleBlock are FORCED to 2-byte vints so the oracle's length
+  // arithmetic never crosses a vint-width band.
+  private def eb(ids: Int*): Array[Byte] = ids.map(_.toByte).toArray
+  private def el1(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 0x7f, s"el1 payload too big: ${payload.length}")
+    id ++ Array((0x80 | payload.length).toByte) ++ payload
+  }
+  private def el2(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 0x3fff, s"el2 payload too big: ${payload.length}")
+    id ++ Array((0x40 | (payload.length >> 8)).toByte,
+      payload.length.toByte) ++ payload
+  }
+
+  /** Minimal Matroska: EBML header (DocType), Segment with Info
+    * (TimestampScale 1 ms, float Duration 40·nf ticks), one video
+    * TrackEntry (number 1, dims), and one Cluster whose single
+    * SimpleBlock carries ALL nf frames XIPH-LACED (sizes L+2f, each
+    * < 255 so every lace code is one byte; the last frame's size is
+    * implicit) — [[RiffCodecs.decodeMkv]] must run the real lacing
+    * walk to slice them. */
+  def mkv(id: Long, w: Int, h: Int, nf: Int, frameLen: Int): Array[Byte] = {
+    require(w < 256 && h < 256, "q99 dims are single-byte EBML uints")
+    val sizes = Array.tabulate(nf)(f => frameLen + 2 * f)
+    require(sizes.forall(_ < 255), "Xiph lace codes must be single-byte")
+    val header = el1(eb(0x1a, 0x45, 0xdf, 0xa3),
+      el1(eb(0x42, 0x82), cc("matroska")))
+    val info = el1(eb(0x15, 0x49, 0xa9, 0x66),
+      el1(eb(0x2a, 0xd7, 0xb1), eb(0x0f, 0x42, 0x40)) ++ // 1_000_000 ns
+        el1(eb(0x44, 0x89),
+          be32(java.lang.Float.floatToIntBits(40f * nf))))
+    val tracks = el1(eb(0x16, 0x54, 0xae, 0x6b),
+      el1(eb(0xae),
+        el1(eb(0xd7), eb(1)) ++ el1(eb(0x83), eb(1)) ++
+          el1(eb(0xe0), el1(eb(0xb0), eb(w)) ++ el1(eb(0xba), eb(h)))))
+    val frames = sizes.zipWithIndex.flatMap { case (len, f) =>
+      Array.tabulate(len)(j => ((id + f + j) % 256).toByte)
+    }
+    val blockPayload = eb(0x81) ++ be16(0) ++ eb(0x02) ++ // track 1, ts 0, Xiph
+      eb(nf - 1) ++ sizes.take(nf - 1).map(_.toByte) ++ frames
+    val cluster = el2(eb(0x1f, 0x43, 0xb6, 0x75),
+      el1(eb(0xe7), eb(0)) ++ el2(eb(0xa3), blockPayload))
+    header ++ el2(eb(0x18, 0x53, 0x80, 0x67), info ++ tracks ++ cluster)
+  }
+
+  /** The q99 asset for one document id — JPEG / MP4 / MKV by id mod 3,
+    * every parameter a small modulus of the id (the oracle restates
+    * these formulas):
+    *   - id≡0: JPEG, w = 8+id%63, h = 8+id%47, entropy n = 10+id%40;
+    *   - id≡1: MP4, nf = 1+id%5 frames of 32+2·(id%20) base length;
+    *   - id≡2: MKV, w = 16+id%9, h = 9+id%7, nf = 1+id%4 frames of
+    *     24+2·(id%40) base length. */
+  def extAssetFor(id: Long): MediaAsset = {
+    val empty = MediaMeta(0, 0, 0L, 0, "?")
+    (id % 3).toInt match {
+      case 0 => MediaAsset(id, "image",
+        jpeg(id, 8 + (id % 63).toInt, 8 + (id % 47).toInt,
+          10 + (id % 40).toInt), empty)
+      case 1 => MediaAsset(id, "video",
+        mp4(id, 1 + (id % 5).toInt, 32 + 2 * (id % 20).toInt), empty)
+      case _ => MediaAsset(id, "video",
+        mkv(id, 16 + (id % 9).toInt, 9 + (id % 7).toInt,
+          1 + (id % 4).toInt, 24 + 2 * (id % 40).toInt), empty)
+    }
+  }
 }

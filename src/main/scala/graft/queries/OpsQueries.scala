@@ -1140,6 +1140,55 @@ object OpsQueries {
     out
   }
 
+  /** MULTIMODAL metadata extraction over the SECOND container trio,
+    * oracle-gated ([[graft.ops.MediaSynth.extAssetFor]] →
+    * [[graft.ops.Multimodal]]): per doc id a REAL container payload is
+    * synthesized (baseline JFIF JPEG / ISO-BMFF MP4 with explicit
+    * stsz/stco/stsc sample tables / Matroska-EBML with one Xiph-laced
+    * SimpleBlock, kind = id mod 3, every parameter a small modulus of
+    * the id), then all metadata is recovered through the real walks —
+    * [[graft.ops.ImageCodecs.decodeJpeg]]'s marker scan to SOF0,
+    * [[graft.ops.RiffCodecs.decodeMp4]]'s chunk-resolved sample
+    * slices + mvhd clock, [[graft.ops.RiffCodecs.decodeMkv]]'s EBML
+    * walk + lacing demux, and [[Multimodal.sampleFrames]] frame
+    * slices. The DuckDB oracle restates the synthesis arithmetic from
+    * doc_id alone (closed-form byte lengths asserted writer-side in
+    * Round13OpsSpec), so a mis-scanned marker, a mis-walked sample
+    * table, or a mis-laced block breaks the hash. Cache contract and
+    * scale shape identical to [[q98MultimodalMeta]]. */
+  def q99MultimodalExt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val assets = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(graft.ops.MediaSynth.extAssetFor)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = graft.ops.Multimodal.extractFeatures(assets)
+      .select(col("asset_id"), col("n_bytes"))
+    val images = graft.ops.Multimodal.decodeImages(assets.filter(_.kind == "image"))
+      .select(col("asset_id"), lit("image").as("kind"),
+        col("meta.format").as("fmt"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        lit(0L).as("duration_ms"), lit(0L).as("n_units"), lit(0L).as("payload"))
+    val videoAssets = assets.filter(_.kind == "video")
+    val videoFrames = graft.ops.Multimodal.sampleFrames(videoAssets, everyMs = 40L)
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_units"),
+        sum(length(col("frame_bytes"))).cast("long").as("payload"))
+    val video = graft.ops.Multimodal.decodeVideo(videoAssets)
+      .select(col("asset_id"), lit("video").as("kind"),
+        col("meta.format").as("fmt"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.durationMs").as("duration_ms"))
+      .join(videoFrames, Seq("asset_id"))
+    val meta = images.unionByName(video)
+      .join(sizes, Seq("asset_id"))
+      .withColumnRenamed("asset_id", "doc_id")
+    val out = materializeViaTemp(meta, "q99mm")
+    assets.unpersist()
+    out
+  }
+
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
     * deterministic synthetic versions of the documents table (old drops
     * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites
