@@ -106,6 +106,7 @@ object SparkEntry {
     "q97_cluster_store" -> (OpsQueries.q97ClusterStore _),
     "q98_multimodal_meta" -> (OpsQueries.q98MultimodalMeta _),
     "q99_multimodal_ext" -> (OpsQueries.q99MultimodalExt _),
+    "q100_multimodal_img" -> (OpsQueries.q100MultimodalImg _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1460,6 +1461,21 @@ object SparkEntry {
         |    ELSE 78 + (1 + doc_id % 4)
         |      + (1 + doc_id % 4) * (24 + 2 * (doc_id % 40)) + (1 + doc_id % 4) * (doc_id % 4)
         |    END AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    // q100: the third trio (MediaSynth.imgAssetFor: real-CRC PNG /
+    // GIF89a / WebP-VP8L) closes ImageCodecs' last spec-only parsers;
+    // byte totals 57+n PNG, 18+n GIF, 25+n WebP (Round13OpsSpec
+    // asserts the writers)
+    "q100_multimodal_img" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'webp' END AS fmt,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 50 WHEN 1 THEN 1 + doc_id % 30
+        |    ELSE 1 + doc_id % 20 END AS INT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 40 WHEN 1 THEN 1 + doc_id % 25
+        |    ELSE 1 + doc_id % 15 END AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 57 + 8 + doc_id % 32
+        |    WHEN 1 THEN 18 + 4 + doc_id % 16
+        |    ELSE 25 + 7 + 2 * (doc_id % 12) END AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin
   )
 

@@ -219,6 +219,81 @@ object MediaSynth {
     header ++ el2(eb(0x18, 0x53, 0x80, 0x67), info ++ tracks ++ cluster)
   }
 
+  // ==== the q100 containers: PNG / GIF / WebP-VP8L ====
+  // Closes the LAST spec-only decoders in [[ImageCodecs]]. Closed-form
+  // byte lengths (asserted in Round13OpsSpec):
+  //   - PNG: sig(8) + IHDR(25, real CRC32) + IDAT(12+n, real CRC32) +
+  //     IEND(12) → n_bytes = 57 + n.
+  //   - GIF: "GIF89a"(6) + logical screen descriptor(7) + comment
+  //     extension(4 + n, one sub-block) + trailer(1) → n_bytes = 18+n.
+  //   - WebP: RIFF(12) + VP8L chunk(8) + 0x2F signature + the packed
+  //     14-bit (w−1, h−1) le32 + n filler bytes → n_bytes = 25 + n
+  //     (n odd keeps the chunk even, so RIFF padding never applies).
+
+  private def crc32(b: Array[Byte]): Array[Byte] = {
+    val c = new java.util.zip.CRC32(); c.update(b)
+    be32(c.getValue.toInt)
+  }
+  private def pngChunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val body = cc(tpe) ++ data
+    be32(data.length) ++ body ++ crc32(body)
+  }
+
+  /** Real PNG structure (signature, IHDR with true CRC32s, one IDAT of
+    * deterministic bytes, IEND) — dims only recoverable through the
+    * IHDR walk. The IDAT is not a valid zlib stream (dimensions
+    * metadata never inflates it), exactly like q98's MJPEG-shaped AVI
+    * frames. */
+  def png(id: Long, w: Int, h: Int, idatLen: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = pngChunk("IHDR",
+      be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0))
+    val idat = pngChunk("IDAT",
+      Array.tabulate(idatLen)(j => ((id + j) % 256).toByte))
+    sig ++ ihdr ++ idat ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** GIF89a with the logical screen descriptor carrying the dims and a
+    * single-sub-block comment extension as the deterministic payload. */
+  def gif(id: Long, w: Int, h: Int, commentLen: Int): Array[Byte] = {
+    require(commentLen > 0 && commentLen < 256, "one GIF sub-block")
+    cc("GIF89a") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0) ++
+      Array(0x21, 0xfe, commentLen).map(_.toByte) ++
+      Array.tabulate(commentLen)(j => ((id + j) % 256).toByte) ++
+      Array[Byte](0, 0x3b)
+  }
+
+  /** WebP lossless (VP8L): the 0x2F signature byte then width−1 /
+    * height−1 as consecutive 14-bit fields of one le32 (RFC 9649),
+    * padded with `fillerLen` deterministic bytes. */
+  def webp(id: Long, w: Int, h: Int, fillerLen: Int): Array[Byte] = {
+    require(fillerLen % 2 == 1, "odd filler keeps the VP8L chunk even")
+    require(w <= 0x4000 && h <= 0x4000, "14-bit dims")
+    val v = (w - 1) | ((h - 1) << 14)
+    val payload = Array(0x2f.toByte) ++ le32(v) ++
+      Array.tabulate(fillerLen)(j => ((id + j) % 256).toByte)
+    riff("WEBP", chunk("VP8L", payload))
+  }
+
+  /** The q100 asset for one document id — PNG / GIF / WebP by id mod 3
+    * (the oracle restates these):
+    *   - id≡0: PNG, w = 1+id%50, h = 1+id%40, IDAT n = 8+id%32;
+    *   - id≡1: GIF, w = 1+id%30, h = 1+id%25, comment n = 4+id%16;
+    *   - id≡2: WebP-VP8L, w = 1+id%20, h = 1+id%15, filler
+    *     n = 7+2·(id%12). */
+  def imgAssetFor(id: Long): MediaAsset = {
+    val empty = MediaMeta(0, 0, 0L, 0, "?")
+    (id % 3).toInt match {
+      case 0 => MediaAsset(id, "image",
+        png(id, 1 + (id % 50).toInt, 1 + (id % 40).toInt, 8 + (id % 32).toInt), empty)
+      case 1 => MediaAsset(id, "image",
+        gif(id, 1 + (id % 30).toInt, 1 + (id % 25).toInt, 4 + (id % 16).toInt), empty)
+      case _ => MediaAsset(id, "image",
+        webp(id, 1 + (id % 20).toInt, 1 + (id % 15).toInt,
+          7 + 2 * (id % 12).toInt), empty)
+    }
+  }
+
   /** The q99 asset for one document id — JPEG / MP4 / MKV by id mod 3,
     * every parameter a small modulus of the id (the oracle restates
     * these formulas):

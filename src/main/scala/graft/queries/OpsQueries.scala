@@ -1189,6 +1189,27 @@ object OpsQueries {
     out
   }
 
+  /** MULTIMODAL dimensions over the THIRD container trio, oracle-gated
+    * ([[graft.ops.MediaSynth.imgAssetFor]]): real PNG (IHDR walk behind
+    * true CRC32s) / GIF89a (logical screen descriptor) / WebP-VP8L
+    * (14-bit packed dims per RFC 9649) payloads per doc id, recovered
+    * exclusively through [[graft.ops.ImageCodecs]]'s remaining
+    * header parsers — with q98 (BMP) and q99 (JPEG), every ImageCodecs
+    * path now sits inside the DuckDB hash gate. No persist: the single
+    * decode pass consumes the synthesized bytes once. */
+  def q100MultimodalImg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val assets = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(graft.ops.MediaSynth.imgAssetFor)
+    graft.ops.Multimodal.decodeImages(assets)
+      .select(col("asset_id").as("doc_id"),
+        col("meta.format").as("fmt"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+  }
+
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
     * deterministic synthetic versions of the documents table (old drops
     * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites

@@ -67,6 +67,32 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("q100 MediaSynth ↔ codec round-trip: PNG IHDR, GIF LSD, WebP-VP8L packed dims") {
+    (0L until 240L).foreach { id =>
+      val a = MediaSynth.imgAssetFor(id)
+      val (fmt, w, h, nBytes) = (id % 3).toInt match {
+        case 0 => ("png", 1 + (id % 50).toInt, 1 + (id % 40).toInt,
+          57L + 8 + (id % 32))
+        case 1 => ("gif", 1 + (id % 30).toInt, 1 + (id % 25).toInt,
+          18L + 4 + (id % 16))
+        case _ => ("webp", 1 + (id % 20).toInt, 1 + (id % 15).toInt,
+          25L + 7 + 2 * (id % 12))
+      }
+      assert(a.bytes.length.toLong == nBytes,
+        s"id=$id n_bytes=${a.bytes.length} expected $nBytes")
+      val d = ImageCodecs.decodeHeader(a.bytes).get
+      assert((d.format, d.width, d.height) == ((fmt, w, h)), s"id=$id $d")
+      // the PNG writer's CRCs must be REAL (a future checksum-aware
+      // decoder must not break the gate): recompute and compare
+      if (fmt == "png") {
+        val c = new java.util.zip.CRC32()
+        c.update(a.bytes, 12, 4 + 13) // "IHDR" + data
+        val stored = java.nio.ByteBuffer.wrap(a.bytes, 29, 4).getInt
+        assert(stored == c.getValue.toInt, s"id=$id IHDR crc")
+      }
+    }
+  }
+
   test("q99 pipeline: Spark-side decode over synthesized assets equals the arithmetic oracle") {
     val dir = java.nio.file.Files.createTempDirectory("q99docs").toString
     (0L until 120L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
@@ -84,6 +110,25 @@ class Round13OpsSpec extends SparkSpec {
       val (kind, fmt, w, h, durMs, units, payload, nBytes) = expected(id)
       assert(got(id) == ((kind, fmt, w, h, durMs, units, payload, nBytes)),
         s"id=$id got ${got(id)}")
+    }
+  }
+
+  test("q100 pipeline: PNG/GIF/WebP dims through the registered query") {
+    val dir = java.nio.file.Files.createTempDirectory("q100docs").toString
+    (0L until 90L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.OpsQueries.q100MultimodalImg(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("fmt"), r.getAs[Int]("width"),
+          r.getAs[Int]("height"), r.getAs[Long]("n_bytes")))).toMap
+    assert(got.size == 90)
+    (0L until 90L).foreach { id =>
+      val exp = (id % 3).toInt match {
+        case 0 => ("png", 1 + (id % 50).toInt, 1 + (id % 40).toInt, 65L + id % 32)
+        case 1 => ("gif", 1 + (id % 30).toInt, 1 + (id % 25).toInt, 22L + id % 16)
+        case _ => ("webp", 1 + (id % 20).toInt, 1 + (id % 15).toInt, 32L + 2 * (id % 12))
+      }
+      assert(got(id) == exp, s"id=$id got ${got(id)} exp $exp")
     }
   }
 }
