@@ -80,6 +80,43 @@ object DealObserverApp {
     }
   }
 
+  /** The resolve tick with LIVE transports on both lookup legs
+    * (reference deployment shape): the peerId dimension comes from
+    * [[graft.sources.MinerPeerIdClient]]'s contract→StateMinerInfo
+    * chain refreshed for exactly this tick's DISTINCT work-queue
+    * miners (≤ maxDeals — the reference's per-deal loop, batched), and
+    * the payload side from the piece-indexer HTTP client inside
+    * [[ResolvePayloadCids.resolveLive]]. Selected by `main` when
+    * `GRAFT_RPC_URLS` + `GRAFT_PEERID_CONTRACT` +
+    * `GRAFT_PIECE_INDEXER_URL` are set. */
+  def resolveTickLive(
+      spark: SparkSession, cfg: Config,
+      directory: graft.state.PeerIdDirectory,
+      pieceIndexerUrl: String,
+      now: java.sql.Timestamp): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val store = new DealStateStore(spark, cfg.storeRoot)
+    val state = store.read()
+    if (!state.isEmpty) {
+      val queue = ResolvePayloadCids.workQueue(state, now, cfg.maxDeals).cache()
+      val queued = queue.count()
+      if (queued > 0) {
+        val miners = queue
+          .select(concat(lit("f0"), col("miner_id")).as("m"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val dim = directory.refreshed(spark, miners, now.getTime)
+        val merged = ResolvePayloadCids.resolveLive(
+          state, dim, None, pieceIndexerUrl, now, cfg.maxDeals)
+        writeTouchedDays(store, merged, queue)
+        val counts = ResolvePayloadCids.countsByState(store.read()).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        new graft.streaming.MetricsSink(spark, cfg.metricsRoot)
+          .record("resolve", counts + ("queued" -> queued), now)
+      }
+      queue.unpersist()
+    }
+  }
+
   def submitTick(
       spark: SparkSession, cfg: Config,
       post: Seq[Row] => (Long, Long),
@@ -125,17 +162,30 @@ object DealObserverApp {
       finally src.close()
     }
 
-    // demo transports: dimension/lookup tables beside the event log,
-    // stdout "POST" — a deployment injects HTTP clients here
-    val peer = spark.read.json(s"${cfg.eventLog}/../minerPeerIds.json")
-    val pay = spark.read.json(s"${cfg.eventLog}/../payloadCids.json")
+    // LIVE resolve transports when configured (reference env shape:
+    // RPC_URLS / GLIF_TOKEN, config.js:7-21); demo fixture tables
+    // beside the event log otherwise
+    val liveDirectory = for {
+      urls <- sys.env.get("GRAFT_RPC_URLS").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      contract <- sys.env.get("GRAFT_PEERID_CONTRACT")
+    } yield graft.sources.MinerPeerIdClient.directory(
+      urls, contract, authToken = sys.env.get("GRAFT_GLIF_TOKEN"))
+    val livePieceIndexer = sys.env.get("GRAFT_PIECE_INDEXER_URL")
+    val live = liveDirectory.zip(livePieceIndexer)
+    if (live.isDefined) println("[resolve] live transports configured")
+
+    lazy val peer = spark.read.json(s"${cfg.eventLog}/../minerPeerIds.json")
+    lazy val pay = spark.read.json(s"${cfg.eventLog}/../payloadCids.json")
 
     var tick = 0
     while (tick < maxTicks) {
       val now = new java.sql.Timestamp(System.currentTimeMillis())
       val q = observeQuery(spark, cfg, chainHead _, Trigger.AvailableNow())
       q.awaitTermination()
-      resolveTick(spark, cfg, peer, pay, now)
+      live match {
+        case Some((dir, url)) => resolveTickLive(spark, cfg, dir, url, now)
+        case None => resolveTick(spark, cfg, peer, pay, now)
+      }
       val sub = submitTick(spark, cfg,
         rows => { println(s"[submit] POST batch of ${rows.length}"); (rows.length.toLong, 0L) },
         now)

@@ -146,6 +146,32 @@ class MinerPeerIdClientSpec extends SparkSpec {
     }
   }
 
+  test("app resolve tick with live transports: store advances to the golden counts") {
+    withStubNode { (base, _, _) =>
+      val raw = spark.read.schema(RawActorEvent.schema)
+        .json(s"${TestSpark.fixtures}/rawActorEvents.json")
+      val emptyState = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ActiveDeal.schema)
+      val root = java.nio.file.Files.createTempDirectory("applive").toString
+      val store = new graft.state.DealStateStore(spark, s"$root/store")
+      store.write(DealIngest.dedupeAgainst(
+        DealIngest.decodeRange(raw, 4622129, 4622138), emptyState))
+      val cfg = graft.DealObserverApp.Config(
+        eventLog = s"$root/events", headFile = s"$root/head.json",
+        storeRoot = s"$root/store", checkpoint = s"$root/ckpt")
+      val dir = MinerPeerIdClient.directory(
+        Seq(s"$base/rpc"), Contract, attempts = 3, sleep = _ => ())
+      graft.DealObserverApp.resolveTickLive(spark, cfg, dir, base,
+        java.sql.Timestamp.valueOf("2025-01-15 00:00:00"))
+      val after = store.read().cache()
+      assert(after.count() == 336)
+      assert(after.filter(col("payload_cid").isNull).count() == 85)
+      assert(after.filter(col("payload_retrievability_state") === St.Resolved)
+        .count() == 336 - 85)
+      after.unpersist()
+    }
+  }
+
   test("golden 85: live resolve with the peerId dimension from live HTTP on both legs") {
     withStubNode { (base, ethCalls, minerInfoCalls) =>
       val raw = spark.read.schema(RawActorEvent.schema)
