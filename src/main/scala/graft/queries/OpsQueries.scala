@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{AsOfJoin, Bpe, Cdc, ConnectedComponents, Corpus, Dedup, KMeans, PageRank, Pca, QualityClassifier, RangeJoin, SimilaritySearch, TextAnalysis}
 
@@ -1093,6 +1093,21 @@ object OpsQueries {
     * enter a shuffle key; per-row work is mapPartitions
     * (Multimodal's scale contract). */
   def q98MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val (meta, assets) = q98MetaPlan(spark, dir)
+    // the synthesized container bytes are the dominant cached payload:
+    // materialize the (tiny) metadata projection and release them here
+    // rather than letting GBs of asset blocks outlive the query
+    val out = materializeViaTemp(meta, "q98mm")
+    assets.unpersist()
+    out
+  }
+
+  /** The q98 COMPUTE plan plus its persisted asset handle — split out
+    * so PlanGuardSpec can assert the multimodal scale contract on the
+    * real plan (bytes never cross an exchange) before the registered
+    * wrapper materializes it away. */
+  private[queries] def q98MetaPlan(
+      spark: SparkSession, dir: String): (DataFrame, Dataset[graft.ops.Multimodal.MediaAsset]) = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val assets = table(spark, dir, "documents")
@@ -1132,12 +1147,7 @@ object OpsQueries {
     val meta = images.unionByName(audio).unionByName(video)
       .join(sizes, Seq("asset_id"))
       .withColumnRenamed("asset_id", "doc_id")
-    // the synthesized container bytes are the dominant cached payload:
-    // materialize the (tiny) metadata projection and release them here
-    // rather than letting GBs of asset blocks outlive the query
-    val out = materializeViaTemp(meta, "q98mm")
-    assets.unpersist()
-    out
+    (meta, assets)
   }
 
   /** MULTIMODAL metadata extraction over the SECOND container trio,
@@ -1157,6 +1167,15 @@ object OpsQueries {
     * table, or a mis-laced block breaks the hash. Cache contract and
     * scale shape identical to [[q98MultimodalMeta]]. */
   def q99MultimodalExt(spark: SparkSession, dir: String): DataFrame = {
+    val (meta, assets) = q99MetaPlan(spark, dir)
+    val out = materializeViaTemp(meta, "q99mm")
+    assets.unpersist()
+    out
+  }
+
+  /** q99's COMPUTE plan + asset handle (see [[q98MetaPlan]]). */
+  private[queries] def q99MetaPlan(
+      spark: SparkSession, dir: String): (DataFrame, Dataset[graft.ops.Multimodal.MediaAsset]) = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val assets = table(spark, dir, "documents")
@@ -1184,9 +1203,7 @@ object OpsQueries {
     val meta = images.unionByName(video)
       .join(sizes, Seq("asset_id"))
       .withColumnRenamed("asset_id", "doc_id")
-    val out = materializeViaTemp(meta, "q99mm")
-    assets.unpersist()
-    out
+    (meta, assets)
   }
 
   /** MULTIMODAL dimensions over the THIRD container trio, oracle-gated

@@ -202,6 +202,30 @@ class PlanGuardSpec extends SparkSpec {
     release()
   }
 
+  test("q98/q99: container bytes never cross an exchange (multimodal scale contract)") {
+    // the multimodal pillar's 100 TB contract: per-row codec work is
+    // mapPartitions over the binary column, aggregates are map-side
+    // combined BEFORE the shuffle, and joins carry only metadata — a
+    // refactor that lets a BinaryType column into a shuffle (e.g.
+    // aggregating frame bytes after the exchange) ships container
+    // payloads across the cluster and must fail here
+    Seq(
+      OpsQueries.q98MetaPlan(spark, dir),
+      OpsQueries.q99MetaPlan(spark, dir)
+    ).foreach { case (meta, assets) =>
+      val exchanges = collectAll(planOf(meta)) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected the frame-aggregate exchange")
+      exchanges.foreach { e =>
+        val binCols = e.output.filter(
+          _.dataType == org.apache.spark.sql.types.BinaryType).map(_.name)
+        assert(binCols.isEmpty, s"binary columns in a shuffle: $binCols")
+      }
+      assets.unpersist()
+    }
+  }
+
   test("q88/q98 cache contract: no persisted blocks outlive the query") {
     // both queries persist intermediates (postings / synthesized
     // container bytes); the registered forms must release them before
