@@ -107,6 +107,7 @@ object SparkEntry {
     "q98_multimodal_meta" -> (OpsQueries.q98MultimodalMeta _),
     "q99_multimodal_ext" -> (OpsQueries.q99MultimodalExt _),
     "q100_multimodal_img" -> (OpsQueries.q100MultimodalImg _),
+    "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -366,6 +367,10 @@ object SparkEntry {
     "q30_ivf_topk" -> annPlantedTopkSql,
     "q45_pq_topk" -> annPlantedTopkSql,
     "q65_ivfpq_topk" -> annPlantedTopkSql,
+    // q101 shares the planted-ANN oracle VERBATIM: the durable
+    // incremental LSH store (AnnStream: 3 upsert commits + pruned
+    // search) must answer exactly like the one-shot q20 build
+    "q101_ann_stream" -> annPlantedTopkSql,
     // q53: exact all-pairs cosine ≥ 0.92 over the planted corpus — the
     // threshold regime where the k-means cell blocking provably loses
     // nothing (family diameter ≤ 0.05 rad, distractor ceiling 0.61)

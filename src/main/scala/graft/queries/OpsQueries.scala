@@ -1227,6 +1227,34 @@ object OpsQueries {
         length(col("bytes")).cast("long").as("n_bytes"))
   }
 
+  /** STREAMING ANN, oracle-gated ([[graft.streaming.AnnStream]]): the
+    * planted-neighbor corpus split into three micro-batches, each
+    * upserted as a bucket-keyed commit into a durable LSH store, then
+    * searched through the PRUNED store read path. Same hyperplane
+    * params as q20, so on the planted structure the result provably
+    * equals brute force — q20's oracle VERBATIM (the q95/q97
+    * shared-SQL precedent): the incremental index must answer exactly
+    * like the one-shot build. Fresh store per invocation; deterministic
+    * tags make accidental reuse a no-op replay. */
+  def q101AnnStream(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = annCorpus(spark, dir)
+    val store = java.nio.file.Files.createTempDirectory("q101ann").toString
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+    (0 until 3).foreach { c =>
+      graft.streaming.AnnStream.upsertStep(
+        corpus.filter(pmod(col("vec_id"), lit(3)) === c), store,
+        dim = 64, planes = 6, tables = 8, batchTag = s"a$c")
+    }
+    graft.streaming.AnnStream.searchStore(
+        spark, store, corpus.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
     * deterministic synthetic versions of the documents table (old drops
     * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites

@@ -95,7 +95,7 @@ object DedupStream {
     * marker in place. Partition-count drift stays fatal either way. */
   private val NoKeyFamily = 0
 
-  private def ensureStoreMeta(
+  private[streaming] def ensureStoreMeta(
       spark: SparkSession, root: String, parts: Int,
       family: Int = KeyFamily): Unit = {
     val dir = new org.apache.hadoop.fs.Path(root)
@@ -157,7 +157,7 @@ object DedupStream {
     * manifest (the common, never-compacted store), every `batch=*` dir
     * is visible. Kept O(commits since the last compaction): the tick
     * path rewrites it once per commit. */
-  private def readManifest(
+  private[streaming] def readManifest(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Option[Set[String]] =
     readNameFile(fs, new org.apache.hadoop.fs.Path(root, "_MANIFEST"))
@@ -171,7 +171,7 @@ object DedupStream {
     * exactly right because the compacted commit already holds those
     * rows). Separate from `_MANIFEST` so the per-tick publish rewrites
     * only the small visible list; only compaction rewrites the ledger. */
-  private def readFolded(
+  private[streaming] def readFolded(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Set[String] =
     readNameFile(fs, new org.apache.hadoop.fs.Path(root, "_FOLDED")).getOrElse(Set.empty)
@@ -190,7 +190,7 @@ object DedupStream {
   /** Atomic name-file replace: temp file + FileContext rename with
     * OVERWRITE (atomic on posix-local and HDFS — never a window where
     * the file is absent or partial). */
-  private def writeNameFile(
+  private[streaming] def writeNameFile(
       spark: SparkSession, root: org.apache.hadoop.fs.Path,
       fileName: String, names: Set[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -209,7 +209,7 @@ object DedupStream {
 
   /** Visible commit dirs under a sub-store root: manifest-filtered when
     * a manifest exists, plain `batch=*` listing otherwise. */
-  private def visibleCommits(
+  private[streaming] def visibleCommits(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     if (!fs.exists(root)) return Nil
@@ -223,7 +223,7 @@ object DedupStream {
     * stores (listing is the visibility), idempotent otherwise. A name
     * the FOLDED ledger records is never resurrected — see
     * [[readFolded]]. */
-  private def publishCommit(
+  private[streaming] def publishCommit(
       spark: SparkSession, root: org.apache.hadoop.fs.Path, name: String): Unit = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     readManifest(fs, root).foreach { visible =>
@@ -242,7 +242,7 @@ object DedupStream {
     * [[ensureStoreMeta]] before this is called. Listing is explicit,
     * so the read needs no partition discovery and an empty/missing
     * store stays a clean miss. */
-  private def readStore(
+  private[streaming] def readStore(
       spark: SparkSession, dir: String, schema: StructType,
       excludeTag: String, partCol: String, wanted: Set[Int]): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -286,7 +286,8 @@ object DedupStream {
   def compact(spark: SparkSession, storeDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     Seq("buckets" -> "pb", "sigs" -> "ps", "spans" -> "ph", "wins" -> "pw",
-        "chunks" -> "pc", "fps" -> "ps", "hashes" -> "ph").foreach {
+        "chunks" -> "pc", "fps" -> "ps", "hashes" -> "ph",
+        "annvecs" -> "ab").foreach {
       case (sub, partCol) =>
         val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
         val fs = root.getFileSystem(conf)

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.SimilaritySearch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The durable incremental LSH store ([[AnnStream]]) against the batch
+  * build/search split it must equal: stream=batch equivalence on the
+  * real sf0.001 embeddings, replay idempotence, hyperplane-family
+  * drift guard, and compaction transparency. */
+class AnnStreamSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb: DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+
+  private def resultSet(df: DataFrame): Set[(Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("3-batch upsert + pruned search = one-shot lshBuild/lshSearch on the union") {
+    val store = java.nio.file.Files.createTempDirectory("annst").toString
+    val corpus = emb
+    (0 until 3).foreach { c =>
+      AnnStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === c),
+        store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = s"b$c")
+    }
+    val queries = corpus.filter(col("vec_id") < 10)
+    val streamed = resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank"))
+    val batch = resultSet(SimilaritySearch.lshTopK(
+        queries, corpus, dim = 64, k = 5, planes = 6, seed = 7L, tables = 8)
+      .select("query_id", "neighbor_id", "rank"))
+    assert(streamed == batch, s"stream ${streamed.size} != batch ${batch.size}")
+    assert(streamed.nonEmpty)
+
+    // replay of a tick: same answers, no new commit dir
+    def commits = new java.io.File(s"$store/annvecs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    val before = commits
+    AnnStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === 1L),
+      store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = "b1")
+    assert(commits == before, "replay must not add a commit")
+    assert(resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")) == batch)
+
+    // hyperplane-family drift dies loudly (a silent mismatch would
+    // just miss neighbors)
+    intercept[IllegalArgumentException] {
+      AnnStream.upsertStep(corpus.limit(1), store,
+        dim = 64, planes = 4, seed = 7L, tables = 8, batchTag = "drift")
+    }
+    intercept[IllegalArgumentException] {
+      AnnStream.searchStore(spark, "/tmp/not-an-ann-store", queries, k = 5)
+    }
+
+    // compaction folds the commits and changes no answer; a replay
+    // AFTER compaction is suppressed by the _FOLDED ledger
+    DedupStream.compact(spark, store)
+    val folded = commits
+    assert(folded.size == 1 && folded.head.startsWith("batch=compact-"), folded)
+    assert(resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")) == batch)
+    AnnStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === 0L),
+      store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = "b0")
+    DedupStream.compact(spark, store) // GC the invisible rewrite
+    assert(resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")) == batch,
+      "replay behind compaction must not duplicate or change answers")
+  }
+
+  test("q101: the registered incremental-ANN query equals the q20 one-shot build") {
+    val a = resultSet(graft.queries.OpsQueries.q101AnnStream(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int")))
+    val b = resultSet(graft.queries.OpsQueries.q20LshTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int")))
+    assert(a == b && a.nonEmpty, s"q101 ${a.size} != q20 ${b.size}")
+  }
+}
