@@ -203,7 +203,7 @@ object DedupStream {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  private def writeManifest(
+  private[streaming] def writeManifest(
       spark: SparkSession, root: org.apache.hadoop.fs.Path, dirs: Set[String]): Unit =
     writeNameFile(spark, root, "_MANIFEST", dirs)
 
@@ -285,9 +285,13 @@ object DedupStream {
     * never concurrently with a step on the same store. */
   def compact(spark: SparkSession, storeDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // NOTE: annvecs (AnnStream) is NOT in this list — its commits may
+    // be L0 single files (no ab= subdirs), which this generic fold
+    // would silently exclude from the rewrite and then tombstone via
+    // _FOLDED; AnnStream.compactStore re-derives the partition column
+    // from row content and handles both layouts.
     Seq("buckets" -> "pb", "sigs" -> "ps", "spans" -> "ph", "wins" -> "pw",
-        "chunks" -> "pc", "fps" -> "ps", "hashes" -> "ph",
-        "annvecs" -> "ab").foreach {
+        "chunks" -> "pc", "fps" -> "ps", "hashes" -> "ph").foreach {
       case (sub, partCol) =>
         val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
         val fs = root.getFileSystem(conf)

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** The durable incremental LSH store ([[AnnStream]]) against the batch
   * build/search split it must equal: stream=batch equivalence on the
-  * real sf0.001 embeddings, replay idempotence, hyperplane-family
-  * drift guard, and compaction transparency. */
+  * real sf0.001 embeddings in BOTH commit layouts (L0 single-file and
+  * hash-partitioned), replay idempotence, hyperplane-family drift
+  * guard, and compaction transparency over mixed layouts. */
 class AnnStreamSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -18,21 +19,50 @@ class AnnStreamSpec extends SparkSpec {
   private def resultSet(df: DataFrame): Set[(Long, Long, Int)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
-  test("3-batch upsert + pruned search = one-shot lshBuild/lshSearch on the union") {
-    val store = java.nio.file.Files.createTempDirectory("annst").toString
+  private def batchAnswer(corpus: DataFrame, queries: DataFrame): Set[(Long, Long, Int)] =
+    resultSet(SimilaritySearch.lshTopK(
+        queries, corpus, dim = 64, k = 5, planes = 6, seed = 7L, tables = 8)
+      .select("query_id", "neighbor_id", "rank"))
+
+  // one equivalence exercise per commit layout: l0Bound = 0 forces the
+  // hash-partitioned write, the default takes the L0 single-file path
+  // (the sf0.001 batches are tick-sized)
+  Seq(("L0 single-file", 1 << 16), ("hash-partitioned", 0)).foreach {
+    case (label, l0) =>
+      test(s"3-batch upsert + pruned search = one-shot build ($label commits)") {
+        val store = java.nio.file.Files.createTempDirectory("annst").toString
+        val corpus = emb
+        (0 until 3).foreach { c =>
+          AnnStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === c),
+            store, dim = 64, planes = 6, seed = 7L, tables = 8,
+            batchTag = s"b$c", l0Bound = l0)
+        }
+        // structural check: the layout actually taken is the one under test
+        val subdirs = new java.io.File(s"$store/annvecs/batch=b0").listFiles()
+          .exists(f => f.isDirectory && f.getName.startsWith("ab="))
+        assert(subdirs == (l0 == 0), s"wrong commit layout for $label")
+        val queries = corpus.filter(col("vec_id") < 10)
+        val streamed = resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
+          .select("query_id", "neighbor_id", "rank"))
+        val batch = batchAnswer(corpus, queries)
+        assert(streamed == batch, s"stream ${streamed.size} != batch ${batch.size}")
+        assert(streamed.nonEmpty)
+      }
+  }
+
+  test("replay, family drift, and mixed-layout compaction") {
+    val store = java.nio.file.Files.createTempDirectory("annst2").toString
     val corpus = emb
-    (0 until 3).foreach { c =>
+    // MIXED layouts: batch 0 partitioned, batches 1-2 L0
+    AnnStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === 0L),
+      store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = "b0",
+      l0Bound = 0)
+    (1 until 3).foreach { c =>
       AnnStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === c),
         store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = s"b$c")
     }
     val queries = corpus.filter(col("vec_id") < 10)
-    val streamed = resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
-      .select("query_id", "neighbor_id", "rank"))
-    val batch = resultSet(SimilaritySearch.lshTopK(
-        queries, corpus, dim = 64, k = 5, planes = 6, seed = 7L, tables = 8)
-      .select("query_id", "neighbor_id", "rank"))
-    assert(streamed == batch, s"stream ${streamed.size} != batch ${batch.size}")
-    assert(streamed.nonEmpty)
+    val batch = batchAnswer(corpus, queries)
 
     // replay of a tick: same answers, no new commit dir
     def commits = new java.io.File(s"$store/annvecs").listFiles()
@@ -54,16 +84,21 @@ class AnnStreamSpec extends SparkSpec {
       AnnStream.searchStore(spark, "/tmp/not-an-ann-store", queries, k = 5)
     }
 
-    // compaction folds the commits and changes no answer; a replay
-    // AFTER compaction is suppressed by the _FOLDED ledger
-    DedupStream.compact(spark, store)
+    // compaction folds BOTH layouts into one partitioned commit and
+    // changes no answer; a replay AFTER compaction is suppressed by
+    // the _FOLDED ledger
+    AnnStream.compactStore(spark, store)
     val folded = commits
     assert(folded.size == 1 && folded.head.startsWith("batch=compact-"), folded)
+    val compacted = new java.io.File(s"$store/annvecs/${folded.head}").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("ab="))
+    assert(compacted, "compaction must restore the hash-partitioned layout")
     assert(resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
       .select("query_id", "neighbor_id", "rank")) == batch)
     AnnStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === 0L),
-      store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = "b0")
-    DedupStream.compact(spark, store) // GC the invisible rewrite
+      store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = "b0",
+      l0Bound = 0)
+    AnnStream.compactStore(spark, store) // GC the invisible rewrite
     assert(resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
       .select("query_id", "neighbor_id", "rank")) == batch,
       "replay behind compaction must not duplicate or change answers")
