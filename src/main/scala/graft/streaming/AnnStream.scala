@@ -111,6 +111,43 @@ object AnnStream {
     keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("members"))
   }
 
+  /** Streaming entry, the [[DedupStream.startClusters]] shape: vector
+    * parquet files land in `vecsPath`, every micro-batch upserts into
+    * the store (deterministic `queryId-batchId` tags → replay-
+    * idempotent), and every `compactEvery` batches the accumulated
+    * commits (L0 singles included) fold back into the partitioned
+    * layout. [[searchStore]] serves queries against the same store
+    * between ticks (single WRITER contract; readers are safe any
+    * time — visibility is the manifest). */
+  def start(
+      spark: SparkSession,
+      vecsPath: String,
+      vecsSchema: StructType,
+      storeDir: String,
+      checkpoint: String,
+      dim: Int,
+      planes: Int = 8, seed: Long = 7L, tables: Int = 1,
+      storeParts: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      compactEvery: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(vecsSchema).parquet(vecsPath)
+      .writeStream
+      .queryName("ann-maintenance")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qid = Option(batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
+        upsertStep(batch, storeDir, dim, planes, seed, tables,
+          batchTag = s"$qid-$batchId", storeParts = storeParts)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactStore(spark, storeDir)
+        ()
+      }
+      .start()
+  }
+
   private def storeParts(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Int = {

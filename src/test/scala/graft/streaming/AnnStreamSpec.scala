@@ -104,6 +104,39 @@ class AnnStreamSpec extends SparkSpec {
       "replay behind compaction must not duplicate or change answers")
   }
 
+  test("start: vector files in, durable searchable index maintained (AvailableNow)") {
+    val root = java.nio.file.Files.createTempDirectory("annw").toString
+    val vecsDir = s"$root/vecs"
+    new java.io.File(vecsDir).mkdirs()
+    val corpus = emb.cache()
+    def stage(name: String, c: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      corpus.filter(pmod(col("vec_id"), lit(3)) === c)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$vecsDir/$name.parquet"))
+      ()
+    }
+    val schema = corpus.schema
+    def tick(): Unit = {
+      val q = AnnStream.start(spark, vecsDir, schema, s"$root/store",
+        s"$root/ckpt", dim = 64, planes = 6, seed = 7L, tables = 8,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        compactEvery = 2)
+      q.awaitTermination()
+    }
+    stage("v0", 0L); tick()
+    stage("v1", 1L); stage("v2", 2L); tick()
+    val queries = corpus.filter(col("vec_id") < 10)
+    val streamed = resultSet(AnnStream.searchStore(spark, s"$root/store", queries, k = 5)
+      .select("query_id", "neighbor_id", "rank"))
+    assert(streamed == batchAnswer(corpus, queries),
+      "files-in stream must equal the one-shot build")
+    corpus.unpersist()
+  }
+
   test("q101: the registered incremental-ANN query equals the q20 one-shot build") {
     val a = resultSet(graft.queries.OpsQueries.q101AnnStream(spark, dir)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("int")))
