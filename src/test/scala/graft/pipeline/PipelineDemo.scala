@@ -187,6 +187,24 @@ object PipelineDemo {
     println(s"EXACT_STREAM dups=${exDup.collect().map(r => (r.getLong(0), r.getLong(1))).toList}")
     exDup.unpersist()
 
+    // --- durable incremental ANN: two upserts accrete a searchable LSH
+    // store; vector 20 is a near-copy of vector 1 from the EARLIER
+    // batch, so the cross-batch search must surface it as the top hit
+    val annStore = java.nio.file.Files.createTempDirectory("demo-ann").toString
+    def vec(seed: Int): Seq[Float] =
+      (0 until 16).map(i => math.sin(seed * 17.0 + i).toFloat)
+    val av1 = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3))).toDF("vec_id", "embedding")
+    val near1 = vec(1).zipWithIndex.map { case (v, i) => v + (if (i == 0) 0.01f else 0f) }
+    val av2 = Seq((20L, near1.toSeq), (21L, vec(9))).toDF("vec_id", "embedding")
+    graft.streaming.AnnStream.upsertStep(av1, annStore, dim = 16, planes = 4,
+      tables = 4, batchTag = "a0")
+    graft.streaming.AnnStream.upsertStep(av2, annStore, dim = 16, planes = 4,
+      tables = 4, batchTag = "a1")
+    val annHit = graft.streaming.AnnStream.searchStore(
+        spark, annStore, av1.filter($"vec_id" === 1L), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    println(s"ANN_STREAM top1=$annHit")
+
     // --- watermarked stream-stream attribution join: one in-horizon
     // click matches, the no-impression click drops
     {
