@@ -275,6 +275,47 @@ object ScaleRehearsal {
       println("CLUSTER_TICK final_equal_batch=true")
     }
 
+    // durable ANN index at 10x: the sf1 embeddings flow in over 10
+    // ticks; each tick upserts into the AnnStream store AND runs a
+    // 10-query search against everything accreted so far. Upsert wall
+    // must stay flat (O(batch·tables) rows per commit); search wall is
+    // bounded by commits-since-compaction (compacted halfway to prove
+    // the fold is transparent). Final search must equal the one-shot
+    // lshBuild over the full corpus.
+    {
+      val astore = java.nio.file.Files
+        .createTempDirectory("sf1-annstore").toString
+      val vecs = spark.read.parquet(s"$DestDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val queries = vecs.filter(col("vec_id") < 10).cache()
+      queries.count()
+      (0 until 10).foreach { c =>
+        val batch = vecs.filter(pmod(col("vec_id"), lit(10)) === c)
+        val t0 = System.nanoTime()
+        graft.streaming.AnnStream.upsertStep(batch, astore,
+          dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = s"a$c")
+        val tUp = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val hits = graft.streaming.AnnStream
+          .searchStore(spark, astore, queries, k = 5).count()
+        println(f"ANN_TICK $c%d upsert_sec=$tUp%.2f " +
+          f"search_sec=${(System.nanoTime() - t1) / 1e9}%.2f hits=$hits%d")
+        if (c == 4) graft.streaming.AnnStream.compactStore(spark, astore)
+      }
+      val streamed = graft.streaming.AnnStream
+        .searchStore(spark, astore, queries, k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val oneShot = graft.ops.SimilaritySearch.lshTopK(
+          queries, vecs, dim = 64, k = 5, planes = 6, seed = 7L, tables = 8)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      require(streamed == oneShot,
+        s"accreted ANN index diverged: ${streamed.size} vs ${oneShot.size}")
+      queries.unpersist()
+      println("ANN_TICK final_equal_batch=true")
+    }
+
     // many-source stress for sourceOverlap: 1000 synthetic sources
     // over the sf1 corpus, every doc carrying a 3-token boilerplate
     // header (nav-bar/licence-header in miniature) — the header
