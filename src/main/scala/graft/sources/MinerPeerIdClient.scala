@@ -80,7 +80,10 @@ object MinerPeerIdClient {
       timeoutMs: Int = 60000,
       sleep: Long => Unit = Thread.sleep): String => Option[String] =
     f0Miner => {
-      require(f0Miner.startsWith("f0"), s"not an f0 actor address: $f0Miner")
+      // same digits-only guard as the contract leg: the address is
+      // interpolated into the outbound JSON-RPC body, so a non-numeric
+      // suffix must die here, not inject into the request
+      minerNumber(f0Miner)
       val result = JsonRpc.post(endpoints, "Filecoin.StateMinerInfo",
         s"""["$f0Miner",null]""", authToken, attempts, timeoutMs, sleep)
       val pid = result.get("PeerId")

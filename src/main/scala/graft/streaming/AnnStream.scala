@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   *     drifted family agree only by chance, so a mismatched searcher
   *     or writer dies loudly instead of silently missing neighbors;
   *   - ids are append-only (re-indexing an id re-writes the same keyed
-  *     rows; the search-side distinct absorbs the duplicates).
+  *     rows; the search-side per-pair dedup absorbs the duplicates).
   *
   * Scale shape: an upsert writes O(|batch| · tables) rows into ≤
   * storeParts files; the index never rebuilds. At 100 TB the corpus
@@ -82,33 +82,61 @@ object AnnStream {
     val spark = batch.sparkSession
     DedupStream.ensureStoreMeta(spark, storeDir, storeParts, family = 0)
     ensureAnnMeta(spark, storeDir, dim, planes, seed, tables)
+    // manifest-gated from birth: claiming the manifest BEFORE the first
+    // commit means a concurrent reader never sees a half-written dir
+    // through the manifest-less listing fallback — visibility is the
+    // manifest for the store's whole life, not just post-compaction.
+    // (Adopt _SUCCESS-complete dirs if the file is somehow absent on a
+    // non-empty store — same recovery as compactStore.)
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/annvecs")
+    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!rootFs.exists(new org.apache.hadoop.fs.Path(root, "_MANIFEST"))) {
+      rootFs.mkdirs(root)
+      val adopt = DedupStream.visibleCommits(rootFs, root).filter(s =>
+        rootFs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
+    }
     val parts = lit(storeParts.toLong)
     val planesFlat = SimilaritySearch.tablePlanesFlat(dim, planes, seed, tables)
-    val keyed = batch
-      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"),
-        posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
-          col(vecCol), planesFlat, planes, dim)).as(Seq("tbl", "bucket")))
-      .select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec"))
-    // L0 commits, the foldLabels idiom (measured 2.2× cheaper at tick
-    // scale there): a tick-sized batch writes ONE unpartitioned file
-    // instead of a shuffled ≤ storeParts dynamic-partition write.
-    // readStore treats a subdir-less commit as an always-read leaf —
-    // right for a small L0 — and [[compactStore]] folds accumulated
-    // L0s back into the hash-partitioned layout, so the pruned search
-    // path degrades by at most the commits since the last compaction.
-    val vecBound = l0Bound / math.max(1, tables)
-    val small = batch.limit(vecBound + 1).count() <= vecBound
-    if (small)
-      keyed.coalesce(1).write
-        .mode("overwrite").parquet(s"$storeDir/annvecs/batch=$batchTag")
-    else
-      keyed
-        .withColumn("ab", abCol(parts))
-        .repartition(col("ab")).write.partitionBy("ab")
-        .mode("overwrite").parquet(s"$storeDir/annvecs/batch=$batchTag")
+    // ONE source scan per upsert: the projected batch is persisted,
+    // the full count both materializes the cache and routes the commit
+    // layout, and the keyed write reads the cached rows (the old
+    // limit-count pre-pass re-read the tick's files — inside
+    // foreachBatch that is a second scan of every input file).
+    val b = batch
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val commitDir = s"$storeDir/annvecs/batch=$batchTag"
+    try {
+      val nVecs = b.count()
+      val keyed = b
+        .select(col("neighbor_id"), col("cvec"),
+          posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
+            col("cvec"), planesFlat, planes, dim)).as(Seq("tbl", "bucket")))
+        .select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec"))
+      // L0 commits, the foldLabels idiom (measured 2.2× cheaper at tick
+      // scale there): a tick-sized batch writes ONE unpartitioned file
+      // instead of a shuffled ≤ storeParts dynamic-partition write.
+      // readStore treats a subdir-less commit as an always-read leaf —
+      // right for a small L0 — and [[compactStore]] folds accumulated
+      // L0s back into the hash-partitioned layout, so the pruned search
+      // path degrades by at most the commits since the last compaction.
+      val vecBound = l0Bound / math.max(1, tables)
+      if (nVecs <= vecBound)
+        keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
+      else
+        keyed
+          .withColumn("ab", abCol(parts))
+          .repartition(col("ab")).write.partitionBy("ab")
+          .mode("overwrite").parquet(commitDir)
+    } finally { b.unpersist(blocking = false); () }
     DedupStream.publishCommit(spark,
       new org.apache.hadoop.fs.Path(s"$storeDir/annvecs"), s"batch=$batchTag")
-    keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("members"))
+    // the occupancy monitor reads back the just-written commit — the
+    // rows are already on disk, so the lazy consumer never re-touches
+    // the (now-unpersisted) batch or its source files
+    spark.read.parquet(commitDir)
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as("members"))
   }
 
   /** Streaming entry, the [[DedupStream.startClusters]] shape: vector
@@ -117,8 +145,11 @@ object AnnStream {
     * idempotent), and every `compactEvery` batches the accumulated
     * commits (L0 singles included) fold back into the partitioned
     * layout. [[searchStore]] serves queries against the same store
-    * between ticks (single WRITER contract; readers are safe any
-    * time — visibility is the manifest). */
+    * CONCURRENTLY (single WRITER contract; readers are safe any time:
+    * visibility is the manifest, and [[compactStore]] keeps the
+    * generation it replaces on disk until the NEXT compaction, so a
+    * reader whose leaf list was captured against the prior manifest
+    * finishes its lazy read instead of hitting a deleted file). */
   def start(
       spark: SparkSession,
       vecsPath: String,
@@ -177,7 +208,7 @@ object AnnStream {
       DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
     }
     val visible = DedupStream.visibleCommits(fs, root)
-    if (visible.size >= 2) {
+    val justReplaced: Set[String] = if (visible.size >= 2) {
       val parts = storeParts(fs, new org.apache.hadoop.fs.Path(storeDir))
       val all = DedupStream.readStore(spark, s"$storeDir/annvecs", vecSchema,
         excludeTag = " none ", partCol = "ab", wanted = (0 until parts).toSet)
@@ -192,11 +223,20 @@ object AnnStream {
       DedupStream.writeNameFile(spark, root, "_FOLDED",
         DedupStream.readFolded(fs, root) ++ visible.map(_.getPath.getName).toSet)
       DedupStream.writeManifest(spark, root, Set(target)) // THE commit point
-    }
+      visible.map(_.getPath.getName).toSet
+    } else Set.empty
+    // GC with a ONE-GENERATION GRACE PERIOD: the commits THIS call
+    // replaced stay on disk until the next compaction, so a concurrent
+    // [[searchStore]] whose leaf list was captured against the prior
+    // manifest can finish its lazy read — the manifest swap changes
+    // what NEW readers see, never what an in-flight reader holds.
+    // Anything unlisted AND not just-replaced (last generation's
+    // leftovers, replay rewrites behind the _FOLDED ledger) is deleted.
     DedupStream.readManifest(fs, root).foreach { nowVisible =>
       fs.listStatus(root).filter(_.isDirectory)
         .filter(_.getPath.getName.startsWith("batch="))
-        .filterNot(s => nowVisible.contains(s.getPath.getName))
+        .filterNot(s => nowVisible.contains(s.getPath.getName)
+          || justReplaced.contains(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, true))
     }
   }
@@ -205,7 +245,20 @@ object AnnStream {
     * multi-probe per table — identical candidate generation, scoring
     * and ranking to [[SimilaritySearch.lshSearch]], with the corpus
     * side replaced by a PRUNED store read (only the probe buckets'
-    * `ab=` partitions of each visible commit are opened). */
+    * `ab=` partitions of each visible commit are opened).
+    *
+    * Broadcast shape: ONLY the `(query_id, tbl, bucket)` probe-key
+    * triples cross the broadcast — three ints per row, ~90 MB even at
+    * the full maxQueries bound — NEVER the query vectors, whose bytes
+    * scale with `dim` (100k queries at dim 768 would be a multi-GB
+    * relation brushing Spark's 8 GB broadcast hard limit). The vectors
+    * rejoin by `query_id` AFTER candidate generation, where the join is
+    * candidate-proportional and AQE picks broadcast or shuffle from the
+    * actual sizes. The query relation is deliberately NOT persisted:
+    * each derivation is a column-pruned scan (ids+keys twice, ids+vecs
+    * once) and recomputing three cheap projections beats holding query
+    * vectors in executor memory for a lazy consumer to maybe reuse
+    * (the module cache contract: no persisted blocks outlive a query). */
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       maxQueries: Int = 100000,
@@ -227,29 +280,33 @@ object AnnStream {
     val planesFlat = SimilaritySearch.tablePlanesFlat(
       dim.toInt, planes.toInt, seed, tables.toInt)
     val qKeys = queries.select(
-      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"),
+      col(idCol).cast("long").as("query_id"),
       posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
         col(vecCol), planesFlat, planes.toInt, dim.toInt)).as(Seq("tbl", "key")))
     val probeMasks = lit(0) +: (0 until planes.toInt).map(b => shiftleft(lit(1), b))
-    val q = qKeys.select(col("query_id"), col("qvec"), col("tbl"),
+    val probes = qKeys.select(col("query_id"), col("tbl"),
       explode(array(probeMasks.map(m => col("key").bitwiseXOR(m)): _*)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded by construction: ≤ storeParts distinct partition ints
-    val wanted = q.select(abCol(parts).as("ab"))
+    val wanted = probes.select(abCol(parts).as("ab"))
       .distinct().collect().map(_.getInt(0)).toSet
     val stored = DedupStream.readStore(
       spark, s"$storeDir/annvecs", vecSchema,
       excludeTag = " none ", partCol = "ab", wanted = wanted)
-    val scored = stored.join(broadcast(q), Seq("tbl", "bucket"))
+    // candidate generation joins store rows to INT probe keys; the
+    // per-(query, neighbor) dedup (multi-table × multi-probe ×
+    // re-indexed-commit duplicates) keeps one cvec per pair
+    val cands = stored.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id").agg(first(col("cvec")).as("cvec"))
+    val qVecs = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+    val scored = cands.join(qVecs, Seq("query_id"))
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-      .select("query_id", "neighbor_id", "cos").distinct()
+      .select("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
-    q.unpersist()
-    out
   }
 }

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.SimilaritySearch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** The round-14 scale contracts of [[AnnStream]], pinned:
+  *
+  *   - the candidate-generation BROADCAST carries only int probe keys —
+  *     never a vector column (at the advertised maxQueries=100k bound a
+  *     vector-bearing broadcast is nq·tables·(planes+1)·dim floats:
+  *     ~2 GB at dim 64, past Spark's 8 GB hard limit at dim 768);
+  *   - an upsert reads its source exactly ONCE (the old limit-count
+  *     routing pre-pass re-scanned every input file of the tick);
+  *   - a searcher running CONCURRENTLY with upserts + compactions sees
+  *     every read complete and correct — never a torn generation, a
+  *     missing file, or a half-published commit. */
+class AnnStreamScaleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb: DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val self = pf.lift(p).toSeq
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case other => other.children
+    }
+    self ++ kids.flatMap(collectAll(_)(pf))
+  }
+
+  test("searchStore broadcast carries int probe keys only — no vector column (dim 256)") {
+    // dim 256 (≥ the directive's bound) via 4× tiling of the sf0.001
+    // embeddings; maxQueries stays the 100k default — the guard is the
+    // PLAN SHAPE, which does not depend on the actual query count
+    val wide = emb.select(col("vec_id"),
+      flatten(array_repeat(col("embedding"), 4)).as("embedding"))
+    val store = java.nio.file.Files.createTempDirectory("annbg").toString
+    AnnStream.upsertStep(wide, store, dim = 256, planes = 6, tables = 4,
+      batchTag = "b0")
+    val out = AnnStream.searchStore(spark, store, wide.filter(col("vec_id") < 10), k = 5)
+    val joins = collectAll(out.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys).exists(_.references.exists(
+            a => a.name == "bucket")) => j
+    }
+    assert(joins.nonEmpty, "candidate generation must be a broadcast hash join")
+    joins.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val arrays = build.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"the probe-key broadcast must carry no vector column, got: " +
+          arrays.map(_.name).mkString(","))
+    }
+    // and the result is still the one-shot answer
+    val got = out.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = SimilaritySearch.lshTopK(
+        wide.filter(col("vec_id") < 10), wide, dim = 256, k = 5,
+        planes = 6, seed = 7L, tables = 4)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  // one single-scan exercise per commit layout (l0Bound = 0 forces the
+  // hash-partitioned branch)
+  Seq(("L0 single-file", 1 << 16), ("hash-partitioned", 0)).foreach {
+    case (label, l0) =>
+      test(s"upsertStep reads its source exactly once ($label commits)") {
+        val acc = spark.sparkContext.longAccumulator(s"ann-scan-$label")
+        val tap = udf { (v: Seq[Float]) => acc.add(1L); v }
+        val batch = emb.withColumn("embedding", tap(col("embedding")))
+        val n = emb.count()
+        val store = java.nio.file.Files.createTempDirectory("annsc").toString
+        AnnStream.upsertStep(batch, store, dim = 64, planes = 6, tables = 8,
+          batchTag = "b0", l0Bound = l0)
+        assert(acc.value == n,
+          s"source evaluated ${acc.value} rows for $n input rows — " +
+            "the upsert must scan its batch exactly once")
+      }
+  }
+
+  test("concurrent searcher during upserts + compactions: every read complete and correct") {
+    // planted corpus: the top-5 is the 5 planted copies (cos ≥ 0.9987)
+    // per query, and every writer batch below duplicates DISTRACTOR
+    // vectors (ceiling ≤ 0.61) under fresh ids — so the correct answer
+    // is INVARIANT across the writer's whole run, and any torn read,
+    // missed commit, or deleted-file race shows up as a wrong set or a
+    // thrown IO error in the searcher thread
+    val corpus = SimilaritySearch.plantedNeighborCorpus(emb)
+    val store = java.nio.file.Files.createTempDirectory("anncc").toString
+    (0 until 3).foreach { c =>
+      AnnStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === c),
+        store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = s"b$c")
+    }
+    AnnStream.compactStore(spark, store)
+    val queries = corpus.filter(col("vec_id") < 10)
+    def read(): Set[(Long, Long, Int)] =
+      AnnStream.searchStore(spark, store, queries, k = 5)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = read()
+    assert(expected.size == 50, s"10 queries × top-5, got ${expected.size}")
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var searcherFailure: Option[Throwable] = None
+    val searcher = new Thread(() =>
+      try while (!stop.get()) {
+        val got = read()
+        if (got != expected)
+          throw new AssertionError(
+            s"concurrent read diverged: ${got.diff(expected).take(3)} / " +
+              s"${expected.diff(got).take(3)}")
+        reads.incrementAndGet(); ()
+      } catch { case t: Throwable => searcherFailure = Some(t) })
+    searcher.setDaemon(true)
+    searcher.start()
+    try {
+      val distractors = emb.filter(col("vec_id") >= 20 && col("vec_id") < 120)
+      (0 until 6).foreach { i =>
+        AnnStream.upsertStep(
+          distractors.select((col("vec_id") + lit((i + 1) * 1000000L)).as("vec_id"),
+            col("embedding")),
+          store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = s"w$i")
+        if (i % 2 == 1) AnnStream.compactStore(spark, store)
+      }
+    } finally { stop.set(true); searcher.join(120000) }
+    searcherFailure.foreach(t => fail(s"searcher failed mid-write: $t", t))
+    assert(reads.get() >= 3, s"searcher completed only ${reads.get()} reads")
+    assert(read() == expected, "post-write answer must still be the planted top-5")
+  }
+}

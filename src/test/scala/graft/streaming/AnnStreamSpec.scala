@@ -88,6 +88,17 @@ class AnnStreamSpec extends SparkSpec {
     // changes no answer; a replay AFTER compaction is suppressed by
     // the _FOLDED ledger
     AnnStream.compactStore(spark, store)
+    // ONE-GENERATION GRACE: the replaced commits survive the manifest
+    // swap (an in-flight reader of the prior generation finishes its
+    // lazy read); only the compact- commit is manifest-visible, and the
+    // NEXT compaction physically GCs the prior generation
+    val afterFold = commits
+    assert(afterFold.size == 4 && afterFold.exists(_.startsWith("batch=compact-")),
+      afterFold)
+    assert(resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")) == batch,
+      "stale-but-graced dirs must stay invisible to a fresh reader")
+    AnnStream.compactStore(spark, store)
     val folded = commits
     assert(folded.size == 1 && folded.head.startsWith("batch=compact-"), folded)
     val compacted = new java.io.File(s"$store/annvecs/${folded.head}").listFiles()
