@@ -108,6 +108,7 @@ object SparkEntry {
     "q99_multimodal_ext" -> (OpsQueries.q99MultimodalExt _),
     "q100_multimodal_img" -> (OpsQueries.q100MultimodalImg _),
     "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
+    "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -371,6 +372,10 @@ object SparkEntry {
     // incremental LSH store (AnnStream: 3 upsert commits + pruned
     // search) must answer exactly like the one-shot q20 build
     "q101_ann_stream" -> annPlantedTopkSql,
+    // q102 likewise: the durable incremental IVF store (IvfStream:
+    // first-tick quantizer fit + pin, 3 assignment commits, nprobe-
+    // pruned search) must answer exactly like q30's one-shot build
+    "q102_ivf_stream" -> annPlantedTopkSql,
     // q53: exact all-pairs cosine ≥ 0.92 over the planted corpus — the
     // threshold regime where the k-means cell blocking provably loses
     // nothing (family diameter ≤ 0.05 rad, distractor ceiling 0.61)

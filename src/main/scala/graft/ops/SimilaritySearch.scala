@@ -165,7 +165,7 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex =
     ivfAssignedIndex(corpus, nlist, seed, idCol, vecCol, persist = true)
 
-  private def nearestCellsOf(
+  private[graft] def nearestCellsOf(
       cs: Array[Array[Double]], v: Seq[Float], n: Int): Seq[Int] =
     cs.indices.map { i =>
       var d = 0.0; var j = 0
@@ -741,7 +741,7 @@ object SimilaritySearch {
     * DISTINCT points (seeded, like the MLlib setting it replaced), so
     * degenerate data yields fewer-than-k centers rather than duplicate
     * ones — the encode/ADC passes already size by the actual count. */
-  private def localKMeans(
+  private[graft] def localKMeans(
       pts: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     require(pts.nonEmpty, "k-means needs a non-empty training sample")
     val dim = pts(0).length

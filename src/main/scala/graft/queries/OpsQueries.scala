@@ -1255,6 +1255,34 @@ object OpsQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** The durable incremental IVF store ([[graft.streaming.IvfStream]]):
+    * the corpus accretes over 3 upsert commits (the FIRST tick fits and
+    * pins the quantizer; later ticks assign to the pinned cells) and
+    * the nprobe-pruned search must answer exactly like q30's one-shot
+    * [[SimilaritySearch.ivfTopK]] gate — the planted-ANN brute-force
+    * oracle verbatim (nprobe 8: the q30 coverage knee holds for a
+    * first-tick-fit quantizer too — the planted copies sit ≥ 0.9987
+    * cosine from their query, so query and copy share nearest cells
+    * regardless of which bounded sample trained the quantizer). */
+  def q102IvfStream(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = annCorpus(spark, dir)
+    val store = java.nio.file.Files.createTempDirectory("q102ivf").toString
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+    (0 until 3).foreach { c =>
+      graft.streaming.IvfStream.upsertStep(
+        corpus.filter(pmod(col("vec_id"), lit(3)) === c), store,
+        dim = 64, nlist = 16, seed = 13L, batchTag = s"a$c")
+    }
+    graft.streaming.IvfStream.searchStore(
+        spark, store, corpus.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
     * deterministic synthetic versions of the documents table (old drops
     * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites

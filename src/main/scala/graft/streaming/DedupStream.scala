@@ -289,7 +289,9 @@ object DedupStream {
     // be L0 single files (no ab= subdirs), which this generic fold
     // would silently exclude from the rewrite and then tombstone via
     // _FOLDED; AnnStream.compactStore re-derives the partition column
-    // from row content and handles both layouts.
+    // from row content and handles both layouts. ivfvecs (IvfStream)
+    // is likewise excluded — IvfStream.compactStore owns it (same L0
+    // reason, plus the refit-swap discipline).
     Seq("buckets" -> "pb", "sigs" -> "ps", "spans" -> "ph", "wins" -> "pw",
         "chunks" -> "pc", "fps" -> "ps", "hashes" -> "ph").foreach {
       case (sub, partCol) =>

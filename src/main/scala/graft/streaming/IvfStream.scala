@@ -1,0 +1,398 @@
+package graft.streaming
+
+import graft.ops.{Dedup, SimilaritySearch}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** STREAMING IVF index maintenance — the coarse-quantizer ANN tier
+  * ([[SimilaritySearch.ivfBuild]]/[[SimilaritySearch.ivfSearch]]) made
+  * DURABLE and INCREMENTAL on the [[AnnStream]]/[[DedupStream]] store
+  * discipline. The compressed tiers are the ones a 100 TB deployment
+  * actually serves from, and build-once quantizers force a full-corpus
+  * re-pass to admit new vectors; this store instead PINS the fitted
+  * centroids (the `_IVF` marker — the [[AnnStream]] `_ANN` idiom, with
+  * the centroid VALUES persisted because they are data-fit, not
+  * seed-derived) and each micro-batch assigns its vectors to the
+  * pinned cells as a tag-keyed commit. A search prunes to the nprobe
+  * cell partitions its queries hash to — O(queries · nprobe)
+  * partitions read, never the corpus.
+  *
+  * Contracts, shared with the sibling stores: tag-keyed overwrite
+  * commits (replay-idempotent), manifest-gated visibility from the
+  * FIRST commit, `_MANIFEST`/`_FOLDED` crash-safe compaction with
+  * one-generation GC grace, `_PARTS` partition pinning, single writer /
+  * readers-any-time.
+  *
+  * Centroid drift is MANAGED, not ignored: [[upsertStep]] returns the
+  * batch's per-cell occupancy and mean distance-to-centroid (the drift
+  * monitor — a rising mean means the pinned quantizer no longer fits
+  * the data), and [[compactStore]] with `refit = true` is the
+  * remediation: refit on a bounded sample of the WHOLE store, reassign
+  * every vector, swap atomically. Refit is crash-safe via an
+  * `_IVF.pending` two-phase promote: the new centroids only take
+  * effect once the manifest points at the reassigned commit, and
+  * either side of a mid-swap crash leaves a store whose visible rows
+  * and effective centroids agree (see [[effectiveMeta]]).
+  *
+  * reference analog: none (engine-side training-data surface); the
+  * design restates the standard IVF sharded-serving layout on parquet
+  * commits. */
+object IvfStream {
+
+  private[streaming] val vecSchema: StructType = StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true)))
+
+  /** The store's partition int for a cell — same xxhash64 derivation
+    * on writer and searcher. */
+  private def abCol(parts: Column): Column =
+    pmod(xxhash64(col("cell").cast("long")), parts).cast("int")
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomic full-text file replace (the writeNameFile discipline, but
+    * ORDERED content — centroid rows must round-trip in order). */
+  private def writeTextFile(
+      spark: SparkSession, root: org.apache.hadoop.fs.Path,
+      fileName: String, text: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_$fileName.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, fileName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readTextFile(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      Some(try scala.io.Source.fromInputStream(in).mkString finally in.close())
+    }
+
+  /** The pinned quantizer: config header + fitted centroids. For the
+    * PENDING form (mid-refit), `target` names the reassigned commit the
+    * centroids belong to. Double.toString/parseDouble round-trips
+    * exactly, so a reloaded quantizer assigns bit-identically. */
+  private[streaming] final case class IvfMeta(
+      dim: Int, nlist: Int, seed: Long,
+      centroids: Array[Array[Double]], target: Option[String]) {
+    def render: String = {
+      val head = s"$dim/$nlist/$seed" + target.fold("")(t => s"/$t")
+      (head +: centroids.map(_.mkString(","))).mkString("\n")
+    }
+  }
+
+  private def parseMeta(text: String): IvfMeta = {
+    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
+    val h = lines.head.split('/')
+    IvfMeta(h(0).toInt, h(1).toInt, h(2).toLong,
+      lines.tail.map(_.split(',').map(java.lang.Double.parseDouble)),
+      if (h.length > 3) Some(h(3)) else None)
+  }
+
+  /** The EFFECTIVE quantizer for the store's current visible state —
+    * the crash-healing read. A refit promotes `_IVF.pending` → `_IVF`
+    * only after its manifest swap; this resolves either crash window:
+    * pending whose target IS the visible commit set → the swap
+    * happened, pending's centroids are the truth (a writer also
+    * finishes the promotion); pending whose target is NOT visible →
+    * pre-swap crash, the pending file is a dead letter and `_IVF`
+    * stands. */
+  private def effectiveMeta(
+      spark: SparkSession, storeDir: String,
+      promote: Boolean): Option[IvfMeta] = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val f = fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir, "ivfvecs")
+    val pendingPath = new org.apache.hadoop.fs.Path(dir, "_IVF.pending")
+    val pending = readTextFile(f, pendingPath).map(parseMeta)
+    val visible = DedupStream.readManifest(f, root).getOrElse(Set.empty)
+    pending match {
+      case Some(m) if m.target.exists(visible.contains) =>
+        if (promote) {
+          writeTextFile(spark, dir, "_IVF", m.copy(target = None).render)
+          f.delete(pendingPath, false)
+        }
+        Some(m.copy(target = None))
+      case _ =>
+        readTextFile(f, new org.apache.hadoop.fs.Path(dir, "_IVF")).map(parseMeta)
+    }
+  }
+
+  private def requireConfig(m: IvfMeta, dim: Int, nlist: Int, seed: Long,
+      storeDir: String): Unit =
+    require(m.dim == dim && m.nlist == nlist && m.seed == seed,
+      s"ivf store $storeDir was pinned with dim/nlist/seed=" +
+        s"${m.dim}/${m.nlist}/${m.seed}; this config is $dim/$nlist/$seed — " +
+        "rebuild the store or match the writing config")
+
+  /** Deterministic bounded fit sample (the [[SimilaritySearch]] idiom:
+    * smallest-xxhash64 order, partitioning-independent). */
+  private def fitCentroids(
+      rows: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
+    val sample = rows
+      .orderBy(xxhash64(col("neighbor_id")).asc, col("neighbor_id").asc)
+      .limit(20000).select("cvec")
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    SimilaritySearch.localKMeans(sample, nlist, iters = 10, seed = seed)
+  }
+
+  /** Pre-pin a quantizer (e.g. to build a second store that must
+    * answer identically, or to carry a batch-fit model into the
+    * stream). Refuses to overwrite an existing pin. */
+  def pinCentroids(
+      spark: SparkSession, storeDir: String,
+      dim: Int, nlist: Int, seed: Long,
+      centroids: Array[Array[Double]]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val f = fs(spark, dir)
+    require(!f.exists(new org.apache.hadoop.fs.Path(dir, "_IVF")),
+      s"ivf store $storeDir already has a pinned quantizer")
+    f.mkdirs(dir)
+    writeTextFile(spark, dir, "_IVF",
+      IvfMeta(dim, nlist, seed, centroids, None).render)
+  }
+
+  /** The pinned (effective) centroids — monitoring / equality probes. */
+  def loadCentroids(spark: SparkSession, storeDir: String): Array[Array[Double]] =
+    effectiveMeta(spark, storeDir, promote = false)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an ivf store (no _IVF marker): $storeDir")).centroids
+
+  /** Fold one micro-batch of `(idCol, vecCol)` rows into the store.
+    * The FIRST upsert on an unpinned store fits the quantizer from the
+    * batch's bounded deterministic sample and pins it; every later
+    * upsert assigns to the pinned cells. Returns the batch's per-cell
+    * `(cell, members, mean_dist)` — the DRIFT MONITOR: mean
+    * distance-to-centroid rising tick over tick means the pinned
+    * quantizer has drifted off the data and a
+    * `compactStore(refit = true)` is due. */
+  def upsertStep(
+      batch: DataFrame, storeDir: String, dim: Int,
+      nlist: Int = 16, seed: Long = 13L,
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      storeParts: Int = 64,
+      l0Bound: Int = 1 << 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    DedupStream.ensureStoreMeta(spark, storeDir, storeParts, family = 0)
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/ivfvecs")
+    val rootFs = fs(spark, root)
+    // manifest-gated from birth (the AnnStream contract): readers never
+    // see a half-written dir through the listing fallback
+    if (!rootFs.exists(new org.apache.hadoop.fs.Path(root, "_MANIFEST"))) {
+      rootFs.mkdirs(root)
+      val adopt = DedupStream.visibleCommits(rootFs, root).filter(s =>
+        rootFs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
+    }
+    // ONE source scan: project + persist, count to materialize (and
+    // route the commit layout), fit-if-first from the cache, assign and
+    // write from the cache
+    val b = batch
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val commitDir = s"$storeDir/ivfvecs/batch=$batchTag"
+    val centroids = try {
+      val nVecs = b.count()
+      val meta = effectiveMeta(spark, storeDir, promote = true) match {
+        case Some(m) => requireConfig(m, dim, nlist, seed, storeDir); m
+        case None =>
+          val m = IvfMeta(dim, nlist, seed, fitCentroids(b, nlist, seed), None)
+          writeTextFile(spark, new org.apache.hadoop.fs.Path(storeDir), "_IVF", m.render)
+          m
+      }
+      val bc = spark.sparkContext.broadcast(meta.centroids)
+      val assignCell = udf { (v: Seq[Float]) =>
+        SimilaritySearch.nearestCellsOf(bc.value, v, 1).head }
+      val keyed = b.select(col("neighbor_id"),
+        assignCell(col("cvec")).as("cell"), col("cvec"))
+      if (nVecs <= l0Bound)
+        keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
+      else
+        keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
+          .repartition(col("ab")).write.partitionBy("ab")
+          .mode("overwrite").parquet(commitDir)
+      bc
+    } finally { b.unpersist(blocking = false); () }
+    DedupStream.publishCommit(spark, root, s"batch=$batchTag")
+    // drift monitor off the just-written commit (on-disk rows — the
+    // lazy consumer never re-touches the unpersisted batch)
+    val distTo = udf { (cell: Int, v: Seq[Float]) =>
+      val c = centroids.value(cell)
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+      math.sqrt(d)
+    }
+    spark.read.parquet(commitDir)
+      .groupBy("cell").agg(count(lit(1)).as("members"),
+        avg(distTo(col("cell"), col("cvec"))).as("mean_dist"))
+  }
+
+  /** Streaming entry, the [[AnnStream.start]] shape: vector parquet
+    * files land in `vecsPath`, each micro-batch upserts (deterministic
+    * tags → replay-idempotent), every `compactEvery` batches the
+    * commits fold back into the partitioned layout. Pass a pre-pinned
+    * store (see [[pinCentroids]]) or let the first batch fit. */
+  def start(
+      spark: SparkSession,
+      vecsPath: String,
+      vecsSchema: StructType,
+      storeDir: String,
+      checkpoint: String,
+      dim: Int,
+      nlist: Int = 16, seed: Long = 13L,
+      storeParts: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      compactEvery: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(vecsSchema).parquet(vecsPath)
+      .writeStream
+      .queryName("ivf-maintenance")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qid = Option(batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
+        upsertStep(batch, storeDir, dim, nlist, seed,
+          batchTag = s"$qid-$batchId", storeParts = storeParts)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactStore(spark, storeDir)
+        ()
+      }
+      .start()
+  }
+
+  private def storePartsOf(
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int = {
+    val pin = f.open(new org.apache.hadoop.fs.Path(dir, "_PARTS"))
+    val t = try scala.io.Source.fromInputStream(pin).mkString.trim finally pin.close()
+    t.split('/')(0).toInt
+  }
+
+  /** Offline maintenance: fold the accumulated commits (both layouts)
+    * into one hash-partitioned commit — and, with `refit = true`, the
+    * DRIFT REMEDIATION: refit the quantizer on a bounded sample of the
+    * whole store, reassign every vector, and atomically swap both.
+    *
+    * Refit two-phase commit: (1) the reassigned data lands as an
+    * invisible `batch=refit-*` dir; (2) the new centroids are staged as
+    * `_IVF.pending` naming that dir; (3) the manifest swap makes the
+    * reassignment visible — THE commit point, after which
+    * [[effectiveMeta]] serves pending's centroids; (4) pending promotes
+    * to `_IVF`. A crash before (3) leaves the old store intact (the
+    * orphan dir and dead-letter pending are GC'd / ignored); a crash
+    * after (3) is healed by any later reader-writer's promotion.
+    * Same one-generation GC grace as [[AnnStream.compactStore]]:
+    * replaced commits outlive the swap until the NEXT compaction so
+    * in-flight readers finish. SINGLE-WRITER contract. */
+  def compactStore(
+      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/ivfvecs")
+    val f = root.getFileSystem(conf)
+    if (!f.exists(root)) return
+    if (DedupStream.readManifest(f, root).isEmpty) {
+      val adopt = DedupStream.visibleCommits(f, root).filter(s => f.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
+    }
+    val visible = DedupStream.visibleCommits(f, root)
+    val justReplaced: Set[String] =
+      if (visible.size >= 2 || (refit && visible.nonEmpty)) {
+        val meta = effectiveMeta(spark, storeDir, promote = true)
+          .getOrElse(throw new IllegalArgumentException(
+            s"not an ivf store (no _IVF marker): $storeDir"))
+        val parts = storePartsOf(f, dir)
+        val all = DedupStream.readStore(spark, s"$storeDir/ivfvecs", vecSchema,
+          excludeTag = " none ", partCol = "ab",
+          wanted = (0 until parts).toSet)
+        val (rows, target, newMeta) =
+          if (refit) {
+            val m2 = meta.copy(centroids = fitCentroids(all, meta.nlist, meta.seed))
+            val bc = spark.sparkContext.broadcast(m2.centroids)
+            val assignCell = udf { (v: Seq[Float]) =>
+              SimilaritySearch.nearestCellsOf(bc.value, v, 1).head }
+            (all.select(col("neighbor_id"),
+              assignCell(col("cvec")).as("cell"), col("cvec")),
+              s"batch=refit-${java.util.UUID.randomUUID()}", Some(m2))
+          } else (all, s"batch=compact-${java.util.UUID.randomUUID()}", None)
+        rows.withColumn("ab", abCol(lit(parts.toLong)))
+          .repartition(col("ab")).sortWithinPartitions("cell")
+          .write.partitionBy("ab")
+          .mode("overwrite").parquet(s"$storeDir/ivfvecs/$target")
+        newMeta.foreach(m2 => writeTextFile(spark, dir, "_IVF.pending",
+          m2.copy(target = Some(target)).render))
+        DedupStream.writeNameFile(spark, root, "_FOLDED",
+          DedupStream.readFolded(f, root) ++ visible.map(_.getPath.getName).toSet)
+        DedupStream.writeManifest(spark, root, Set(target)) // THE commit point
+        effectiveMeta(spark, storeDir, promote = true) // finish the promotion
+        visible.map(_.getPath.getName).toSet
+      } else Set.empty
+    DedupStream.readManifest(f, root).foreach { nowVisible =>
+      f.listStatus(root).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("batch="))
+        .filterNot(s => nowVisible.contains(s.getPath.getName)
+          || justReplaced.contains(s.getPath.getName))
+        .foreach(s => f.delete(s.getPath, true))
+    }
+  }
+
+  /** Top-k cosine search against the accumulated store: each query
+    * probes its `nprobe` nearest pinned cells, and ONLY those cells'
+    * `ab=` partitions of each visible commit are opened. Same broadcast
+    * discipline as [[AnnStream.searchStore]]: the broadcast carries INT
+    * `(query_id, cell)` pairs, never a vector; query vectors rejoin by
+    * id after candidate generation. */
+  def searchStore(
+      spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
+      nprobe: Int = 3, maxQueries: Int = 100000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val meta = effectiveMeta(spark, storeDir, promote = false)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an ivf store (no _IVF marker): $storeDir"))
+    val parts = lit(storePartsOf(fs(spark, dir), dir).toLong)
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"searchStore got more than $maxQueries query rows — the query side " +
+        "must stay the bounded side; swap sides or raise maxQueries deliberately")
+    val bc = spark.sparkContext.broadcast(meta.centroids)
+    val np = nprobe
+    val probeCells = udf { (v: Seq[Float]) =>
+      SimilaritySearch.nearestCellsOf(bc.value, v, np) }
+    val probes = queries.select(
+      col(idCol).cast("long").as("query_id"),
+      explode(probeCells(col(vecCol))).as("cell"))
+    val wanted = probes.select(abCol(parts).as("ab"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val stored = DedupStream.readStore(
+      spark, s"$storeDir/ivfvecs", vecSchema,
+      excludeTag = " none ", partCol = "ab", wanted = wanted)
+    val cands = stored.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id").agg(first(col("cvec")).as("cvec"))
+    val qVecs = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+    val scored = cands.join(qVecs, Seq("query_id"))
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+      .select("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

@@ -205,6 +205,19 @@ object PipelineDemo {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     println(s"ANN_STREAM top1=$annHit")
 
+    // --- durable incremental IVF (round 14): the first upsert fits and
+    // pins the quantizer, the second accretes under it; the cross-batch
+    // nprobe search must surface the same near-copy as the top hit
+    val ivfStore = java.nio.file.Files.createTempDirectory("demo-ivf").toString
+    graft.streaming.IvfStream.upsertStep(av1, ivfStore, dim = 16, nlist = 2,
+      batchTag = "i0")
+    graft.streaming.IvfStream.upsertStep(av2, ivfStore, dim = 16, nlist = 2,
+      batchTag = "i1")
+    val ivfHit = graft.streaming.IvfStream.searchStore(
+        spark, ivfStore, av1.filter($"vec_id" === 1L), k = 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    println(s"IVF_STREAM top1=$ivfHit")
+
     // --- watermarked stream-stream attribution join: one in-horizon
     // click matches, the no-impression click drops
     {

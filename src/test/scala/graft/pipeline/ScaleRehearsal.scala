@@ -316,6 +316,57 @@ object ScaleRehearsal {
       println("ANN_TICK final_equal_batch=true")
     }
 
+    // durable IVF index at 10x (round 14): the sf1 embeddings flow in
+    // over 10 ticks — the FIRST tick fits and pins the quantizer, every
+    // later tick assigns to the pinned cells. Upsert wall must stay
+    // flat; the per-tick drift monitor (store-weighted mean
+    // distance-to-centroid of the batch) is the refit trigger a real
+    // deployment watches; compacted halfway to prove the fold is
+    // transparent. Final search must equal a ONE-SHOT store built under
+    // the same pinned quantizer — accretion is answer-transparent.
+    {
+      val istore = java.nio.file.Files
+        .createTempDirectory("sf1-ivfstore").toString
+      val vecs = spark.read.parquet(s"$DestDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val queries = vecs.filter(col("vec_id") < 10).cache()
+      queries.count()
+      (0 until 10).foreach { c =>
+        val batch = vecs.filter(pmod(col("vec_id"), lit(10)) === c)
+        val t0 = System.nanoTime()
+        val mon = graft.streaming.IvfStream.upsertStep(batch, istore,
+          dim = 64, nlist = 16, seed = 13L, batchTag = s"i$c")
+        val d = mon.agg(sum(col("members")),
+          sum(col("members") * col("mean_dist"))).collect()(0)
+        val meanDist = d.getDouble(1) / d.getLong(0)
+        val tUp = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val hits = graft.streaming.IvfStream
+          .searchStore(spark, istore, queries, k = 5, nprobe = 8).count()
+        println(f"IVF_TICK $c%d upsert_sec=$tUp%.2f " +
+          f"search_sec=${(System.nanoTime() - t1) / 1e9}%.2f " +
+          f"hits=$hits%d drift_mean_dist=$meanDist%.4f")
+        if (c == 4) graft.streaming.IvfStream.compactStore(spark, istore)
+      }
+      val oneStore = java.nio.file.Files
+        .createTempDirectory("sf1-ivfone").toString
+      graft.streaming.IvfStream.pinCentroids(spark, oneStore,
+        dim = 64, nlist = 16, seed = 13L,
+        graft.streaming.IvfStream.loadCentroids(spark, istore))
+      graft.streaming.IvfStream.upsertStep(vecs, oneStore,
+        dim = 64, nlist = 16, seed = 13L, batchTag = "all")
+      def topk(s: String) = graft.streaming.IvfStream
+        .searchStore(spark, s, queries, k = 5, nprobe = 8)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val accreted = topk(istore)
+      val oneShot = topk(oneStore)
+      require(accreted == oneShot,
+        s"accreted IVF index diverged: ${accreted.size} vs ${oneShot.size}")
+      queries.unpersist()
+      println("IVF_TICK final_equal_batch=true")
+    }
+
     // many-source stress for sourceOverlap: 1000 synthetic sources
     // over the sf1 corpus, every doc carrying a 3-token boilerplate
     // header (nav-bar/licence-header in miniature) — the header
