@@ -107,6 +107,7 @@ object SparkEntry {
     "q98_multimodal_meta" -> (OpsQueries.q98MultimodalMeta _),
     "q99_multimodal_ext" -> (OpsQueries.q99MultimodalExt _),
     "q100_multimodal_img" -> (OpsQueries.q100MultimodalImg _),
+    "q103_multimodal_audio" -> (OpsQueries.q103MultimodalAudio _),
     "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
     "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
@@ -1486,7 +1487,38 @@ object SparkEntry {
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 57 + 8 + doc_id % 32
         |    WHEN 1 THEN 18 + 4 + doc_id % 16
         |    ELSE 25 + 7 + 2 * (doc_id % 12) END AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q103: the AUDIO trio beyond WAV (MediaSynth.audioAssetFor: MPEG-1
+    // Layer III with an ID3v2 tag / FLAC with STREAMINFO + PADDING
+    // blocks), recovered via the frame-header sync walk over the
+    // published bitrate/samplerate tables and the metadata-block walk.
+    // Arithmetic: MP3 frameLen = 144·kbps·1000/sr (integer), duration =
+    // frames·1152·1000/sr, bytes = 10 + tag + nf·frameLen; FLAC
+    // duration = samples·1000/sr, bytes = 46 + pad + audio =
+    // 66 + id%10 + id%64
+    "q103_multimodal_audio" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |mp3 AS (
+        |  SELECT id, CAST(1 + (id // 2) % 2 AS BIGINT) AS channels,
+        |    CAST(([44100,48000,32000])[CAST(id % 3 AS INT) + 1] AS BIGINT) AS sr,
+        |    CAST(1 + id % 5 AS BIGINT) AS nf,
+        |    CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(id % 14 AS INT) + 1]
+        |      AS BIGINT) AS kbps
+        |  FROM ids WHERE id % 2 = 0)
+        |SELECT id AS doc_id, 'mp3' AS fmt, channels, sr AS sample_rate,
+        |  nf AS n_units,
+        |  nf * 1152 * 1000 // sr AS duration_ms,
+        |  10 + id % 17 + nf * (144 * kbps * 1000 // sr) AS n_bytes
+        |FROM mp3
+        |UNION ALL
+        |SELECT id AS doc_id, 'flac' AS fmt,
+        |  CAST(1 + (id // 2) % 2 AS BIGINT) AS channels,
+        |  CAST(8000 + 100 * (id % 40) AS BIGINT) AS sample_rate,
+        |  CAST(1000 + id % 5000 AS BIGINT) AS n_units,
+        |  (1000 + id % 5000) * 1000 // (8000 + 100 * (id % 40)) AS duration_ms,
+        |  CAST(66 + id % 10 + id % 64 AS BIGINT) AS n_bytes
+        |FROM ids WHERE id % 2 = 1"""
+      .stripMargin
   )
 
   private lazy val simhashClosureSql: String =

@@ -1,0 +1,130 @@
+package graft.ops
+
+/** Pure-JVM header parsers for the two audio containers a crawl corpus
+  * actually carries beside WAV: MPEG-1 Layer III (frame-header sync
+  * walk over the published bitrate/samplerate tables, ID3v2 skip) and
+  * FLAC (METADATA_BLOCK walk to STREAMINFO's packed bit fields). Like
+  * every codec in this module ([[ImageCodecs]], [[RiffCodecs]]) these
+  * read HEADERS ONLY — no sample decode, no audio library — so the
+  * per-asset cost is O(frames) table lookups for MP3 and O(blocks)
+  * for FLAC, and the walk is bounds-checked at every step (garbage
+  * bytes return None, the dead-letter contract).
+  *
+  * Format sources: the MPEG-1 audio frame header layout and Layer III
+  * bitrate/samplerate tables (ISO/IEC 11172-3), the ID3v2.3 tag header
+  * with syncsafe sizes, and the FLAC format spec (RFC 9639) STREAMINFO
+  * packing: 20-bit sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit
+  * total samples.
+  *
+  * reference analog: none (engine-side training-data surface). */
+object AudioCodecs {
+
+  /** One parsed MP3 stream: header fields of the walked frames plus
+    * the Layer III duration estimate (1152 samples per MPEG-1 frame). */
+  final case class Mp3Info(
+      channels: Int, sampleRate: Int, bitrateKbps: Int, frames: Int,
+      durationMs: Long)
+
+  /** STREAMINFO contents; duration derives exactly from
+    * totalSamples/sampleRate. */
+  final case class FlacInfo(
+      channels: Int, sampleRate: Int, bitsPerSample: Int, totalSamples: Long,
+      durationMs: Long)
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1..14 (0 = free,
+    * 15 = invalid). */
+  private[ops] val Mp3Bitrates: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates, index 0..2 (3 = reserved). */
+  private[ops] val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Layer III samples per frame (MPEG-1). */
+  private[ops] val Mp3SamplesPerFrame = 1152
+
+  private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
+
+  /** ID3v2 syncsafe 28-bit size (7 bits per byte). */
+  private def syncsafe(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0x7f) << 21) | ((b(o + 1) & 0x7f) << 14) |
+      ((b(o + 2) & 0x7f) << 7) | (b(o + 3) & 0x7f)
+
+  /** Walk an MPEG-1 Layer III stream: optional ID3v2 skip, sync scan,
+    * then header-to-header hops via the frame-length formula
+    * `144 · bitrate / sampleRate + padding`. Stops cleanly at a
+    * truncated tail; None when no complete frame parses. */
+  def decodeMp3(b: Array[Byte]): Option[Mp3Info] = {
+    if (b == null || b.length < 4) return None
+    var o = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      o = 10 + syncsafe(b, 6)
+    // scan to the first frame sync (11 set bits)
+    while (o + 4 <= b.length &&
+      !(u8(b, o) == 0xff && (u8(b, o + 1) & 0xe0) == 0xe0)) o += 1
+    var frames = 0
+    var sr = 0
+    var kbps = 0
+    var channels = 0
+    var ok = true
+    while (ok && o + 4 <= b.length &&
+        u8(b, o) == 0xff && (u8(b, o + 1) & 0xe0) == 0xe0) {
+      val version = (u8(b, o + 1) >> 3) & 3 // 3 = MPEG-1
+      val layer = (u8(b, o + 1) >> 1) & 3 // 1 = Layer III
+      val brIdx = (u8(b, o + 2) >> 4) & 15
+      val srIdx = (u8(b, o + 2) >> 2) & 3
+      val pad = (u8(b, o + 2) >> 1) & 1
+      if (version != 3 || layer != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+        ok = false
+      else {
+        sr = Mp3SampleRates(srIdx)
+        kbps = Mp3Bitrates(brIdx)
+        channels = if (((u8(b, o + 3) >> 6) & 3) == 3) 1 else 2
+        val flen = 144 * kbps * 1000 / sr + pad
+        if (flen < 4 || o + flen > b.length) ok = false
+        else { frames += 1; o += flen }
+      }
+    }
+    if (frames == 0) None
+    else Some(Mp3Info(channels, sr, kbps, frames,
+      frames.toLong * Mp3SamplesPerFrame * 1000L / sr))
+  }
+
+  private def be24(b: Array[Byte], o: Int): Int =
+    (u8(b, o) << 16) | (u8(b, o + 1) << 8) | u8(b, o + 2)
+
+  private def be64(b: Array[Byte], o: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | u8(b, o + i); i += 1 }
+    v
+  }
+
+  /** Walk the FLAC metadata blocks to STREAMINFO (type 0; the spec
+    * requires it first, the walk tolerates any position) and unpack
+    * its bit fields. */
+  def decodeFlac(b: Array[Byte]): Option[FlacInfo] = {
+    if (b == null || b.length < 8 ||
+      b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
+    var o = 4
+    var last = false
+    var info: Option[FlacInfo] = None
+    while (!last && o + 4 <= b.length) {
+      val h = u8(b, o)
+      last = (h & 0x80) != 0
+      val tpe = h & 0x7f
+      val blen = be24(b, o + 1)
+      if (o + 4 + blen > b.length) return info
+      if (tpe == 0 && blen >= 34 && info.isEmpty) {
+        // after 10 bytes of block/frame size bounds: the packed 64
+        val packed = be64(b, o + 4 + 10)
+        val sr = (packed >>> 44).toInt
+        val ch = ((packed >> 41) & 7).toInt + 1
+        val bps = ((packed >> 36) & 31).toInt + 1
+        val total = packed & ((1L << 36) - 1)
+        if (sr > 0)
+          info = Some(FlacInfo(ch, sr, bps, total, total * 1000L / sr))
+      }
+      o += 4 + blen
+    }
+    info
+  }
+}

@@ -314,4 +314,71 @@ object MediaSynth {
           1 + (id % 4).toInt, 24 + 2 * (id % 40).toInt), empty)
     }
   }
+
+  // ---- q103: the AUDIO trio beyond WAV (MPEG-1 Layer III + FLAC) ----
+
+  /** MPEG-1 Layer III stream: an ID3v2.3 tag (syncsafe size `tagLen`)
+    * followed by `nf` frames at bitrate index `brIdx` / sample-rate
+    * index `srIdx`, mono or stereo. Frame length is the published
+    * formula `144·kbps·1000/sr` (padding 0, protection off); filler
+    * bytes cycle mod 255 so 0xFF — and with it a false frame sync —
+    * can never appear inside a frame body.
+    * n_bytes = 10 + tagLen + nf · frameLen. */
+  def mp3(id: Long, brIdx: Int, srIdx: Int, nf: Int, tagLen: Int,
+      mono: Boolean): Array[Byte] = {
+    val kbps = AudioCodecs.Mp3Bitrates(brIdx)
+    val sr = AudioCodecs.Mp3SampleRates(srIdx)
+    val flen = 144 * kbps * 1000 / sr
+    val id3 = cc("ID3") ++ Array[Byte](3, 0, 0,
+      ((tagLen >> 21) & 0x7f).toByte, ((tagLen >> 14) & 0x7f).toByte,
+      ((tagLen >> 7) & 0x7f).toByte, (tagLen & 0x7f).toByte) ++
+      Array.tabulate(tagLen)(j => ((id + j) % 255).toByte)
+    def frame(fi: Int): Array[Byte] =
+      Array(0xff.toByte, 0xfb.toByte,
+        ((brIdx << 4) | (srIdx << 2)).toByte,
+        (if (mono) 0xc0 else 0x00).toByte) ++
+        Array.tabulate(flen - 4)(j => ((id + fi + j) % 255).toByte)
+    id3 ++ Array.range(0, nf).flatMap(frame)
+  }
+
+  /** FLAC: magic + STREAMINFO metadata block (RFC 9639 packing: 20-bit
+    * sample rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit total
+    * samples) + a PADDING block (so the reader's block walk is real)
+    * + `audioLen` opaque frame bytes.
+    * n_bytes = 4 + 38 + (4 + padLen) + audioLen = 46 + padLen + audioLen. */
+  def flac(id: Long, sr: Int, channels: Int, bps: Int, totalSamples: Long,
+      padLen: Int, audioLen: Int): Array[Byte] = {
+    val packed = (sr.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | totalSamples
+    val packedBytes =
+      Array.tabulate(8)(i => ((packed >>> (56 - 8 * i)) & 0xff).toByte)
+    val streaminfo = be16(1024) ++ be16(1024) ++          // block size bounds
+      Array[Byte](0, 16, 0, 0, 16, 0) ++                  // frame size bounds
+      packedBytes ++ Array.fill(16)(0.toByte)             // md5 (unset)
+    cc("fLaC") ++
+      (Array[Byte](0, 0, 0, 34) ++ streaminfo) ++         // STREAMINFO (not last)
+      (Array(0x81.toByte, 0.toByte, 0.toByte, padLen.toByte) ++
+        Array.fill(padLen)(0.toByte)) ++                  // PADDING (last)
+      Array.tabulate(audioLen)(j => ((id + j) % 255).toByte)
+  }
+
+  /** The q103 asset for one document id — MP3 / FLAC by id mod 2,
+    * every parameter a small modulus of the id (the oracle restates
+    * these formulas):
+    *   - id≡0: MP3, brIdx = 1+id%14, srIdx = id%3, nf = 1+id%5 frames,
+    *     tag = id%17 bytes, mono iff (id/2)%2 = 0;
+    *   - id≡1: FLAC, sr = 8000+100·(id%40), channels = 1+(id/2)%2,
+    *     16-bit, totalSamples = 1000+id%5000, pad = id%10,
+    *     audio = 20+id%64. */
+  def audioAssetFor(id: Long): MediaAsset = {
+    val empty = MediaMeta(0, 0, 0L, 0, "?")
+    if (id % 2 == 0)
+      MediaAsset(id, "audio",
+        mp3(id, 1 + (id % 14).toInt, (id % 3).toInt, 1 + (id % 5).toInt,
+          (id % 17).toInt, (id / 2) % 2 == 0), empty)
+    else
+      MediaAsset(id, "audio",
+        flac(id, 8000 + 100 * (id % 40).toInt, 1 + ((id / 2) % 2).toInt,
+          16, 1000 + id % 5000, (id % 10).toInt, 20 + (id % 64).toInt), empty)
+  }
 }

@@ -147,16 +147,54 @@ object Multimodal {
       .withColumn("needs_resize", scale < 1.0)
   }
 
-  /** Audio decode pass: fill meta.sampleRate/durationMs from the WAV
-    * header ([[RiffCodecs.decodeWav]] — real RIFF walk, pure JVM).
+  /** Full-field audio header decode, one row per decodable asset. */
+  final case class AudioInfo(
+      asset_id: Long, fmt: String, channels: Int, sample_rate: Int,
+      n_units: Long, duration_ms: Long, n_bytes: Long)
+
+  /** Container dispatch by magic — WAV (`RIFF`), FLAC (`fLaC`), MP3
+    * (ID3v2 tag or immediate frame sync; magic-gated so a PCM body's
+    * stray 0xFF can never be misparsed as MP3). Header-only walks, all
+    * pure JVM ([[RiffCodecs.decodeWav]], [[AudioCodecs]]). */
+  private def decodeAnyAudio(b: Array[Byte]): Option[AudioInfo] = {
+    if (b == null || b.length < 4) return None
+    def u(i: Int) = b(i) & 0xff
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      RiffCodecs.decodeWav(b).map(w => AudioInfo(0L, "wav", w.channels,
+        w.sampleRate, w.durationMs * w.sampleRate / 1000L, w.durationMs,
+        b.length.toLong))
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      AudioCodecs.decodeFlac(b).map(f => AudioInfo(0L, "flac", f.channels,
+        f.sampleRate, f.totalSamples, f.durationMs, b.length.toLong))
+    else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+        (u(0) == 0xff && (u(1) & 0xe0) == 0xe0))
+      AudioCodecs.decodeMp3(b).map(m => AudioInfo(0L, "mp3", m.channels,
+        m.sampleRate, m.frames.toLong, m.durationMs, b.length.toLong))
+    else None
+  }
+
+  /** Audio decode pass: fill meta.sampleRate/durationMs/format from
+    * the container header — WAV, MP3 or FLAC ([[decodeAnyAudio]]).
     * Undecodable audio dead-letters, mirroring [[decodeImages]]. */
   def decodeAudio(assets: Dataset[MediaAsset])(implicit spark: SparkSession): Dataset[MediaAsset] = {
     import spark.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        RiffCodecs.decodeWav(a.bytes).map(w => a.copy(meta = a.meta.copy(
-          durationMs = w.durationMs, sampleRate = w.sampleRate, format = "wav")))
+        decodeAnyAudio(a.bytes).map(i => a.copy(meta = a.meta.copy(
+          durationMs = i.duration_ms, sampleRate = i.sample_rate,
+          format = i.fmt)))
       }
+    }
+  }
+
+  /** The audio-kind analog of [[decodeVideo]]: every header field the
+    * container carries, one row per decodable asset — `n_units` is
+    * frames for MP3, total samples for FLAC, per-channel samples for
+    * WAV. Undecodable audio dead-letters. */
+  def decodeAudioInfo(assets: Dataset[MediaAsset])(implicit spark: SparkSession): Dataset[AudioInfo] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap(a => decodeAnyAudio(a.bytes).map(_.copy(asset_id = a.asset_id)))
     }
   }
 

@@ -1283,6 +1283,30 @@ object OpsQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** MULTIMODAL audio beyond WAV ([[graft.ops.AudioCodecs]], round 14):
+    * deterministic MPEG-1 Layer III streams (ID3v2 skip + frame-header
+    * sync walk over the published bitrate/samplerate tables) and FLAC
+    * files (metadata-block walk to STREAMINFO's 20/3/5/36-bit packed
+    * fields) synthesized per doc_id ([[graft.ops.MediaSynth
+    * .audioAssetFor]]), decoded ONLY by the real header walks — the
+    * oracle restates the synthesis arithmetic from the id alone, so any
+    * writer/parser drift breaks the hash (the q98/q99/q100 idiom,
+    * closing the audio gap: a crawl corpus's audio is MP3/FLAC, not
+    * WAV). */
+  def q103MultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val assets = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(graft.ops.MediaSynth.audioAssetFor)
+    graft.ops.Multimodal.decodeAudioInfo(assets)
+      .toDF()
+      .select(col("asset_id").as("doc_id"), col("fmt"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_units"), col("duration_ms"), col("n_bytes"))
+  }
+
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
     * deterministic synthetic versions of the documents table (old drops
     * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites
