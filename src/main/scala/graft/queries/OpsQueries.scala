@@ -899,7 +899,9 @@ object OpsQueries {
     // documents scan are independent plan branches whose parquet
     // re-reads are cheaper than a persist's materialization barrier —
     // measured 3.65 s (scan per stage) vs 4.77 s (persisted) at sf0.1
-    // under canary-normalized steal (BENCH_NOTES round 12)
+    // (BENCH_NOTES round 12) and re-confirmed at sf1 under a 16 GiB
+    // heap where the scan is 10× dearer: 11.17 s vs 12.63 s persisted
+    // at matched canary (BENCH_NOTES round 14)
     val docs = docsPar(spark, dir)
     val exKeep = docs
       .groupBy(md5(col("text")).as("_h")).agg(min(col("doc_id")).as("doc_id"))
