@@ -110,6 +110,7 @@ object SparkEntry {
     "q103_multimodal_audio" -> (OpsQueries.q103MultimodalAudio _),
     "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
     "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
+    "q104_ivfpq_stream" -> (OpsQueries.q104IvfPqStream _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -377,6 +378,10 @@ object SparkEntry {
     // first-tick quantizer fit + pin, 3 assignment commits, nprobe-
     // pruned search) must answer exactly like q30's one-shot build
     "q102_ivf_stream" -> annPlantedTopkSql,
+    // q104: the durable incremental IVF-PQ store (IvfPqStream: dual
+    // quantizer pinned on first contact, residual codes per commit,
+    // cell-pruned ADC + exact re-rank) against q65's one-shot gate
+    "q104_ivfpq_stream" -> annPlantedTopkSql,
     // q53: exact all-pairs cosine ≥ 0.92 over the planted corpus — the
     // threshold regime where the k-means cell blocking provably loses
     // nothing (family diameter ≤ 0.05 rad, distractor ceiling 0.61)

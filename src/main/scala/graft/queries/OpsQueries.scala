@@ -1285,6 +1285,37 @@ object OpsQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** The durable incremental IVF-PQ store
+    * ([[graft.streaming.IvfPqStream]]): the corpus accretes over 3
+    * commits (the FIRST tick fits and pins BOTH quantizers — coarse
+    * centroids + residual codebooks), each later tick residual-encodes
+    * under the pinned models, and the cell-pruned ADC + exact-re-rank
+    * search must answer exactly like q65's one-shot
+    * [[SimilaritySearch.ivfPqTopK]] gate — the planted-ANN brute-force
+    * oracle verbatim (nprobe 10 / rerank 192, the q65 knee: the fused
+    * tier compounds cell-probe and code-quantization losses, so both
+    * knobs open up; on the planted structure the top-5 is provably
+    * brute force). */
+  def q104IvfPqStream(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = annCorpus(spark, dir)
+    val store = java.nio.file.Files.createTempDirectory("q104pq").toString
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+    (0 until 3).foreach { c =>
+      graft.streaming.IvfPqStream.upsertStep(
+        corpus.filter(pmod(col("vec_id"), lit(3)) === c), store,
+        dim = 64, nlist = 16, m = 8, seed = 37L, batchTag = s"a$c")
+    }
+    graft.streaming.IvfPqStream.searchStore(
+        spark, store, corpus.filter(col("vec_id") < 10), k = 5,
+        nprobe = 10, rerank = 192)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** MULTIMODAL audio beyond WAV ([[graft.ops.AudioCodecs]], round 14):
     * deterministic MPEG-1 Layer III streams (ID3v2 skip + frame-header
     * sync walk over the published bitrate/samplerate tables) and FLAC

@@ -1,0 +1,432 @@
+package graft.streaming
+
+import graft.ops.{Dedup, SimilaritySearch}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** STREAMING IVF-PQ index maintenance — the COMPRESSED tier
+  * ([[SimilaritySearch.ivfPqBuild]]/[[SimilaritySearch.ivfPqSearch]]:
+  * coarse inverted lists + residual product-quantization codes + ADC +
+  * exact re-rank, the layout a memory-bound 100 TB deployment actually
+  * serves from) made durable and incremental on the
+  * [[AnnStream]]/[[IvfStream]] store discipline. The `_IVFPQ` marker
+  * pins BOTH data-fit quantizers (coarse centroids and the m per-
+  * subspace codebooks — codeword ORDER is load-bearing because stored
+  * codes index into it, so the marker preserves file order); the first
+  * upsert fits them from a bounded unit-normalized sample and pins,
+  * every later upsert assigns + residual-encodes under the pinned
+  * models as a tag-keyed commit.
+  *
+  * Search improves on the batch operator's shape: where
+  * [[SimilaritySearch.ivfPqSearch]] scans the WHOLE code relation and
+  * filters probed cells per row, the store search opens ONLY the
+  * probed cells' `ab=` partitions (the code columns are pruned at the
+  * parquet scan — the ADC pass never reads the stored vectors), then
+  * re-ranks the shortlist exactly against vectors fetched from those
+  * same partitions. Queries stay the bounded side (maxQueries, the
+  * module contract).
+  *
+  * Store contracts shared with the siblings: tag-keyed overwrite
+  * commits, manifest-gated visibility from the FIRST commit,
+  * `_MANIFEST`/`_FOLDED` compaction with one-generation GC grace,
+  * `_PARTS` pinning, single writer / readers-any-time, and
+  * refit-as-compaction via the two-phase `_IVFPQ.pending` promote
+  * (the [[IvfStream]] crash-window discipline: new models take effect
+  * exactly when the manifest points at the re-encoded commit).
+  *
+  * reference analog: none (engine-side training-data surface); the
+  * design restates the standard IVF-PQ serving layout (inverted lists
+  * + ADC) on parquet commits. */
+object IvfPqStream {
+
+  private[streaming] val vecSchema: StructType = StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", BinaryType, nullable = true),
+    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true)))
+
+  private def abCol(parts: Column): Column =
+    pmod(xxhash64(col("cell").cast("long")), parts).cast("int")
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Pinned dual quantizer. Rendered as labeled lines so the
+    * variable-count codebooks (degenerate data can fit < 16 codewords)
+    * parse unambiguously and codeword order round-trips. */
+  private[streaming] final case class PqMeta(
+      dim: Int, nlist: Int, m: Int, seed: Long,
+      coarse: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]],
+      target: Option[String]) {
+    def render: String = {
+      val head = s"$dim/$nlist/$m/$seed" + target.fold("")(t => s"/$t")
+      val cs = coarse.map(c => "coarse " + c.mkString(","))
+      val cb = codebook.zipWithIndex.flatMap { case (words, j) =>
+        words.map(wd => s"cb$j " + wd.mkString(","))
+      }
+      (head +: (cs ++ cb)).mkString("\n")
+    }
+  }
+
+  private def parseMeta(text: String): PqMeta = {
+    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
+    val h = lines.head.split('/')
+    val m = h(2).toInt
+    val coarse = lines.tail.filter(_.startsWith("coarse "))
+      .map(_.stripPrefix("coarse ").split(',').map(java.lang.Double.parseDouble))
+    val cb = Array.tabulate(m) { j =>
+      lines.tail.filter(_.startsWith(s"cb$j "))
+        .map(_.stripPrefix(s"cb$j ").split(',').map(java.lang.Double.parseDouble))
+    }
+    PqMeta(h(0).toInt, h(1).toInt, m, h(3).toLong, coarse, cb,
+      if (h.length > 4) Some(h(4)) else None)
+  }
+
+  private def writeTextFile(
+      spark: SparkSession, root: org.apache.hadoop.fs.Path,
+      fileName: String, text: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_$fileName.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, fileName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readTextFile(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      Some(try scala.io.Source.fromInputStream(in).mkString finally in.close())
+    }
+
+  /** The effective dual quantizer for the current visible state — the
+    * [[IvfStream]] crash-healing read: a pending whose target IS
+    * visible is the post-swap truth (writers finish the promotion); a
+    * pending whose target is not visible is a dead letter. */
+  private def effectiveMeta(
+      spark: SparkSession, storeDir: String, promote: Boolean): Option[PqMeta] = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val f = fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir, "pqvecs")
+    val pendingPath = new org.apache.hadoop.fs.Path(dir, "_IVFPQ.pending")
+    val pending = readTextFile(f, pendingPath).map(parseMeta)
+    val visible = DedupStream.readManifest(f, root).getOrElse(Set.empty)
+    pending match {
+      case Some(mt) if mt.target.exists(visible.contains) =>
+        if (promote) {
+          writeTextFile(spark, dir, "_IVFPQ", mt.copy(target = None).render)
+          f.delete(pendingPath, false)
+        }
+        Some(mt.copy(target = None))
+      case _ =>
+        readTextFile(f, new org.apache.hadoop.fs.Path(dir, "_IVFPQ")).map(parseMeta)
+    }
+  }
+
+  private def unitOf(v: Seq[Float]): Array[Double] = {
+    var s = 0.0
+    v.foreach(x => s += x.toDouble * x)
+    val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+    Array.tabulate(v.length)(i => v(i) * inv)
+  }
+
+  private def nearestCell(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bd = Double.MaxValue; var ci = 0
+    while (ci < cs.length) {
+      var d = 0.0; var t = 0
+      while (t < v.length) { val df = v(t) - cs(ci)(t); d += df * df; t += 1 }
+      if (d < bd) { bd = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Fit BOTH quantizers from a bounded deterministic unit-normalized
+    * sample (the [[SimilaritySearch.ivfPqBuild]] recipe verbatim, so
+    * the pinned models match what the batch operator would have fit). */
+  private def fitMeta(
+      rows: DataFrame, dim: Int, nlist: Int, m: Int, seed: Long): PqMeta = {
+    val sub = dim / m
+    val sample: Array[Array[Double]] = rows
+      .orderBy(xxhash64(col("neighbor_id")).asc, col("neighbor_id").asc)
+      .limit(20000).select("cvec")
+      .collect().map(r => unitOf(r.getSeq[Float](0)))
+    require(sample.nonEmpty, "ivf-pq store: first upsert must carry vectors")
+    val coarse = SimilaritySearch.localKMeans(sample, nlist, iters = 12, seed = seed)
+    val residuals = sample.map { v =>
+      val cc = coarse(nearestCell(coarse, v))
+      Array.tabulate(dim)(t => v(t) - cc(t))
+    }
+    val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      SimilaritySearch.localKMeans(
+        residuals.map(r => java.util.Arrays.copyOfRange(r, j * sub, (j + 1) * sub)),
+        16, iters = 12, seed = seed + 1 + j)
+    }
+    PqMeta(dim, nlist, m, seed, coarse, codebook, None)
+  }
+
+  private def requireConfig(mt: PqMeta, dim: Int, nlist: Int, m: Int,
+      seed: Long, storeDir: String): Unit =
+    require(mt.dim == dim && mt.nlist == nlist && mt.m == m && mt.seed == seed,
+      s"ivf-pq store $storeDir was pinned with dim/nlist/m/seed=" +
+        s"${mt.dim}/${mt.nlist}/${mt.m}/${mt.seed}; this config is " +
+        s"$dim/$nlist/$m/$seed — rebuild the store or match the writing config")
+
+  /** Assign + residual-encode rows under pinned models: one pass,
+    * emits (neighbor_id, cell, codes, raw cvec). */
+  private def encodeRows(
+      rows: DataFrame, mt: PqMeta): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val sub = mt.dim / mt.m
+    val m = mt.m
+    val coarseBc = spark.sparkContext.broadcast(mt.coarse)
+    val cbBc = spark.sparkContext.broadcast(mt.codebook)
+    rows.select(col("neighbor_id"), col("cvec"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = coarseBc.value
+        val cb = cbBc.value
+        it.map { case (id, vf) =>
+          val v = unitOf(vf)
+          val cell = nearestCell(cs, v)
+          val cc = cs(cell)
+          val codes = Array.tabulate(m) { j =>
+            var best = 0; var bestD = Double.MaxValue
+            var ci = 0
+            while (ci < cb(j).length) {
+              var d = 0.0; var t = 0
+              while (t < sub) {
+                val diff = (v(j * sub + t) - cc(j * sub + t)) - cb(j)(ci)(t)
+                d += diff * diff; t += 1
+              }
+              if (d < bestD) { bestD = d; best = ci }
+              ci += 1
+            }
+            best.toByte
+          }
+          (id, cell, codes, vf)
+        }
+      }.toDF("neighbor_id", "cell", "codes", "cvec")
+  }
+
+  /** Fold one micro-batch into the store: fit-and-pin on first
+    * contact, assign + residual-encode under the pinned models, write
+    * as a tag-keyed commit (L0 single file for tick-sized batches).
+    * Returns the per-cell occupancy of the written commit — the
+    * inverted-list balance monitor. */
+  def upsertStep(
+      batch: DataFrame, storeDir: String, dim: Int,
+      nlist: Int = 16, m: Int = 8, seed: Long = 37L,
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      storeParts: Int = 64,
+      l0Bound: Int = 1 << 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val spark = batch.sparkSession
+    DedupStream.ensureStoreMeta(spark, storeDir, storeParts, family = 0)
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/pqvecs")
+    val rootFs = fs(spark, root)
+    if (!rootFs.exists(new org.apache.hadoop.fs.Path(root, "_MANIFEST"))) {
+      rootFs.mkdirs(root)
+      val adopt = DedupStream.visibleCommits(rootFs, root).filter(s =>
+        rootFs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
+    }
+    val b = batch
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val commitDir = s"$storeDir/pqvecs/batch=$batchTag"
+    try {
+      val nVecs = b.count() // ONE source scan: cache + layout routing
+      val mt = effectiveMeta(spark, storeDir, promote = true) match {
+        case Some(x) => requireConfig(x, dim, nlist, m, seed, storeDir); x
+        case None =>
+          val x = fitMeta(b, dim, nlist, m, seed)
+          writeTextFile(spark, new org.apache.hadoop.fs.Path(storeDir),
+            "_IVFPQ", x.render)
+          x
+      }
+      val keyed = encodeRows(b, mt)
+      if (nVecs <= l0Bound)
+        keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
+      else
+        keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
+          .repartition(col("ab")).write.partitionBy("ab")
+          .mode("overwrite").parquet(commitDir)
+    } finally { b.unpersist(blocking = false); () }
+    DedupStream.publishCommit(spark, root, s"batch=$batchTag")
+    spark.read.parquet(commitDir)
+      .groupBy("cell").agg(count(lit(1)).as("members"))
+  }
+
+  private def storePartsOf(
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int = {
+    val pin = f.open(new org.apache.hadoop.fs.Path(dir, "_PARTS"))
+    val t = try scala.io.Source.fromInputStream(pin).mkString.trim finally pin.close()
+    t.split('/')(0).toInt
+  }
+
+  /** Fold commits into one hash-partitioned commit; with
+    * `refit = true`, the drift remediation: refit BOTH quantizers on a
+    * bounded whole-store sample, re-encode every vector, and swap via
+    * the two-phase `_IVFPQ.pending` promote. Same one-generation GC
+    * grace and crash windows as [[IvfStream.compactStore]].
+    * SINGLE-WRITER contract. */
+  def compactStore(
+      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/pqvecs")
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) return
+    if (DedupStream.readManifest(f, root).isEmpty) {
+      val adopt = DedupStream.visibleCommits(f, root).filter(s => f.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
+    }
+    val visible = DedupStream.visibleCommits(f, root)
+    val justReplaced: Set[String] =
+      if (visible.size >= 2 || (refit && visible.nonEmpty)) {
+        val mt = effectiveMeta(spark, storeDir, promote = true)
+          .getOrElse(throw new IllegalArgumentException(
+            s"not an ivf-pq store (no _IVFPQ marker): $storeDir"))
+        val parts = storePartsOf(f, dir)
+        val all = DedupStream.readStore(spark, s"$storeDir/pqvecs", vecSchema,
+          excludeTag = " none ", partCol = "ab", wanted = (0 until parts).toSet)
+        val (rows, target, newMeta) =
+          if (refit) {
+            val m2 = fitMeta(all, mt.dim, mt.nlist, mt.m, mt.seed)
+            (encodeRows(all, m2),
+              s"batch=refit-${java.util.UUID.randomUUID()}", Some(m2))
+          } else (all, s"batch=compact-${java.util.UUID.randomUUID()}", None)
+        rows.withColumn("ab", abCol(lit(parts.toLong)))
+          .repartition(col("ab")).sortWithinPartitions("cell")
+          .write.partitionBy("ab")
+          .mode("overwrite").parquet(s"$storeDir/pqvecs/$target")
+        newMeta.foreach(m2 => writeTextFile(spark, dir, "_IVFPQ.pending",
+          m2.copy(target = Some(target)).render))
+        DedupStream.writeNameFile(spark, root, "_FOLDED",
+          DedupStream.readFolded(f, root) ++ visible.map(_.getPath.getName).toSet)
+        DedupStream.writeManifest(spark, root, Set(target)) // THE commit point
+        effectiveMeta(spark, storeDir, promote = true)
+        visible.map(_.getPath.getName).toSet
+      } else Set.empty
+    DedupStream.readManifest(f, root).foreach { nowVisible =>
+      f.listStatus(root).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("batch="))
+        .filterNot(s => nowVisible.contains(s.getPath.getName)
+          || justReplaced.contains(s.getPath.getName))
+        .foreach(s => f.delete(s.getPath, true))
+    }
+  }
+
+  /** Top-k search: probed-cell ADC shortlist + exact cosine re-rank,
+    * with BOTH stages pruned to the probed cells' `ab=` partitions —
+    * the ADC pass reads only (id, cell, codes) columns (the stored
+    * vectors never cross that scan), the re-rank fetches vectors by id
+    * from the same pruned partitions. Candidate generation and scoring
+    * are identical to [[SimilaritySearch.ivfPqSearch]]. */
+  def searchStore(
+      spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 32, maxQueries: Int = 100000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val mt = effectiveMeta(spark, storeDir, promote = false)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an ivf-pq store (no _IVFPQ marker): $storeDir"))
+    val parts = storePartsOf(fs(spark, dir), dir)
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"searchStore got more than $maxQueries query rows — the query side " +
+        "must stay the bounded side; swap sides or raise maxQueries deliberately")
+    val dim = mt.dim
+    val m = mt.m
+    val sub = dim / m
+    val coarseBc = spark.sparkContext.broadcast(mt.coarse)
+    val cbBc = spark.sparkContext.broadcast(mt.codebook)
+    // bounded collect (≤ maxQueries): probed cells + ADC tables are
+    // inherently per-query broadcast state, the batch operator's shape
+    val qs = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .collect().map(r => (r.getLong(0), unitOf(r.getSeq[Float](1))))
+    val probedOf: Map[Long, Set[Int]] = qs.map { case (qid, qv) =>
+      qid -> mt.coarse.indices.sortBy { ci =>
+        var d = 0.0; var t = 0
+        while (t < dim) { val df = qv(t) - mt.coarse(ci)(t); d += df * df; t += 1 }
+        d
+      }.take(nprobe).toSet
+    }.toMap
+    val wantedCells = probedOf.values.flatten.toSet
+    val wanted = wantedCells.map(c =>
+      math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(c.toLong, 42L), parts.toLong).toInt)
+    val stored = DedupStream.readStore(
+      spark, s"$storeDir/pqvecs", vecSchema,
+      excludeTag = " none ", partCol = "ab", wanted = wanted)
+    val qBc = spark.sparkContext.broadcast(qs.map { case (qid, qv) =>
+      (qid, probedOf(qid), qv)
+    })
+    // ADC over codes only — column pruning keeps cvec out of this scan
+    val scored = stored.select(col("neighbor_id"), col("cell"), col("codes"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val cs = coarseBc.value
+        val cb = cbBc.value
+        val qp = qBc.value.map { case (qid, probed, qv) =>
+          val cellDots = cs.map { cc =>
+            var s = 0.0; var t = 0
+            while (t < dim) { s += qv(t) * cc(t); t += 1 }
+            s
+          }
+          val table = Array.tabulate(m) { j =>
+            Array.tabulate(cb(j).length) { ci =>
+              var s = 0.0; var t = 0
+              while (t < sub) { s += qv(j * sub + t) * cb(j)(ci)(t); t += 1 }
+              s
+            }
+          }
+          (qid, probed, cellDots, table)
+        }
+        it.flatMap { case (nid, cell, codes) =>
+          qp.iterator.collect {
+            case (qid, probed, cellDots, table) if qid != nid && probed(cell) =>
+              var s = cellDots(cell); var j = 0
+              while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
+              (qid, nid, s)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "adc")
+      .distinct() // re-indexed-commit duplicates carry identical codes
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(rerank, k))
+      .select("query_id", "neighbor_id")
+    // exact re-rank: vectors come from the SAME pruned partitions (a
+    // shortlist member's cell is probed by construction)
+    val storedVecs = stored.select(col("neighbor_id"), col("cvec"))
+      .groupBy("neighbor_id").agg(first(col("cvec")).as("cvec"))
+    val qRaw = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+    val exact = shortlist
+      .join(storedVecs, Seq("neighbor_id"))
+      .join(qRaw, Seq("query_id"))
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

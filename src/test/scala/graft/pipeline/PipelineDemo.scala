@@ -218,6 +218,19 @@ object PipelineDemo {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     println(s"IVF_STREAM top1=$ivfHit")
 
+    // --- durable incremental IVF-PQ (round 14): dual quantizer pinned
+    // by the first upsert, residual codes per commit, ADC + exact
+    // re-rank across batches
+    val pqStore = java.nio.file.Files.createTempDirectory("demo-pq").toString
+    graft.streaming.IvfPqStream.upsertStep(av1, pqStore, dim = 16, nlist = 2,
+      m = 4, batchTag = "p0")
+    graft.streaming.IvfPqStream.upsertStep(av2, pqStore, dim = 16, nlist = 2,
+      m = 4, batchTag = "p1")
+    val pqHit = graft.streaming.IvfPqStream.searchStore(
+        spark, pqStore, av1.filter($"vec_id" === 1L), k = 1, nprobe = 2, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    println(s"IVFPQ_STREAM top1=$pqHit")
+
     // --- watermarked stream-stream attribution join: one in-horizon
     // click matches, the no-impression click drops
     {

@@ -367,6 +367,52 @@ object ScaleRehearsal {
       println("IVF_TICK final_equal_batch=true")
     }
 
+    // durable IVF-PQ at 10x (round 14): the compressed tier accretes
+    // the sf1 embeddings over 5 ticks — tick 0 fits + pins BOTH
+    // quantizers; each tick runs the cell-pruned ADC + exact-re-rank
+    // search. Final search must equal a one-shot store under the same
+    // pinned models (marker copied) — residual encoding is
+    // deterministic given the pins, so accretion is answer-transparent.
+    {
+      val pstore = java.nio.file.Files
+        .createTempDirectory("sf1-pqstore").toString
+      val vecs = spark.read.parquet(s"$DestDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val queries = vecs.filter(col("vec_id") < 10).cache()
+      queries.count()
+      (0 until 5).foreach { c =>
+        val batch = vecs.filter(pmod(col("vec_id"), lit(5)) === c)
+        val t0 = System.nanoTime()
+        graft.streaming.IvfPqStream.upsertStep(batch, pstore,
+          dim = 64, nlist = 16, m = 8, seed = 37L, batchTag = s"p$c")
+        val tUp = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val hits = graft.streaming.IvfPqStream
+          .searchStore(spark, pstore, queries, k = 5, nprobe = 10, rerank = 192)
+          .count()
+        println(f"IVFPQ_TICK $c%d upsert_sec=$tUp%.2f " +
+          f"search_sec=${(System.nanoTime() - t1) / 1e9}%.2f hits=$hits%d")
+        if (c == 2) graft.streaming.IvfPqStream.compactStore(spark, pstore)
+      }
+      val oneStore = java.nio.file.Files
+        .createTempDirectory("sf1-pqone").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$pstore/_IVFPQ"),
+        java.nio.file.Paths.get(s"$oneStore/_IVFPQ"))
+      graft.streaming.IvfPqStream.upsertStep(vecs, oneStore,
+        dim = 64, nlist = 16, m = 8, seed = 37L, batchTag = "all")
+      def topk(s: String) = graft.streaming.IvfPqStream
+        .searchStore(spark, s, queries, k = 5, nprobe = 10, rerank = 192)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val accreted = topk(pstore)
+      val oneShot = topk(oneStore)
+      require(accreted == oneShot,
+        s"accreted IVF-PQ index diverged: ${accreted.size} vs ${oneShot.size}")
+      queries.unpersist()
+      println("IVFPQ_TICK final_equal_batch=true")
+    }
+
     // many-source stress for sourceOverlap: 1000 synthetic sources
     // over the sf1 corpus, every doc carrying a 3-token boilerplate
     // header (nav-bar/licence-header in miniature) — the header
