@@ -178,13 +178,36 @@ object DedupStream {
 
   private def readNameFile(
       fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[Set[String]] = {
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      Some(txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
+      p: org.apache.hadoop.fs.Path): Option[Set[String]] =
+    readSmallText(fs, p)
+      .map(_.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
+
+  /** Read a small control file, retrying on ChecksumException: the
+    * rename swap is atomic for the DATA file on posix-local and HDFS,
+    * but the local ChecksumFileSystem moves the `.crc` sidecar in a
+    * SECOND step, so a reader racing the swap can momentarily see new
+    * bytes against the old checksum. HDFS/object stores have no
+    * client-side sidecar (the window doesn't exist there); locally the
+    * re-open lands after the sidecar rename. Bounded, so a genuinely
+    * corrupt file still fails loudly. */
+  private[streaming] def readSmallText(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return None
+      try {
+        val in = fs.open(p)
+        return Some(
+          try scala.io.Source.fromInputStream(in).mkString finally in.close())
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 20) throw e
+          Thread.sleep(5L * attempt)
+      }
     }
+    None // unreachable
   }
 
   /** Atomic name-file replace: temp file + FileContext rename with

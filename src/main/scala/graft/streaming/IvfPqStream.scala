@@ -99,14 +99,11 @@ object IvfPqStream {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  // ChecksumException-retrying read: see DedupStream.readSmallText
   private def readTextFile(
       f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      Some(try scala.io.Source.fromInputStream(in).mkString finally in.close())
-    }
+    DedupStream.readSmallText(f, p)
 
   /** The effective dual quantizer for the current visible state — the
     * [[IvfStream]] crash-healing read: a pending whose target IS

@@ -70,14 +70,11 @@ object IvfStream {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  // ChecksumException-retrying read: see DedupStream.readSmallText
   private def readTextFile(
       f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      Some(try scala.io.Source.fromInputStream(in).mkString finally in.close())
-    }
+    DedupStream.readSmallText(f, p)
 
   /** The pinned quantizer: config header + fitted centroids. For the
     * PENDING form (mid-refit), `target` names the reassigned commit the

@@ -42,6 +42,25 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the Bench steal index (median of 3 fixed-workload samples),
+    // stamped at start and end so every leg's wall is interpretable
+    // against the session's noise level (round-14 discipline: canary
+    // fields in all probe outputs)
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L)
+        .groupBy(pmod(col("id") * 2654435761L, lit(32)))
+        .agg(sum(col("id") % 1000003L))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def canary(label: String): Unit = {
+      canaryOnce() // untimed codegen warm-up
+      val cs = Seq.fill(3)(canaryOnce()).sorted
+      println(f"REHEARSAL_CANARY $label%s canary_sec=${cs(1)}%.2f")
+    }
+    canary("start")
+
     val docs = spark.read.parquet(s"$SrcDir/documents.parquet")
     val emb = spark.read.parquet(s"$SrcDir/embeddings.parquet")
 
@@ -485,6 +504,7 @@ object ScaleRehearsal {
       println(f"SKEW lev_1k_families pairs=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       require(n == 19000L, s"expected 1000*19 Δreps=1 verified pairs, got $n")
     }
+    canary("end")
     spark.stop()
   }
 }
