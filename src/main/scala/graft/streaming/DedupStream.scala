@@ -371,7 +371,13 @@ object DedupStream {
           }
           // GC sweep: with a manifest in authority, every batch= dir it
           // does not list is garbage (replaced sources, orphan targets
-          // from earlier crashes, folded-then-rewritten replays)
+          // from earlier crashes, folded-then-rewritten replays).
+          // Deletion is IMMEDIATE here — these sub-stores are read only
+          // by the stream's own tick (single process, never concurrent
+          // with compact per the single-writer contract). The ANN-side
+          // stores, whose searchStore IS advertised concurrent, use a
+          // one-generation GC grace instead (AnnStream/IvfStream/
+          // IvfPqStream.compactStore).
           readManifest(fs, root).foreach { nowVisible =>
             fs.listStatus(root).filter(_.isDirectory)
               .filter(_.getPath.getName.startsWith("batch="))

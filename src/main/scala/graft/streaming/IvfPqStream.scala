@@ -339,38 +339,60 @@ object IvfPqStream {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     val dir = new org.apache.hadoop.fs.Path(storeDir)
-    val mt = effectiveMeta(spark, storeDir, promote = false)
-      .getOrElse(throw new IllegalArgumentException(
-        s"not an ivf-pq store (no _IVFPQ marker): $storeDir"))
+    require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVFPQ")),
+      s"not an ivf-pq store (no _IVFPQ marker): $storeDir")
     val parts = storePartsOf(fs(spark, dir), dir)
     val nq = queries.limit(maxQueries + 1).count()
     require(nq <= maxQueries,
       s"searchStore got more than $maxQueries query rows — the query side " +
         "must stay the bounded side; swap sides or raise maxQueries deliberately")
-    val dim = mt.dim
-    val m = mt.m
-    val sub = dim / m
-    val coarseBc = spark.sparkContext.broadcast(mt.coarse)
-    val cbBc = spark.sparkContext.broadcast(mt.codebook)
     // bounded collect (≤ maxQueries): probed cells + ADC tables are
     // inherently per-query broadcast state, the batch operator's shape
     val qs = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .collect().map(r => (r.getLong(0), unitOf(r.getSeq[Float](1))))
-    val probedOf: Map[Long, Set[Int]] = qs.map { case (qid, qv) =>
-      qid -> mt.coarse.indices.sortBy { ci =>
-        var d = 0.0; var t = 0
-        while (t < dim) { val df = qv(t) - mt.coarse(ci)(t); d += df * df; t += 1 }
-        d
-      }.take(nprobe).toSet
-    }.toMap
-    val wantedCells = probedOf.values.flatten.toSet
-    val wanted = wantedCells.map(c =>
-      math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashLong(c.toLong, 42L), parts.toLong).toInt)
-    val stored = DedupStream.readStore(
-      spark, s"$storeDir/pqvecs", vecSchema,
-      excludeTag = " none ", partCol = "ab", wanted = wanted)
+    // CONSISTENT SNAPSHOT bracket (the IvfStream.searchStore idiom):
+    // the dual quantizer and the commit list are separate files; the
+    // stored codes only decode against the models that ENCODED them,
+    // so both reads must land in one generation — re-read the
+    // effective models after the (eager) leaf listing, retry on drift.
+    var mt = effectiveMeta(spark, storeDir, promote = false)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an ivf-pq store (no _IVFPQ marker): $storeDir"))
+    var stored: DataFrame = null
+    var probedOf: Map[Long, Set[Int]] = Map.empty
+    var attempt = 0
+    var consistent = false
+    while (!consistent) {
+      val dimL = mt.dim
+      val coarse = mt.coarse
+      probedOf = qs.map { case (qid, qv) =>
+        qid -> coarse.indices.sortBy { ci =>
+          var d = 0.0; var t = 0
+          while (t < dimL) { val df = qv(t) - coarse(ci)(t); d += df * df; t += 1 }
+          d
+        }.take(nprobe).toSet
+      }.toMap
+      val wanted = probedOf.values.flatten.toSet.map((c: Int) =>
+        math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(c.toLong, 42L), parts.toLong).toInt)
+      stored = DedupStream.readStore(
+        spark, s"$storeDir/pqvecs", vecSchema,
+        excludeTag = " none ", partCol = "ab", wanted = wanted)
+      val after = effectiveMeta(spark, storeDir, promote = false).get
+      if (after.render == mt.render) consistent = true
+      else {
+        mt = after
+        attempt += 1
+        require(attempt < 8, s"ivf-pq store $storeDir models kept moving " +
+          "during search planning — is a writer refitting in a loop?")
+      }
+    }
+    val dim = mt.dim
+    val m = mt.m
+    val sub = dim / m
+    val coarseBc = spark.sparkContext.broadcast(mt.coarse)
+    val cbBc = spark.sparkContext.broadcast(mt.codebook)
     val qBc = spark.sparkContext.broadcast(qs.map { case (qid, qv) =>
       (qid, probedOf(qid), qv)
     })

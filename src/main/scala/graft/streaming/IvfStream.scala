@@ -358,26 +358,49 @@ object IvfStream {
       nprobe: Int = 3, maxQueries: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(storeDir)
-    val meta = effectiveMeta(spark, storeDir, promote = false)
-      .getOrElse(throw new IllegalArgumentException(
-        s"not an ivf store (no _IVF marker): $storeDir"))
+    require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVF")),
+      s"not an ivf store (no _IVF marker): $storeDir")
     val parts = lit(storePartsOf(fs(spark, dir), dir).toLong)
     val nq = queries.limit(maxQueries + 1).count()
     require(nq <= maxQueries,
       s"searchStore got more than $maxQueries query rows — the query side " +
         "must stay the bounded side; swap sides or raise maxQueries deliberately")
-    val bc = spark.sparkContext.broadcast(meta.centroids)
-    val np = nprobe
-    val probeCells = udf { (v: Seq[Float]) =>
-      SimilaritySearch.nearestCellsOf(bc.value, v, np) }
-    val probes = queries.select(
-      col(idCol).cast("long").as("query_id"),
-      explode(probeCells(col(vecCol))).as("cell"))
-    val wanted = probes.select(abCol(parts).as("ab"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val stored = DedupStream.readStore(
-      spark, s"$storeDir/ivfvecs", vecSchema,
-      excludeTag = " none ", partCol = "ab", wanted = wanted)
+    // CONSISTENT SNAPSHOT bracket: the quantizer and the commit list
+    // are two files, and a refit swapping BETWEEN the two reads would
+    // prune new-assignment rows with old centroids (missed neighbors).
+    // readStore lists its leaves eagerly, so re-reading the effective
+    // quantizer AFTER the listing and retrying on drift pins both to
+    // one generation (refits are rare — the loop converges immediately
+    // in practice; bounded so a runaway writer still fails loudly).
+    var meta = effectiveMeta(spark, storeDir, promote = false)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an ivf store (no _IVF marker): $storeDir"))
+    var stored: DataFrame = null
+    var probes: DataFrame = null
+    var attempt = 0
+    var consistent = false
+    while (!consistent) {
+      val bc = spark.sparkContext.broadcast(meta.centroids)
+      val np = nprobe
+      val probeCells = udf { (v: Seq[Float]) =>
+        SimilaritySearch.nearestCellsOf(bc.value, v, np) }
+      probes = queries.select(
+        col(idCol).cast("long").as("query_id"),
+        explode(probeCells(col(vecCol))).as("cell"))
+      val wanted = probes.select(abCol(parts).as("ab"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      stored = DedupStream.readStore(
+        spark, s"$storeDir/ivfvecs", vecSchema,
+        excludeTag = " none ", partCol = "ab", wanted = wanted)
+      val after = effectiveMeta(spark, storeDir, promote = false).get
+      if (after.render == meta.render) consistent = true
+      else {
+        meta = after
+        attempt += 1
+        require(attempt < 8, s"ivf store $storeDir quantizer kept moving " +
+          "during search planning — is a writer refitting in a loop?")
+      }
+    }
     val cands = stored.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id").agg(first(col("cvec")).as("cvec"))

@@ -175,6 +175,51 @@ class IvfStreamSpec extends SparkSpec {
     assert(searchSet(store, queries) == expected)
   }
 
+  test("concurrent searcher through upserts, compactions AND refits: every read complete and correct") {
+    // the hard case for the snapshot bracket: a refit swaps quantizer
+    // AND assignment mid-search-planning; a reader pruning
+    // new-assignment rows with old centroids would miss neighbors. On
+    // the planted corpus the correct answer is refit-invariant at
+    // nprobe 8, so any torn generation shows up as a wrong set or an
+    // IO error in the searcher thread.
+    val corpus = SimilaritySearch.plantedNeighborCorpus(emb)
+    val store = java.nio.file.Files.createTempDirectory("ivfcc").toString
+    (0 until 3).foreach { c =>
+      IvfStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === c),
+        store, dim = 64, nlist = 16, seed = 13L, batchTag = s"c$c")
+    }
+    IvfStream.compactStore(spark, store)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val expected = searchSet(store, queries)
+    assert(expected.size == 50)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var searcherFailure: Option[Throwable] = None
+    val searcher = new Thread(() =>
+      try while (!stop.get()) {
+        val got = searchSet(store, queries)
+        if (got != expected)
+          throw new AssertionError(s"concurrent read diverged: " +
+            s"${got.diff(expected).take(3)} / ${expected.diff(got).take(3)}")
+        reads.incrementAndGet(); ()
+      } catch { case t: Throwable => searcherFailure = Some(t) })
+    searcher.setDaemon(true)
+    searcher.start()
+    try {
+      val distractors = emb.filter(col("vec_id") >= 20 && col("vec_id") < 120)
+      (0 until 4).foreach { i =>
+        IvfStream.upsertStep(
+          distractors.select((col("vec_id") + lit((i + 1) * 1000000L)).as("vec_id"),
+            col("embedding")),
+          store, dim = 64, nlist = 16, seed = 13L, batchTag = s"w$i")
+        IvfStream.compactStore(spark, store, refit = (i % 2 == 1))
+      }
+    } finally { stop.set(true); searcher.join(120000) }
+    searcherFailure.foreach(t => fail(s"searcher failed mid-refit: $t", t))
+    assert(reads.get() >= 3, s"searcher completed only ${reads.get()} reads")
+    assert(searchSet(store, queries) == expected)
+  }
+
   test("q102: the registered incremental-IVF query equals the q30 one-shot gate") {
     val a = resultSet(graft.queries.OpsQueries.q102IvfStream(spark, dir)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("int")))
