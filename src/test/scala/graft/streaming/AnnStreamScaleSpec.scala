@@ -73,6 +73,28 @@ class AnnStreamScaleSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("IvfStream.searchStore broadcast carries int (query_id, cell) pairs only") {
+    val store = java.nio.file.Files.createTempDirectory("ivfbg").toString
+    IvfStream.upsertStep(emb, store, dim = 64, nlist = 16, seed = 13L,
+      batchTag = "b0")
+    val out = IvfStream.searchStore(spark, store,
+      emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+    val joins = collectAll(out.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys).exists(_.references.exists(
+            a => a.name == "cell")) => j
+    }
+    assert(joins.nonEmpty, "candidate generation must be a broadcast hash join")
+    joins.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      assert(build.output.forall(!_.dataType.isInstanceOf[ArrayType]),
+        "the probe broadcast must carry no vector column")
+    }
+  }
+
   // one single-scan exercise per commit layout (l0Bound = 0 forces the
   // hash-partitioned branch)
   Seq(("L0 single-file", 1 << 16), ("hash-partitioned", 0)).foreach {
