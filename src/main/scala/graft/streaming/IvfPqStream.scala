@@ -219,8 +219,12 @@ object IvfPqStream {
   /** Fold one micro-batch into the store: fit-and-pin on first
     * contact, assign + residual-encode under the pinned models, write
     * as a tag-keyed commit (L0 single file for tick-sized batches).
-    * Returns the per-cell occupancy of the written commit — the
-    * inverted-list balance monitor. */
+    * Returns the per-cell `(cell, members, mean_code_err)` of the
+    * written commit — the DRIFT MONITOR for the compressed tier:
+    * mean_code_err is the L2 distance between each unit vector and its
+    * quantized reconstruction (centroid + decoded residual codewords);
+    * a rising mean means the pinned models no longer fit the data and
+    * a `compactStore(refit = true)` is due. */
   def upsertStep(
       batch: DataFrame, storeDir: String, dim: Int,
       nlist: Int = 16, m: Int = 8, seed: Long = 37L,
@@ -262,8 +266,30 @@ object IvfPqStream {
           .mode("overwrite").parquet(commitDir)
     } finally { b.unpersist(blocking = false); () }
     DedupStream.publishCommit(spark, root, s"batch=$batchTag")
+    // drift monitor off the just-written commit (on-disk rows): the
+    // reconstruction error of each stored code under the pins
+    val mtPinned = effectiveMeta(spark, storeDir, promote = false).get
+    val coarseBc = spark.sparkContext.broadcast(mtPinned.coarse)
+    val cbBc = spark.sparkContext.broadcast(mtPinned.codebook)
+    val sub = dim / m
+    val codeErr = udf { (cell: Int, codes: Array[Byte], v: Seq[Float]) =>
+      val cs = coarseBc.value; val cb = cbBc.value
+      val u = unitOf(v); val cc = cs(cell)
+      var d = 0.0; var j = 0
+      while (j < codes.length) {
+        val wd = cb(j)(codes(j) & 0xff)
+        var t = 0
+        while (t < sub) {
+          val diff = u(j * sub + t) - cc(j * sub + t) - wd(t)
+          d += diff * diff; t += 1
+        }
+        j += 1
+      }
+      math.sqrt(d)
+    }
     spark.read.parquet(commitDir)
-      .groupBy("cell").agg(count(lit(1)).as("members"))
+      .groupBy("cell").agg(count(lit(1)).as("members"),
+        avg(codeErr(col("cell"), col("codes"), col("cvec"))).as("mean_code_err"))
   }
 
   private def storePartsOf(

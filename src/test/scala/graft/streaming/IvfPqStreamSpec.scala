@@ -58,7 +58,10 @@ class IvfPqStreamSpec extends SparkSpec {
       IvfPqStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === c),
         store, dim = 64, nlist = 16, m = 8, seed = 37L, batchTag = s"b$c")
     }
-    assert(mon.head.collect().map(_.getLong(1)).sum > 0, "occupancy monitor")
+    val m0 = mon.head.collect()
+    assert(m0.map(_.getLong(1)).sum > 0, "occupancy monitor")
+    assert(m0.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) < 2.0),
+      "mean_code_err must be a positive sub-unit L2 on unit vectors")
     val expected = searchSet(store, queries)
     assert(expected.size == 50)
 
