@@ -292,6 +292,41 @@ object IvfPqStream {
         avg(codeErr(col("cell"), col("codes"), col("cvec"))).as("mean_code_err"))
   }
 
+  /** Streaming entry, the [[AnnStream.start]]/[[IvfStream.start]]
+    * shape: vector parquet files land in `vecsPath`, each micro-batch
+    * upserts (deterministic tags → replay-idempotent), every
+    * `compactEvery` batches the commits fold back into the partitioned
+    * layout. Pre-pin the models by copying an `_IVFPQ` marker into the
+    * store dir, or let the first batch fit. */
+  def start(
+      spark: SparkSession,
+      vecsPath: String,
+      vecsSchema: StructType,
+      storeDir: String,
+      checkpoint: String,
+      dim: Int,
+      nlist: Int = 16, m: Int = 8, seed: Long = 37L,
+      storeParts: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      compactEvery: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(vecsSchema).parquet(vecsPath)
+      .writeStream
+      .queryName("ivfpq-maintenance")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qid = Option(batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
+        upsertStep(batch, storeDir, dim, nlist, m, seed,
+          batchTag = s"$qid-$batchId", storeParts = storeParts)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactStore(spark, storeDir)
+        ()
+      }
+      .start()
+  }
+
   private def storePartsOf(
       f: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Int = {

@@ -104,6 +104,39 @@ class IvfPqStreamSpec extends SparkSpec {
       "distractor duplicates must not perturb the planted top-5")
   }
 
+  test("start: vector files in, durable searchable compressed index (AvailableNow)") {
+    val root = java.nio.file.Files.createTempDirectory("pqw").toString
+    val vecsDir = s"$root/vecs"
+    new java.io.File(vecsDir).mkdirs()
+    val corpus = SimilaritySearch.plantedNeighborCorpus(emb).cache()
+    def stage(name: String, c: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      corpus.filter(pmod(col("vec_id"), lit(3)) === c)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$vecsDir/$name.parquet"))
+      ()
+    }
+    val schema = corpus.schema
+    def tick(): Unit = {
+      val q = IvfPqStream.start(spark, vecsDir, schema, s"$root/store",
+        s"$root/ckpt", dim = 64, nlist = 16, m = 8, seed = 37L,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        compactEvery = 2)
+      q.awaitTermination()
+    }
+    stage("v0", 0L); tick()
+    stage("v1", 1L); stage("v2", 2L); tick()
+    val queries = corpus.filter(col("vec_id") < 10)
+    val streamed = searchSet(s"$root/store", queries)
+    val brute = resultSet(SimilaritySearch.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id", "rank"))
+    assert(streamed == brute, "files-in stream must serve the planted top-5")
+    corpus.unpersist()
+  }
+
   test("marker round-trip preserves codeword order (codes index into it)") {
     val corpus = SimilaritySearch.plantedNeighborCorpus(emb)
     val store = java.nio.file.Files.createTempDirectory("pqm").toString
