@@ -108,6 +108,7 @@ object SparkEntry {
     "q99_multimodal_ext" -> (OpsQueries.q99MultimodalExt _),
     "q100_multimodal_img" -> (OpsQueries.q100MultimodalImg _),
     "q103_multimodal_audio" -> (OpsQueries.q103MultimodalAudio _),
+    "q105_multimodal_ogg" -> (OpsQueries.q105MultimodalOgg _),
     "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
     "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
     "q104_ivfpq_stream" -> (OpsQueries.q104IvfPqStream _),
@@ -1522,6 +1523,33 @@ object SparkEntry {
         |  CAST(1000 + id % 5000 AS BIGINT) AS n_units,
         |  (1000 + id % 5000) * 1000 // (8000 + 100 * (id % 40)) AS duration_ms,
         |  CAST(66 + id % 10 + id % 64 AS BIGINT) AS n_bytes
+        |FROM ids WHERE id % 2 = 1"""
+      .stripMargin,
+    // q105: the OGG container pair (MediaSynth.oggAssetFor: RFC 3533
+    // pages with REAL page CRCs carrying a Vorbis I id header / an
+    // RFC 7845 OpusHead + OpusTags), recovered via the page walk +
+    // first-packet codec dispatch + last-page granule. Arithmetic:
+    // Vorbis n_units = totalSamples (the granule), duration =
+    // samples·1000//sr, bytes = 86 + payload = 106 + id%50; Opus
+    // n_units = preSkip + 48·durMs (the 48 kHz granule), duration =
+    // durMs exactly, bytes = 123 + payload = 139 + id%40
+    "q105_multimodal_ogg" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
+        |SELECT id AS doc_id, 'vorbis' AS fmt,
+        |  CAST(1 + (id // 2) % 2 AS BIGINT) AS channels,
+        |  CAST(8000 + 100 * (id % 40) AS BIGINT) AS sample_rate,
+        |  CAST(2000 + id % 3000 AS BIGINT) AS n_units,
+        |  (2000 + id % 3000) * 1000 // (8000 + 100 * (id % 40)) AS duration_ms,
+        |  CAST(106 + id % 50 AS BIGINT) AS n_bytes
+        |FROM ids WHERE id % 2 = 0
+        |UNION ALL
+        |SELECT id AS doc_id, 'opus' AS fmt,
+        |  CAST(1 + (id // 2) % 2 AS BIGINT) AS channels,
+        |  CAST(([8000,12000,16000,24000,48000])[CAST(id % 5 AS INT) + 1] AS BIGINT)
+        |    AS sample_rate,
+        |  CAST(312 + id % 100 + 48 * (10 + id % 200) AS BIGINT) AS n_units,
+        |  CAST(10 + id % 200 AS BIGINT) AS duration_ms,
+        |  CAST(139 + id % 40 AS BIGINT) AS n_bytes
         |FROM ids WHERE id % 2 = 1"""
       .stripMargin
   )

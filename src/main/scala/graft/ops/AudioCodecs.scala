@@ -1,20 +1,27 @@
 package graft.ops
 
-/** Pure-JVM header parsers for the two audio containers a crawl corpus
+/** Pure-JVM header parsers for the audio containers a crawl corpus
   * actually carries beside WAV: MPEG-1 Layer III (frame-header sync
-  * walk over the published bitrate/samplerate tables, ID3v2 skip) and
-  * FLAC (METADATA_BLOCK walk to STREAMINFO's packed bit fields). Like
-  * every codec in this module ([[ImageCodecs]], [[RiffCodecs]]) these
-  * read HEADERS ONLY — no sample decode, no audio library — so the
-  * per-asset cost is O(frames) table lookups for MP3 and O(blocks)
-  * for FLAC, and the walk is bounds-checked at every step (garbage
-  * bytes return None, the dead-letter contract).
+  * walk over the published bitrate/samplerate tables, ID3v2 skip),
+  * FLAC (METADATA_BLOCK walk to STREAMINFO's packed bit fields), and
+  * OGG (page walk to the first packet's Vorbis/Opus identification
+  * header, last-page granule for duration). Like every codec in this
+  * module ([[ImageCodecs]], [[RiffCodecs]]) these read HEADERS ONLY —
+  * no sample decode, no audio library — so the per-asset cost is
+  * O(frames) table lookups for MP3, O(blocks) for FLAC, O(pages) for
+  * OGG, and the walk is bounds-checked at every step (garbage bytes
+  * return None, the dead-letter contract).
   *
   * Format sources: the MPEG-1 audio frame header layout and Layer III
   * bitrate/samplerate tables (ISO/IEC 11172-3), the ID3v2.3 tag header
-  * with syncsafe sizes, and the FLAC format spec (RFC 9639) STREAMINFO
-  * packing: 20-bit sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit
-  * total samples.
+  * with syncsafe sizes, the FLAC format spec (RFC 9639) STREAMINFO
+  * packing (20-bit sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit
+  * total samples), the OGG page layout (RFC 3533 §6: capture pattern,
+  * 64-bit granule position, segment lacing table), the Vorbis I
+  * identification header (§4.2.2: version/channels/rate/bitrates/
+  * blocksizes/framing) and the OpusHead layout (RFC 7845 §5.1:
+  * version/channels/pre-skip/input rate/gain/mapping family, with the
+  * 48 kHz granule clock and pre-skip subtraction for duration).
   *
   * reference analog: none (engine-side training-data surface). */
 object AudioCodecs {
@@ -87,6 +94,97 @@ object AudioCodecs {
     if (frames == 0) None
     else Some(Mp3Info(channels, sr, kbps, frames,
       frames.toLong * Mp3SamplesPerFrame * 1000L / sr))
+  }
+
+  /** One parsed OGG stream: the embedded codec's identification-header
+    * fields plus the last page's granule position. For Vorbis the
+    * granule IS the PCM sample count at `sampleRate`; for Opus it
+    * ticks a 48 kHz clock and playback drops `preSkip` samples, so
+    * `durationMs = (granule − preSkip) / 48`. `sampleRate` is the
+    * Vorbis rate / the informational Opus input rate. */
+  final case class OggInfo(
+      codec: String, channels: Int, sampleRate: Int, preSkip: Int,
+      totalGranules: Long, durationMs: Long)
+
+  private def le16(b: Array[Byte], o: Int): Int = u8(b, o) | (u8(b, o + 1) << 8)
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    u8(b, o) | (u8(b, o + 1) << 8) | (u8(b, o + 2) << 16) | (u8(b, o + 3) << 24)
+
+  private def le64(b: Array[Byte], o: Int): Long = {
+    var v = 0L; var i = 7
+    while (i >= 0) { v = (v << 8) | u8(b, o + i); i -= 1 }
+    v
+  }
+
+  private def hasMagic(b: Array[Byte], o: Int, magic: String): Boolean =
+    o + magic.length <= b.length &&
+      magic.indices.forall(i => b(o + i) == magic.charAt(i).toByte)
+
+  /** Walk an OGG stream (RFC 3533): dispatch on the FIRST packet of the
+    * first page — the Vorbis identification header (0x01"vorbis") or
+    * OpusHead — then hop page headers (27 + lacing table + summed
+    * lacing values) to the last page's granule position. A granule of
+    * −1 ("no packet finishes on this page") never overwrites the
+    * running value. Truncated tails stop cleanly at the last complete
+    * page; garbage returns None. */
+  def decodeOgg(b: Array[Byte]): Option[OggInfo] = {
+    if (b == null || b.length < 28 || !hasMagic(b, 0, "OggS") || b(4) != 0)
+      return None
+    // first page: reassemble packet 1 from the lacing table (an id
+    // header is < 255 bytes in practice, but honor 255-continuations)
+    val nseg0 = u8(b, 26)
+    if (27 + nseg0 > b.length) return None
+    var p0len = 0
+    var complete = false
+    var i = 0
+    while (i < nseg0 && !complete) {
+      val l = u8(b, 27 + i); p0len += l
+      if (l < 255) complete = true
+      i += 1
+    }
+    val d0 = 27 + nseg0
+    if (!complete || d0 + p0len > b.length) return None
+    val head: Option[(String, Int, Int, Int)] = // codec, channels, rate, preSkip
+      if (p0len >= 30 && b(d0) == 0x01 && hasMagic(b, d0 + 1, "vorbis")) {
+        val version = le32(b, d0 + 7)
+        val ch = u8(b, d0 + 11)
+        val sr = le32(b, d0 + 12)
+        if (version != 0 || ch == 0 || sr <= 0) None
+        else Some(("vorbis", ch, sr, 0))
+      } else if (p0len >= 19 && hasMagic(b, d0, "OpusHead")) {
+        val version = u8(b, d0 + 8)
+        val ch = u8(b, d0 + 9)
+        val preSkip = le16(b, d0 + 10)
+        val inputSr = le32(b, d0 + 12)
+        if ((version >> 4) != 0 || ch == 0) None // major version must be 0
+        else Some(("opus", ch, inputSr, preSkip))
+      } else None
+    head.map { case (codec, ch, sr, preSkip) =>
+      // page walk: last complete page's granule = the stream total
+      var o = 0
+      var granule = 0L
+      var ok = true
+      while (ok && o + 27 <= b.length && hasMagic(b, o, "OggS")) {
+        val nseg = u8(b, o + 26)
+        if (o + 27 + nseg > b.length) ok = false
+        else {
+          var dlen = 0; var j = 0
+          while (j < nseg) { dlen += u8(b, o + 27 + j); j += 1 }
+          if (o + 27 + nseg + dlen > b.length) ok = false
+          else {
+            val g = le64(b, o + 6)
+            if (g != -1L) granule = g
+            o += 27 + nseg + dlen
+          }
+        }
+      }
+      val durMs =
+        if (codec == "opus") math.max(0L, granule - preSkip) * 1000L / 48000L
+        else if (sr > 0) granule * 1000L / sr
+        else 0L
+      OggInfo(codec, ch, sr, preSkip, granule, durMs)
+    }
   }
 
   private def be24(b: Array[Byte], o: Int): Int =

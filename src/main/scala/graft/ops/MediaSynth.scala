@@ -381,4 +381,97 @@ object MediaSynth {
         flac(id, 8000 + 100 * (id % 40).toInt, 1 + ((id / 2) % 2).toInt,
           16, 1000 + id % 5000, (id % 10).toInt, 20 + (id % 64).toInt), empty)
   }
+
+  // ---- q105: the OGG pair (Vorbis + Opus id headers, RFC 3533 pages) ----
+
+  private lazy val oggCrcTable: Array[Int] = Array.tabulate(256) { n =>
+    var r = n << 24
+    var i = 0
+    while (i < 8) {
+      r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+      i += 1
+    }
+    r
+  }
+
+  /** One OGG page (RFC 3533 §6) with the REAL page CRC (poly
+    * 0x04C11DB7, forward, init/xorout 0, computed with the CRC field
+    * zeroed) — a future checksum-verifying reader must not break the
+    * gate (the q100 PNG-CRC discipline). Synth packets stay < 255
+    * bytes, one lacing byte each. */
+  private def oggPage(headerType: Int, granule: Long, serial: Int,
+      seq: Int, packets: Array[Array[Byte]]): Array[Byte] = {
+    require(packets.forall(_.length < 255), "synth packets stay < 255")
+    val lacing = packets.map(p => p.length.toByte)
+    val page = cc("OggS") ++ Array(0.toByte, headerType.toByte) ++
+      Array.tabulate(8)(i => ((granule >>> (8 * i)) & 0xff).toByte) ++
+      le32(serial) ++ le32(seq) ++ le32(0) ++
+      Array(packets.length.toByte) ++ lacing ++ packets.flatten
+    var crc = 0
+    var i = 0
+    while (i < page.length) {
+      crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ (page(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    System.arraycopy(le32(crc), 0, page, 22, 4)
+    page
+  }
+
+  /** OGG/Vorbis: page 1 (BOS) = the 30-byte Vorbis I identification
+    * header (version 0, channels, rate, three bitrate fields 0,
+    * blocksizes 2⁸/2¹¹, framing 1), page 2 (EOS) = `payloadLen` opaque
+    * audio bytes with granule = `totalSamples`.
+    * n_bytes = 58 + 28 + payloadLen = 86 + payloadLen. */
+  def oggVorbis(id: Long, sr: Int, channels: Int, totalSamples: Long,
+      payloadLen: Int): Array[Byte] = {
+    val idHeader = Array(0x01.toByte) ++ cc("vorbis") ++ le32(0) ++
+      Array(channels.toByte) ++ le32(sr) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      Array(0xb8.toByte, 0x01.toByte)
+    val payload = Array.tabulate(payloadLen)(j => ((id + j) % 255).toByte)
+    oggPage(0x02, 0L, id.toInt, 0, Array(idHeader)) ++
+      oggPage(0x04, totalSamples, id.toInt, 1, Array(payload))
+  }
+
+  /** OGG/Opus (RFC 7845): page 1 (BOS) = the 19-byte OpusHead
+    * (version 1, channels, pre-skip, informational input rate, gain 0,
+    * mapping family 0), page 2 = a minimal OpusTags, page 3 (EOS) =
+    * `payloadLen` opaque bytes carrying the final 48 kHz granule
+    * (`preSkip + 48·durMs`).
+    * n_bytes = 47 + 48 + 28 + payloadLen = 123 + payloadLen. */
+  def oggOpus(id: Long, channels: Int, preSkip: Int, inputSr: Int,
+      granule: Long, payloadLen: Int): Array[Byte] = {
+    val head = cc("OpusHead") ++ Array(1.toByte, channels.toByte) ++
+      le16(preSkip) ++ le32(inputSr) ++ le16(0) ++ Array(0.toByte)
+    val tags = cc("OpusTags") ++ le32(4) ++ cc("gfts") ++ le32(0)
+    val payload = Array.tabulate(payloadLen)(j => ((id + 7 + j) % 255).toByte)
+    oggPage(0x02, 0L, id.toInt, 0, Array(head)) ++
+      oggPage(0x00, 0L, id.toInt, 1, Array(tags)) ++
+      oggPage(0x04, granule, id.toInt, 2, Array(payload))
+  }
+
+  /** The q105 asset for one document id — OGG/Vorbis / OGG/Opus by id
+    * mod 2, every parameter a small modulus of the id (the oracle
+    * restates these formulas):
+    *   - id≡0: Vorbis, sr = 8000+100·(id%40), channels = 1+(id/2)%2,
+    *     totalSamples = 2000+id%3000, payload = 20+id%50
+    *     → n_bytes = 106 + id%50;
+    *   - id≡1: Opus, channels = 1+(id/2)%2, preSkip = 312+id%100,
+    *     inputSr ∈ {8000,12000,16000,24000,48000} by id%5,
+    *     durMs = 10+id%200 (granule = preSkip + 48·durMs),
+    *     payload = 16+id%40 → n_bytes = 139 + id%40. */
+  def oggAssetFor(id: Long): MediaAsset = {
+    val empty = MediaMeta(0, 0, 0L, 0, "?")
+    if (id % 2 == 0)
+      MediaAsset(id, "audio",
+        oggVorbis(id, 8000 + 100 * (id % 40).toInt, 1 + ((id / 2) % 2).toInt,
+          2000 + id % 3000, 20 + (id % 50).toInt), empty)
+    else {
+      val preSkip = 312 + (id % 100).toInt
+      val durMs = 10 + (id % 200)
+      MediaAsset(id, "audio",
+        oggOpus(id, 1 + ((id / 2) % 2).toInt, preSkip,
+          Array(8000, 12000, 16000, 24000, 48000)((id % 5).toInt),
+          preSkip + 48L * durMs, 16 + (id % 40).toInt), empty)
+    }
+  }
 }

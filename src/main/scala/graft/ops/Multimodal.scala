@@ -152,20 +152,24 @@ object Multimodal {
       asset_id: Long, fmt: String, channels: Int, sample_rate: Int,
       n_units: Long, duration_ms: Long, n_bytes: Long)
 
-  /** Container dispatch by magic — WAV (`RIFF`), FLAC (`fLaC`), MP3
-    * (ID3v2 tag or immediate frame sync; magic-gated so a PCM body's
-    * stray 0xFF can never be misparsed as MP3). Header-only walks, all
-    * pure JVM ([[RiffCodecs.decodeWav]], [[AudioCodecs]]). */
+  /** Container dispatch by magic — WAV (`RIFF`), FLAC (`fLaC`), OGG
+    * (`OggS`, resolving to `vorbis`/`opus` by the first packet's id
+    * header), MP3 (ID3v2 tag or immediate frame sync; magic-gated so a
+    * PCM body's stray 0xFF can never be misparsed as MP3). Header-only
+    * walks, all pure JVM ([[RiffCodecs.decodeWav]], [[AudioCodecs]]). */
   private def decodeAnyAudio(b: Array[Byte]): Option[AudioInfo] = {
     if (b == null || b.length < 4) return None
     def u(i: Int) = b(i) & 0xff
     if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
       RiffCodecs.decodeWav(b).map(w => AudioInfo(0L, "wav", w.channels,
-        w.sampleRate, w.durationMs * w.sampleRate / 1000L, w.durationMs,
+        w.sampleRate, w.samplesPerChannel, w.durationMs,
         b.length.toLong))
     else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
       AudioCodecs.decodeFlac(b).map(f => AudioInfo(0L, "flac", f.channels,
         f.sampleRate, f.totalSamples, f.durationMs, b.length.toLong))
+    else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
+      AudioCodecs.decodeOgg(b).map(o => AudioInfo(0L, o.codec, o.channels,
+        o.sampleRate, o.totalGranules, o.durationMs, b.length.toLong))
     else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
         (u(0) == 0xff && (u(1) & 0xe0) == 0xe0))
       AudioCodecs.decodeMp3(b).map(m => AudioInfo(0L, "mp3", m.channels,

@@ -34,7 +34,8 @@ object RiffCodecs {
   }
 
   final case class WavInfo(
-      channels: Int, sampleRate: Int, bitsPerSample: Int, durationMs: Long)
+      channels: Int, sampleRate: Int, bitsPerSample: Int, durationMs: Long,
+      samplesPerChannel: Long)
 
   private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
   private def le16(b: Array[Byte], o: Int): Int = (u8(b, o + 1) << 8) | u8(b, o)
@@ -263,6 +264,7 @@ object RiffCodecs {
     var channels = 0
     var rate = 0
     var byteRate = 0
+    var blockAlign = 0
     var bits = 0
     var dataLen = -1L
     var o = 12
@@ -277,13 +279,21 @@ object RiffCodecs {
           channels = le16(b, o + 8 + 2)
           rate = le32(b, o + 8 + 4)
           byteRate = le32(b, o + 8 + 8)
+          blockAlign = le16(b, o + 8 + 12)
           bits = le16(b, o + 8 + 14)
         } else if (id == "data") dataLen = size
         o += 8 + sz + (sz & 1)
       }
     }
     if (rate <= 0 || byteRate <= 0 || dataLen < 0) None
-    else Some(WavInfo(channels, rate, bits, dataLen * 1000L / byteRate))
+    // exact per-channel sample count from the data chunk: blockAlign is
+    // bytes per sample frame, so dataLen/blockAlign is exact where a
+    // durationMs·rate/1000 reconstruction double-floors (500 samples at
+    // 8 kHz would report 496)
+    else Some(WavInfo(channels, rate, bits, dataLen * 1000L / byteRate,
+      if (blockAlign > 0) dataLen / blockAlign
+      else if (channels > 0 && bits >= 8) dataLen / (channels.toLong * (bits / 8))
+      else 0L))
   }
 
   /** One analysis window of channel-0 PCM: integer-exact energy /

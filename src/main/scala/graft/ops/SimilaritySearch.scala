@@ -464,35 +464,40 @@ object SimilaritySearch {
     val idCol = index.idCol
     val vecCol = index.vecCol
     val unit = unitUdf
-    val bc = spark.sparkContext.broadcast(index.codebook)
-    // per-query ADC table (m × 16 inner products), score codes;
-    // the collect doubles as the maxQueries bound check (one job)
+    // per-query ADC table (m × 16 inner products), built ONCE on the
+    // driver (parallel over queries) and broadcast — dim-independent
+    // bytes (~1.5 KB/query) instead of raw dim-scaled query vectors,
+    // and no per-partition table rebuild (nq × m × 16 × sub work per
+    // partition at the 100k bound). table(j)(c) = <q_subj, centroid_jc>:
+    // sum over j approximates <q, v>. Sized by the ACTUAL centroid
+    // count per subspace — KMeans may return fewer than k centers on
+    // degenerate data, and the encode pass guards the same way.
+    // The collect doubles as the maxQueries bound check (one job).
     val qs = collectBounded(
       queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv")),
       maxQueries, "pqSearch")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qBc = spark.sparkContext.broadcast(qs)
-    val scored = index.encoded.mapPartitions { it =>
-      val cb = bc.value
-      val qts = qBc.value.map { case (qid, qv) =>
-        // table(j)(c) = <q_subj, centroid_jc>: sum over j approximates
-        // <q, v>. Sized by the ACTUAL centroid count per subspace —
-        // KMeans may return fewer than k centers on degenerate data
-        // (constant/zero sub-vectors), and the encode pass already
-        // guards the same way
+    val cbLocal = index.codebook
+    val qts: Array[(Long, Array[Array[Double]])] = {
+      import scala.collection.parallel.CollectionConverters._
+      qs.par.map { case (qid, qv) =>
         val table = Array.tabulate(m) { j =>
-          Array.tabulate(cb(j).length) { ci =>
+          Array.tabulate(cbLocal(j).length) { ci =>
             var s = 0.0; var t = 0
-            while (t < sub) { s += qv(j * sub + t) * cb(j)(ci)(t); t += 1 }
+            while (t < sub) { s += qv(j * sub + t) * cbLocal(j)(ci)(t); t += 1 }
             s
           }
         }
         (qid, table)
-      }
+      }.toArray
+    }
+    val qBc = spark.sparkContext.broadcast(qts)
+    val scored = index.encoded.mapPartitions { it =>
+      val qt = qBc.value
       it.flatMap { r =>
         val nid = r.getLong(0)
         val codes = r.getAs[Array[Byte]](1)
-        qts.iterator.collect { case (qid, table) if qid != nid =>
+        qt.iterator.collect { case (qid, table) if qid != nid =>
           var s = 0.0; var j = 0
           while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
           (qid, nid, s)
@@ -654,65 +659,96 @@ object SimilaritySearch {
     new IvfPqIndex(coarse, codebook, kept, corpus, idCol, vecCol, nlist, m, dim)
   }
 
+  /** The per-cell query index for an ADC pass: for each query, the
+    * `nprobe` nearest coarse cells, and under each probed cell the
+    * `(query_id, ⟨q, c_cell⟩, residual ADC table)` triple. Built ONCE
+    * on the driver (parallel over queries; bounded by maxQueries) and
+    * broadcast, so:
+    *   - each stored row touches ONLY the queries probing ITS cell —
+    *     per-row work is O(queries-probing-cell) ≈ nq·nprobe/nlist,
+    *     not O(nq) (at the 100k-query bound against millions of
+    *     probed-cell rows, the difference between ~10¹¹ inner
+    *     iterations and ~10¹⁰/nlist — the wall-clock scale-killer);
+    *   - the broadcast bytes are DIM-INDEPENDENT (~1.5 KB/query of
+    *     table + one double per probed cell), never the raw query
+    *     vectors whose bytes scale with dim (100k × dim 768 ≈ 600 MB).
+    * The m×≤16 table is shared by reference across a query's nprobe
+    * entries (Java serialization preserves identity in one graph).
+    * Probe selection (by-distance sort, index-stable ties) and all
+    * arithmetic orders match the previous per-partition build exactly,
+    * so scores are bit-identical. */
+  private[graft] def adcByCell(
+      qs: Array[(Long, Array[Double])],
+      coarse: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]],
+      nprobe: Int): Map[Int, Array[(Long, Double, Array[Array[Double]])]] = {
+    import scala.collection.parallel.CollectionConverters._
+    val dim = if (coarse.nonEmpty) coarse(0).length else 0
+    val m = codebook.length
+    val sub = if (m > 0) dim / m else 0
+    val perQuery: Array[Array[(Int, (Long, Double, Array[Array[Double]]))]] =
+      qs.par.map { case (qid, qv) =>
+        val dots = new Array[Double](coarse.length)
+        val dists = new Array[Double](coarse.length)
+        var ci = 0
+        while (ci < coarse.length) {
+          val cc = coarse(ci)
+          var dot = 0.0; var t = 0
+          while (t < dim) { dot += qv(t) * cc(t); t += 1 }
+          var dist = 0.0; t = 0
+          while (t < dim) { val df = qv(t) - cc(t); dist += df * df; t += 1 }
+          dots(ci) = dot; dists(ci) = dist; ci += 1
+        }
+        val table = Array.tabulate(m) { j =>
+          Array.tabulate(codebook(j).length) { w =>
+            var s = 0.0; var t = 0
+            while (t < sub) { s += qv(j * sub + t) * codebook(j)(w)(t); t += 1 }
+            s
+          }
+        }
+        coarse.indices.sortBy(ci => dists(ci)).take(nprobe)
+          .map(c => (c, (qid, dots(c), table))).toArray
+      }.toArray
+    perQuery.flatten.groupBy(_._1).map { case (c, arr) => c -> arr.map(_._2) }
+  }
+
   /** Search a built [[IvfPqIndex]]: probed-cell ADC over the
     * (persisted) code relation + exact re-rank — never a re-fit or
-    * re-encode. */
+    * re-encode. The broadcast query state is CELL-INDEXED
+    * ([[adcByCell]]): a code row iterates only the queries probing its
+    * cell. `touches`, when supplied, counts exactly those per-row
+    * query visits — the complexity probe the specs assert against. */
   def ivfPqSearch(
       index: IvfPqIndex, queries: DataFrame, k: Int,
       nprobe: Int = 4, rerank: Int = 32,
-      maxQueries: Int = 100000): DataFrame = {
+      maxQueries: Int = 100000,
+      touches: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val dim = index.dim
     val m = index.m
-    val sub = dim / m
     val idCol = index.idCol
     val vecCol = index.vecCol
     val unit = unitUdf
-    val coarseBc = spark.sparkContext.broadcast(index.coarse)
-    val cbBc = spark.sparkContext.broadcast(index.codebook)
-    // per-query precompute: probed cell set, exact <q, centroid> per
-    // cell, one residual ADC table (codebooks are global, so the table
-    // is shared across cells)
     // collect doubles as the maxQueries bound check (one job)
     val qs = collectBounded(
       queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv")),
       maxQueries, "ivfPqSearch")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
-    val qBc = spark.sparkContext.broadcast(qs)
+    val qBc = spark.sparkContext.broadcast(
+      adcByCell(qs, index.coarse, index.codebook, nprobe))
     val scored = index.encoded.mapPartitions { it =>
-      val cs = coarseBc.value
-      val cb = cbBc.value
-      val qp = qBc.value.map { case (qid, qv) =>
-        val cellDots = cs.map { cc =>
-          var s = 0.0; var t = 0
-          while (t < dim) { s += qv(t) * cc(t); t += 1 }
-          s
-        }
-        val byDist = cs.indices.sortBy { ci =>
-          var d = 0.0; var t = 0
-          while (t < dim) { val df = qv(t) - cs(ci)(t); d += df * df; t += 1 }
-          d
-        }
-        val probed = byDist.take(nprobe).toSet
-        val table = Array.tabulate(m) { j =>
-          Array.tabulate(cb(j).length) { ci =>
-            var s = 0.0; var t = 0
-            while (t < sub) { s += qv(j * sub + t) * cb(j)(ci)(t); t += 1 }
-            s
-          }
-        }
-        (qid, probed, cellDots, table)
-      }
+      val qc = qBc.value
+      val none = Array.empty[(Long, Double, Array[Array[Double]])]
       it.flatMap { r =>
         val nid = r.getLong(0)
         val cell = r.getInt(1)
         val codes = r.getAs[Array[Byte]](2)
-        qp.iterator.collect {
-          case (qid, probed, cellDots, table) if qid != nid && probed(cell) =>
-            var s = cellDots(cell); var j = 0
-            while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
-            (qid, nid, s)
+        val entries = qc.getOrElse(cell, none)
+        touches.foreach(_.add(entries.length))
+        entries.iterator.collect { case (qid, cellDot, table) if qid != nid =>
+          var s = cellDot; var j = 0
+          while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
+          (qid, nid, s)
         }
       }
     }.toDF("query_id", "neighbor_id", "adc")

@@ -1340,6 +1340,32 @@ object OpsQueries {
         col("n_units"), col("duration_ms"), col("n_bytes"))
   }
 
+  /** MULTIMODAL audio, the OGG container pair (round 15): RFC 3533
+    * page streams carrying a Vorbis I identification header or an
+    * RFC 7845 OpusHead, synthesized per doc_id with REAL page CRCs
+    * ([[graft.ops.MediaSynth.oggAssetFor]]) and decoded ONLY by the
+    * real page walk ([[graft.ops.AudioCodecs.decodeOgg]]: first-packet
+    * codec dispatch + last-page granule for duration, with the Opus
+    * 48 kHz clock and pre-skip subtraction). The oracle restates the
+    * synthesis arithmetic from the id alone (the q103 idiom) —
+    * `decodeAudioInfo` now dispatches FOUR audio magics
+    * (RIFF/fLaC/OggS/MP3). `n_units` is the last granule position:
+    * PCM samples for Vorbis, the 48 kHz tick count (pre-skip included)
+    * for Opus. */
+  def q105MultimodalOgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val assets = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(graft.ops.MediaSynth.oggAssetFor)
+    graft.ops.Multimodal.decodeAudioInfo(assets)
+      .toDF()
+      .select(col("asset_id").as("doc_id"), col("fmt"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_units"), col("duration_ms"), col("n_bytes"))
+  }
+
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
     * deterministic synthetic versions of the documents table (old drops
     * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites

@@ -89,13 +89,7 @@ object AnnStream {
     // (Adopt _SUCCESS-complete dirs if the file is somehow absent on a
     // non-empty store — same recovery as compactStore.)
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/annvecs")
-    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!rootFs.exists(new org.apache.hadoop.fs.Path(root, "_MANIFEST"))) {
-      rootFs.mkdirs(root)
-      val adopt = DedupStream.visibleCommits(rootFs, root).filter(s =>
-        rootFs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
-    }
+    StoreCommits.ensureManifestClaimed(spark, root)
     val parts = lit(storeParts.toLong)
     val planesFlat = SimilaritySearch.tablePlanesFlat(dim, planes, seed, tables)
     // ONE source scan per upsert: the projected batch is persisted,
@@ -179,14 +173,6 @@ object AnnStream {
       .start()
   }
 
-  private def storeParts(
-      fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Int = {
-    val pin = fs.open(new org.apache.hadoop.fs.Path(dir, "_PARTS"))
-    val t = try scala.io.Source.fromInputStream(pin).mkString.trim finally pin.close()
-    t.split('/')(0).toInt
-  }
-
   /** Offline maintenance: fold the accumulated annvecs commits —
     * BOTH layouts (hash-partitioned and L0 single-file) — into one
     * hash-partitioned commit, re-deriving `ab` from row content
@@ -197,49 +183,16 @@ object AnnStream {
     * anything is written, `_FOLDED` extended before the swap, one
     * atomic manifest replace, unlisted dirs GC'd. SINGLE-WRITER
     * contract: run between upserts. */
-  def compactStore(spark: SparkSession, storeDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(s"$storeDir/annvecs")
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return
-    if (DedupStream.readManifest(fs, root).isEmpty) {
-      val adopt = DedupStream.visibleCommits(fs, root).filter(s => fs.exists(
-        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
-    }
-    val visible = DedupStream.visibleCommits(fs, root)
-    val justReplaced: Set[String] = if (visible.size >= 2) {
-      val parts = storeParts(fs, new org.apache.hadoop.fs.Path(storeDir))
-      val all = DedupStream.readStore(spark, s"$storeDir/annvecs", vecSchema,
-        excludeTag = " none ", partCol = "ab", wanted = (0 until parts).toSet)
-      val target = s"batch=compact-${java.util.UUID.randomUUID()}"
-      // sorted within partitions: tight (tbl, bucket) row-group stats,
-      // so a probe's pushed equality filters skip row groups inside
-      // the compacted partition files
-      all.withColumn("ab", abCol(lit(parts.toLong)))
-        .repartition(col("ab")).sortWithinPartitions("tbl", "bucket")
-        .write.partitionBy("ab")
-        .mode("overwrite").parquet(s"$storeDir/annvecs/$target")
-      DedupStream.writeNameFile(spark, root, "_FOLDED",
-        DedupStream.readFolded(fs, root) ++ visible.map(_.getPath.getName).toSet)
-      DedupStream.writeManifest(spark, root, Set(target)) // THE commit point
-      visible.map(_.getPath.getName).toSet
-    } else Set.empty
-    // GC with a ONE-GENERATION GRACE PERIOD: the commits THIS call
-    // replaced stay on disk until the next compaction, so a concurrent
-    // [[searchStore]] whose leaf list was captured against the prior
-    // manifest can finish its lazy read — the manifest swap changes
-    // what NEW readers see, never what an in-flight reader holds.
-    // Anything unlisted AND not just-replaced (last generation's
-    // leftovers, replay rewrites behind the _FOLDED ledger) is deleted.
-    DedupStream.readManifest(fs, root).foreach { nowVisible =>
-      fs.listStatus(root).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("batch="))
-        .filterNot(s => nowVisible.contains(s.getPath.getName)
-          || justReplaced.contains(s.getPath.getName))
-        .foreach(s => fs.delete(s.getPath, true))
-    }
-  }
+  def compactStore(spark: SparkSession, storeDir: String): Unit =
+    // sorted within partitions: tight (tbl, bucket) row-group stats,
+    // so a probe's pushed equality filters skip row groups inside
+    // the compacted partition files
+    StoreCommits.foldAndSwap(
+      spark, storeDir, "annvecs", vecSchema,
+      p => abCol(lit(p)), Seq("tbl", "bucket"),
+      extraWork = false,
+      transform = all =>
+        (all, s"batch=compact-${java.util.UUID.randomUUID()}", None))
 
   /** Top-k cosine search against the accumulated store with one-bit
     * multi-probe per table — identical candidate generation, scoring
@@ -272,7 +225,7 @@ object AnnStream {
     val in = fs.open(marker)
     val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
     val Array(dim, planes, seed, tables) = txt.split('/').map(_.toLong)
-    val parts = lit(storeParts(fs, dir).toLong)
+    val parts = lit(StoreCommits.storePartsOf(fs, dir).toLong)
     val nq = queries.limit(maxQueries + 1).count()
     require(nq <= maxQueries,
       s"searchStore got more than $maxQueries query rows — the query side " +

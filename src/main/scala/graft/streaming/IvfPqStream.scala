@@ -60,14 +60,15 @@ object IvfPqStream {
       dim: Int, nlist: Int, m: Int, seed: Long,
       coarse: Array[Array[Double]],
       codebook: Array[Array[Array[Double]]],
-      target: Option[String]) {
+      target: Option[String],
+      baseline: Option[Double] = None) {
     def render: String = {
       val head = s"$dim/$nlist/$m/$seed" + target.fold("")(t => s"/$t")
       val cs = coarse.map(c => "coarse " + c.mkString(","))
       val cb = codebook.zipWithIndex.flatMap { case (words, j) =>
         words.map(wd => s"cb$j " + wd.mkString(","))
       }
-      (head +: (cs ++ cb)).mkString("\n")
+      ((head +: (cs ++ cb)) ++ baseline.map(b => s"baseline $b")).mkString("\n")
     }
   }
 
@@ -82,54 +83,30 @@ object IvfPqStream {
         .map(_.stripPrefix(s"cb$j ").split(',').map(java.lang.Double.parseDouble))
     }
     PqMeta(h(0).toInt, h(1).toInt, m, h(3).toLong, coarse, cb,
-      if (h.length > 4) Some(h(4)) else None)
+      if (h.length > 4) Some(h(4)) else None,
+      lines.tail.find(_.startsWith("baseline "))
+        .map(s => java.lang.Double.parseDouble(s.stripPrefix("baseline "))))
   }
-
-  private def writeTextFile(
-      spark: SparkSession, root: org.apache.hadoop.fs.Path,
-      fileName: String, text: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val f = fs(spark, root)
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s"_$fileName.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(text.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, fileName),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
-
-  // ChecksumException-retrying read: see DedupStream.readSmallText
-  private def readTextFile(
-      f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[String] =
-    DedupStream.readSmallText(f, p)
 
   /** The effective dual quantizer for the current visible state — the
-    * [[IvfStream]] crash-healing read: a pending whose target IS
-    * visible is the post-swap truth (writers finish the promotion); a
-    * pending whose target is not visible is a dead letter. */
+    * crash-healing two-phase read ([[StoreCommits.effectivePinned]]):
+    * a pending whose target IS visible is the post-swap truth (writers
+    * finish the promotion); a pending whose target is not visible is a
+    * dead letter. */
   private def effectiveMeta(
-      spark: SparkSession, storeDir: String, promote: Boolean): Option[PqMeta] = {
-    val dir = new org.apache.hadoop.fs.Path(storeDir)
-    val f = fs(spark, dir)
-    val root = new org.apache.hadoop.fs.Path(dir, "pqvecs")
-    val pendingPath = new org.apache.hadoop.fs.Path(dir, "_IVFPQ.pending")
-    val pending = readTextFile(f, pendingPath).map(parseMeta)
-    val visible = DedupStream.readManifest(f, root).getOrElse(Set.empty)
-    pending match {
-      case Some(mt) if mt.target.exists(visible.contains) =>
-        if (promote) {
-          writeTextFile(spark, dir, "_IVFPQ", mt.copy(target = None).render)
-          f.delete(pendingPath, false)
-        }
-        Some(mt.copy(target = None))
-      case _ =>
-        readTextFile(f, new org.apache.hadoop.fs.Path(dir, "_IVFPQ")).map(parseMeta)
-    }
-  }
+      spark: SparkSession, storeDir: String, promote: Boolean): Option[PqMeta] =
+    StoreCommits.effectivePinned[PqMeta](
+      spark, storeDir, "pqvecs", "_IVFPQ",
+      parseMeta, _.render, _.target, _.copy(target = None), promote)
 
-  private def unitOf(v: Seq[Float]): Array[Double] = {
+  /** The pinned (effective) coarse centroids — monitoring / complexity
+    * probes (the [[IvfStream.loadCentroids]] accessor for this tier). */
+  def loadCoarse(spark: SparkSession, storeDir: String): Array[Array[Double]] =
+    effectiveMeta(spark, storeDir, promote = false)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an ivf-pq store (no _IVFPQ marker): $storeDir")).coarse
+
+  private[streaming] def unitOf(v: Seq[Float]): Array[Double] = {
     var s = 0.0
     v.foreach(x => s += x.toDouble * x)
     val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
@@ -168,7 +145,27 @@ object IvfPqStream {
         residuals.map(r => java.util.Arrays.copyOfRange(r, j * sub, (j + 1) * sub)),
         16, iters = 12, seed = seed + 1 + j)
     }
-    PqMeta(dim, nlist, m, seed, coarse, codebook, None)
+    // fit-time drift BASELINE: the sample's mean code-reconstruction
+    // error under the just-fitted models — what the tick monitor's
+    // mean_code_err is compared against by [[maybeRefitOnDrift]]
+    var accErr = 0.0
+    residuals.foreach { res =>
+      var d = 0.0; var j = 0
+      while (j < m) {
+        val words = codebook(j)
+        var bestD = Double.MaxValue; var ci = 0
+        while (ci < words.length) {
+          var e = 0.0; var t = 0
+          while (t < sub) { val df = res(j * sub + t) - words(ci)(t); e += df * df; t += 1 }
+          if (e < bestD) bestD = e
+          ci += 1
+        }
+        d += bestD; j += 1
+      }
+      accErr += math.sqrt(d)
+    }
+    PqMeta(dim, nlist, m, seed, coarse, codebook, None,
+      Some(if (residuals.isEmpty) 0.0 else accErr / residuals.length))
   }
 
   private def requireConfig(mt: PqMeta, dim: Int, nlist: Int, m: Int,
@@ -236,25 +233,21 @@ object IvfPqStream {
     val spark = batch.sparkSession
     DedupStream.ensureStoreMeta(spark, storeDir, storeParts, family = 0)
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/pqvecs")
-    val rootFs = fs(spark, root)
-    if (!rootFs.exists(new org.apache.hadoop.fs.Path(root, "_MANIFEST"))) {
-      rootFs.mkdirs(root)
-      val adopt = DedupStream.visibleCommits(rootFs, root).filter(s =>
-        rootFs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
-    }
+    // manifest-gated from birth: StoreCommits.ensureManifestClaimed
+    StoreCommits.ensureManifestClaimed(spark, root)
     val b = batch
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val commitDir = s"$storeDir/pqvecs/batch=$batchTag"
-    try {
+    val wrote = try {
       val nVecs = b.count() // ONE source scan: cache + layout routing
+      if (nVecs == 0L) false else {
       val mt = effectiveMeta(spark, storeDir, promote = true) match {
         case Some(x) => requireConfig(x, dim, nlist, m, seed, storeDir); x
         case None =>
           val x = fitMeta(b, dim, nlist, m, seed)
-          writeTextFile(spark, new org.apache.hadoop.fs.Path(storeDir),
-            "_IVFPQ", x.render)
+          StoreCommits.writeTextFile(spark,
+            new org.apache.hadoop.fs.Path(storeDir), "_IVFPQ", x.render)
           x
       }
       val keyed = encodeRows(b, mt)
@@ -264,7 +257,19 @@ object IvfPqStream {
         keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
           .repartition(col("ab")).write.partitionBy("ab")
           .mode("overwrite").parquet(commitDir)
+      true
+      }
     } finally { b.unpersist(blocking = false); () }
+    if (!wrote)
+      // EMPTY micro-batch (a replay edge can deliver one first): no
+      // commit, no fit — an unpinned store stays unpinned until the
+      // first non-empty tick instead of crashing the quantizer sample
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("cell", IntegerType, nullable = false),
+          StructField("members", LongType, nullable = false),
+          StructField("mean_code_err", DoubleType, nullable = true))))
     DedupStream.publishCommit(spark, root, s"batch=$batchTag")
     // drift monitor off the just-written commit (on-disk rows): the
     // reconstruction error of each stored code under the pins
@@ -292,6 +297,29 @@ object IvfPqStream {
         avg(codeErr(col("cell"), col("codes"), col("cvec"))).as("mean_code_err"))
   }
 
+  /** Threshold-triggered drift remediation — the consumer of the
+    * [[upsertStep]] monitor (the [[IvfStream.maybeRefitOnDrift]] shape
+    * for the compressed tier): compare the tick's member-weighted mean
+    * code-reconstruction error against `factor ×` the PINNED fit-time
+    * baseline and fire `compactStore(refit = true)` when exceeded.
+    * Returns true iff a refit fired; no-ops when `factor <= 0`, on an
+    * empty tick, or on a pre-baseline marker. The refit re-pins models
+    * AND baseline, so a persistent shift fires ONCE, not every tick. */
+  def maybeRefitOnDrift(
+      spark: SparkSession, storeDir: String, monitor: DataFrame,
+      factor: Double): Boolean = {
+    if (factor <= 0) return false
+    val agg = monitor.agg(
+      sum(col("members")).as("n"),
+      sum(col("members") * col("mean_code_err")).as("wsum")).collect()(0)
+    if (agg.isNullAt(0) || agg.getLong(0) == 0L) return false
+    val tickMean = agg.getDouble(1) / agg.getLong(0)
+    val base = effectiveMeta(spark, storeDir, promote = false).flatMap(_.baseline)
+    val drifted = base.exists(b => tickMean > factor * b)
+    if (drifted) compactStore(spark, storeDir, refit = true)
+    drifted
+  }
+
   /** Streaming entry, the [[AnnStream.start]]/[[IvfStream.start]]
     * shape: vector parquet files land in `vecsPath`, each micro-batch
     * upserts (deterministic tags → replay-idempotent), every
@@ -309,7 +337,8 @@ object IvfPqStream {
       storeParts: Int = 64,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
-      compactEvery: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 64,
+      refitDriftFactor: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(vecsSchema).parquet(vecsPath)
       .writeStream
       .queryName("ivfpq-maintenance")
@@ -318,21 +347,14 @@ object IvfPqStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val qid = Option(batch.sparkSession.sparkContext
             .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
-        upsertStep(batch, storeDir, dim, nlist, m, seed,
+        val monitor = upsertStep(batch, storeDir, dim, nlist, m, seed,
           batchTag = s"$qid-$batchId", storeParts = storeParts)
+        maybeRefitOnDrift(spark, storeDir, monitor, refitDriftFactor)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(spark, storeDir)
         ()
       }
       .start()
-  }
-
-  private def storePartsOf(
-      f: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Int = {
-    val pin = f.open(new org.apache.hadoop.fs.Path(dir, "_PARTS"))
-    val t = try scala.io.Source.fromInputStream(pin).mkString.trim finally pin.close()
-    t.split('/')(0).toInt
   }
 
   /** Fold commits into one hash-partitioned commit; with
@@ -342,67 +364,46 @@ object IvfPqStream {
     * grace and crash windows as [[IvfStream.compactStore]].
     * SINGLE-WRITER contract. */
   def compactStore(
-      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(storeDir)
-    val root = new org.apache.hadoop.fs.Path(s"$storeDir/pqvecs")
-    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(root)) return
-    if (DedupStream.readManifest(f, root).isEmpty) {
-      val adopt = DedupStream.visibleCommits(f, root).filter(s => f.exists(
-        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
-    }
-    val visible = DedupStream.visibleCommits(f, root)
-    val justReplaced: Set[String] =
-      if (visible.size >= 2 || (refit && visible.nonEmpty)) {
+      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit =
+    StoreCommits.foldAndSwap(
+      spark, storeDir, "pqvecs", vecSchema,
+      p => abCol(lit(p)), Seq("cell"),
+      extraWork = refit,
+      transform = { all =>
         val mt = effectiveMeta(spark, storeDir, promote = true)
           .getOrElse(throw new IllegalArgumentException(
             s"not an ivf-pq store (no _IVFPQ marker): $storeDir"))
-        val parts = storePartsOf(f, dir)
-        val all = DedupStream.readStore(spark, s"$storeDir/pqvecs", vecSchema,
-          excludeTag = " none ", partCol = "ab", wanted = (0 until parts).toSet)
-        val (rows, target, newMeta) =
-          if (refit) {
-            val m2 = fitMeta(all, mt.dim, mt.nlist, mt.m, mt.seed)
-            (encodeRows(all, m2),
-              s"batch=refit-${java.util.UUID.randomUUID()}", Some(m2))
-          } else (all, s"batch=compact-${java.util.UUID.randomUUID()}", None)
-        rows.withColumn("ab", abCol(lit(parts.toLong)))
-          .repartition(col("ab")).sortWithinPartitions("cell")
-          .write.partitionBy("ab")
-          .mode("overwrite").parquet(s"$storeDir/pqvecs/$target")
-        newMeta.foreach(m2 => writeTextFile(spark, dir, "_IVFPQ.pending",
-          m2.copy(target = Some(target)).render))
-        DedupStream.writeNameFile(spark, root, "_FOLDED",
-          DedupStream.readFolded(f, root) ++ visible.map(_.getPath.getName).toSet)
-        DedupStream.writeManifest(spark, root, Set(target)) // THE commit point
-        effectiveMeta(spark, storeDir, promote = true)
-        visible.map(_.getPath.getName).toSet
-      } else Set.empty
-    DedupStream.readManifest(f, root).foreach { nowVisible =>
-      f.listStatus(root).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("batch="))
-        .filterNot(s => nowVisible.contains(s.getPath.getName)
-          || justReplaced.contains(s.getPath.getName))
-        .foreach(s => f.delete(s.getPath, true))
-    }
-  }
+        if (refit) {
+          val m2 = fitMeta(all, mt.dim, mt.nlist, mt.m, mt.seed)
+          val target = s"batch=refit-${java.util.UUID.randomUUID()}"
+          (encodeRows(all, m2), target,
+            Some("_IVFPQ.pending" -> m2.copy(target = Some(target)).render))
+        } else (all, s"batch=compact-${java.util.UUID.randomUUID()}", None)
+      },
+      // finish the promotion staged above
+      afterSwap = () => { effectiveMeta(spark, storeDir, promote = true); () })
 
   /** Top-k search: probed-cell ADC shortlist + exact cosine re-rank,
     * with BOTH stages pruned to the probed cells' `ab=` partitions —
     * the ADC pass reads only (id, cell, codes) columns (the stored
     * vectors never cross that scan), the re-rank fetches vectors by id
     * from the same pruned partitions. Candidate generation and scoring
-    * are identical to [[SimilaritySearch.ivfPqSearch]]. */
+    * are identical to [[SimilaritySearch.ivfPqSearch]], including its
+    * CELL-INDEXED broadcast ([[SimilaritySearch.adcByCell]]): a stored
+    * row iterates only the queries probing its cell, and the broadcast
+    * carries dim-independent LUTs, never raw query vectors. `touches`,
+    * when supplied, counts exactly those per-row query visits — the
+    * complexity probe the specs assert against. */
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       nprobe: Int = 4, rerank: Int = 32, maxQueries: Int = 100000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      touches: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVFPQ")),
       s"not an ivf-pq store (no _IVFPQ marker): $storeDir")
-    val parts = storePartsOf(fs(spark, dir), dir)
+    val parts = StoreCommits.storePartsOf(fs(spark, dir), dir)
     val nq = queries.limit(maxQueries + 1).count()
     require(nq <= maxQueries,
       s"searchStore got more than $maxQueries query rows — the query side " +
@@ -449,45 +450,34 @@ object IvfPqStream {
           "during search planning — is a writer refitting in a loop?")
       }
     }
-    val dim = mt.dim
     val m = mt.m
-    val sub = dim / m
-    val coarseBc = spark.sparkContext.broadcast(mt.coarse)
-    val cbBc = spark.sparkContext.broadcast(mt.codebook)
-    val qBc = spark.sparkContext.broadcast(qs.map { case (qid, qv) =>
-      (qid, probedOf(qid), qv)
-    })
+    // cell-indexed, dim-independent broadcast LUTs (the batch
+    // operator's shape — SimilaritySearch.adcByCell); probe selection
+    // inside matches the probedOf loop above, same mt generation
+    val qBc = spark.sparkContext.broadcast(
+      SimilaritySearch.adcByCell(qs, mt.coarse, mt.codebook, nprobe))
     // ADC over codes only — column pruning keeps cvec out of this scan
     val scored = stored.select(col("neighbor_id"), col("cell"), col("codes"))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions { it =>
-        val cs = coarseBc.value
-        val cb = cbBc.value
-        val qp = qBc.value.map { case (qid, probed, qv) =>
-          val cellDots = cs.map { cc =>
-            var s = 0.0; var t = 0
-            while (t < dim) { s += qv(t) * cc(t); t += 1 }
-            s
-          }
-          val table = Array.tabulate(m) { j =>
-            Array.tabulate(cb(j).length) { ci =>
-              var s = 0.0; var t = 0
-              while (t < sub) { s += qv(j * sub + t) * cb(j)(ci)(t); t += 1 }
-              s
-            }
-          }
-          (qid, probed, cellDots, table)
-        }
+        val qc = qBc.value
+        val none = Array.empty[(Long, Double, Array[Array[Double]])]
         it.flatMap { case (nid, cell, codes) =>
-          qp.iterator.collect {
-            case (qid, probed, cellDots, table) if qid != nid && probed(cell) =>
-              var s = cellDots(cell); var j = 0
-              while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
-              (qid, nid, s)
+          val entries = qc.getOrElse(cell, none)
+          touches.foreach(_.add(entries.length))
+          entries.iterator.collect { case (qid, cellDot, table) if qid != nid =>
+            var s = cellDot; var j = 0
+            while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
+            (qid, nid, s)
           }
         }
       }.toDF("query_id", "neighbor_id", "adc")
-      .distinct() // re-indexed-commit duplicates carry identical codes
+      // per-pair dedup (the IvfStream/AnnStream idiom): an id re-upserted
+      // with a CHANGED vector (pre-refit) carries differing codes across
+      // commits, so a distinct() over rows would keep both ADC scores and
+      // the same neighbor could fill two top-k slots — keep one score per
+      // (query, neighbor) pair instead
+      .groupBy("query_id", "neighbor_id").agg(max(col("adc")).as("adc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val shortlist = scored.withColumn("rank", row_number().over(w))

@@ -54,77 +54,42 @@ object IvfStream {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Atomic full-text file replace (the writeNameFile discipline, but
-    * ORDERED content — centroid rows must round-trip in order). */
-  private def writeTextFile(
-      spark: SparkSession, root: org.apache.hadoop.fs.Path,
-      fileName: String, text: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val f = fs(spark, root)
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s"_$fileName.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(text.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, fileName),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
-
-  // ChecksumException-retrying read: see DedupStream.readSmallText
-  private def readTextFile(
-      f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[String] =
-    DedupStream.readSmallText(f, p)
-
   /** The pinned quantizer: config header + fitted centroids. For the
     * PENDING form (mid-refit), `target` names the reassigned commit the
     * centroids belong to. Double.toString/parseDouble round-trips
     * exactly, so a reloaded quantizer assigns bit-identically. */
   private[streaming] final case class IvfMeta(
       dim: Int, nlist: Int, seed: Long,
-      centroids: Array[Array[Double]], target: Option[String]) {
+      centroids: Array[Array[Double]], target: Option[String],
+      baseline: Option[Double] = None) {
     def render: String = {
       val head = s"$dim/$nlist/$seed" + target.fold("")(t => s"/$t")
-      (head +: centroids.map(_.mkString(","))).mkString("\n")
+      ((head +: centroids.map(_.mkString(","))) ++
+        baseline.map(b => s"baseline $b")).mkString("\n")
     }
   }
 
   private def parseMeta(text: String): IvfMeta = {
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     val h = lines.head.split('/')
+    // `baseline <x>` is a labeled trailing line (absent on pre-drift
+    // markers — those stores simply never auto-refit)
     IvfMeta(h(0).toInt, h(1).toInt, h(2).toLong,
-      lines.tail.map(_.split(',').map(java.lang.Double.parseDouble)),
-      if (h.length > 3) Some(h(3)) else None)
+      lines.tail.filterNot(_.startsWith("baseline "))
+        .map(_.split(',').map(java.lang.Double.parseDouble)),
+      if (h.length > 3) Some(h(3)) else None,
+      lines.tail.find(_.startsWith("baseline "))
+        .map(s => java.lang.Double.parseDouble(s.stripPrefix("baseline "))))
   }
 
   /** The EFFECTIVE quantizer for the store's current visible state —
-    * the crash-healing read. A refit promotes `_IVF.pending` → `_IVF`
-    * only after its manifest swap; this resolves either crash window:
-    * pending whose target IS the visible commit set → the swap
-    * happened, pending's centroids are the truth (a writer also
-    * finishes the promotion); pending whose target is NOT visible →
-    * pre-swap crash, the pending file is a dead letter and `_IVF`
-    * stands. */
+    * the crash-healing two-phase read ([[StoreCommits.effectivePinned]]). */
   private def effectiveMeta(
       spark: SparkSession, storeDir: String,
-      promote: Boolean): Option[IvfMeta] = {
-    val dir = new org.apache.hadoop.fs.Path(storeDir)
-    val f = fs(spark, dir)
-    val root = new org.apache.hadoop.fs.Path(dir, "ivfvecs")
-    val pendingPath = new org.apache.hadoop.fs.Path(dir, "_IVF.pending")
-    val pending = readTextFile(f, pendingPath).map(parseMeta)
-    val visible = DedupStream.readManifest(f, root).getOrElse(Set.empty)
-    pending match {
-      case Some(m) if m.target.exists(visible.contains) =>
-        if (promote) {
-          writeTextFile(spark, dir, "_IVF", m.copy(target = None).render)
-          f.delete(pendingPath, false)
-        }
-        Some(m.copy(target = None))
-      case _ =>
-        readTextFile(f, new org.apache.hadoop.fs.Path(dir, "_IVF")).map(parseMeta)
-    }
-  }
+      promote: Boolean): Option[IvfMeta] =
+    StoreCommits.effectivePinned[IvfMeta](
+      spark, storeDir, "ivfvecs", "_IVF",
+      parseMeta, _.render, _.target, _.copy(target = None), promote)
 
   private def requireConfig(m: IvfMeta, dim: Int, nlist: Int, seed: Long,
       storeDir: String): Unit =
@@ -134,14 +99,29 @@ object IvfStream {
         "rebuild the store or match the writing config")
 
   /** Deterministic bounded fit sample (the [[SimilaritySearch]] idiom:
-    * smallest-xxhash64 order, partitioning-independent). */
+    * smallest-xxhash64 order, partitioning-independent). Returns the
+    * fitted centroids AND the fit-time drift BASELINE: the sample's
+    * mean distance-to-nearest-centroid, the number the tick monitor's
+    * mean_dist is compared against by [[maybeRefitOnDrift]]. */
   private def fitCentroids(
-      rows: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
+      rows: DataFrame, nlist: Int, seed: Long): (Array[Array[Double]], Double) = {
     val sample = rows
       .orderBy(xxhash64(col("neighbor_id")).asc, col("neighbor_id").asc)
       .limit(20000).select("cvec")
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    SimilaritySearch.localKMeans(sample, nlist, iters = 10, seed = seed)
+    val cs = SimilaritySearch.localKMeans(sample, nlist, iters = 10, seed = seed)
+    var acc = 0.0
+    sample.foreach { v =>
+      var bd = Double.MaxValue; var ci = 0
+      while (ci < cs.length) {
+        var d = 0.0; var t = 0
+        while (t < v.length) { val df = v(t) - cs(ci)(t); d += df * df; t += 1 }
+        if (d < bd) bd = d
+        ci += 1
+      }
+      acc += math.sqrt(bd)
+    }
+    (cs, if (sample.isEmpty) 0.0 else acc / sample.length)
   }
 
   /** Pre-pin a quantizer (e.g. to build a second store that must
@@ -156,7 +136,7 @@ object IvfStream {
     require(!f.exists(new org.apache.hadoop.fs.Path(dir, "_IVF")),
       s"ivf store $storeDir already has a pinned quantizer")
     f.mkdirs(dir)
-    writeTextFile(spark, dir, "_IVF",
+    StoreCommits.writeTextFile(spark, dir, "_IVF",
       IvfMeta(dim, nlist, seed, centroids, None).render)
   }
 
@@ -184,15 +164,9 @@ object IvfStream {
     val spark = batch.sparkSession
     DedupStream.ensureStoreMeta(spark, storeDir, storeParts, family = 0)
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/ivfvecs")
-    val rootFs = fs(spark, root)
     // manifest-gated from birth (the AnnStream contract): readers never
     // see a half-written dir through the listing fallback
-    if (!rootFs.exists(new org.apache.hadoop.fs.Path(root, "_MANIFEST"))) {
-      rootFs.mkdirs(root)
-      val adopt = DedupStream.visibleCommits(rootFs, root).filter(s =>
-        rootFs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
-    }
+    StoreCommits.ensureManifestClaimed(spark, root)
     // ONE source scan: project + persist, count to materialize (and
     // route the commit layout), fit-if-first from the cache, assign and
     // write from the cache
@@ -200,13 +174,16 @@ object IvfStream {
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val commitDir = s"$storeDir/ivfvecs/batch=$batchTag"
-    val centroids = try {
+    val centroidsOpt = try {
       val nVecs = b.count()
+      if (nVecs == 0L) None else {
       val meta = effectiveMeta(spark, storeDir, promote = true) match {
         case Some(m) => requireConfig(m, dim, nlist, seed, storeDir); m
         case None =>
-          val m = IvfMeta(dim, nlist, seed, fitCentroids(b, nlist, seed), None)
-          writeTextFile(spark, new org.apache.hadoop.fs.Path(storeDir), "_IVF", m.render)
+          val (cs, base) = fitCentroids(b, nlist, seed)
+          val m = IvfMeta(dim, nlist, seed, cs, None, Some(base))
+          StoreCommits.writeTextFile(
+            spark, new org.apache.hadoop.fs.Path(storeDir), "_IVF", m.render)
           m
       }
       val bc = spark.sparkContext.broadcast(meta.centroids)
@@ -220,20 +197,58 @@ object IvfStream {
         keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
           .repartition(col("ab")).write.partitionBy("ab")
           .mode("overwrite").parquet(commitDir)
-      bc
+      Some(bc)
+      }
     } finally { b.unpersist(blocking = false); () }
-    DedupStream.publishCommit(spark, root, s"batch=$batchTag")
-    // drift monitor off the just-written commit (on-disk rows — the
-    // lazy consumer never re-touches the unpersisted batch)
-    val distTo = udf { (cell: Int, v: Seq[Float]) =>
-      val c = centroids.value(cell)
-      var d = 0.0; var j = 0
-      while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
-      math.sqrt(d)
+    centroidsOpt match {
+      case None =>
+        // EMPTY micro-batch (a replay edge can deliver one first): no
+        // commit, no fit — an unpinned store stays unpinned until the
+        // first non-empty tick instead of crashing the k-means sample
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("cell", IntegerType, nullable = false),
+            StructField("members", LongType, nullable = false),
+            StructField("mean_dist", DoubleType, nullable = true))))
+      case Some(centroids) =>
+        DedupStream.publishCommit(spark, root, s"batch=$batchTag")
+        // drift monitor off the just-written commit (on-disk rows — the
+        // lazy consumer never re-touches the unpersisted batch)
+        val distTo = udf { (cell: Int, v: Seq[Float]) =>
+          val c = centroids.value(cell)
+          var d = 0.0; var j = 0
+          while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+          math.sqrt(d)
+        }
+        spark.read.parquet(commitDir)
+          .groupBy("cell").agg(count(lit(1)).as("members"),
+            avg(distTo(col("cell"), col("cvec"))).as("mean_dist"))
     }
-    spark.read.parquet(commitDir)
-      .groupBy("cell").agg(count(lit(1)).as("members"),
-        avg(distTo(col("cell"), col("cvec"))).as("mean_dist"))
+  }
+
+  /** Threshold-triggered drift remediation — the consumer of the
+    * [[upsertStep]] monitor: compare the tick's member-weighted mean
+    * distance-to-centroid against `factor ×` the PINNED fit-time
+    * baseline (recorded in the `_IVF` marker at fit/refit time), and
+    * fire `compactStore(refit = true)` when exceeded. Returns true iff
+    * a refit fired. No-ops when `factor <= 0`, on an empty tick, or on
+    * a pre-baseline marker (stores pinned before baselines existed
+    * stay operator-managed). The refit re-pins centroids AND baseline,
+    * so a persistent distribution shift fires ONCE, not every tick. */
+  def maybeRefitOnDrift(
+      spark: SparkSession, storeDir: String, monitor: DataFrame,
+      factor: Double): Boolean = {
+    if (factor <= 0) return false
+    val agg = monitor.agg(
+      sum(col("members")).as("n"),
+      sum(col("members") * col("mean_dist")).as("wsum")).collect()(0)
+    if (agg.isNullAt(0) || agg.getLong(0) == 0L) return false
+    val tickMean = agg.getDouble(1) / agg.getLong(0)
+    val base = effectiveMeta(spark, storeDir, promote = false).flatMap(_.baseline)
+    val drifted = base.exists(b => tickMean > factor * b)
+    if (drifted) compactStore(spark, storeDir, refit = true)
+    drifted
   }
 
   /** Streaming entry, the [[AnnStream.start]] shape: vector parquet
@@ -252,7 +267,8 @@ object IvfStream {
       storeParts: Int = 64,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
-      compactEvery: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 64,
+      refitDriftFactor: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(vecsSchema).parquet(vecsPath)
       .writeStream
       .queryName("ivf-maintenance")
@@ -261,21 +277,16 @@ object IvfStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val qid = Option(batch.sparkSession.sparkContext
             .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
-        upsertStep(batch, storeDir, dim, nlist, seed,
+        val monitor = upsertStep(batch, storeDir, dim, nlist, seed,
           batchTag = s"$qid-$batchId", storeParts = storeParts)
+        // drift check first (it may refit-compact); the periodic fold
+        // then sees a single-commit store and no-ops
+        maybeRefitOnDrift(spark, storeDir, monitor, refitDriftFactor)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(spark, storeDir)
         ()
       }
       .start()
-  }
-
-  private def storePartsOf(
-      f: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Int = {
-    val pin = f.open(new org.apache.hadoop.fs.Path(dir, "_PARTS"))
-    val t = try scala.io.Source.fromInputStream(pin).mkString.trim finally pin.close()
-    t.split('/')(0).toInt
   }
 
   /** Offline maintenance: fold the accumulated commits (both layouts)
@@ -291,61 +302,33 @@ object IvfStream {
     * to `_IVF`. A crash before (3) leaves the old store intact (the
     * orphan dir and dead-letter pending are GC'd / ignored); a crash
     * after (3) is healed by any later reader-writer's promotion.
-    * Same one-generation GC grace as [[AnnStream.compactStore]]:
-    * replaced commits outlive the swap until the NEXT compaction so
-    * in-flight readers finish. SINGLE-WRITER contract. */
+    * Fold/swap/GC-grace machinery (one-generation grace so in-flight
+    * readers finish): [[StoreCommits.foldAndSwap]].
+    * SINGLE-WRITER contract. */
   def compactStore(
-      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(storeDir)
-    val root = new org.apache.hadoop.fs.Path(s"$storeDir/ivfvecs")
-    val f = root.getFileSystem(conf)
-    if (!f.exists(root)) return
-    if (DedupStream.readManifest(f, root).isEmpty) {
-      val adopt = DedupStream.visibleCommits(f, root).filter(s => f.exists(
-        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
-    }
-    val visible = DedupStream.visibleCommits(f, root)
-    val justReplaced: Set[String] =
-      if (visible.size >= 2 || (refit && visible.nonEmpty)) {
+      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit =
+    StoreCommits.foldAndSwap(
+      spark, storeDir, "ivfvecs", vecSchema,
+      p => abCol(lit(p)), Seq("cell"),
+      extraWork = refit,
+      transform = { all =>
         val meta = effectiveMeta(spark, storeDir, promote = true)
           .getOrElse(throw new IllegalArgumentException(
             s"not an ivf store (no _IVF marker): $storeDir"))
-        val parts = storePartsOf(f, dir)
-        val all = DedupStream.readStore(spark, s"$storeDir/ivfvecs", vecSchema,
-          excludeTag = " none ", partCol = "ab",
-          wanted = (0 until parts).toSet)
-        val (rows, target, newMeta) =
-          if (refit) {
-            val m2 = meta.copy(centroids = fitCentroids(all, meta.nlist, meta.seed))
-            val bc = spark.sparkContext.broadcast(m2.centroids)
-            val assignCell = udf { (v: Seq[Float]) =>
-              SimilaritySearch.nearestCellsOf(bc.value, v, 1).head }
-            (all.select(col("neighbor_id"),
-              assignCell(col("cvec")).as("cell"), col("cvec")),
-              s"batch=refit-${java.util.UUID.randomUUID()}", Some(m2))
-          } else (all, s"batch=compact-${java.util.UUID.randomUUID()}", None)
-        rows.withColumn("ab", abCol(lit(parts.toLong)))
-          .repartition(col("ab")).sortWithinPartitions("cell")
-          .write.partitionBy("ab")
-          .mode("overwrite").parquet(s"$storeDir/ivfvecs/$target")
-        newMeta.foreach(m2 => writeTextFile(spark, dir, "_IVF.pending",
-          m2.copy(target = Some(target)).render))
-        DedupStream.writeNameFile(spark, root, "_FOLDED",
-          DedupStream.readFolded(f, root) ++ visible.map(_.getPath.getName).toSet)
-        DedupStream.writeManifest(spark, root, Set(target)) // THE commit point
-        effectiveMeta(spark, storeDir, promote = true) // finish the promotion
-        visible.map(_.getPath.getName).toSet
-      } else Set.empty
-    DedupStream.readManifest(f, root).foreach { nowVisible =>
-      f.listStatus(root).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("batch="))
-        .filterNot(s => nowVisible.contains(s.getPath.getName)
-          || justReplaced.contains(s.getPath.getName))
-        .foreach(s => f.delete(s.getPath, true))
-    }
-  }
+        if (refit) {
+          val (cs2, base2) = fitCentroids(all, meta.nlist, meta.seed)
+          val m2 = meta.copy(centroids = cs2, baseline = Some(base2))
+          val bc = spark.sparkContext.broadcast(m2.centroids)
+          val assignCell = udf { (v: Seq[Float]) =>
+            SimilaritySearch.nearestCellsOf(bc.value, v, 1).head }
+          val target = s"batch=refit-${java.util.UUID.randomUUID()}"
+          (all.select(col("neighbor_id"),
+            assignCell(col("cvec")).as("cell"), col("cvec")),
+            target, Some("_IVF.pending" -> m2.copy(target = Some(target)).render))
+        } else (all, s"batch=compact-${java.util.UUID.randomUUID()}", None)
+      },
+      // finish the promotion staged above
+      afterSwap = () => { effectiveMeta(spark, storeDir, promote = true); () })
 
   /** Top-k cosine search against the accumulated store: each query
     * probes its `nprobe` nearest pinned cells, and ONLY those cells'
@@ -360,7 +343,7 @@ object IvfStream {
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVF")),
       s"not an ivf store (no _IVF marker): $storeDir")
-    val parts = lit(storePartsOf(fs(spark, dir), dir).toLong)
+    val parts = lit(StoreCommits.storePartsOf(fs(spark, dir), dir).toLong)
     val nq = queries.limit(maxQueries + 1).count()
     require(nq <= maxQueries,
       s"searchStore got more than $maxQueries query rows — the query side " +

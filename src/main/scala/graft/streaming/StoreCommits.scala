@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The commit-store plumbing SHARED by the three ANN stores
+  * ([[AnnStream]], [[IvfStream]], [[IvfPqStream]]): atomic control-file
+  * writes, `_PARTS` reads, manifest claiming, the fold-and-swap
+  * compaction skeleton with one-generation GC grace, and the generic
+  * two-phase pending-marker promote for data-fit models. Each store
+  * keeps only its schema, key derivation, and fit/encode logic — a fix
+  * to the promote/GC machinery lands HERE, once.
+  *
+  * The contracts these primitives implement are documented at their
+  * original sites ([[DedupStream]] for manifest/`_FOLDED`/visibility,
+  * [[AnnStream.compactStore]] for the GC grace window,
+  * [[IvfStream.compactStore]] for the refit two-phase commit). */
+private[streaming] object StoreCommits {
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomic full-text file replace (temp + FileContext rename with
+    * OVERWRITE): ORDERED content, unlike the sorted-set writeNameFile —
+    * centroid/codebook rows must round-trip in file order because
+    * stored codes index into them. */
+  def writeTextFile(
+      spark: SparkSession, root: org.apache.hadoop.fs.Path,
+      fileName: String, text: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_$fileName.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, fileName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** ChecksumException-retrying read: see [[DedupStream.readSmallText]]. */
+  def readTextFile(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    DedupStream.readSmallText(f, p)
+
+  /** The pinned partition count from the store's `_PARTS` marker. */
+  def storePartsOf(
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int = {
+    val t = readTextFile(f, new org.apache.hadoop.fs.Path(dir, "_PARTS"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"store $dir has no _PARTS marker")).trim
+    t.split('/')(0).toInt
+  }
+
+  /** Manifest-gated from birth: claim a `_MANIFEST` before the first
+    * commit so readers never see a half-written dir through the
+    * manifest-less listing fallback; adopt `_SUCCESS`-complete dirs if
+    * the file is somehow absent on a non-empty store. */
+  def ensureManifestClaimed(
+      spark: SparkSession,
+      root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem = {
+    val f = fs(spark, root)
+    if (!f.exists(new org.apache.hadoop.fs.Path(root, "_MANIFEST"))) {
+      f.mkdirs(root)
+      val adopt = DedupStream.visibleCommits(f, root).filter(s =>
+        f.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      DedupStream.writeManifest(spark, root, adopt.map(_.getPath.getName).toSet)
+    }
+    f
+  }
+
+  /** The EFFECTIVE pinned model under the two-phase `<marker>.pending`
+    * promote — the crash-healing read shared by the refitting stores.
+    * A refit stages the new model as `<marker>.pending` naming its
+    * re-encoded commit, then swaps the manifest (THE commit point),
+    * then promotes pending → `<marker>`. This resolves either crash
+    * window: a pending whose target IS visible is the post-swap truth
+    * (and `promote = true` finishes the promotion); a pending whose
+    * target is NOT visible is a pre-swap dead letter and the standing
+    * marker wins. */
+  def effectivePinned[M](
+      spark: SparkSession, storeDir: String, subdir: String, marker: String,
+      parse: String => M, render: M => String,
+      targetOf: M => Option[String], clearTarget: M => M,
+      promote: Boolean): Option[M] = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val f = fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir, subdir)
+    val pendingPath = new org.apache.hadoop.fs.Path(dir, s"$marker.pending")
+    val pending = readTextFile(f, pendingPath).map(parse)
+    val visible = DedupStream.readManifest(f, root).getOrElse(Set.empty)
+    pending match {
+      case Some(m) if targetOf(m).exists(visible.contains) =>
+        if (promote) {
+          writeTextFile(spark, dir, marker, render(clearTarget(m)))
+          f.delete(pendingPath, false)
+        }
+        Some(clearTarget(m))
+      case _ =>
+        readTextFile(f, new org.apache.hadoop.fs.Path(dir, marker)).map(parse)
+    }
+  }
+
+  /** The fold-and-swap compaction skeleton: adopt the manifest, read
+    * the whole visible store, let the caller transform it (identity
+    * fold or refit re-encode), write the target commit hash-partitioned
+    * and sorted, stage an optional pending marker, extend `_FOLDED`,
+    * swap the manifest atomically, run the caller's post-swap step
+    * (e.g. finish a pending promotion), then GC with a ONE-GENERATION
+    * GRACE PERIOD: the commits THIS call replaced stay on disk until
+    * the next compaction so an in-flight reader whose leaf list was
+    * captured against the prior manifest finishes its lazy read.
+    * Anything unlisted AND not just-replaced is deleted.
+    * SINGLE-WRITER contract: run between upserts.
+    *
+    * @param extraWork   work even with one visible commit (a refit
+    *                    must re-encode a single-commit store)
+    * @param transform   visible rows → (target rows, target dir name,
+    *                    optional (pendingMarkerName, pendingText))
+    * @param afterSwap   runs after the manifest swap (before GC) */
+  def foldAndSwap(
+      spark: SparkSession, storeDir: String, subdir: String,
+      schema: StructType, abOf: Long => Column, sortCols: Seq[String],
+      extraWork: Boolean,
+      transform: DataFrame => (DataFrame, String, Option[(String, String)]),
+      afterSwap: () => Unit = () => ()): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val root = new org.apache.hadoop.fs.Path(dir, subdir)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return
+    ensureManifestClaimed(spark, root)
+    val visible = DedupStream.visibleCommits(f, root)
+    val justReplaced: Set[String] =
+      if (visible.size >= 2 || (extraWork && visible.nonEmpty)) {
+        val parts = storePartsOf(f, dir)
+        val all = DedupStream.readStore(spark, s"$storeDir/$subdir", schema,
+          excludeTag = " none ", partCol = "ab", wanted = (0 until parts).toSet)
+        val (rows, target, pending) = transform(all)
+        rows.withColumn("ab", abOf(parts.toLong))
+          .repartition(col("ab")).sortWithinPartitions(sortCols.map(col): _*)
+          .write.partitionBy("ab")
+          .mode("overwrite").parquet(s"$storeDir/$subdir/$target")
+        pending.foreach { case (name, text) => writeTextFile(spark, dir, name, text) }
+        DedupStream.writeNameFile(spark, root, "_FOLDED",
+          DedupStream.readFolded(f, root) ++ visible.map(_.getPath.getName).toSet)
+        DedupStream.writeManifest(spark, root, Set(target)) // THE commit point
+        afterSwap()
+        visible.map(_.getPath.getName).toSet
+      } else Set.empty
+    DedupStream.readManifest(f, root).foreach { nowVisible =>
+      f.listStatus(root).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("batch="))
+        .filterNot(s => nowVisible.contains(s.getPath.getName)
+          || justReplaced.contains(s.getPath.getName))
+        .foreach(s => f.delete(s.getPath, true))
+    }
+  }
+}
