@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{Dedup, SimilaritySearch}
+import graft.ops.SimilaritySearch
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -200,18 +200,20 @@ object AnnStream {
     * side replaced by a PRUNED store read (only the probe buckets'
     * `ab=` partitions of each visible commit are opened).
     *
-    * Broadcast shape: ONLY the `(query_id, tbl, bucket)` probe-key
-    * triples cross the broadcast — three ints per row, ~90 MB even at
-    * the full maxQueries bound — NEVER the query vectors, whose bytes
-    * scale with `dim` (100k queries at dim 768 would be a multi-GB
-    * relation brushing Spark's 8 GB broadcast hard limit). The vectors
-    * rejoin by `query_id` AFTER candidate generation, where the join is
-    * candidate-proportional and AQE picks broadcast or shuffle from the
-    * actual sizes. The query relation is deliberately NOT persisted:
-    * each derivation is a column-pruned scan (ids+keys twice, ids+vecs
-    * once) and recomputing three cheap projections beats holding query
-    * vectors in executor memory for a lazy consumer to maybe reuse
-    * (the module cache contract: no persisted blocks outlive a query). */
+    * Broadcast shape: the candidate join's broadcast carries ONLY the
+    * `(query_id, tbl, bucket)` probe-key triples — three ints per row,
+    * ~90 MB even at the full maxQueries bound — NEVER inside the join
+    * relation a vector column whose bytes scale with `dim`. Scoring is
+    * MAP-SIDE (round 15): cosine runs in the candidate-generation
+    * stage against a bounded broadcast MAP of the query vectors
+    * ([[StoreCommits.mapSideCosine]] — bit-identical arithmetic to the
+    * previous Dedup.cosine pass), so the only shuffled rows are the
+    * 24-byte `(query_id, neighbor_id, cos)` triples of the per-pair
+    * dedup. The previous shape shuffled the stored vector per
+    * CANDIDATE (through the dedup and again into the qvec rejoin) —
+    * candidate-proportional bytes (~10⁹ vector rows at nq = 10k
+    * against a 400k store) versus nq × dim × 4 ≤ ~300 MB here, bounded
+    * by the maxQueries contract. */
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       maxQueries: Int = 100000,
@@ -226,10 +228,16 @@ object AnnStream {
     val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
     val Array(dim, planes, seed, tables) = txt.split('/').map(_.toLong)
     val parts = lit(StoreCommits.storePartsOf(fs, dir).toLong)
-    val nq = queries.limit(maxQueries + 1).count()
-    require(nq <= maxQueries,
+    // ONE bounded collect doubles as the maxQueries check and the
+    // map-side scoring broadcast
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
       s"searchStore got more than $maxQueries query rows — the query side " +
         "must stay the bounded side; swap sides or raise maxQueries deliberately")
+    val qMapBc = spark.sparkContext.broadcast(
+      qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap)
     val planesFlat = SimilaritySearch.tablePlanesFlat(
       dim.toInt, planes.toInt, seed, tables.toInt)
     val qKeys = queries.select(
@@ -244,18 +252,17 @@ object AnnStream {
       .distinct().collect().map(_.getInt(0)).toSet
     val stored = DedupStream.readStore(
       spark, s"$storeDir/annvecs", vecSchema,
-      excludeTag = " none ", partCol = "ab", wanted = wanted)
-    // candidate generation joins store rows to INT probe keys; the
-    // per-(query, neighbor) dedup (multi-table × multi-probe ×
-    // re-indexed-commit duplicates) keeps one cvec per pair
-    val cands = stored.join(broadcast(probes), Seq("tbl", "bucket"))
+      excludeTag = " none ", partCol = "ab", wanted = wanted)
+    // candidate generation joins store rows to INT probe keys; cosine
+    // is computed IN this stage; the per-(query, neighbor) dedup
+    // (multi-table × multi-probe × re-indexed-commit duplicates score
+    // identically, so max() is the dedup) shuffles 24-byte rows
+    val cosOf = StoreCommits.mapSideCosine(qMapBc)
+    val scored = stored.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy("query_id", "neighbor_id").agg(first(col("cvec")).as("cvec"))
-    val qVecs = queries.select(
-      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
-    val scored = cands.join(qVecs, Seq("query_id"))
-      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-      .select("query_id", "neighbor_id", "cos")
+      .select(col("query_id"), col("neighbor_id"),
+        cosOf(col("query_id"), col("cvec")).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

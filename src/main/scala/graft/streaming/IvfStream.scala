@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{Dedup, SimilaritySearch}
+import graft.ops.SimilaritySearch
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -332,22 +332,37 @@ object IvfStream {
 
   /** Top-k cosine search against the accumulated store: each query
     * probes its `nprobe` nearest pinned cells, and ONLY those cells'
-    * `ab=` partitions of each visible commit are opened. Same broadcast
-    * discipline as [[AnnStream.searchStore]]: the broadcast carries INT
-    * `(query_id, cell)` pairs, never a vector; query vectors rejoin by
-    * id after candidate generation. */
+    * `ab=` partitions of each visible commit are opened.
+    *
+    * Scale shape (round 15): the probe broadcast stays INT
+    * `(query_id, cell)` pairs, and scoring is MAP-SIDE — cosine runs
+    * in the candidate-generation stage against a bounded broadcast of
+    * the query vectors ([[StoreCommits.mapSideCosine]], bit-identical
+    * to the previous Dedup.cosine pass), so the only shuffled rows are
+    * 24-byte `(query_id, neighbor_id, cos)` triples. The previous
+    * shape shuffled the stored vectors per CANDIDATE (through the
+    * per-pair dedup and again into the qvec rejoin) — at nq = 10k
+    * against a 400k-vector store that is ~10⁹ vector-bearing rows
+    * (~75 GB of exchange) versus a ≤ 300 MB query broadcast here. */
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       nprobe: Int = 3, maxQueries: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVF")),
       s"not an ivf store (no _IVF marker): $storeDir")
-    val parts = lit(StoreCommits.storePartsOf(fs(spark, dir), dir).toLong)
-    val nq = queries.limit(maxQueries + 1).count()
-    require(nq <= maxQueries,
+    val parts = StoreCommits.storePartsOf(fs(spark, dir), dir)
+    // ONE bounded collect serves the maxQueries check, the driver-side
+    // probe derivation, and the map-side scoring broadcast
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
       s"searchStore got more than $maxQueries query rows — the query side " +
         "must stay the bounded side; swap sides or raise maxQueries deliberately")
+    val qs: Array[(Long, Seq[Float])] =
+      qRows.map(r => (r.getLong(0), r.getSeq[Float](1)))
     // CONSISTENT SNAPSHOT bracket: the quantizer and the commit list
     // are two files, and a refit swapping BETWEEN the two reads would
     // prune new-assignment rows with old centroids (missed neighbors).
@@ -359,22 +374,20 @@ object IvfStream {
       .getOrElse(throw new IllegalArgumentException(
         s"not an ivf store (no _IVF marker): $storeDir"))
     var stored: DataFrame = null
-    var probes: DataFrame = null
+    var probePairs: Array[(Long, Int)] = null
     var attempt = 0
     var consistent = false
     while (!consistent) {
-      val bc = spark.sparkContext.broadcast(meta.centroids)
-      val np = nprobe
-      val probeCells = udf { (v: Seq[Float]) =>
-        SimilaritySearch.nearestCellsOf(bc.value, v, np) }
-      probes = queries.select(
-        col(idCol).cast("long").as("query_id"),
-        explode(probeCells(col(vecCol))).as("cell"))
-      val wanted = probes.select(abCol(parts).as("ab"))
-        .distinct().collect().map(_.getInt(0)).toSet
+      val cs = meta.centroids
+      probePairs = qs.flatMap { case (qid, qv) =>
+        SimilaritySearch.nearestCellsOf(cs, qv, nprobe).map(c => (qid, c))
+      }
+      val wanted = probePairs.map(_._2).toSet.map((c: Int) =>
+        math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(c.toLong, 42L), parts.toLong).toInt)
       stored = DedupStream.readStore(
         spark, s"$storeDir/ivfvecs", vecSchema,
-        excludeTag = " none ", partCol = "ab", wanted = wanted)
+        excludeTag = " none ", partCol = "ab", wanted = wanted)
       val after = effectiveMeta(spark, storeDir, promote = false).get
       if (after.render == meta.render) consistent = true
       else {
@@ -384,14 +397,17 @@ object IvfStream {
           "during search planning — is a writer refitting in a loop?")
       }
     }
-    val cands = stored.join(broadcast(probes), Seq("cell"))
+    val probes = probePairs.toSeq.toDF("query_id", "cell")
+    val qMapBc = spark.sparkContext.broadcast(
+      qs.map { case (id, v) => (id, v.toArray) }.toMap)
+    val cosOf = StoreCommits.mapSideCosine(qMapBc)
+    val scored = stored.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy("query_id", "neighbor_id").agg(first(col("cvec")).as("cvec"))
-    val qVecs = queries.select(
-      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
-    val scored = cands.join(qVecs, Seq("query_id"))
-      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-      .select("query_id", "neighbor_id", "cos")
+      .select(col("query_id"), col("neighbor_id"),
+        cosOf(col("query_id"), col("cvec")).as("cos"))
+      // per-pair dedup (re-indexed-commit duplicates score identically,
+      // so max() is the dedup) — 24-byte rows, never a vector
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

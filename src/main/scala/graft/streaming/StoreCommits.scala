@@ -104,6 +104,38 @@ private[streaming] object StoreCommits {
     }
   }
 
+  /** Map-side cosine for the store searchers: replicates
+    * [[graft.functions.VectorExpressions.cosineFast]]'s arithmetic
+    * EXACTLY (sequential double dot over ascending indices, then
+    * `dot / (√Σa² · √Σb²)` with the query side as `a`) against a
+    * bounded broadcast of the query vectors — bit-identical scores, so
+    * the hash gates (q101/q102) cannot move. The point: scoring
+    * happens in the SAME stage as candidate generation, so only
+    * 24-byte `(query_id, neighbor_id, cos)` rows ever cross a shuffle.
+    * The per-candidate vector column the previous shape shuffled TWICE
+    * (per-pair dedup, then the qvec rejoin) is candidate-proportional:
+    * at nq = 10k against a 400k-vector store that is ~10⁹ rows × dim
+    * floats (~75 GB of exchange); the query-vector broadcast is
+    * nq × dim × 4 bytes (≤ ~300 MB at the 100k × dim-768 bound) —
+    * three orders of magnitude smaller, and bounded by contract. */
+  def mapSideCosine(
+      qVecs: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Float]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (qid: Long, cvec: Seq[Float]) =>
+      if (cvec == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val q = qVecs.value(qid)
+        val n = q.length
+        var dot = 0.0; var i = 0
+        while (i < n) { dot += q(i).toDouble * cvec(i).toDouble; i += 1 }
+        var qs = 0.0; i = 0
+        while (i < n) { qs += q(i).toDouble * q(i).toDouble; i += 1 }
+        var cs = 0.0; i = 0
+        while (i < n) { cs += cvec(i).toDouble * cvec(i).toDouble; i += 1 }
+        java.lang.Double.valueOf(dot / (math.sqrt(qs) * math.sqrt(cs)))
+      }
+    }
+
   /** The fold-and-swap compaction skeleton: adopt the manifest, read
     * the whole visible store, let the caller transform it (identity
     * fold or refit re-encode), write the target commit hash-partitioned
