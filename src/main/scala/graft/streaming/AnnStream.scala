@@ -200,20 +200,19 @@ object AnnStream {
     * side replaced by a PRUNED store read (only the probe buckets'
     * `ab=` partitions of each visible commit are opened).
     *
-    * Broadcast shape: the candidate join's broadcast carries ONLY the
-    * `(query_id, tbl, bucket)` probe-key triples — three ints per row,
-    * ~90 MB even at the full maxQueries bound — NEVER inside the join
-    * relation a vector column whose bytes scale with `dim`. Scoring is
-    * MAP-SIDE (round 15): cosine runs in the candidate-generation
-    * stage against a bounded broadcast MAP of the query vectors
-    * ([[StoreCommits.mapSideCosine]] — bit-identical arithmetic to the
-    * previous Dedup.cosine pass), so the only shuffled rows are the
-    * 24-byte `(query_id, neighbor_id, cos)` triples of the per-pair
-    * dedup. The previous shape shuffled the stored vector per
-    * CANDIDATE (through the dedup and again into the qvec rejoin) —
-    * candidate-proportional bytes (~10⁹ vector rows at nq = 10k
-    * against a 400k store) versus nq × dim × 4 ≤ ~300 MB here, bounded
-    * by the maxQueries contract. */
+    * Scale shape (round 15): scoring is BUCKET-INDEXED and MAP-SIDE —
+    * a broadcast Map[(tbl, bucket) → probing queries] (each query's
+    * vector shared by reference across its probe entries; nq×dim×4 B
+    * ≤ ~300 MB at the 100k×768 bound, far under Spark's broadcast
+    * limit) feeds one tight mapPartitions pass that deserializes each
+    * stored vector ONCE and scores it against only its own bucket's
+    * queries ([[StoreCommits.cosineSeq]] — bit-identical to the
+    * previous Dedup.cosine pass). Only 24-byte
+    * `(query_id, neighbor_id, cos)` triples cross a shuffle. The r14
+    * shape shuffled the stored vector per CANDIDATE (twice); see the
+    * BENCH_NOTES round-15 search-scale A/B for measured walls. Probe
+    * keys stay expression-derived (hyperplaneKeys — the exact writer
+    * keying), collected as bounded int triples. */
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       maxQueries: Int = 100000,
@@ -227,7 +226,6 @@ object AnnStream {
     val in = fs.open(marker)
     val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
     val Array(dim, planes, seed, tables) = txt.split('/').map(_.toLong)
-    val parts = lit(StoreCommits.storePartsOf(fs, dir).toLong)
     // ONE bounded collect doubles as the maxQueries check and the
     // map-side scoring broadcast
     val qRows = queries
@@ -236,8 +234,8 @@ object AnnStream {
     require(qRows.length <= maxQueries,
       s"searchStore got more than $maxQueries query rows — the query side " +
         "must stay the bounded side; swap sides or raise maxQueries deliberately")
-    val qMapBc = spark.sparkContext.broadcast(
-      qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap)
+    import spark.implicits._
+    val vecOf = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
     val planesFlat = SimilaritySearch.tablePlanesFlat(
       dim.toInt, planes.toInt, seed, tables.toInt)
     val qKeys = queries.select(
@@ -247,21 +245,51 @@ object AnnStream {
     val probeMasks = lit(0) +: (0 until planes.toInt).map(b => shiftleft(lit(1), b))
     val probes = qKeys.select(col("query_id"), col("tbl"),
       explode(array(probeMasks.map(m => col("key").bitwiseXOR(m)): _*)).as("bucket"))
+    // probe keys stay EXPRESSION-derived (hyperplaneKeys, the exact
+    // writer keying); the collected triples are nq·tables·(planes+1)
+    // ints — ~14 MB at the 100k bound
+    val probeRows = probes.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2)))
     // bounded by construction: ≤ storeParts distinct partition ints
-    val wanted = probes.select(abCol(parts).as("ab"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val partsN = StoreCommits.storePartsOf(fs, dir).toLong
+    val wanted = probeRows.map { case (_, t, b) =>
+      math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(t.toLong * (1L << 32) + b, 42L), partsN).toInt
+    }.toSet
     val stored = DedupStream.readStore(
       spark, s"$storeDir/annvecs", vecSchema,
       excludeTag = " none ", partCol = "ab", wanted = wanted)
-    // candidate generation joins store rows to INT probe keys; cosine
-    // is computed IN this stage; the per-(query, neighbor) dedup
-    // (multi-table × multi-probe × re-indexed-commit duplicates score
-    // identically, so max() is the dedup) shuffles 24-byte rows
-    val cosOf = StoreCommits.mapSideCosine(qMapBc)
-    val scored = stored.join(broadcast(probes), Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosOf(col("query_id"), col("cvec")).as("cos"))
+    // BUCKET-INDEXED map-side scoring (the IvfPqStream ADC shape):
+    // broadcast Map[(tbl«32|bucket) → probing queries] with each
+    // query's vector shared by reference across its probe entries;
+    // one tight mapPartitions pass deserializes each stored vector
+    // ONCE and scores only its own bucket's queries (cosineSeq is
+    // bit-identical to the previous Dedup.cosine pass). Rejected
+    // shapes, both measured at nq = 10k against a 160k store: the r14
+    // per-candidate vector shuffle (1316 s), a map-side cosine UDF on
+    // the join output (280 s — per-PAIR array conversion +
+    // single-task scan). The per-(query, neighbor) dedup (multi-table
+    // × multi-probe × re-indexed-commit duplicates score identically,
+    // so max() is the dedup) shuffles 24-byte rows.
+    val byKey: Map[Long, Array[(Long, Array[Float])]] =
+      probeRows.groupBy { case (_, t, b) => t.toLong * (1L << 32) + b }
+        .map { case (k, arr) =>
+          k -> arr.map { case (qid, _, _) => (qid, vecOf(qid)) }
+        }
+    val qBc = spark.sparkContext.broadcast(byKey)
+    val scored = StoreCommits.rebalance(
+        stored.select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec")))
+      .as[(Long, Int, Int, Array[Float])]
+      .mapPartitions { it =>
+        val qc = qBc.value
+        val none = Array.empty[(Long, Array[Float])]
+        it.flatMap { case (nid, tbl, bucket, cvec) =>
+          qc.getOrElse(tbl.toLong * (1L << 32) + bucket, none).iterator.collect {
+            case (qid, qv) if qid != nid =>
+              (qid, nid, StoreCommits.cosineSeq(qv, cvec))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
       .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -456,8 +456,11 @@ object IvfPqStream {
     // inside matches the probedOf loop above, same mt generation
     val qBc = spark.sparkContext.broadcast(
       SimilaritySearch.adcByCell(qs, mt.coarse, mt.codebook, nprobe))
-    // ADC over codes only — column pruning keeps cvec out of this scan
-    val scored = stored.select(col("neighbor_id"), col("cell"), col("codes"))
+    // ADC over codes only — column pruning keeps cvec out of this scan;
+    // rebalance unfolds the small-file single-task packing (codes are
+    // ~(12+m) B/row, so the repartition ships single-digit MB)
+    val scored = StoreCommits.rebalance(
+        stored.select(col("neighbor_id"), col("cell"), col("codes")))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions { it =>
         val qc = qBc.value

@@ -334,16 +334,16 @@ object IvfStream {
     * probes its `nprobe` nearest pinned cells, and ONLY those cells'
     * `ab=` partitions of each visible commit are opened.
     *
-    * Scale shape (round 15): the probe broadcast stays INT
-    * `(query_id, cell)` pairs, and scoring is MAP-SIDE — cosine runs
-    * in the candidate-generation stage against a bounded broadcast of
-    * the query vectors ([[StoreCommits.mapSideCosine]], bit-identical
-    * to the previous Dedup.cosine pass), so the only shuffled rows are
-    * 24-byte `(query_id, neighbor_id, cos)` triples. The previous
-    * shape shuffled the stored vectors per CANDIDATE (through the
-    * per-pair dedup and again into the qvec rejoin) — at nq = 10k
-    * against a 400k-vector store that is ~10⁹ vector-bearing rows
-    * (~75 GB of exchange) versus a ≤ 300 MB query broadcast here. */
+    * Scale shape (round 15): scoring is CELL-INDEXED and MAP-SIDE —
+    * a broadcast Map[cell → probing queries] (vectors shared by
+    * reference; nq×dim×4 B ≤ ~300 MB at the 100k×768 bound) feeds one
+    * tight mapPartitions pass that deserializes each stored vector
+    * ONCE and scores it against only its own cell's queries
+    * ([[StoreCommits.cosineSeq]], bit-identical to the previous
+    * Dedup.cosine pass), so the only shuffled rows are 24-byte
+    * `(query_id, neighbor_id, cos)` triples. The r14 shape shuffled
+    * the stored vector per CANDIDATE (twice); see the BENCH_NOTES
+    * round-15 search-scale A/B for the measured walls. */
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       nprobe: Int = 3, maxQueries: Int = 100000,
@@ -397,14 +397,36 @@ object IvfStream {
           "during search planning — is a writer refitting in a loop?")
       }
     }
-    val probes = probePairs.toSeq.toDF("query_id", "cell")
-    val qMapBc = spark.sparkContext.broadcast(
-      qs.map { case (id, v) => (id, v.toArray) }.toMap)
-    val cosOf = StoreCommits.mapSideCosine(qMapBc)
-    val scored = stored.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosOf(col("query_id"), col("cvec")).as("cos"))
+    // CELL-INDEXED scoring (the IvfPqStream ADC shape): broadcast
+    // Map[cell → queries probing it] with each query's vector shared by
+    // reference across its nprobe entries (nq×dim×4 B ≤ ~300 MB at the
+    // 100k×768 bound), then one tight mapPartitions pass — each stored
+    // row deserializes its vector ONCE and scores only its own cell's
+    // queries. The rejected shapes, both measured at nq = 10k against a
+    // 160k store: the r14 join scored AFTER a per-candidate vector
+    // shuffle (~10⁸ vector rows, 541 s); a map-side cosine UDF on the
+    // join output still paid a per-PAIR array conversion (598 s). This
+    // pass scores the same 10⁸ pairs in seconds and ships 24-byte rows.
+    val byCell: Map[Int, Array[(Long, Array[Float])]] = {
+      val vecOf = qs.map { case (id, v) => (id, v.toArray) }.toMap
+      probePairs.groupBy(_._2).map { case (c, arr) =>
+        c -> arr.map { case (qid, _) => (qid, vecOf(qid)) }
+      }
+    }
+    val qBc = spark.sparkContext.broadcast(byCell)
+    val scored = StoreCommits.rebalance(
+        stored.select(col("neighbor_id"), col("cell"), col("cvec")))
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        val qc = qBc.value
+        val none = Array.empty[(Long, Array[Float])]
+        it.flatMap { case (nid, cell, cvec) =>
+          qc.getOrElse(cell, none).iterator.collect {
+            case (qid, qv) if qid != nid =>
+              (qid, nid, StoreCommits.cosineSeq(qv, cvec))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
       // per-pair dedup (re-indexed-commit duplicates score identically,
       // so max() is the dedup) — 24-byte rows, never a vector
       .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))

@@ -104,37 +104,36 @@ private[streaming] object StoreCommits {
     }
   }
 
-  /** Map-side cosine for the store searchers: replicates
-    * [[graft.functions.VectorExpressions.cosineFast]]'s arithmetic
-    * EXACTLY (sequential double dot over ascending indices, then
-    * `dot / (√Σa² · √Σb²)` with the query side as `a`) against a
-    * bounded broadcast of the query vectors — bit-identical scores, so
-    * the hash gates (q101/q102) cannot move. The point: scoring
-    * happens in the SAME stage as candidate generation, so only
-    * 24-byte `(query_id, neighbor_id, cos)` rows ever cross a shuffle.
-    * The per-candidate vector column the previous shape shuffled TWICE
-    * (per-pair dedup, then the qvec rejoin) is candidate-proportional:
-    * at nq = 10k against a 400k-vector store that is ~10⁹ rows × dim
-    * floats (~75 GB of exchange); the query-vector broadcast is
-    * nq × dim × 4 bytes (≤ ~300 MB at the 100k × dim-768 bound) —
-    * three orders of magnitude smaller, and bounded by contract. */
-  def mapSideCosine(
-      qVecs: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Float]]])
-      : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (qid: Long, cvec: Seq[Float]) =>
-      if (cvec == null) null.asInstanceOf[java.lang.Double]
-      else {
-        val q = qVecs.value(qid)
-        val n = q.length
-        var dot = 0.0; var i = 0
-        while (i < n) { dot += q(i).toDouble * cvec(i).toDouble; i += 1 }
-        var qs = 0.0; i = 0
-        while (i < n) { qs += q(i).toDouble * q(i).toDouble; i += 1 }
-        var cs = 0.0; i = 0
-        while (i < n) { cs += cvec(i).toDouble * cvec(i).toDouble; i += 1 }
-        java.lang.Double.valueOf(dot / (math.sqrt(qs) * math.sqrt(cs)))
-      }
-    }
+  /** Sequential-double cosine, the exact arithmetic of
+    * [[graft.functions.VectorExpressions.cosineFast]] (ascending-index
+    * double dot, then `dot / (√Σa² · √Σb²)` with the query side as
+    * `a`) — bit-identical scores keep the q101/q102 hash gates
+    * closed. */
+  def cosineSeq(q: Array[Float], c: Array[Float]): Double = {
+    val n = q.length
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += q(i).toDouble * c(i).toDouble; i += 1 }
+    var qs = 0.0; i = 0
+    while (i < n) { qs += q(i).toDouble * q(i).toDouble; i += 1 }
+    var cs = 0.0; i = 0
+    while (i < n) { cs += c(i).toDouble * c(i).toDouble; i += 1 }
+    dot / (math.sqrt(qs) * math.sqrt(cs))
+  }
+
+  /** Small pruned scans under-parallelize: a compacted store's probed
+    * partitions are a handful of sub-MB files, which the file source
+    * packs into one or two tasks — and the candidate-scoring map stage
+    * inherits that, running ~10⁸ pair scores on a single core while 31
+    * sit idle (measured: the map-side-UDF IVF leg at nq = 10k sat at
+    * 598 s wall on a 0.24-canary host). Repartition the PROJECTED
+    * relation (tens of MB for vectors, single-digit MB for codes) up to
+    * the session parallelism when the scan plans fewer than half that
+    * many tasks; a corpus-scale store plans thousands of scan tasks and
+    * passes through untouched. */
+  def rebalance(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  }
 
   /** The fold-and-swap compaction skeleton: adopt the manifest, read
     * the whole visible store, let the caller transform it (identity

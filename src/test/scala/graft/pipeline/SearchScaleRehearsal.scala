@@ -53,8 +53,15 @@ object SearchScaleRehearsal {
       Seq.fill(3)(canaryOnce()).sorted.apply(1)
     }
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // sf1 ships 20k embeddings — tile by id-offset copies so the store
+    // is serving-path-sized (~160k vectors at the default 8); offsets sit
+    // at 1e12 strides, far above the sf1 generator's own 1e8 id strides
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SEARCH_COPIES", "8").toInt
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val emb = (0 until copies).map(c => emb0.select(
+        (col("vec_id") + lit(c.toLong * 1000000000000L)).as("vec_id"),
+        col("embedding"))).reduce(_ unionByName _)
     val total = emb.count()
     println(f"SEARCH_SCALE corpus=$total%d sf_dir=$sfDir canary=${canary()}%.2f")
 
