@@ -283,12 +283,18 @@ object AnnStream {
       .mapPartitions { it =>
         val qc = qBc.value
         val none = Array.empty[(Long, Array[Float])]
-        it.flatMap { case (nid, tbl, bucket, cvec) =>
-          qc.getOrElse(tbl.toLong * (1L << 32) + bucket, none).iterator.collect {
-            case (qid, qv) if qid != nid =>
-              (qid, nid, StoreCommits.cosineSeq(qv, cvec))
-          }
-        }
+        // per-query bounded top-k fold (StoreCommits.localTopK): the
+        // multi-table × multi-probe duplicates dedup INSIDE the
+        // bounded structure, and only ≤ nq·k survivors per partition
+        // reach the exchange — the downstream 10⁸-group hash
+        // aggregation was the measured bottleneck, not the scoring
+        StoreCommits.localTopK(
+          it.flatMap { case (nid, tbl, bucket, cvec) =>
+            qc.getOrElse(tbl.toLong * (1L << 32) + bucket, none).iterator.collect {
+              case (qid, qv) if qid != nid =>
+                (qid, nid, StoreCommits.cosineSeq(qv, cvec))
+            }
+          }, k)
       }.toDF("query_id", "neighbor_id", "cos")
       .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id")

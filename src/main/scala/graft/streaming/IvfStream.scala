@@ -420,12 +420,19 @@ object IvfStream {
       .mapPartitions { it =>
         val qc = qBc.value
         val none = Array.empty[(Long, Array[Float])]
-        it.flatMap { case (nid, cell, cvec) =>
-          qc.getOrElse(cell, none).iterator.collect {
-            case (qid, qv) if qid != nid =>
-              (qid, nid, StoreCommits.cosineSeq(qv, cvec))
-          }
-        }
+        // fold to per-query bounded top-k INSIDE the scoring pass
+        // (StoreCommits.localTopK): with ~every pair distinct, a
+        // downstream hash aggregation combines nothing and its
+        // 10⁸-group map dominated the whole search (measured 130+ s
+        // against a 6 s scoring stage) — survivors are ≤ nq·k rows
+        // per partition and provably contain the global top-k
+        StoreCommits.localTopK(
+          it.flatMap { case (nid, cell, cvec) =>
+            qc.getOrElse(cell, none).iterator.collect {
+              case (qid, qv) if qid != nid =>
+                (qid, nid, StoreCommits.cosineSeq(qv, cvec))
+            }
+          }, k)
       }.toDF("query_id", "neighbor_id", "cos")
       // per-pair dedup (re-indexed-commit duplicates score identically,
       // so max() is the dedup) — 24-byte rows, never a vector

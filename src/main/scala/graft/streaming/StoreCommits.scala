@@ -135,6 +135,70 @@ private[streaming] object StoreCommits {
     if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
   }
 
+  /** Bounded per-query top-K accumulator for the scoring map stage —
+    * array-backed, sorted best→worst under the search ordering
+    * (score desc, neighbor asc), deduping by neighbor id WITHIN the
+    * structure (duplicate candidates from multi-table/multi-probe hits
+    * or re-indexed commits must not crowd a real neighbor out of the
+    * local top-K). The hot path is two comparisons: a pair that cannot
+    * qualify returns immediately — a duplicate of an already-kept
+    * neighbor can only carry an equal-or-worse score, so skipping it
+    * preserves max() semantics. */
+  final class TopK(cap: Int) {
+    private val nids = new Array[Long](cap)
+    private val scs = new Array[Double](cap)
+    private var n = 0
+    private def beats(c1: Double, n1: Long, c2: Double, n2: Long): Boolean =
+      c1 > c2 || (c1 == c2 && n1 < n2)
+    private def swap(i: Int, j: Int): Unit = {
+      val tn = nids(i); nids(i) = nids(j); nids(j) = tn
+      val tc = scs(i); scs(i) = scs(j); scs(j) = tc
+    }
+    private def bubbleUp(from: Int): Unit = {
+      var j = from
+      while (j > 0 && beats(scs(j), nids(j), scs(j - 1), nids(j - 1))) {
+        swap(j, j - 1); j -= 1
+      }
+    }
+    def insert(nid: Long, sc: Double): Unit = {
+      if (n == cap && !beats(sc, nid, scs(n - 1), nids(n - 1))) return
+      var i = 0
+      while (i < n) { // qualifier: dedup by neighbor id, keep the max
+        if (nids(i) == nid) {
+          if (sc > scs(i)) { scs(i) = sc; bubbleUp(i) }
+          return
+        }
+        i += 1
+      }
+      if (n < cap) { nids(n) = nid; scs(n) = sc; n += 1; bubbleUp(n - 1) }
+      else { nids(n - 1) = nid; scs(n - 1) = sc; bubbleUp(n - 1) }
+    }
+    def drain(qid: Long): Iterator[(Long, Long, Double)] =
+      (0 until n).iterator.map(i => (qid, nids(i), scs(i)))
+  }
+
+  /** Fold a partition's scored pairs into per-query bounded top-K
+    * survivors — the map-side combine the per-pair dedup + window
+    * CANNOT get from a hash aggregation (with ~every pair distinct,
+    * partial aggregation combines nothing and the 10⁸-group hash map
+    * spills: measured 130–630 s on pair relations the scoring map
+    * produced in 6 s). Survivors are a superset of each query's global
+    * top-K (fewer than K distinct neighbors beat a true top-K member
+    * in any partition, and TopK slots hold distinct neighbors), so the
+    * tiny downstream dedup + window returns exactly the old answer. */
+  def localTopK(
+      it: Iterator[(Long, Long, Double)], cap: Int): Iterator[(Long, Long, Double)] = {
+    val m = new java.util.HashMap[Long, TopK]()
+    while (it.hasNext) {
+      val (q, nid, sc) = it.next()
+      var acc = m.get(q)
+      if (acc == null) { acc = new TopK(cap); m.put(q, acc) }
+      acc.insert(nid, sc)
+    }
+    import scala.jdk.CollectionConverters._
+    m.entrySet().iterator().asScala.flatMap(e => e.getValue.drain(e.getKey))
+  }
+
   /** The fold-and-swap compaction skeleton: adopt the manifest, read
     * the whole visible store, let the caller transform it (identity
     * fold or refit re-encode), write the target commit hash-partitioned
