@@ -283,18 +283,24 @@ object AnnStream {
       .mapPartitions { it =>
         val qc = qBc.value
         val none = Array.empty[(Long, Array[Float])]
-        // per-query bounded top-k fold (StoreCommits.localTopK): the
-        // multi-table × multi-probe duplicates dedup INSIDE the
-        // bounded structure, and only ≤ nq·k survivors per partition
-        // reach the exchange — the downstream 10⁸-group hash
-        // aggregation was the measured bottleneck, not the scoring
-        StoreCommits.localTopK(
-          it.flatMap { case (nid, tbl, bucket, cvec) =>
-            qc.getOrElse(tbl.toLong * (1L << 32) + bucket, none).iterator.collect {
-              case (qid, qv) if qid != nid =>
-                (qid, nid, StoreCommits.cosineSeq(qv, cvec))
-            }
-          }, k)
+        // per-query bounded top-k fold inside the scoring loop
+        // (StoreCommits.TopKMap): multi-table × multi-probe duplicates
+        // dedup INSIDE the bounded structure, no per-pair tuple ever
+        // allocates, and only ≤ nq·k survivors per partition reach the
+        // exchange — the downstream 10⁸-group hash aggregation was the
+        // measured bottleneck, not the scoring
+        val acc = new StoreCommits.TopKMap(k)
+        it.foreach { case (nid, tbl, bucket, cvec) =>
+          val entries = qc.getOrElse(tbl.toLong * (1L << 32) + bucket, none)
+          var i = 0
+          while (i < entries.length) {
+            val qid = entries(i)._1
+            if (qid != nid)
+              acc.insert(qid, nid, StoreCommits.cosineSeq(entries(i)._2, cvec))
+            i += 1
+          }
+        }
+        acc.drain()
       }.toDF("query_id", "neighbor_id", "cos")
       .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id")

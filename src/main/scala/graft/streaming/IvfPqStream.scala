@@ -465,19 +465,25 @@ object IvfPqStream {
       .mapPartitions { it =>
         val qc = qBc.value
         val none = Array.empty[(Long, Double, Array[Array[Double]])]
-        // per-query bounded top-shortlist fold (StoreCommits.localTopK,
-        // cap = max(rerank, k)): only shortlist survivors reach the
-        // exchange instead of every scored pair
-        StoreCommits.localTopK(
-          it.flatMap { case (nid, cell, codes) =>
-            val entries = qc.getOrElse(cell, none)
-            touches.foreach(_.add(entries.length))
-            entries.iterator.collect { case (qid, cellDot, table) if qid != nid =>
+        // per-query bounded top-shortlist fold inside the ADC loop
+        // (StoreCommits.TopKMap, cap = max(rerank, k)): no per-pair
+        // tuple, and only shortlist survivors reach the exchange
+        val acc = new StoreCommits.TopKMap(math.max(rerank, k))
+        it.foreach { case (nid, cell, codes) =>
+          val entries = qc.getOrElse(cell, none)
+          touches.foreach(_.add(entries.length))
+          var i = 0
+          while (i < entries.length) {
+            val (qid, cellDot, table) = entries(i)
+            if (qid != nid) {
               var s = cellDot; var j = 0
               while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
-              (qid, nid, s)
+              acc.insert(qid, nid, s)
             }
-          }, math.max(rerank, k))
+            i += 1
+          }
+        }
+        acc.drain()
       }.toDF("query_id", "neighbor_id", "adc")
       // per-pair dedup (the IvfStream/AnnStream idiom): an id re-upserted
       // with a CHANGED vector (pre-refit) carries differing codes across

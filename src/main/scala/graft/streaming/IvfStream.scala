@@ -420,19 +420,23 @@ object IvfStream {
       .mapPartitions { it =>
         val qc = qBc.value
         val none = Array.empty[(Long, Array[Float])]
-        // fold to per-query bounded top-k INSIDE the scoring pass
-        // (StoreCommits.localTopK): with ~every pair distinct, a
-        // downstream hash aggregation combines nothing and its
-        // 10⁸-group map dominated the whole search (measured 130+ s
-        // against a 6 s scoring stage) — survivors are ≤ nq·k rows
-        // per partition and provably contain the global top-k
-        StoreCommits.localTopK(
-          it.flatMap { case (nid, cell, cvec) =>
-            qc.getOrElse(cell, none).iterator.collect {
-              case (qid, qv) if qid != nid =>
-                (qid, nid, StoreCommits.cosineSeq(qv, cvec))
-            }
-          }, k)
+        // fold to per-query bounded top-k INSIDE the scoring loop
+        // (StoreCommits.TopKMap — no per-pair tuple, no downstream
+        // 10⁸-group hash aggregation; see TopKMap's doc for the
+        // measured walls); survivors ≤ nq·k rows per partition,
+        // provably containing the global top-k
+        val acc = new StoreCommits.TopKMap(k)
+        it.foreach { case (nid, cell, cvec) =>
+          val entries = qc.getOrElse(cell, none)
+          var i = 0
+          while (i < entries.length) {
+            val qid = entries(i)._1
+            if (qid != nid)
+              acc.insert(qid, nid, StoreCommits.cosineSeq(entries(i)._2, cvec))
+            i += 1
+          }
+        }
+        acc.drain()
       }.toDF("query_id", "neighbor_id", "cos")
       // per-pair dedup (re-indexed-commit duplicates score identically,
       // so max() is the dedup) — 24-byte rows, never a vector

@@ -177,26 +177,29 @@ private[streaming] object StoreCommits {
       (0 until n).iterator.map(i => (qid, nids(i), scs(i)))
   }
 
-  /** Fold a partition's scored pairs into per-query bounded top-K
-    * survivors — the map-side combine the per-pair dedup + window
-    * CANNOT get from a hash aggregation (with ~every pair distinct,
-    * partial aggregation combines nothing and the 10⁸-group hash map
-    * spills: measured 130–630 s on pair relations the scoring map
-    * produced in 6 s). Survivors are a superset of each query's global
-    * top-K (fewer than K distinct neighbors beat a true top-K member
-    * in any partition, and TopK slots hold distinct neighbors), so the
-    * tiny downstream dedup + window returns exactly the old answer. */
-  def localTopK(
-      it: Iterator[(Long, Long, Double)], cap: Int): Iterator[(Long, Long, Double)] = {
-    val m = new java.util.HashMap[Long, TopK]()
-    while (it.hasNext) {
-      val (q, nid, sc) = it.next()
-      var acc = m.get(q)
-      if (acc == null) { acc = new TopK(cap); m.put(q, acc) }
+  /** Per-partition map of [[TopK]] accumulators — the map-side combine
+    * the per-pair dedup + window CANNOT get from a hash aggregation
+    * (with ~every pair distinct, partial aggregation combines nothing
+    * and the 10⁸-group hash map spills: measured 130–630 s on pair
+    * relations the scoring map produced in 6 s). Scoring loops insert
+    * DIRECTLY — no per-pair tuple ever allocates (5×10⁸ short-lived
+    * boxed triples per 50k-query leg were pure GC churn) — and drain
+    * emits only the ≤ nq·cap survivors, a provable superset of each
+    * query's global top-K (fewer than K distinct neighbors beat a true
+    * top-K member in any partition, and TopK slots hold distinct
+    * neighbors), so the tiny downstream dedup + window returns exactly
+    * the old answer. */
+  final class TopKMap(cap: Int) {
+    private val m = new java.util.HashMap[Long, TopK]()
+    def insert(qid: Long, nid: Long, sc: Double): Unit = {
+      var acc = m.get(qid)
+      if (acc == null) { acc = new TopK(cap); m.put(qid, acc) }
       acc.insert(nid, sc)
     }
-    import scala.jdk.CollectionConverters._
-    m.entrySet().iterator().asScala.flatMap(e => e.getValue.drain(e.getKey))
+    def drain(): Iterator[(Long, Long, Double)] = {
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.flatMap(e => e.getValue.drain(e.getKey))
+    }
   }
 
   /** The fold-and-swap compaction skeleton: adopt the manifest, read
