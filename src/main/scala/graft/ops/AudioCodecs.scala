@@ -127,7 +127,15 @@ object AudioCodecs {
     * lacing values) to the last page's granule position. A granule of
     * −1 ("no packet finishes on this page") never overwrites the
     * running value. Truncated tails stop cleanly at the last complete
-    * page; garbage returns None. */
+    * page; garbage returns None.
+    *
+    * Known limit: the identification-header reassembly walks only page
+    * 1's lacing table, so a first packet that CONTINUES onto page 2
+    * (a 255-lacing segment ending page 1 — legal per RFC 3533 §6,
+    * never emitted by mainstream encoders, whose id headers fit one
+    * page) returns None and dead-letters even though the header is
+    * recoverable. Acceptable under the dead-letter contract; extend
+    * reassembly across page boundaries if real crawl data hits it. */
   def decodeOgg(b: Array[Byte]): Option[OggInfo] = {
     if (b == null || b.length < 28 || !hasMagic(b, 0, "OggS") || b(4) != 0)
       return None

@@ -25,22 +25,47 @@ object SimilaritySearch {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The shared post-scoring tail of every top-k tier: the scoring
+    * mapPartitions has already folded per-query bounded top-K
+    * accumulators ([[graft.streaming.StoreCommits.TopKMap]]) and
+    * drained ≤ partitions·nq·cap survivor rows — a provable superset
+    * of each query's global top-cap (fewer than cap distinct neighbors
+    * can beat a true member in any one partition). Cross-partition
+    * duplicates (an LSH neighbor keyed into several tables, a
+    * re-indexed commit) score identically, so max() is the dedup; the
+    * window then ranks a survivor relation thousands of times smaller
+    * than the pair relation it replaced (the 10⁸-group hash
+    * aggregation + per-pair boxed tuples were the measured 130–630 s
+    * walls at nq = 10k–50k — see BENCH_NOTES round 15). */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val dedup = scored.groupBy("query_id", "neighbor_id")
+      .agg(max(col(scoreCol)).as(scoreCol))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    dedup.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", scoreCol)
+  }
+
+  /** Wrap a drained survivor iterator with the optional exchange-row
+    * probe the scale specs assert against: `emitted` counts exactly
+    * the rows a scoring partition sends to the exchange (bounded by
+    * nq·cap per partition, NEVER per-pair). */
+  private def countEmitted(
+      out: Iterator[(Long, Long, Double)],
+      emitted: Option[org.apache.spark.util.LongAccumulator])
+      : Iterator[(Long, Long, Double)] =
+    emitted match {
+      case Some(a) => out.map { t => a.add(1L); t }
+      case None => out
+    }
+
   /** Query-side contract shared by every top-k tier: the query set is
     * collected/broadcast BY DESIGN (this is top-k SERVING — query sets
     * are small by contract), so its size must be bounded or a caller
     * passing a corpus as `queries` OOMs the driver. Enforced, not just
-    * documented: the check scans at most `maxQueries`+1 rows (a
-    * limit-count, cheap at any corpus size) and fails loudly before
-    * any collect. */
-  private def requireBoundedQueries(
-      queries: DataFrame, maxQueries: Int, op: String): Unit =
-    require(queries.limit(maxQueries + 1).count() <= maxQueries,
-      boundMessage(maxQueries, op))
-
-  /** The collect-fused form for the tiers that materialize the query
-    * side anyway (pqTopK/ivfPqTopK): limit-collect maxQueries+1 rows
-    * and fail on overflow — ONE job instead of a check job plus the
-    * collect. */
+    * documented: limit-collect maxQueries+1 rows and fail on overflow
+    * — ONE job serves the bound check and the scoring broadcast. */
   private def collectBounded(
       q: DataFrame, maxQueries: Int, op: String): Array[org.apache.spark.sql.Row] = {
     val rows = q.limit(maxQueries + 1).collect()
@@ -82,22 +107,47 @@ object SimilaritySearch {
   }
 
   /** Exact brute-force cosine top-k. `queries` is expected to be small
-    * (it is broadcast); the corpus is streamed once. Output:
-    * (query_id, neighbor_id, rank) with rank 1..k, self-matches
-    * excluded, ties broken by neighbor id. */
+    * (it is collected + broadcast; maxQueries-gated); the corpus is
+    * streamed once in a typed mapPartitions that deserializes each
+    * corpus vector ONCE, scores it against every query
+    * ([[graft.streaming.StoreCommits.cosineSeq]] — bit-identical to
+    * the Dedup.cosine expression this replaced), and folds per-query
+    * bounded top-k accumulators in place: no per-pair row is ever
+    * allocated or exchanged (the per-pair + window shape measured
+    * 130–630 s at nq = 10k–50k on the streams before the same
+    * rework). Output: (query_id, neighbor_id, rank, cos) with ids as
+    * LONG, rank 1..k, self-matches excluded, ties broken by neighbor
+    * id. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxQueries: Int = 100000): DataFrame = {
-    requireBoundedQueries(queries, maxQueries, "bruteForceTopK")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+      maxQueries: Int = 100000,
+      emitted: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = collectBounded(
+      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec")),
+      maxQueries, "bruteForceTopK")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qBc = spark.sparkContext.broadcast(qs)
+    val scored = graft.streaming.StoreCommits.rebalance(
+        corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val q = qBc.value
+        val acc = new graft.streaming.StoreCommits.TopKMap(k)
+        it.foreach { case (nid, cvec) =>
+          var i = 0
+          while (i < q.length) {
+            val qid = q(i)._1
+            if (qid != nid)
+              acc.insert(qid, nid, graft.streaming.StoreCommits.cosineSeq(q(i)._2, cvec))
+            i += 1
+          }
+        }
+        countEmitted(acc.drain(), emitted)
+      }.toDF("query_id", "neighbor_id", "cos")
+    rankTopK(scored, "cos", k)
   }
 
   /** IVF (inverted-file) ANN top-k: a coarse quantizer assigns every
@@ -176,24 +226,52 @@ object SimilaritySearch {
 
   /** Search a built [[IvfIndex]]: probe each query's `nprobe` nearest
     * cells and score only those members — the corpus-side work is a
-    * filter over the (persisted) assignment, never a re-fit. */
+    * pass over the (persisted) assignment, never a re-fit. Scoring is
+    * CELL-INDEXED (the [[graft.streaming.IvfStream.searchStore]]
+    * shape): a broadcast Map[cell → queries probing it] lets each
+    * assigned row score only its own cell's queries, folding per-query
+    * bounded top-k in place — no per-pair row is materialized,
+    * shuffled, or hash-aggregated. Probe selection and cosine
+    * arithmetic are bit-identical to the broadcast-join plan this
+    * replaced ([[nearestCellsOf]] driver-side ≡ the old udf;
+    * cosineSeq ≡ Dedup.cosine), so results are unchanged. */
   def ivfSearch(
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxQueries: Int = 100000): DataFrame = {
-    requireBoundedQueries(queries, maxQueries, "ivfSearch")
-    val bc = queries.sparkSession.sparkContext.broadcast(index.centroids)
-    val probeCells = udf { (v: Seq[Float]) => nearestCellsOf(bc.value, v, nprobe) }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      explode(probeCells(col(vecCol))).as("cell"))
-    val scored = index.assigned.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-      .select("query_id", "neighbor_id", "cos").distinct()
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+      maxQueries: Int = 100000,
+      emitted: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = collectBounded(
+      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec")),
+      maxQueries, "ivfSearch")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cs = index.centroids
+    val byCell: Map[Int, Array[(Long, Array[Float])]] =
+      qs.flatMap { case (qid, qv) =>
+        nearestCellsOf(cs, qv, nprobe).map(c => (c, (qid, qv)))
+      }.groupBy(_._1).map { case (c, arr) => c -> arr.map(_._2) }
+    val qBc = spark.sparkContext.broadcast(byCell)
+    val scored = graft.streaming.StoreCommits.rebalance(
+        index.assigned.select(col("neighbor_id").cast("long"), col("cell"), col("cvec")))
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        val qc = qBc.value
+        val none = Array.empty[(Long, Array[Float])]
+        val acc = new graft.streaming.StoreCommits.TopKMap(k)
+        it.foreach { case (nid, cell, cvec) =>
+          val entries = qc.getOrElse(cell, none)
+          var i = 0
+          while (i < entries.length) {
+            val qid = entries(i)._1
+            if (qid != nid)
+              acc.insert(qid, nid, graft.streaming.StoreCommits.cosineSeq(entries(i)._2, cvec))
+            i += 1
+          }
+        }
+        countEmitted(acc.drain(), emitted)
+      }.toDF("query_id", "neighbor_id", "cos")
+    rankTopK(scored, "cos", k)
   }
 
   /** SemDeDup-style semantic near-dup sweep (Abbas et al. 2023,
@@ -456,7 +534,8 @@ object SimilaritySearch {
     * shortlist's raw vectors — never a re-fit or re-encode. */
   def pqSearch(
       index: PqIndex, queries: DataFrame, k: Int, rerank: Int = 0,
-      maxQueries: Int = 100000): DataFrame = {
+      maxQueries: Int = 100000,
+      emitted: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val m = index.m
@@ -492,31 +571,42 @@ object SimilaritySearch {
       }.toArray
     }
     val qBc = spark.sparkContext.broadcast(qts)
-    val scored = index.encoded.mapPartitions { it =>
-      val qt = qBc.value
-      it.flatMap { r =>
-        val nid = r.getLong(0)
-        val codes = r.getAs[Array[Byte]](1)
-        qt.iterator.collect { case (qid, table) if qid != nid =>
-          var s = 0.0; var j = 0
-          while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
-          (qid, nid, s)
+    // bounded top-cap fold INSIDE the ADC loop (StoreCommits.TopKMap):
+    // no per-pair tuple allocates and only ≤ nq·cap survivors per
+    // partition reach the exchange — the cap is the re-rank shortlist
+    // depth, so stage 2 sees exactly the rows the old window kept
+    val cap = if (rerank <= 0) k else math.max(rerank, k)
+    val scored = graft.streaming.StoreCommits.rebalance(index.encoded.toDF())
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qt = qBc.value
+        val acc = new graft.streaming.StoreCommits.TopKMap(cap)
+        it.foreach { case (nid, codes) =>
+          var qi = 0
+          while (qi < qt.length) {
+            val qid = qt(qi)._1
+            if (qid != nid) {
+              val table = qt(qi)._2
+              var s = 0.0; var j = 0
+              while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
+              acc.insert(qid, nid, s)
+            }
+            qi += 1
+          }
         }
-      }
-    }.toDF("query_id", "neighbor_id", "adc")
-    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id").asc)
+        countEmitted(acc.drain(), emitted)
+      }.toDF("query_id", "neighbor_id", "adc")
     if (rerank <= 0) {
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc")
+      rankTopK(scored, "adc", k)
     } else {
       // stage 2: exact cosine over the ADC shortlist's raw vectors
-      val shortlist = scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= math.max(rerank, k))
+      val shortlist = rankTopK(scored, "adc", cap)
         .select("query_id", "neighbor_id")
-      val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      val qRaw = queries.select(
+        col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
       val exact = shortlist
-        .join(index.corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+        .join(index.corpus.select(
+          col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec")),
           "neighbor_id")
         .join(broadcast(qRaw), "query_id")
         .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
@@ -722,7 +812,8 @@ object SimilaritySearch {
       index: IvfPqIndex, queries: DataFrame, k: Int,
       nprobe: Int = 4, rerank: Int = 32,
       maxQueries: Int = 100000,
-      touches: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      touches: Option[org.apache.spark.util.LongAccumulator] = None,
+      emitted: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val m = index.m
@@ -731,36 +822,47 @@ object SimilaritySearch {
     val unit = unitUdf
     // collect doubles as the maxQueries bound check (one job)
     val qs = collectBounded(
-      queries.select(col(idCol).as("query_id"), unit(col(vecCol)).as("qv")),
+      queries.select(col(idCol).cast("long").as("query_id"), unit(col(vecCol)).as("qv")),
       maxQueries, "ivfPqSearch")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
     val qBc = spark.sparkContext.broadcast(
       adcByCell(qs, index.coarse, index.codebook, nprobe))
-    val scored = index.encoded.mapPartitions { it =>
-      val qc = qBc.value
-      val none = Array.empty[(Long, Double, Array[Array[Double]])]
-      it.flatMap { r =>
-        val nid = r.getLong(0)
-        val cell = r.getInt(1)
-        val codes = r.getAs[Array[Byte]](2)
-        val entries = qc.getOrElse(cell, none)
-        touches.foreach(_.add(entries.length))
-        entries.iterator.collect { case (qid, cellDot, table) if qid != nid =>
-          var s = cellDot; var j = 0
-          while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
-          (qid, nid, s)
+    // bounded top-cap fold inside the ADC loop (the IvfPqStream
+    // searchStore shape, StoreCommits.TopKMap): only ≤ nq·cap
+    // survivors per partition reach the exchange — never the
+    // candidate-proportional pair relation
+    val cap = math.max(rerank, k)
+    val scored = graft.streaming.StoreCommits.rebalance(index.encoded.toDF())
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val qc = qBc.value
+        val none = Array.empty[(Long, Double, Array[Array[Double]])]
+        val acc = new graft.streaming.StoreCommits.TopKMap(cap)
+        it.foreach { case (nid, cell, codes) =>
+          val entries = qc.getOrElse(cell, none)
+          touches.foreach(_.add(entries.length))
+          var i = 0
+          while (i < entries.length) {
+            val (qid, cellDot, table) = entries(i)
+            if (qid != nid) {
+              var s = cellDot; var j = 0
+              while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
+              acc.insert(qid, nid, s)
+            }
+            i += 1
+          }
         }
-      }
-    }.toDF("query_id", "neighbor_id", "adc")
+        countEmitted(acc.drain(), emitted)
+      }.toDF("query_id", "neighbor_id", "adc")
 
     // ADC shortlist → exact cosine re-rank (standard two-stage search)
-    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id").asc)
-    val shortlist = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= math.max(rerank, k))
+    val shortlist = rankTopK(scored, "adc", cap)
       .select("query_id", "neighbor_id")
-    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val qRaw = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
     val exact = shortlist
-      .join(index.corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+      .join(index.corpus.select(
+        col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec")),
         "neighbor_id")
       .join(broadcast(qRaw), "query_id")
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
@@ -888,28 +990,74 @@ object SimilaritySearch {
   }
 
   /** Search a built [[LshIndex]] with one-bit multi-probe per table —
-    * the corpus side is the (persisted) keyed relation, never re-keyed. */
+    * the corpus side is the (persisted) keyed relation, never re-keyed.
+    * Scoring is BUCKET-INDEXED (the
+    * [[graft.streaming.AnnStream.searchStore]] shape): a broadcast
+    * Map[(tbl«32|bucket) → probing queries] lets each keyed row score
+    * only its own bucket's queries with a bounded per-query top-k fold
+    * — multi-table × multi-probe duplicates dedup inside the bounded
+    * structure (identical scores, so max() is the dedup), and no
+    * per-pair row is materialized, shuffled, or hash-aggregated. Probe
+    * keys are derived from the SAME collected query snapshot (a local
+    * relation fed back through the exact hyperplaneKeys expression the
+    * index was built with), so a nondeterministic query source cannot
+    * disagree between the vector collect and the key derivation. */
   def lshSearch(
       index: LshIndex, queries: DataFrame, k: Int,
-      maxQueries: Int = 100000): DataFrame = {
-    requireBoundedQueries(queries, maxQueries, "lshSearch")
+      maxQueries: Int = 100000,
+      emitted: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val planes = index.planes
-    val qKeys = queries.select(
-      col(index.idCol).as("query_id"), col(index.vecCol).as("qvec"),
+    val qRows = collectBounded(
+      queries.select(col(index.idCol).cast("long").as("query_id"),
+        col(index.vecCol).as("qvec")),
+      maxQueries, "lshSearch")
+    val vecOf = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val qKeys = qLocal.select(col("query_id"),
       posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
-        col(index.vecCol), index.planesFlat, planes, index.dim))
+        col("qvec"), index.planesFlat, planes, index.dim))
         .as(Seq("tbl", "key")))
     val probeMasks = lit(0) +: (0 until planes).map(b => shiftleft(lit(1), b))
-    val q = qKeys.select(col("query_id"), col("qvec"), col("tbl"),
-      explode(array(probeMasks.map(m => col("key").bitwiseXOR(m)): _*)).as("bucket"))
-    val scored = index.keyed.join(broadcast(q), Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-      .select("query_id", "neighbor_id", "cos").distinct()
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    val probeRows = qKeys.select(col("query_id"), col("tbl"),
+      explode(array(probeMasks.map(mm => col("key").bitwiseXOR(mm)): _*)).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byKey: Map[Long, Array[(Long, Array[Float])]] =
+      probeRows.groupBy { case (_, t, b) => t.toLong * (1L << 32) + b }
+        .map { case (kk, arr) =>
+          kk -> arr.map { case (qid, _, _) => (qid, vecOf(qid)) }
+        }
+    val qBc = spark.sparkContext.broadcast(byKey)
+    val scored = graft.streaming.StoreCommits.rebalance(
+        index.keyed.select(col("neighbor_id").cast("long"),
+          col("tbl"), col("bucket"), col("cvec")))
+      .as[(Long, Int, Int, Array[Float])]
+      .mapPartitions { it =>
+        val qc = qBc.value
+        val none = Array.empty[(Long, Array[Float])]
+        val acc = new graft.streaming.StoreCommits.TopKMap(k)
+        it.foreach { case (nid, tbl, bucket, cvec) =>
+          val entries = qc.getOrElse(tbl.toLong * (1L << 32) + bucket, none)
+          var i = 0
+          while (i < entries.length) {
+            val qid = entries(i)._1
+            if (qid != nid)
+              acc.insert(qid, nid,
+                graft.streaming.StoreCommits.cosineSeq(entries(i)._2, cvec))
+            i += 1
+          }
+        }
+        countEmitted(acc.drain(), emitted)
+      }.toDF("query_id", "neighbor_id", "cos")
+    rankTopK(scored, "cos", k)
   }
 
   /** Deterministic PLANTED-NEIGHBOR benchmark relation: the corpus

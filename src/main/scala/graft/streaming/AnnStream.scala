@@ -212,7 +212,17 @@ object AnnStream {
     * shape shuffled the stored vector per CANDIDATE (twice); see the
     * BENCH_NOTES round-15 search-scale A/B for measured walls. Probe
     * keys stay expression-derived (hyperplaneKeys — the exact writer
-    * keying), collected as bounded int triples. */
+    * keying), collected as bounded int triples.
+    *
+    * PRE-COMPACTION UPSERT CONTRACT (shared with [[IvfStream]]/
+    * [[IvfPqStream]] search): an id re-upserted with a CHANGED vector
+    * leaves both versions in the store until the next
+    * [[compactStore]]; search deduplicates (query, neighbor) by
+    * max-over-versions — deterministic, but the reported similarity
+    * can be the stale vector's if it scores higher. Latest-wins
+    * becomes true after compaction (which keeps the newest commit's
+    * row per id). Callers needing strict latest-wins between upsert
+    * and compaction should compact first. */
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       maxQueries: Int = 100000,
@@ -238,16 +248,27 @@ object AnnStream {
     val vecOf = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
     val planesFlat = SimilaritySearch.tablePlanesFlat(
       dim.toInt, planes.toInt, seed, tables.toInt)
-    val qKeys = queries.select(
-      col(idCol).cast("long").as("query_id"),
+    // probe keys from the SAME collected snapshot (a local relation fed
+    // back through the exact writer keying expression) — a
+    // nondeterministic query source (an upstream sample/limit) must not
+    // yield probe ids absent from vecOf, which a second scan of
+    // `queries` could
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val qKeys = qLocal.select(col("query_id"),
       posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
-        col(vecCol), planesFlat, planes.toInt, dim.toInt)).as(Seq("tbl", "key")))
+        col("qvec"), planesFlat, planes.toInt, dim.toInt)).as(Seq("tbl", "key")))
     val probeMasks = lit(0) +: (0 until planes.toInt).map(b => shiftleft(lit(1), b))
     val probes = qKeys.select(col("query_id"), col("tbl"),
       explode(array(probeMasks.map(m => col("key").bitwiseXOR(m)): _*)).as("bucket"))
-    // probe keys stay EXPRESSION-derived (hyperplaneKeys, the exact
-    // writer keying); the collected triples are nq·tables·(planes+1)
-    // ints — ~14 MB at the 100k bound
+    // the collected triples are nq·tables·(planes+1) ints — ~14 MB at
+    // the 100k bound
     val probeRows = probes.collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getInt(2)))
     // bounded by construction: ≤ storeParts distinct partition ints

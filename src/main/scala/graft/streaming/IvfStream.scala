@@ -343,7 +343,11 @@ object IvfStream {
     * Dedup.cosine pass), so the only shuffled rows are 24-byte
     * `(query_id, neighbor_id, cos)` triples. The r14 shape shuffled
     * the stored vector per CANDIDATE (twice); see the BENCH_NOTES
-    * round-15 search-scale A/B for the measured walls. */
+    * round-15 search-scale A/B for the measured walls.
+    *
+    * Pre-compaction upsert contract: duplicate (query, neighbor)
+    * versions dedup by max-over-versions — see
+    * [[AnnStream.searchStore]] for the full statement. */
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       nprobe: Int = 3, maxQueries: Int = 100000,

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.StructType
   * original sites ([[DedupStream]] for manifest/`_FOLDED`/visibility,
   * [[AnnStream.compactStore]] for the GC grace window,
   * [[IvfStream.compactStore]] for the refit two-phase commit). */
-private[streaming] object StoreCommits {
+private[graft] object StoreCommits {
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -148,11 +148,19 @@ private[streaming] object StoreCommits {
     private val nids = new Array[Long](cap)
     private val scs = new Array[Double](cap)
     private var n = 0
+    // membership index for LARGE caps only (deep re-rank shortlists size
+    // cap = max(rerank, k) into the tens of thousands, where the linear
+    // dedup scan turns every qualifying insert into O(cap)); small caps
+    // (serving k ≤ 64) keep the scan — it beats a hash probe at that
+    // size and allocates nothing
+    private val slotOf: java.util.HashMap[Long, Integer] =
+      if (cap > 64) new java.util.HashMap[Long, Integer](cap * 2) else null
     private def beats(c1: Double, n1: Long, c2: Double, n2: Long): Boolean =
       c1 > c2 || (c1 == c2 && n1 < n2)
     private def swap(i: Int, j: Int): Unit = {
       val tn = nids(i); nids(i) = nids(j); nids(j) = tn
       val tc = scs(i); scs(i) = scs(j); scs(j) = tc
+      if (slotOf != null) { slotOf.put(nids(i), i); slotOf.put(nids(j), j) }
     }
     private def bubbleUp(from: Int): Unit = {
       var j = from
@@ -162,16 +170,31 @@ private[streaming] object StoreCommits {
     }
     def insert(nid: Long, sc: Double): Unit = {
       if (n == cap && !beats(sc, nid, scs(n - 1), nids(n - 1))) return
-      var i = 0
-      while (i < n) { // qualifier: dedup by neighbor id, keep the max
-        if (nids(i) == nid) {
+      if (slotOf != null) {
+        val s = slotOf.get(nid)
+        if (s != null) {
+          val i = s.intValue()
           if (sc > scs(i)) { scs(i) = sc; bubbleUp(i) }
           return
         }
-        i += 1
+      } else {
+        var i = 0
+        while (i < n) { // qualifier: dedup by neighbor id, keep the max
+          if (nids(i) == nid) {
+            if (sc > scs(i)) { scs(i) = sc; bubbleUp(i) }
+            return
+          }
+          i += 1
+        }
       }
-      if (n < cap) { nids(n) = nid; scs(n) = sc; n += 1; bubbleUp(n - 1) }
-      else { nids(n - 1) = nid; scs(n - 1) = sc; bubbleUp(n - 1) }
+      if (n < cap) {
+        nids(n) = nid; scs(n) = sc
+        if (slotOf != null) slotOf.put(nid, n)
+        n += 1; bubbleUp(n - 1)
+      } else {
+        if (slotOf != null) { slotOf.remove(nids(n - 1)); slotOf.put(nid, n - 1) }
+        nids(n - 1) = nid; scs(n - 1) = sc; bubbleUp(n - 1)
+      }
     }
     def drain(qid: Long): Iterator[(Long, Long, Double)] =
       (0 until n).iterator.map(i => (qid, nids(i), scs(i)))
