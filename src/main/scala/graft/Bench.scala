@@ -23,26 +23,23 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // steal index: a FIXED zero-data workload (pure codegen arithmetic
-    // + one tiny shuffle) timed before, midway through, and after the
-    // suite. Its true cost is a machine constant, so the MEDIAN of the
-    // three samples is this run's host-contention factor — future
-    // rounds divide totals by their canary ratio instead of guessing
-    // whether a regression is code or a noisy neighbor.
-    def canaryOnce(): Double = {
-      import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      spark.range(0L, 20000000L)
-        .groupBy(pmod(col("id") * 2654435761L, lit(32)))
-        .agg(sum(col("id") % 1000003L))
-        .count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // DUAL steal index ([[Canary]]): the CPU canary (fixed zero-data
+    // codegen workload) and the IO canary (fixed ~200 MB parquet scan +
+    // full shuffle), each timed before, midway through, and after the
+    // suite; the MEDIANs are this run's host-contention factors. The
+    // pair exists because round 15 proved the CPU canary blind to
+    // disk/page-cache contention (q96 at 47.95 s on unchanged code at
+    // cpu-canary 0.29) — a wall-clock swing now self-adjudicates: cpu
+    // moved → steal; io moved → disk; neither → code.
+    def canaryOnce(): Double = Canary.cpuOnce(spark)
     canaryOnce() // untimed codegen warm-up for the canary's own plan
+    Canary.ensureIoFixture(spark)
+    Canary.ioOnce(spark) // untimed warm-up (fixture into page cache)
     val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce())
+    val ioCanaries = scala.collection.mutable.ArrayBuffer(Canary.ioOnce(spark))
     val mid = math.max(1, selected.size / 2)
     val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi == mid) canaries += canaryOnce()
+      if (qi == mid) { canaries += canaryOnce(); ioCanaries += Canary.ioOnce(spark) }
       val dt = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // a failed run must never win the min — it would report a
@@ -59,7 +56,9 @@ object Bench {
       name -> (if (dt == Double.MaxValue) -1.0 else dt)
     }.toMap
     canaries += canaryOnce()
+    ioCanaries += Canary.ioOnce(spark)
     val canarySec = canaries.sorted.apply(canaries.size / 2)
+    val ioCanarySec = ioCanaries.sorted.apply(ioCanaries.size / 2)
     // The driver captures only the LAST 2000 chars of stdout, and sbt
     // appends a ~80-char "[success] ... completed" line after ours — so
     // the stdout line must stay under ~1900 chars or its head is clipped
@@ -99,7 +98,7 @@ object Bench {
       // a min-of-3 against a steal-inflated single run unknowingly
       // the headline total keeps 2 dp at every tier — only the
       // per-query map degrades (the 4-dp file artifact is authoritative)
-      s"""{"metric":"total","value":${fmt(total, math.max(prec, 2))},"unit":"sec","runs":$runs,"stat":"min","canary_sec":${fmt(canarySec, 2)},"queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total, math.max(prec, 2))},"unit":"sec","runs":$runs,"stat":"min","canary_sec":${fmt(canarySec, 2)},"io_canary_sec":${fmt(ioCanarySec, 2)},"queries":$qs,"sf":"$sf"}"""
     }
     // adaptive precision: if the suite grows enough that even the
     // compact form would clip, degrade stdout to 1 dp (0.1 s) rather

@@ -48,22 +48,80 @@ object Recall {
 
     val truth = pairs(OpsQueries.q19CosineTopK(spark, sfDir))
     spark.catalog.clearCache()
-    val tiers: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "q20_lsh" -> (OpsQueries.q20LshTopK _),
-      "q30_ivf" -> (OpsQueries.q30IvfTopK _),
-      "q45_pq" -> (OpsQueries.q45PqTopK _),
-      "q65_ivfpq" -> (OpsQueries.q65IvfPqTopK _))
-    val recalls = tiers.map { case (name, fn) =>
-      val r = pairs(fn(spark, sfDir))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    // the q20/q30/q45/q65 QUERY ENTRIES run over the planted-neighbor
+    // corpus (their DuckDB hash gates need provable-recall structure),
+    // so their outputs are planted ids — disjoint from raw-corpus
+    // truth by construction. The recall matrix therefore measures the
+    // TIERS on the RAW corpus at the gate knobs — the regime RECALL.md
+    // documents. (The previous block ran the planted-corpus entries
+    // against raw truth and had silently read 0.00 since the planted
+    // corpus landed; fixed round 16.)
+    import graft.ops.{SimilaritySearch => SSb}
+    val recalls = Seq[(String, () => DataFrame)](
+      "q20_lsh" -> (() => SSb.lshTopK(q, emb, dim = 64, k = 5, planes = 6, tables = 8)),
+      "q30_ivf" -> (() => SSb.ivfTopK(q, emb, k = 5, nprobe = 8)),
+      "q45_pq" -> (() => SSb.pqTopK(q, emb, dim = 64, k = 5, rerank = 200)),
+      "q65_ivfpq" -> (() => SSb.ivfPqTopK(q, emb, dim = 64, k = 5,
+        nprobe = 10, rerank = 192))
+    ).map { case (name, fn) =>
+      val r = pairs(fn())
       spark.catalog.clearCache()
       name -> recallOf(r, truth)
+    }
+
+    // ---- streaming-store recall (round 16): the three durable stores'
+    // searchStore against the SAME brute-force truth, at TWO store
+    // states — mid-accretion (3 un-compacted commits) and
+    // post-compaction. Store knobs mirror the q101/q102/q104 entries.
+    val storeRoot = java.nio.file.Files.createTempDirectory("recallstores").toString
+    def accrete(up: (DataFrame, String) => Unit): Unit =
+      (0 until 3).foreach(c =>
+        up(emb.filter(pmod(col("vec_id"), lit(3)) === c), s"t$c"))
+    val storeLegs: Seq[(String, Double, Double)] = Seq(
+      ("ann_store", () => {
+        val d = s"$storeRoot/ann"
+        accrete((b, t) => { graft.streaming.AnnStream.upsertStep(
+          b, d, dim = 64, planes = 6, tables = 8, batchTag = t); () })
+        val mid = recallOf(pairs(
+          graft.streaming.AnnStream.searchStore(spark, d, q, k = 5)), truth)
+        graft.streaming.AnnStream.compactStore(spark, d)
+        val post = recallOf(pairs(
+          graft.streaming.AnnStream.searchStore(spark, d, q, k = 5)), truth)
+        (mid, post)
+      }),
+      ("ivf_store", () => {
+        val d = s"$storeRoot/ivf"
+        accrete((b, t) => { graft.streaming.IvfStream.upsertStep(
+          b, d, dim = 64, nlist = 16, seed = 13L, batchTag = t); () })
+        val mid = recallOf(pairs(graft.streaming.IvfStream.searchStore(
+          spark, d, q, k = 5, nprobe = 8)), truth)
+        graft.streaming.IvfStream.compactStore(spark, d)
+        val post = recallOf(pairs(graft.streaming.IvfStream.searchStore(
+          spark, d, q, k = 5, nprobe = 8)), truth)
+        (mid, post)
+      }),
+      ("ivfpq_store", () => {
+        val d = s"$storeRoot/ivfpq"
+        accrete((b, t) => { graft.streaming.IvfPqStream.upsertStep(
+          b, d, dim = 64, nlist = 16, m = 8, seed = 37L, batchTag = t); () })
+        val mid = recallOf(pairs(graft.streaming.IvfPqStream.searchStore(
+          spark, d, q, k = 5, nprobe = 10, rerank = 192)), truth)
+        graft.streaming.IvfPqStream.compactStore(spark, d)
+        val post = recallOf(pairs(graft.streaming.IvfPqStream.searchStore(
+          spark, d, q, k = 5, nprobe = 10, rerank = 192)), truth)
+        (mid, post)
+      })
+    ).map { case (name, fn) =>
+      val (mid, post) = fn()
+      spark.catalog.clearCache()
+      (name, mid, post)
     }
 
     // ---- persistence round-trip: build → save → release → load into a
     // fresh session → search → identical pairs (params = query entries)
     val idxRoot = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/ann-index")
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val q = emb.filter(col("vec_id") < 10)
     val fresh = spark.newSession()
     val embF = fresh.read.parquet(s"$sfDir/embeddings.parquet")
     val qF = embF.filter(col("vec_id") < 10)
@@ -145,6 +203,10 @@ object Recall {
       val tot = pcaModel.eigenvalues.sum
       (k: Int) => if (tot == 0.0) 0.0 else pcaModel.eigenvalues.take(k).sum / tot
     }
-    println(s"""{"sf":"$sfDir","truth_pairs":${truth.size},"recall":$body,"recall_loaded":$loadedBody,"loaded_identical":$identBody,"pca_var_explained":{"16":${f"${ve(16)}%.4f"},"32":${f"${ve(32)}%.4f"}}}""")
+    val storeMid = storeLegs.map { case (n, mid, _) =>
+      "\"" + n + "\":" + f"$mid%.4f" }.mkString("{", ",", "}")
+    val storePost = storeLegs.map { case (n, _, post) =>
+      "\"" + n + "\":" + f"$post%.4f" }.mkString("{", ",", "}")
+    println(s"""{"sf":"$sfDir","truth_pairs":${truth.size},"recall":$body,"recall_loaded":$loadedBody,"loaded_identical":$identBody,"recall_store_mid":$storeMid,"recall_store_compacted":$storePost,"pca_var_explained":{"16":${f"${ve(16)}%.4f"},"32":${f"${ve(32)}%.4f"}}}""")
   }
 }

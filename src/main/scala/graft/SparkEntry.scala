@@ -109,6 +109,7 @@ object SparkEntry {
     "q100_multimodal_img" -> (OpsQueries.q100MultimodalImg _),
     "q103_multimodal_audio" -> (OpsQueries.q103MultimodalAudio _),
     "q105_multimodal_ogg" -> (OpsQueries.q105MultimodalOgg _),
+    "q106_multimodal_m4a" -> (OpsQueries.q106MultimodalM4a _),
     "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
     "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
     "q104_ivfpq_stream" -> (OpsQueries.q104IvfPqStream _),
@@ -1551,6 +1552,25 @@ object SparkEntry {
         |  CAST(10 + id % 200 AS BIGINT) AS duration_ms,
         |  CAST(139 + id % 40 AS BIGINT) AS n_bytes
         |FROM ids WHERE id % 2 = 1"""
+      .stripMargin,
+    // q106: the M4A/AAC container (MediaSynth.m4aAssetFor: ISO-BMFF
+    // ftyp/moov/trak/mdia with a real esds descriptor chain), recovered
+    // via the box walk's soun-hdlr dispatch + mp4a sample entry + mdhd
+    // sample clock. Arithmetic: sr table by id%5, channels =
+    // 1+(id//2)%2, n_units = 4000+id%9000 (mdhd duration at timescale
+    // sr), duration = n_units·1000//sr, bytes = 332 + id%32 (ftyp 20 +
+    // moov 304 + mdat 8+pad)
+    "q106_multimodal_m4a" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
+        |SELECT id AS doc_id, 'm4a' AS fmt,
+        |  CAST(1 + (id // 2) % 2 AS BIGINT) AS channels,
+        |  CAST(([48000,44100,32000,16000,8000])[CAST(id % 5 AS INT) + 1] AS BIGINT)
+        |    AS sample_rate,
+        |  CAST(4000 + id % 9000 AS BIGINT) AS n_units,
+        |  (4000 + id % 9000) * 1000 //
+        |    ([48000,44100,32000,16000,8000])[CAST(id % 5 AS INT) + 1] AS duration_ms,
+        |  CAST(332 + id % 32 AS BIGINT) AS n_bytes
+        |FROM ids"""
       .stripMargin
   )
 

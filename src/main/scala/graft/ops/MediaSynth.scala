@@ -474,4 +474,77 @@ object MediaSynth {
           preSkip + 48L * durMs, 16 + (id % 40).toInt), empty)
     }
   }
+
+  // ---- q106: M4A / ISO-BMFF AAC audio headers ----
+
+  /** Minimal-but-real M4A: `ftyp(M4A )` + `moov(mvhd + trak(mdhd +
+    * hdlr 'soun' + minf/stbl/stsd/mp4a(esds)))` + `mdat` pad. The
+    * `esds` carries a REAL MPEG-4 descriptor chain (ES_Descr 0x03 →
+    * DecoderConfig 0x04 with objectTypeIndication 0x40 and audio
+    * streamType 0x15 → DecoderSpecificInfo 0x05 = the 2-byte
+    * AudioSpecificConfig packing AAC-LC(2) / samplingFrequencyIndex /
+    * channelConfiguration → SLConfig 0x06), so a stricter parser than
+    * ours still reads it. Box sizes are closed-form:
+    * ftyp 20 + moov 304 + mdat (8 + padLen) → n_bytes = 332 + padLen.
+    * The mdhd timescale is `sr` and its duration `totalSamples` (the
+    * audio sample clock); the movie-level mvhd carries the same span
+    * at timescale 1000. `sr` must be an AAC table rate (ISO 14496-3
+    * §1.6.3.4) so the ASC index exists. */
+  private val aacRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  def m4a(id: Long, sr: Int, channels: Int, totalSamples: Long,
+      movieDurMs: Long, padLen: Int): Array[Byte] = {
+    val sfi = aacRates.indexOf(sr)
+    require(sfi >= 0, s"sr $sr is not an AAC sampling-table rate")
+    val ftyp = box("ftyp", cc("M4A ") ++ be32(0) ++ cc("M4A "))
+    val matrix = be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(movieDurMs.toInt) ++
+      be32(0x00010000) ++ be16(0x0100) ++ be16(0) ++ new Array[Byte](8) ++
+      matrix ++ new Array[Byte](24) ++ be32(2))
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(sr) ++ be32(totalSamples.toInt) ++ be16(0x55c4) ++ be16(0))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ cc("soun") ++
+      new Array[Byte](12) ++ Array(0.toByte))
+    val asc0 = (2 << 3) | ((sfi >> 1) & 0x7)
+    val asc1 = ((sfi & 1) << 7) | ((channels & 0xf) << 3)
+    val dsi = Array(0x05.toByte, 2.toByte, asc0.toByte, asc1.toByte)
+    val slc = Array(0x06.toByte, 1.toByte, 0x02.toByte)
+    val dcdPayload = Array(0x40.toByte, 0x15.toByte) ++ new Array[Byte](3) ++
+      be32(128000) ++ be32(128000) ++ dsi ++ slc
+    val dcd = Array(0x04.toByte, dcdPayload.length.toByte) ++ dcdPayload
+    val esd = Array(0x03.toByte, (3 + dcd.length).toByte) ++
+      be16(1) ++ Array(0.toByte) ++ dcd
+    val esds = box("esds", be32(0) ++ esd)
+    val mp4aEntry = box("mp4a",
+      new Array[Byte](6) ++ be16(1) ++ new Array[Byte](8) ++
+        be16(channels) ++ be16(16) ++ be16(0) ++ be16(0) ++
+        be32(sr << 16) ++ esds)
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ mp4aEntry)
+    val stbl = box("stbl", stsd)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val pad = Array.tabulate(padLen)(j => ((id + 3 + j) % 255).toByte)
+    ftyp ++ moov ++ box("mdat", pad)
+  }
+
+  /** The q106 asset for one document id — M4A/AAC-LC, every parameter
+    * a small modulus of the id (the oracle restates these formulas):
+    * sr ∈ {48000, 44100, 32000, 16000, 8000} by id%5 (all AAC table
+    * rates), channels = 1 + (id/2)%2, totalSamples = 4000 + id%9000
+    * (the mdhd duration at timescale sr), pad = id%32
+    * → n_bytes = 332 + id%32, duration_ms = totalSamples·1000//sr. */
+  def m4aAssetFor(id: Long): MediaAsset = {
+    val empty = MediaMeta(0, 0, 0L, 0, "?")
+    val sr = Array(48000, 44100, 32000, 16000, 8000)((id % 5).toInt)
+    val totalSamples = 4000 + id % 9000
+    MediaAsset(id, "audio",
+      m4a(id, sr, 1 + ((id / 2) % 2).toInt, totalSamples,
+        totalSamples * 1000L / sr, (id % 32).toInt), empty)
+  }
 }

@@ -155,8 +155,12 @@ object Multimodal {
   /** Container dispatch by magic — WAV (`RIFF`), FLAC (`fLaC`), OGG
     * (`OggS`, resolving to `vorbis`/`opus` by the first packet's id
     * header), MP3 (ID3v2 tag or immediate frame sync; magic-gated so a
-    * PCM body's stray 0xFF can never be misparsed as MP3). Header-only
-    * walks, all pure JVM ([[RiffCodecs.decodeWav]], [[AudioCodecs]]). */
+    * PCM body's stray 0xFF can never be misparsed as MP3), and M4A
+    * (ISO-BMFF `ftyp` at offset 4 — resolved to audio only when a
+    * `soun` trak with an `mp4a` sample entry exists, so a video MP4
+    * still dead-letters here). Header-only walks, all pure JVM
+    * ([[RiffCodecs.decodeWav]], [[RiffCodecs.decodeM4a]],
+    * [[AudioCodecs]]). */
   private def decodeAnyAudio(b: Array[Byte]): Option[AudioInfo] = {
     if (b == null || b.length < 4) return None
     def u(i: Int) = b(i) & 0xff
@@ -174,6 +178,10 @@ object Multimodal {
         (u(0) == 0xff && (u(1) & 0xe0) == 0xe0))
       AudioCodecs.decodeMp3(b).map(m => AudioInfo(0L, "mp3", m.channels,
         m.sampleRate, m.frames.toLong, m.durationMs, b.length.toLong))
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y'
+        && b(7) == 'p')
+      RiffCodecs.decodeM4a(b).map(m => AudioInfo(0L, "m4a", m.channels,
+        m.sampleRate, m.totalSamples, m.durationMs, b.length.toLong))
     else None
   }
 

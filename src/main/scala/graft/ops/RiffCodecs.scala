@@ -622,4 +622,140 @@ object RiffCodecs {
         video, audio, width, height, vFrames))
     }
   }
+
+  /** M4A / ISO-BMFF AAC audio header (round 16) — the audio analog of
+    * [[decodeMp4]]'s video walk, the fifth audio container family. An
+    * audio trak is identified by its `hdlr` handler `soun`; the
+    * `stsd`'s first `mp4a` AudioSampleEntry (ISO 14496-12 §12.2.3)
+    * carries channelcount / samplesize / samplerate (16.16 fixed), and
+    * its nested `esds` box (MPEG-4 ES descriptor, ISO 14496-1 §7.2.6
+    * expandable-length tag chain 0x03→0x04→0x05) carries the
+    * objectTypeIndication (0x40 = MPEG-4 Audio) and the 2-byte
+    * AudioSpecificConfig (ISO 14496-3 §1.6) packing
+    * audioObjectType(5) / samplingFrequencyIndex(4) /
+    * channelConfiguration(4) — AAC-LC is objectType 2. Duration comes
+    * from the trak's `mdhd` (the media timescale IS the sample clock
+    * for audio, so `duration` is total samples). Same defensive
+    * contract as the other walks: lying/64-bit/zero box sizes stop
+    * cleanly, a video-only MP4 (no `soun` trak) returns None and
+    * dead-letters upstream. */
+  final case class M4aInfo(
+      channels: Int, sampleRate: Int, bitsPerSample: Int,
+      objectTypeIndication: Int, aacObjectType: Int,
+      totalSamples: Long, durationMs: Long)
+
+  def decodeM4a(b: Array[Byte]): Option[M4aInfo] = {
+    if (b == null || b.length < 12 || fourcc(b, 4) != "ftyp") return None
+    def be16i(o: Int): Int = (u8(b, o) << 8) | u8(b, o + 1)
+    def be32(o: Int): Long =
+      ((u8(b, o).toLong << 24) | (u8(b, o + 1) << 16) |
+        (u8(b, o + 2) << 8) | u8(b, o + 3)) & 0xffffffffL
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+
+    final class A {
+      var isAudio = false
+      var channels = 0; var sampleRate = 0; var bits = 0
+      var oti = -1; var aot = -1
+      var timescale = 0L; var duration = -1L
+    }
+    var found: Option[M4aInfo] = None
+
+    // ISO 14496-1 expandable-length descriptor chain inside esds
+    def parseEsds(p0: Int, end: Int, t: A): Unit = {
+      var o = p0 + 4 // skip version/flags
+      def readLen(): Int = {
+        var len = 0; var more = true; var n = 0
+        while (more && n < 4 && o < end) {
+          val c = u8(b, o); o += 1; n += 1
+          len = (len << 7) | (c & 0x7f)
+          more = (c & 0x80) != 0
+        }
+        len
+      }
+      if (o < end && u8(b, o) == 0x03) { // ES_Descriptor
+        o += 1; readLen()
+        o += 2 // ES_ID
+        if (o < end) {
+          val flags = u8(b, o); o += 1
+          if ((flags & 0x80) != 0) o += 2 // dependsOn_ES_ID
+          if ((flags & 0x40) != 0 && o < end) { val ul = u8(b, o); o += 1 + ul }
+          if ((flags & 0x20) != 0) o += 2 // OCR ES id
+        }
+      }
+      if (o < end && u8(b, o) == 0x04) { // DecoderConfigDescriptor
+        o += 1; readLen()
+        if (o < end) t.oti = u8(b, o)
+        o += 13 // oti(1) streamType(1) bufferSizeDB(3) maxBitrate(4) avgBitrate(4)
+        if (o < end && u8(b, o) == 0x05) { // DecoderSpecificInfo = ASC
+          o += 1
+          val l5 = readLen()
+          if (l5 >= 2 && o + 1 < end)
+            t.aot = (((u8(b, o) << 8) | u8(b, o + 1)) >>> 11) & 0x1f
+        }
+      }
+    }
+
+    def walk(start: Int, end: Int, depth: Int, t: A): Unit = {
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        val size = be32(o)
+        val tpe = fourcc(b, o + 4)
+        val boxEndL: Long = if (size == 0) end.toLong else o.toLong + size
+        if (size == 1 || boxEndL > end || (size != 0 && size < 8)) ok = false
+        else {
+          val boxEnd = boxEndL.toInt
+          val p = o + 8
+          if (tpe == "moov" && depth < MaxNestDepth) walk(p, boxEnd, depth + 1, null)
+          else if (tpe == "trak" && depth < MaxNestDepth) {
+            val t2 = new A
+            walk(p, boxEnd, depth + 1, t2)
+            if (found.isEmpty && t2.isAudio && t2.channels > 0 && t2.sampleRate > 0) {
+              val durMs =
+                if (t2.timescale > 0 && t2.duration >= 0)
+                  t2.duration * 1000L / t2.timescale
+                else 0L
+              found = Some(M4aInfo(t2.channels, t2.sampleRate, t2.bits,
+                t2.oti, t2.aot, math.max(0L, t2.duration), durMs))
+            }
+          } else if ((tpe == "mdia" || tpe == "minf" || tpe == "stbl")
+              && depth < MaxNestDepth) walk(p, boxEnd, depth + 1, t)
+          else if (t != null && tpe == "mdhd" && boxEnd >= p + 4) {
+            val v = u8(b, p)
+            if (v == 0 && boxEnd >= p + 20) {
+              t.timescale = be32(p + 12); t.duration = be32(p + 16)
+            } else if (v == 1 && boxEnd >= p + 32) {
+              t.timescale = be32(p + 20); t.duration = be64(p + 24)
+            }
+          } else if (t != null && tpe == "hdlr" && boxEnd >= p + 12) {
+            if (fourcc(b, p + 8) == "soun") t.isAudio = true
+          } else if (t != null && tpe == "stsd" && boxEnd >= p + 16) {
+            val e = p + 8 // first sample entry (version/flags + count skipped)
+            if (e + 36 <= boxEnd && fourcc(b, e + 4) == "mp4a") {
+              t.channels = be16i(e + 24)
+              t.bits = be16i(e + 26)
+              t.sampleRate = (be32(e + 32) >>> 16).toInt
+              // children of the sample entry (esds); bounded by BOTH the
+              // entry's declared size and the stsd box
+              val entEnd = math.min(boxEnd.toLong, e.toLong + be32(e)).toInt
+              var c = e + 36
+              var okc = true
+              while (okc && c + 8 <= entEnd) {
+                val cs = be32(c)
+                val ceL = c.toLong + cs
+                if (cs < 8 || ceL > entEnd) okc = false
+                else {
+                  if (fourcc(b, c + 4) == "esds") parseEsds(c + 8, ceL.toInt, t)
+                  c = ceL.toInt
+                }
+              }
+            }
+          }
+          o = if (size == 0) end else boxEnd
+        }
+      }
+    }
+    walk(0, b.length, 0, null)
+    found
+  }
 }

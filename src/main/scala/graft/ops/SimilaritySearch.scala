@@ -38,11 +38,14 @@ object SimilaritySearch {
     * aggregation + per-pair boxed tuples were the measured 130–630 s
     * walls at nq = 10k–50k — see BENCH_NOTES round 15). */
   private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
-    val dedup = scored.groupBy("query_id", "neighbor_id")
-      .agg(max(col(scoreCol)).as(scoreCol))
+    // second-level fold BEFORE the window: at nq=100k × cap=32 × 32
+    // scoring partitions the survivors are ~10⁸ rows, and a groupBy-max
+    // + window here re-created the very sort/hash-agg the scoring fold
+    // removed (thread-dump-verified) — fold to ≤ nq·cap rows first
+    val folded = graft.streaming.StoreCommits.foldSurvivors(scored, k, scoreCol)
     val w = Window.partitionBy("query_id")
       .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
-    dedup.withColumn("rank", row_number().over(w))
+    folded.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", scoreCol)
   }

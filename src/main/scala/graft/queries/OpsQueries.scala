@@ -1366,6 +1366,31 @@ object OpsQueries {
         col("n_units"), col("duration_ms"), col("n_bytes"))
   }
 
+  /** MULTIMODAL audio, the M4A/AAC container (round 16): ISO-BMFF box
+    * trees carrying a `soun` trak whose `mp4a` sample entry nests a
+    * REAL MPEG-4 `esds` descriptor chain (objectTypeIndication 0x40,
+    * AAC-LC AudioSpecificConfig), synthesized per doc_id
+    * ([[graft.ops.MediaSynth.m4aAssetFor]]) and decoded ONLY by the
+    * real box walk ([[graft.ops.RiffCodecs.decodeM4a]]: hdlr dispatch,
+    * mdhd sample clock, 16.16 sample rate, expandable-length
+    * descriptor parse). The oracle restates the synthesis arithmetic
+    * from the id alone (the q103/q105 idiom) — `decodeAudioInfo` now
+    * dispatches FIVE audio families (RIFF/fLaC/OggS/MP3/ftyp-M4A).
+    * `n_units` is the mdhd duration = total PCM samples. */
+  def q106MultimodalM4a(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val assets = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(graft.ops.MediaSynth.m4aAssetFor)
+    graft.ops.Multimodal.decodeAudioInfo(assets)
+      .toDF()
+      .select(col("asset_id").as("doc_id"), col("fmt"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_units"), col("duration_ms"), col("n_bytes"))
+  }
+
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
     * deterministic synthetic versions of the documents table (old drops
     * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites

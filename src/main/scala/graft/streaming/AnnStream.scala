@@ -183,16 +183,35 @@ object AnnStream {
     * anything is written, `_FOLDED` extended before the swap, one
     * atomic manifest replace, unlisted dirs GC'd. SINGLE-WRITER
     * contract: run between upserts. */
-  def compactStore(spark: SparkSession, storeDir: String): Unit =
+  def compactStore(spark: SparkSession, storeDir: String): Unit = {
+    // pending deletes force a fold even on a single-commit store (the
+    // drop must happen); the applied set is captured BEFORE the fold so
+    // retireTombstones retires exactly what the filter read
+    val applied = StoreCommits.tombstoneCommits(spark, storeDir)
     // sorted within partitions: tight (tbl, bucket) row-group stats,
     // so a probe's pushed equality filters skip row groups inside
     // the compacted partition files
     StoreCommits.foldAndSwap(
       spark, storeDir, "annvecs", vecSchema,
       p => abCol(lit(p)), Seq("tbl", "bucket"),
-      extraWork = false,
+      extraWork = applied.nonEmpty,
       transform = all =>
-        (all, s"batch=compact-${java.util.UUID.randomUUID()}", None))
+        (StoreCommits.minusTombstones(all, spark, storeDir, "neighbor_id"),
+          s"batch=compact-${java.util.UUID.randomUUID()}", None),
+      afterSwap = () => StoreCommits.retireTombstones(spark, storeDir, applied))
+  }
+
+  /** Upsert-shaped DELETE: tombstone `ids` out of the store —
+    * [[searchStore]] stops returning them immediately, the next
+    * [[compactStore]] drops their rows physically and retires the
+    * tombstones. See [[StoreCommits.tombstoneStep]] for the full
+    * mask-until-compaction contract (single-writer, like every store
+    * write). */
+  def deleteStep(
+      ids: DataFrame, storeDir: String,
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      idCol: String = "vec_id"): Long =
+    StoreCommits.tombstoneStep(ids, storeDir, idCol, batchTag)
 
   /** Top-k cosine search against the accumulated store with one-bit
     * multi-probe per table — identical candidate generation, scoring
@@ -277,9 +296,11 @@ object AnnStream {
       math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
         .hashLong(t.toLong * (1L << 32) + b, 42L), partsN).toInt
     }.toSet
-    val stored = DedupStream.readStore(
-      spark, s"$storeDir/annvecs", vecSchema,
-      excludeTag = " none ", partCol = "ab", wanted = wanted)
+    val stored = StoreCommits.minusTombstones(
+      DedupStream.readStore(
+        spark, s"$storeDir/annvecs", vecSchema,
+        excludeTag = " none ", partCol = "ab", wanted = wanted),
+      spark, storeDir, "neighbor_id")
     // BUCKET-INDEXED map-side scoring (the IvfPqStream ADC shape):
     // broadcast Map[(tbl«32|bucket) → probing queries] with each
     // query's vector shared by reference across its probe entries;
@@ -323,10 +344,13 @@ object AnnStream {
         }
         acc.drain()
       }.toDF("query_id", "neighbor_id", "cos")
-      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
+    // second-level fold (StoreCommits.foldSurvivors): the final window
+    // ranks ≤ nq·k rows, never partitions·nq·k — max-over-versions
+    // dedup semantics identical to the groupBy-max it replaces
+    val folded = StoreCommits.foldSurvivors(scored, k, "cos")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    folded.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }

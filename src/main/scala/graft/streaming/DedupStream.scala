@@ -1080,13 +1080,18 @@ object DedupStream {
     }.toMap
     val diverged = commitSets.size == 2 &&
       commitSets("byId") != commitSets("byComp")
+    // pending deletes force a fold (tombstoned ids must drop physically)
+    val appliedTombs = StoreCommits.tombstoneCommits(spark, storeDir, LabelTombs)
     val needsFold =
-      haveById && (diverged || commitSets.valuesIterator.exists(_.size >= 2))
+      haveById && (diverged || appliedTombs.nonEmpty ||
+        commitSets.valuesIterator.exists(_.size >= 2))
     if (needsFold) {
       val target = s"batch=compact-${java.util.UUID.randomUUID()}"
       val parts = lit(storeMetaParts(spark, storeDir).toLong)
-      val resolved = readAllById(spark, storeDir)
-        .groupBy("id").agg(min("component").as("component"))
+      val resolved = StoreCommits.minusTombstones(
+        readAllById(spark, storeDir)
+          .groupBy("id").agg(min("component").as("component")),
+        spark, storeDir, "id", subdir = LabelTombs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // sorted within partitions: tight per-row-group id/component
       // min-max stats, so the tick path's pushed isin/equality filters
@@ -1108,6 +1113,10 @@ object DedupStream {
         writeNameFile(spark, root, "_FOLDED", readFolded(fs, root) ++ srcNames)
         writeManifest(spark, root, Set(target)) // THE commit point per sub-store
       }
+      // applied deletes retire AFTER both swaps — a crash in between
+      // leaves dropped rows + standing tombstones, which re-filter to
+      // the same answer until the next compaction (idempotent)
+      StoreCommits.retireTombstones(spark, storeDir, appliedTombs, LabelTombs)
     }
     // GC: with manifests in authority, unlisted batch= dirs are garbage
     active.foreach { case (_, _, root) =>
@@ -1431,6 +1440,24 @@ object DedupStream {
     * resolve is one hash aggregation when a caller forces it. Empty
     * when no tick has published yet. */
   def latestLabels(spark: SparkSession, storeDir: String): DataFrame =
-    readAllById(spark, storeDir)
-      .groupBy("id").agg(min("component").as("component"))
+    StoreCommits.minusTombstones(
+      readAllById(spark, storeDir)
+        .groupBy("id").agg(min("component").as("component")),
+      spark, storeDir, "id", subdir = LabelTombs)
+
+  private val LabelTombs = "labels/tombstones"
+
+  /** Upsert-shaped DELETE for the cluster-label store: tombstone doc
+    * `ids` — [[latestLabels]] stops returning them immediately, the
+    * next [[compactLabels]] drops their byId rows physically (byComp
+    * rebuilds from the survivors) and retires the tombstones. A
+    * deleted id may still APPEAR AS A LABEL VALUE (component ids are
+    * min member ids — opaque cluster names, not membership); only the
+    * `id` column honors the mask. Mask-until-compaction contract and
+    * single-writer discipline as [[StoreCommits.tombstoneStep]]. */
+  def deleteLabels(
+      ids: DataFrame, storeDir: String,
+      batchTag: String = java.util.UUID.randomUUID().toString): Long =
+    StoreCommits.tombstoneStep(ids, storeDir, ids.columns.head,
+      batchTag, subdir = LabelTombs)
 }

@@ -364,12 +364,16 @@ object IvfPqStream {
     * grace and crash windows as [[IvfStream.compactStore]].
     * SINGLE-WRITER contract. */
   def compactStore(
-      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit =
+      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit = {
+    // pending deletes force a fold (tombstoned rows must drop) and a
+    // refit fits on the SURVIVORS — the filter runs first
+    val applied = StoreCommits.tombstoneCommits(spark, storeDir)
     StoreCommits.foldAndSwap(
       spark, storeDir, "pqvecs", vecSchema,
       p => abCol(lit(p)), Seq("cell"),
-      extraWork = refit,
-      transform = { all =>
+      extraWork = refit || applied.nonEmpty,
+      transform = { all0 =>
+        val all = StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id")
         val mt = effectiveMeta(spark, storeDir, promote = true)
           .getOrElse(throw new IllegalArgumentException(
             s"not an ivf-pq store (no _IVFPQ marker): $storeDir"))
@@ -380,8 +384,21 @@ object IvfPqStream {
             Some("_IVFPQ.pending" -> m2.copy(target = Some(target)).render))
         } else (all, s"batch=compact-${java.util.UUID.randomUUID()}", None)
       },
-      // finish the promotion staged above
-      afterSwap = () => { effectiveMeta(spark, storeDir, promote = true); () })
+      // finish the promotion staged above, then retire applied deletes
+      afterSwap = () => {
+        effectiveMeta(spark, storeDir, promote = true)
+        StoreCommits.retireTombstones(spark, storeDir, applied)
+      })
+  }
+
+  /** Upsert-shaped DELETE: tombstone `ids` out of the store — see
+    * [[AnnStream.deleteStep]] / [[StoreCommits.tombstoneStep]] for the
+    * mask-until-compaction contract. */
+  def deleteStep(
+      ids: DataFrame, storeDir: String,
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      idCol: String = "vec_id"): Long =
+    StoreCommits.tombstoneStep(ids, storeDir, idCol, batchTag)
 
   /** Top-k search: probed-cell ADC shortlist + exact cosine re-rank,
     * with BOTH stages pruned to the probed cells' `ab=` partitions —
@@ -450,6 +467,9 @@ object IvfPqStream {
           "during search planning — is a writer refitting in a loop?")
       }
     }
+    // tombstoned ids never reach the ADC pass NOR the re-rank (both
+    // stages derive from this relation)
+    stored = StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id")
     val m = mt.m
     // cell-indexed, dim-independent broadcast LUTs (the batch
     // operator's shape — SimilaritySearch.adcByCell); probe selection
@@ -485,15 +505,15 @@ object IvfPqStream {
         }
         acc.drain()
       }.toDF("query_id", "neighbor_id", "adc")
-      // per-pair dedup (the IvfStream/AnnStream idiom): an id re-upserted
-      // with a CHANGED vector (pre-refit) carries differing codes across
-      // commits, so a distinct() over rows would keep both ADC scores and
-      // the same neighbor could fill two top-k slots — keep one score per
-      // (query, neighbor) pair instead
-      .groupBy("query_id", "neighbor_id").agg(max(col("adc")).as("adc"))
+    // per-pair dedup (the IvfStream/AnnStream idiom): an id re-upserted
+    // with a CHANGED vector (pre-refit) carries differing codes across
+    // commits — the second-level fold keeps one max() score per
+    // (query, neighbor) pair AND bounds the ranking window to ≤
+    // nq·shortlist rows, never partitions·nq·shortlist
+    val folded = StoreCommits.foldSurvivors(scored, math.max(rerank, k), "adc")
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val shortlist = scored.withColumn("rank", row_number().over(w))
+    val shortlist = folded.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= math.max(rerank, k))
       .select("query_id", "neighbor_id")
     // exact re-rank: vectors come from the SAME pruned partitions (a

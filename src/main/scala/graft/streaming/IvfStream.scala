@@ -306,12 +306,16 @@ object IvfStream {
     * readers finish): [[StoreCommits.foldAndSwap]].
     * SINGLE-WRITER contract. */
   def compactStore(
-      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit =
+      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit = {
+    // pending deletes force a fold (tombstoned rows must drop) and a
+    // refit must fit on the SURVIVORS — so the filter runs first
+    val applied = StoreCommits.tombstoneCommits(spark, storeDir)
     StoreCommits.foldAndSwap(
       spark, storeDir, "ivfvecs", vecSchema,
       p => abCol(lit(p)), Seq("cell"),
-      extraWork = refit,
-      transform = { all =>
+      extraWork = refit || applied.nonEmpty,
+      transform = { all0 =>
+        val all = StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id")
         val meta = effectiveMeta(spark, storeDir, promote = true)
           .getOrElse(throw new IllegalArgumentException(
             s"not an ivf store (no _IVF marker): $storeDir"))
@@ -327,8 +331,21 @@ object IvfStream {
             target, Some("_IVF.pending" -> m2.copy(target = Some(target)).render))
         } else (all, s"batch=compact-${java.util.UUID.randomUUID()}", None)
       },
-      // finish the promotion staged above
-      afterSwap = () => { effectiveMeta(spark, storeDir, promote = true); () })
+      // finish the promotion staged above, then retire applied deletes
+      afterSwap = () => {
+        effectiveMeta(spark, storeDir, promote = true)
+        StoreCommits.retireTombstones(spark, storeDir, applied)
+      })
+  }
+
+  /** Upsert-shaped DELETE: tombstone `ids` out of the store — see
+    * [[AnnStream.deleteStep]] / [[StoreCommits.tombstoneStep]] for the
+    * mask-until-compaction contract. */
+  def deleteStep(
+      ids: DataFrame, storeDir: String,
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      idCol: String = "vec_id"): Long =
+    StoreCommits.tombstoneStep(ids, storeDir, idCol, batchTag)
 
   /** Top-k cosine search against the accumulated store: each query
     * probes its `nprobe` nearest pinned cells, and ONLY those cells'
@@ -401,6 +418,8 @@ object IvfStream {
           "during search planning — is a writer refitting in a loop?")
       }
     }
+    // tombstoned ids never reach scoring (delete masks until compaction)
+    stored = StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id")
     // CELL-INDEXED scoring (the IvfPqStream ADC shape): broadcast
     // Map[cell → queries probing it] with each query's vector shared by
     // reference across its nprobe entries (nq×dim×4 B ≤ ~300 MB at the
@@ -442,12 +461,12 @@ object IvfStream {
         }
         acc.drain()
       }.toDF("query_id", "neighbor_id", "cos")
-      // per-pair dedup (re-indexed-commit duplicates score identically,
-      // so max() is the dedup) — 24-byte rows, never a vector
-      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
+    // second-level fold: ranks ≤ nq·k rows, never partitions·nq·k;
+    // max-over-versions dedup identical to the groupBy-max it replaces
+    val folded = StoreCommits.foldSurvivors(scored, k, "cos")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    folded.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }

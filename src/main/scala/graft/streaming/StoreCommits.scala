@@ -213,16 +213,168 @@ private[graft] object StoreCommits {
     * neighbors), so the tiny downstream dedup + window returns exactly
     * the old answer. */
   final class TopKMap(cap: Int) {
-    private val m = new java.util.HashMap[Long, TopK]()
+    // primitive open-addressing map (round 16): java.util.HashMap boxed
+    // every long key probe — at 10^10 probes (flat-PQ batch scoring at
+    // the 100k bound) that is 10^10 transient Longs of pure GC churn.
+    // Power-of-2 capacity, byteswap64 mix, linear probing, no deletion.
+    private var keys = new Array[Long](1 << 10)
+    private var accs = new Array[TopK](1 << 10)
+    private var mask = keys.length - 1
+    private var n = 0
+    private def slotOf(k: Long): Int = {
+      var i = scala.util.hashing.byteswap64(k).toInt & mask
+      while (accs(i) != null && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    private def grow(): Unit = {
+      val ok = keys; val oa = accs
+      keys = new Array[Long](ok.length << 1)
+      accs = new Array[TopK](ok.length << 1)
+      mask = keys.length - 1
+      var j = 0
+      while (j < ok.length) {
+        if (oa(j) != null) {
+          val i = slotOf(ok(j)); keys(i) = ok(j); accs(i) = oa(j)
+        }
+        j += 1
+      }
+    }
     def insert(qid: Long, nid: Long, sc: Double): Unit = {
-      var acc = m.get(qid)
-      if (acc == null) { acc = new TopK(cap); m.put(qid, acc) }
-      acc.insert(nid, sc)
+      var i = slotOf(qid)
+      if (accs(i) == null) {
+        if ((n + 1) * 4 > keys.length * 3) { grow(); i = slotOf(qid) }
+        keys(i) = qid; accs(i) = new TopK(cap); n += 1
+      }
+      accs(i).insert(nid, sc)
     }
-    def drain(): Iterator[(Long, Long, Double)] = {
-      import scala.jdk.CollectionConverters._
-      m.entrySet().iterator().asScala.flatMap(e => e.getValue.drain(e.getKey))
-    }
+    def drain(): Iterator[(Long, Long, Double)] =
+      keys.indices.iterator.filter(accs(_) != null)
+        .flatMap(i => accs(i).drain(keys(i)))
+  }
+
+  /** SECOND-LEVEL top-K fold (round 16): hash-partition the scoring
+    * partitions' survivors by query and fold once more, so the final
+    * ranking window sees ≤ nq·cap rows instead of partitions·nq·cap.
+    * The groupBy-max + window directly over the drained relation
+    * re-created the round-15 lesson one level up: at nq = 100k,
+    * cap = 32, 32 scoring partitions the survivors are ~10⁸ rows, and
+    * the thread dump showed every worker inside the window's TimSort.
+    * This fold replaces that hash-agg + full sort with one 24-byte-row
+    * exchange and a linear pass; duplicate (query, neighbor) versions
+    * dedup inside [[TopK]] with max() semantics, exactly like the
+    * groupBy it replaces. Input columns must be
+    * (query_id LONG, neighbor_id LONG, score DOUBLE). */
+  def foldSurvivors(scored: DataFrame, cap: Int, scoreName: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.repartition(col("query_id"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val acc = new TopKMap(cap)
+        it.foreach { case (q, nid, s) => acc.insert(q, nid, s) }
+        acc.drain()
+      }.toDF("query_id", "neighbor_id", scoreName)
+  }
+
+  // ======== tombstone deletes (round 16) ========
+
+  private val tombSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Upsert-shaped DELETE for the commit stores: `ids` land as a
+    * tombstone commit under `<storeDir>/<subdir>/batch=<tag>`
+    * (single-column distinct longs, one file, manifest-gated like
+    * every commit). Search filters tombstoned ids out
+    * ([[minusTombstones]]); the next compaction physically drops
+    * their rows and then RETIRES the applied tombstones
+    * ([[retireTombstones]]), after which the store equals one built
+    * from the survivors — the takedown path a 100 TB serving corpus
+    * needs without a full rebuild.
+    *
+    * CONTRACT: a tombstone masks the id until that compaction — an id
+    * re-upserted BETWEEN delete and compaction stays masked (delete
+    * wins within a store generation); after the compaction the id
+    * inserts fresh. Deletes are writer operations: serialize them with
+    * upserts and compaction (the stores' standing SINGLE-WRITER
+    * contract). Returns the distinct id count committed. */
+  def tombstoneStep(
+      ids: DataFrame, storeDir: String, idColName: String,
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      subdir: String = "tombstones"): Long = {
+    val spark = ids.sparkSession
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
+    ensureManifestClaimed(spark, root)
+    val commitDir = s"$storeDir/$subdir/batch=$batchTag"
+    ids.select(col(idColName).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(commitDir)
+    DedupStream.publishCommit(spark, root, s"batch=$batchTag")
+    spark.read.parquet(commitDir).count()
+  }
+
+  /** The store's visible tombstoned-id relation (column `id`, LONG;
+    * empty relation when none). Size is bounded by deletes since the
+    * last compaction — the retire step keeps it from accreting. */
+  def tombstones(
+      spark: SparkSession, storeDir: String,
+      subdir: String = "tombstones"): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
+    val f = fs(spark, root)
+    val leaves =
+      if (!f.exists(root)) Nil
+      else DedupStream.visibleCommits(f, root).map(_.getPath.toString)
+    if (leaves.nonEmpty)
+      spark.read.schema(tombSchema).parquet(leaves: _*).distinct()
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+  }
+
+  /** Names of the visible tombstone commits — captured BEFORE a
+    * compaction so [[retireTombstones]] retires exactly the set the
+    * fold applied. */
+  def tombstoneCommits(
+      spark: SparkSession, storeDir: String,
+      subdir: String = "tombstones"): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
+    val f = fs(spark, root)
+    if (!f.exists(root)) Set.empty
+    else DedupStream.visibleCommits(f, root).map(_.getPath.getName).toSet
+  }
+
+  /** Drop tombstoned ids from a store relation: a broadcast anti-join
+    * on `idCol` when tombstones exist, the UNTOUCHED plan when none —
+    * a store that never saw a delete pays nothing (and its gates stay
+    * plan-identical). */
+  def minusTombstones(
+      df: DataFrame, spark: SparkSession, storeDir: String, idCol: String,
+      subdir: String = "tombstones"): DataFrame =
+    if (tombstoneCommits(spark, storeDir, subdir).isEmpty) df
+    else df.join(
+      broadcast(tombstones(spark, storeDir, subdir)
+        .withColumnRenamed("id", idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Retire APPLIED tombstone commits after a compaction's manifest
+    * swap: their names extend `_FOLDED` (a replayed delete tag cannot
+    * resurrect), the manifest drops them, and the dirs are deleted. A
+    * crash between the main swap and this step leaves already-dropped
+    * rows plus standing tombstones — which re-filter to the same
+    * answer until the next compaction retires them (idempotent). */
+  def retireTombstones(
+      spark: SparkSession, storeDir: String, applied: Set[String],
+      subdir: String = "tombstones"): Unit = {
+    if (applied.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
+    val f = fs(spark, root)
+    if (!f.exists(root)) return
+    DedupStream.writeNameFile(spark, root, "_FOLDED",
+      DedupStream.readFolded(f, root) ++ applied)
+    val remaining =
+      DedupStream.visibleCommits(f, root).map(_.getPath.getName).toSet -- applied
+    DedupStream.writeManifest(spark, root, remaining)
+    applied.foreach(n =>
+      f.delete(new org.apache.hadoop.fs.Path(root, n), true))
   }
 
   /** The fold-and-swap compaction skeleton: adopt the manifest, read

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Round-16 M4A/AAC support ([[RiffCodecs.decodeM4a]] over
+  * [[MediaSynth.m4a]]): the ISO-BMFF walk's `soun`-hdlr dispatch, the
+  * `mp4a` AudioSampleEntry (channelcount / samplesize / 16.16 sample
+  * rate), the `esds` expandable-length descriptor chain
+  * (objectTypeIndication 0x40, AAC-LC AudioSpecificConfig), and the
+  * mdhd sample clock; video MP4 and garbage dead-letter; the q106
+  * pipeline equals the closed-form arithmetic oracle. */
+class Round16OpsSpec extends SparkSpec {
+
+  test("m4a: sample entry + esds + mdhd fields recovered exactly") {
+    val b = MediaSynth.m4a(9L, sr = 44100, channels = 2,
+      totalSamples = 88200L, movieDurMs = 2000L, padLen = 17)
+    val i = RiffCodecs.decodeM4a(b).get
+    assert(i.channels == 2 && i.sampleRate == 44100)
+    assert(i.bitsPerSample == 16)
+    assert(i.objectTypeIndication == 0x40, "esds OTI must be MPEG-4 Audio")
+    assert(i.aacObjectType == 2, "ASC audioObjectType must be AAC-LC")
+    assert(i.totalSamples == 88200L)
+    assert(i.durationMs == 2000L)
+    assert(b.length == 332 + 17, s"writer arithmetic: ${b.length}")
+  }
+
+  test("m4a: every synth rate round-trips through the AAC table index") {
+    Seq(48000, 44100, 32000, 16000, 8000).foreach { sr =>
+      val b = MediaSynth.m4a(1L, sr, channels = 1,
+        totalSamples = sr.toLong, movieDurMs = 1000L, padLen = 0)
+      val i = RiffCodecs.decodeM4a(b).get
+      assert(i.sampleRate == sr && i.durationMs == 1000L, s"sr=$sr")
+    }
+  }
+
+  test("m4a: video MP4, garbage, and truncation dead-letter") {
+    // a real VIDEO mp4 (the q99 synth) has no soun trak → None
+    assert(RiffCodecs.decodeM4a(MediaSynth.mp4(4L, nf = 3, frameLen = 50)).isEmpty)
+    assert(RiffCodecs.decodeM4a(Array.fill(64)(0x41.toByte)).isEmpty)
+    assert(RiffCodecs.decodeM4a(Array.emptyByteArray).isEmpty)
+    assert(RiffCodecs.decodeM4a(null).isEmpty)
+    // truncation mid-moov: the walk stops cleanly (lying box size)
+    val whole = MediaSynth.m4a(3L, 32000, 1, 32000L, 1000L, 0)
+    assert(RiffCodecs.decodeM4a(
+      java.util.Arrays.copyOfRange(whole, 0, 60)).isEmpty)
+  }
+
+  test("q106 pipeline: M4A decode over synthesized assets equals the arithmetic oracle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q106docs").toString
+    (0L until 120L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.OpsQueries.q106MultimodalM4a(spark, dir)
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("fmt"), r.getAs[Long]("channels"),
+            r.getAs[Long]("sample_rate"), r.getAs[Long]("n_units"),
+            r.getAs[Long]("duration_ms"), r.getAs[Long]("n_bytes")))
+      }.toMap
+    assert(got.size == 120, s"got ${got.size} rows")
+    (0L until 120L).foreach { id =>
+      val sr = Array(48000L, 44100L, 32000L, 16000L, 8000L)((id % 5).toInt)
+      val n = 4000 + id % 9000
+      val exp = ("m4a", 1 + (id / 2) % 2, sr, n, n * 1000 / sr, 332 + id % 32)
+      assert(got(id) == exp, s"id=$id got ${got(id)} expected $exp")
+    }
+  }
+}

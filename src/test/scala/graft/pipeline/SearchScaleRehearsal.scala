@@ -40,18 +40,10 @@ object SearchScaleRehearsal {
     val tiers = sys.env.getOrElse("SPARK_GRAFT_SEARCH_TIERS", "ann,ivf,ivfpq")
       .split(',').map(_.trim).toSet
 
-    def canaryOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 20000000L)
-        .groupBy(pmod(col("id") * 2654435761L, lit(32)))
-        .agg(sum(col("id") % 1000003L))
-        .count()
-      (System.nanoTime() - t0) / 1e9
-    }
-    def canary(): Double = {
-      canaryOnce()
-      Seq.fill(3)(canaryOnce()).sorted.apply(1)
-    }
+    // dual host-noise stamp (round 16): cpu = steal, io = disk/page-
+    // cache contention — the mode the cpu canary is provably blind to
+    def canary(): Double = graft.Canary.cpu(spark)
+    def ioCanary(): Double = graft.Canary.io(spark)
 
     // sf1 ships 20k embeddings — tile by id-offset copies so the store
     // is serving-path-sized (~160k vectors at the default 8); offsets sit
@@ -63,7 +55,8 @@ object SearchScaleRehearsal {
         (col("vec_id") + lit(c.toLong * 1000000000000L)).as("vec_id"),
         col("embedding"))).reduce(_ unionByName _)
     val total = emb.count()
-    println(f"SEARCH_SCALE corpus=$total%d sf_dir=$sfDir canary=${canary()}%.2f")
+    println(f"SEARCH_SCALE corpus=$total%d sf_dir=$sfDir " +
+      f"canary=${canary()}%.2f io=${ioCanary()}%.2f")
 
     // ---- stores: build once (4 accretion ticks each), reuse if pinned
     def ensure(tier: String, marker: String)(build: String => Unit): String = {
@@ -103,7 +96,7 @@ object SearchScaleRehearsal {
       val n = run(queries).count()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"SEARCH_SCALE tier=$tier%s nq=$nq%d rows=$n%d " +
-        f"wall=$wall%.2f canary=${canary()}%.2f")
+        f"wall=$wall%.2f canary=${canary()}%.2f io=${ioCanary()}%.2f")
     }
     nqs.foreach { nq =>
       if (tiers("ann")) leg("ann", nq)(q =>
@@ -113,6 +106,62 @@ object SearchScaleRehearsal {
       if (tiers("ivfpq")) leg("ivfpq", nq)(q =>
         graft.streaming.IvfPqStream.searchStore(spark, pqDir, q, k = 5,
           nprobe = 4, rerank = 32))
+    }
+
+    // ---- round-16 BATCH-operator legs (verdict #1): the five
+    // SimilaritySearch batch tiers over the same tiled corpus, after
+    // the TopKMap scoring fold — the walls must land in the stream
+    // class, not the 130–630 s per-pair-relation class the streams
+    // measured before their rework. Index build walls print separately
+    // (the amortized serve shape); tier knobs mirror the store legs
+    // (nlist 64 / nprobe 4 / m 8 / rerank 32; LSH 8 planes × 2 tables).
+    if (tiers.exists(_.startsWith("batch_"))) {
+      import graft.ops.{SimilaritySearch => SS}
+      val corpusP = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpusP.count()
+      def bleg(tier: String, nq: Int)(run: DataFrame => DataFrame): Unit = {
+        val queries = corpusP.orderBy(col("vec_id")).limit(nq)
+        val t0 = System.nanoTime()
+        val n = run(queries).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"SEARCH_SCALE tier=$tier%s nq=$nq%d rows=$n%d " +
+          f"wall=$wall%.2f canary=${canary()}%.2f io=${ioCanary()}%.2f")
+      }
+      def built(tier: String)(mk: => (DataFrame => DataFrame, () => Unit)): Unit = {
+        val t0 = System.nanoTime()
+        val (search, release) = mk
+        println(f"SEARCH_SCALE built tier=$tier%s " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f")
+        nqs.foreach(nq => bleg(tier, nq)(search))
+        release()
+      }
+      if (tiers("batch_brute"))
+        nqs.foreach(nq => bleg("batch_brute", nq)(q =>
+          SS.bruteForceTopK(q, corpusP, k = 5)))
+      if (tiers("batch_lsh")) built("batch_lsh") {
+        val idx = SS.lshBuild(corpusP, dim = 64, planes = 8, tables = 2)
+        idx.bucketSizes.count()
+        (q => SS.lshSearch(idx, q, k = 5), () => idx.release())
+      }
+      if (tiers("batch_ivf")) built("batch_ivf") {
+        val idx = SS.ivfBuild(corpusP, nlist = 64)
+        idx.cellSizes.count()
+        (q => SS.ivfSearch(idx, q, k = 5, nprobe = 4), () => idx.release())
+      }
+      if (tiers("batch_pq")) built("batch_pq") {
+        val idx = SS.pqBuild(corpusP, dim = 64, m = 8)
+        // 1-query warm search forces the persisted encode pass into the
+        // build wall (the other tiers force via their occupancy views)
+        SS.pqSearch(idx, corpusP.limit(1), k = 1).count()
+        (q => SS.pqSearch(idx, q, k = 5, rerank = 32), () => idx.release())
+      }
+      if (tiers("batch_ivfpq")) built("batch_ivfpq") {
+        val idx = SS.ivfPqBuild(corpusP, dim = 64, nlist = 64, m = 8)
+        idx.cellSizes.count()
+        (q => SS.ivfPqSearch(idx, q, k = 5, nprobe = 4, rerank = 32),
+          () => idx.release())
+      }
+      corpusP.unpersist()
     }
     spark.stop()
   }
