@@ -132,7 +132,16 @@ private[graft] object StoreCommits {
     * passes through untouched. */
   def rebalance(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+    val have = df.rdd.getNumPartitions
+    if (have * 2 < want) df.repartition(want)
+    // the OVER-split side matters as much for the TopKMap fold: the
+    // drained survivor volume is PARTITIONS × nq × cap, so a many-file
+    // scan (measured: a 256-partition union of part-files drained
+    // 410M survivor rows at nq = 50k, cap = 32 — 8× the useful volume)
+    // multiplies the downstream exchange for zero scoring benefit.
+    // coalesce is shuffle-free; scoring stays on `want` cores.
+    else if (have > want * 2) df.coalesce(want)
+    else df
   }
 
   /** Bounded per-query top-K accumulator for the scoring map stage —
@@ -239,13 +248,18 @@ private[graft] object StoreCommits {
         j += 1
       }
     }
-    def insert(qid: Long, nid: Long, sc: Double): Unit = {
+    def insert(qid: Long, nid: Long, sc: Double): Unit =
+      accFor(qid).insert(nid, sc)
+    /** The query's accumulator — query-OUTER scoring loops hoist this
+      * out of the row loop so the per-pair path is a bare TopK.insert
+      * (no hash probe per pair). */
+    def accFor(qid: Long): TopK = {
       var i = slotOf(qid)
       if (accs(i) == null) {
         if ((n + 1) * 4 > keys.length * 3) { grow(); i = slotOf(qid) }
         keys(i) = qid; accs(i) = new TopK(cap); n += 1
       }
-      accs(i).insert(nid, sc)
+      accs(i)
     }
     def drain(): Iterator[(Long, Long, Double)] =
       keys.indices.iterator.filter(accs(_) != null)
