@@ -54,10 +54,16 @@ object Cdc {
     val ends = transform(
       filter(positions, p => bucket32(text.substr(p, k)) % modulus === 0),
       p => p + k - 1)
-    val starts = concat(array(lit(1)), transform(ends, e => e + 1))
-    val ends2 = concat(ends, array(len))
+    // `ends` is BOUND once before fanning into starts/ends2: HOFs
+    // evaluate interpreted without subexpression elimination, and an
+    // unbound `ends` re-runs the bucket32 window scan per reference
+    // (the round-16 q96 finding — 2× the rolling-hash work per row)
     val chunks = filter(
-      zip_with(starts, ends2, (s, e) => struct(s.as("s"), e.as("e"))),
+      element_at(transform(array(ends), es =>
+        zip_with(
+          concat(array(lit(1)), transform(es, e => e + 1)),
+          concat(es, array(len)),
+          (s, e) => struct(s.as("s"), e.as("e")))), 1),
       c => c("s") <= c("e"))
     df.select(col(idCol).as("id"), text.as("_t"),
         posexplode(chunks).as(Seq("chunk_idx", "_c")))

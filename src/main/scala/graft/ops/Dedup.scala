@@ -335,9 +335,19 @@ object Dedup {
         g => g.isNotNull))
     else array_distinct(
       filter(
-        transform(words, (_, i) =>
-          when(i <= size(words) - n,
-            concat_ws(" ", slice(words, i + lit(1), lit(n))))),
+        // the word array is BOUND once as a lambda variable (via the
+        // one-element array wrapper) before the per-position transform:
+        // higher-order functions evaluate INTERPRETED, with no
+        // common-subexpression elimination — an unbound `words`
+        // re-evaluates the split per reference, i.e. O(n·w) splits of
+        // the text per row (round 16: measured as the q96 wall, all
+        // workers in StringSplit.nullSafeEval)
+        element_at(
+          transform(array(words), ws =>
+            transform(ws, (_, i) =>
+              when(i <= size(ws) - n,
+                concat_ws(" ", slice(ws, i + lit(1), lit(n)))))),
+          1),
         g => g.isNotNull))
   }
 
@@ -370,9 +380,14 @@ object Dedup {
         g => g.isNotNull))
     else array_distinct(
       filter(
-        transform(words, (_, i) =>
-          when(i <= size(words) - n,
-            xxhash64((0 until n).map(k => element_at(words, i + lit(k + 1))): _*))),
+        // bound-variable form — the gramArray generic-branch rationale:
+        // 1 split per row instead of ~(n+1)·w interpreted re-splits
+        element_at(
+          transform(array(words), ws =>
+            transform(ws, (_, i) =>
+              when(i <= size(ws) - n,
+                xxhash64((0 until n).map(k => element_at(ws, i + lit(k + 1))): _*)))),
+          1),
         g => g.isNotNull))
   }
 
@@ -508,97 +523,114 @@ object Dedup {
   }
 
   /** Bloom-prefiltered contamination sweep — the 100 TB formulation of
-    * [[contaminationPairs]]. At eval-suite scale (10⁶–10⁸ benchmark
-    * shingles) broadcasting the hashed-shingle TABLE costs 8–16 B per
-    * entry plus join-map overhead; a Bloom filter at `fpp` costs ~1.2 B
-    * per entry at 1% — an order of magnitude smaller broadcast, tested
-    * with one codegen-adjacent membership probe per corpus shingle
-    * BEFORE anything shuffles.
+    * [[contaminationPairs]], SINGLE-PASS over the corpus (round 16).
     *
-    * Two-phase exactness: the Bloom pass can only OVER-select (no false
-    * negatives), so the exact [[contaminationPairs]] re-check on the
-    * surviving documents returns precisely the full exact answer —
-    * the spec asserts bit-equality. The corpus is scanned twice
-    * (suspect scan + exact scan of survivors); at real contamination
-    * rates (≪1% of docs) the second scan touches almost nothing, which
-    * is the trade a 100 TB sweep wants. */
-  /** @param denseFallbackFraction when the suspect set exceeds this
-    *   fraction of the corpus, the prefilter is in its worst case
-    *   (dense overlap — e.g. a benchmark-shingle UNION so broad that
-    *   union-membership stops discriminating) and restricting the
-    *   exact pass to "almost everyone" would just add the probe pass
-    *   on top of the full sweep. The operator detects this with two
-    *   cheap counts (suspects is needed anyway; the corpus count scans
-    *   one pruned column), WARNs, and runs the plain exact sweep — so
-    *   the bloom path's overhead is bounded by one probe pass instead
-    *   of doubling the corpus scans. */
+    * Design: explode the corpus into hashed-shingle postings ONCE,
+    * reject non-benchmark postings map-side with a broadcast Bloom
+    * filter (~1.2 B/entry at 1% fpp, vs 8–16 B plus join-map overhead
+    * for the exact hashed-shingle table — at eval-suite scale, 10⁶–10⁸
+    * benchmark shingles, the order-of-magnitude smaller broadcast is
+    * what makes the probe affordable on every executor), and feed the
+    * ~0.2% survivors straight into the exact benchmark join. Exactness
+    * is structural: Bloom has no false negatives, so every posting
+    * that participates in a true intersection survives the probe, and
+    * its false positives carry no matching `sh` in the exact join and
+    * die there — the spec asserts bit-equality against
+    * [[contaminationPairs]].
+    *
+    * Round-16 footprint audit (verdict #4): the previous two-phase
+    * shape (suspect-doc probe pass → density gates → exact re-sweep of
+    * survivor docs) scanned the corpus parquet ~4× (density sample,
+    * full probe, id count, survivor re-scan) and exploded it ~1.2×.
+    * Stage-metrics probe at sf0.1 showed the sweep's TOTAL shuffle is
+    * ~2.6 MB — its wall was never exchange-bound; it was the repeated
+    * scan+explode passes that made it track host page-cache contention
+    * (the q96 4→117 s swings at fixed code). This shape scans and
+    * explodes ONCE; the only per-posting overhead vs the plain exact
+    * sweep is one Bloom probe, so the dense-overlap regime (q75's
+    * bigram fixture) degrades gracefully to exact-sweep cost with no
+    * sampling machinery, no fallback double-pay, and no extra scans —
+    * the old `denseFallbackFraction` routing is structurally obsolete.
+    *
+    * @param maxBenchShingles fail-fast bound on the collected
+    *   benchmark shingle set. The verify join BROADCASTS the exact
+    *   (bench_id, sh) relation — i.e. the design already requires it
+    *   to fit every executor — so collecting it once on the driver is
+    *   the same memory class, and it removes the bench side's
+    *   job/stage train (a count job, a bloom-aggregation job, and two
+    *   broadcast-build subtrees that each re-ran scan→explode→dedup).
+    *   Past the bound, the right formulation is the distributed one —
+    *   keep the relation as a DataFrame and shuffle-join the bloom
+    *   survivors (ARCHITECTURE §2b(h)) — not a silently slower
+    *   broadcast. */
   def contaminationPairsBloom(
       corpus: DataFrame, benchmark: DataFrame, n: Int, minIntersect: Int = 1,
       fpp: Double = 0.01,
       idCol: String = "doc_id", textCol: String = "text",
-      denseFallbackFraction: Double = 0.5): DataFrame = {
+      maxBenchShingles: Int = 50000000): DataFrame = {
     val spark = corpus.sparkSession
-    // persisted across the two eager consumers (count for bloom sizing,
-    // then the bloom build) and released immediately after — unlike the
-    // pairwise operators, nothing in the returned plan references it
-    val b = shingleHashes(benchmark, n, idCol, textCol)
-      .select(col("sh")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nItems = math.max(1L, b.count())
-    val bloom = b.stat.bloomFilter("sh", nItems, fpp)
-    b.unpersist() // both consumers are eager; nothing downstream reads b
+    // benchmark side: full set-dedup protects bench_n/inter_n against
+    // duplicated eval rows; ONE eager job collects the exact postings,
+    // and the bloom is built driver-side (inserting already-distinct
+    // longs — the aggregate-of-partial-blooms job did the same work
+    // plus a job and stages of fixed scheduling/file-open latency;
+    // round-16 stage probe: this sweep's wall was stage COUNT, at
+    // ~2.6 MB total shuffled bytes)
+    val bRelation = shingleHashes(benchmark, n, idCol, textCol)
+      .select(col("id").as("bench_id"), col("sh"))
+      .dropDuplicates("bench_id", "sh")
+    val bSchema = bRelation.schema
+    val bRows = bRelation.collect()
+    require(bRows.length <= maxBenchShingles,
+      s"contaminationPairsBloom: benchmark shingle set (${bRows.length}) " +
+        s"exceeds maxBenchShingles=$maxBenchShingles — use the distributed " +
+        "exact sweep (contaminationPairs), or raise the bound if the " +
+        "driver and executors can hold the relation")
+    val shIdx = bSchema.fieldIndex("sh")
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(1L, bRows.length.toLong), fpp)
+    bRows.foreach(r => bloom.putLong(r.getLong(shIdx)))
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
-    def suspectsOf(docs: DataFrame): DataFrame =
-      shingleHashes(docs, n, idCol, textCol)
-        .select(col("id"), col("sh"))
-        .filter(mightContain(col("sh")))
-        .groupBy("id").agg(count_distinct(col("sh")).as("n_suspect"))
-        .filter(col("n_suspect") >= minIntersect)
-        .select(col("id").as(idCol))
-    val nCorpus = corpus.select(col(idCol)).count()
-    // cheap density estimate FIRST: probe only a deterministic
-    // ~2000-doc hash sample. In the clearly-dense regime this skips
-    // the full probe pass entirely (the old flow paid a near-complete
-    // corpus scan just to learn the prefilter was pointless); in the
-    // sparse regime it costs ~1/25 of a probe. Sampling noise at the
-    // 0.5 boundary is ~±1% (n=2000), and a borderline miss is safe:
-    // the EXACT density gate below still runs behind it. Tiny corpora
-    // (≤ 2× the sample target) skip the estimate — the sample would
-    // BE the probe.
-    val sampleTarget = 2000L
-    if (nCorpus > 2 * sampleTarget) {
-      val mod = math.max(1L, nCorpus / sampleTarget)
-      val sample = corpus.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nSample = sample.count()
-      val nSampleSuspects = suspectsOf(sample).count()
-      sample.unpersist(blocking = false)
-      if (nSample > 0 && nSampleSuspects > denseFallbackFraction * nSample) {
-        log.warn(s"contaminationPairsBloom: $nSampleSuspects of $nSample " +
-          s"SAMPLED corpus docs are bloom suspects (> " +
-          s"${denseFallbackFraction * 100}%) — dense-overlap regime, " +
-          "running the plain exact sweep without the full probe pass")
-        bc.destroy()
-        return contaminationPairs(corpus, benchmark, n, minIntersect, idCol, textCol)
-      }
-    }
-    // suspect docs: ≥ minIntersect shingles that MIGHT be benchmark
-    // shingles (bloom counts are an upper bound of the exact overlap).
-    // Persisted: the density check below and the semi-join both read it.
-    val suspects = suspectsOf(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSuspects = suspects.count()
-    if (nCorpus > 0 && nSuspects > denseFallbackFraction * nCorpus) {
-      log.warn(s"contaminationPairsBloom: $nSuspects of $nCorpus corpus docs " +
-        s"are bloom suspects (> ${denseFallbackFraction * 100}%) — dense-overlap " +
-        "regime, running the plain exact sweep instead of a near-total re-scan")
-      suspects.unpersist(blocking = false)
-      contaminationPairs(corpus, benchmark, n, minIntersect, idCol, textCol)
-    } else {
-      contaminationPairs(
-        corpus.join(suspects, idCol), benchmark, n, minIntersect, idCol, textCol)
-    }
+    // re-localized: the verify join's broadcast build is a local-table
+    // scan instead of a re-run of the whole bench lineage
+    val b = spark.createDataFrame(
+      java.util.Arrays.asList(bRows: _*), bSchema)
+    val idIdx = bSchema.fieldIndex("bench_id")
+    val bSizes = spark.createDataFrame(
+      java.util.Arrays.asList(bRows.groupBy(_.get(idIdx))
+        .map { case (k, rs) =>
+          org.apache.spark.sql.Row(k, rs.length.toLong) }.toSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(bSchema(idIdx),
+        org.apache.spark.sql.types.StructField("bench_n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // dirty-input guard WITHOUT shuffling text (and without shuffling
+    // BEFORE the explode: higher-order-function generators evaluate
+    // interpreted, and a post-exchange explode lands on however few
+    // partitions AQE coalesced the tiny doc relation to — measured
+    // single-task at bench scale; scan-side it runs at full scan
+    // parallelism). The kept row per id is the max-md5 version — the
+    // [[contaminationPairs]] election, reproduced by joining postings
+    // back to the per-id max version hash; identical duplicate rows
+    // collapse in the (id, ver, sh) dedup, which touches only
+    // bloom-surviving postings.
+    val winners = corpus
+      .select(col(idCol).as("corpus_id"), md5(col(textCol)).as("ver"))
+      .groupBy("corpus_id").agg(max(col("ver")).as("ver"))
+    val hits = corpus
+      .select(col(idCol).as("corpus_id"), md5(col(textCol)).as("ver"),
+        explode(gramHashArray(col(textCol), n)).as("sh"))
+      .filter(mightContain(col("sh")))
+      .join(winners, Seq("corpus_id", "ver"))
+      .dropDuplicates("corpus_id", "ver", "sh")
+      .join(broadcast(b), "sh")
+    // hit rows are (corpus_id, bench_id, sh)-distinct by construction
+    // (distinct postings × distinct bench set), so count == |∩|
+    hits.groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("inter_n"))
+      .filter(col("inter_n") >= minIntersect)
+      .join(broadcast(bSizes), "bench_id")
+      .select(col("corpus_id"), col("bench_id"), col("inter_n"), col("bench_n"))
   }
 
   /** Monitoring companion to `maxDocFrequency`: the (block, sh, df)

@@ -116,11 +116,17 @@ object TextAnalysis {
     * pre-materialized n-gram table. */
   def trigramCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
     val words = split(col(textCol), " ")
-    val tri = df.select(explode(filter(transform(words, (w, i) =>
-        when(i < size(words) - 2,
-          struct(w.as("w1"),
-            element_at(words, i + lit(2)).as("w2"),
-            element_at(words, i + lit(3)).as("w3")))),
+    // word array BOUND once as a lambda variable (one-element array
+    // wrapper): higher-order functions evaluate interpreted with no
+    // common-subexpression elimination, so an unbound `words` would
+    // re-split the text per element_at/size reference — 3 full
+    // re-splits per word position (the round-16 q96 finding)
+    val tri = df.select(explode(filter(element_at(
+        transform(array(words), ws => transform(ws, (w, i) =>
+          when(i < size(ws) - 2,
+            struct(w.as("w1"),
+              element_at(ws, i + lit(2)).as("w2"),
+              element_at(ws, i + lit(3)).as("w3"))))), 1),
       t => t.isNotNull)).as("t"))
       .select(col("t.w1"), col("t.w2"), col("t.w3"))
     val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
@@ -158,18 +164,21 @@ object TextAnalysis {
     val words = split(col(textCol), " ")
     // per-doc trigram INSTANCES (multiplicity kept), same array-algebra
     // explode as trigramCounts
-    val docTris = df.select(col(idCol), explode(filter(transform(words, (w, i) =>
-        when(i < size(words) - 2,
-          struct(w.as("w1"),
-            element_at(words, i + lit(2)).as("w2"),
-            element_at(words, i + lit(3)).as("w3")))),
+    // bound-variable form — the trigramCounts rationale
+    val docTris = df.select(col(idCol), explode(filter(element_at(
+        transform(array(words), ws => transform(ws, (w, i) =>
+          when(i < size(ws) - 2,
+            struct(w.as("w1"),
+              element_at(ws, i + lit(2)).as("w2"),
+              element_at(ws, i + lit(3)).as("w3"))))), 1),
       t => t.isNotNull)).as("t"))
       .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
     val tri3 = trigramCounts(ref, textCol)
     val refWords = ref.select(explode(split(col(textCol), " ")).as("w"))
-    val bigr = ref.select(explode(filter(transform(words, (w, i) =>
-        when(i < size(words) - 1,
-          struct(w.as("w2"), element_at(words, i + lit(2)).as("w3")))),
+    val bigr = ref.select(explode(filter(element_at(
+        transform(array(words), ws => transform(ws, (w, i) =>
+          when(i < size(ws) - 1,
+            struct(w.as("w2"), element_at(ws, i + lit(2)).as("w3"))))), 1),
       t => t.isNotNull)).as("t"))
       .select(col("t.w2"), col("t.w3"))
       .groupBy("w2", "w3").agg(count(lit(1)).as("n2"))

@@ -338,7 +338,12 @@ object IvfPqStream {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
       compactEvery: Int = 64,
-      refitDriftFactor: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery = {
+      // default 1.5 — the [[IvfStream.start]] rationale: the round-16
+      // DriftRehearsal puts stationary mean-code-err ratios at ≤ ~1.1
+      // and a joint-distribution shift at ≥ ~2×; 1.5 clears the noise
+      // band and fires ONCE on a persistent shift (refit re-pins the
+      // baseline). 0 disables.
+      refitDriftFactor: Double = 1.5): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(vecsSchema).parquet(vecsPath)
       .writeStream
       .queryName("ivfpq-maintenance")

@@ -4,14 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Regime evidence for the Bloom decontaminator (q75 / q96): at which
-  * (shingle order, corpus) does the probe-pass-then-exact-sweep
-  * actually BEAT the plain exact sweep, and where does the dense
-  * fallback threshold belong?
+  * (shingle order, corpus) does the single-pass bloom-pruned sweep
+  * beat the plain exact sweep, and how close does its dense-regime
+  * worst case sit to exact-sweep cost (the round-16 design's claim is
+  * "one Bloom probe per posting" of overhead, no extra scans)?
   *
   * The testdata documents draw from a ~31-word vocabulary, so BIGRAM
   * overlap is dense by construction (every doc shares bigrams with
-  * almost every other) — that is q75's regime and the reason its
-  * fixture always lands in the >50% fallback. Contamination screens
+  * almost every other) — that is q75's regime: the probe prunes
+  * almost nothing and the join does the work. Contamination screens
   * in production run 8-13-gram shingles (Brown et al. GPT-3 app. C use
   * 13-grams; The Pile uses 13-grams) precisely so that only REAL
   * duplicated passages collide — on this corpus an 8-gram shingle is

@@ -396,6 +396,24 @@ class CorpusSpec extends SparkSpec {
     val viaBloom = rows(Dedup.contaminationPairsBloom(corpus, bench, n = 2, minIntersect = 4))
     assert(viaBloom == exact, "bloom prefilter must not change the exact answer")
     assert(exact.nonEmpty)
+
+    // dirty-input parity (round 16: the bloom path's guard moved from
+    // a pre-explode max_by shuffle to a posting-level max-md5-version
+    // election; both must keep electing the SAME row): duplicate ids
+    // with CONFLICTING texts and ids duplicated as IDENTICAL rows must
+    // still produce the exact sweep's answer bit-for-bit
+    import spark.implicits._
+    val conflict = corpus.limit(30).collect().map(r =>
+      (r.getLong(0), "planted conflicting text that matches nothing"))
+      .toSeq.toDF("doc_id", "text")
+    val identical = corpus.limit(20)
+      .select(col("doc_id"), col("text").cast("string").as("text"))
+    val dirty = corpus.select(col("doc_id"), col("text"))
+      .unionByName(conflict).unionByName(identical)
+    val exactD = rows(Dedup.contaminationPairs(dirty, bench, n = 2, minIntersect = 4))
+    val bloomD = rows(Dedup.contaminationPairsBloom(dirty, bench, n = 2, minIntersect = 4))
+    assert(bloomD == exactD,
+      "bloom path must reproduce the exact sweep's dirty-input election")
   }
 
   test("ngram doc-frequency cap drops exactly what hotShingles reports") {

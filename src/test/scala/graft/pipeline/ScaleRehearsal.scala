@@ -131,6 +131,12 @@ object ScaleRehearsal {
       s"embeddings=${spark.read.parquet(s"$DestDir/embeddings.parquet").count()} " +
       s"events=${spark.read.parquet(s"$DestDir/events.parquet").count()} " +
       s"lineitem=${spark.read.parquet(s"$DestDir/lineitem.parquet").count()}")
+    // corpus regeneration for the downstream rigs (Bench sf1, Recall,
+    // DriftRehearsal, SearchScaleRehearsal) without re-running the
+    // stress legs below — their round-13/15 tables stand
+    if (sys.env.get("SPARK_GRAFT_GEN_ONLY").contains("1")) {
+      spark.stop(); return
+    }
 
     // DedupStream at 10x: ticks over 5k-doc batches of DISJOINT content
     // (each tick = all 10 copies of 1/10 of the originals). Emitted
