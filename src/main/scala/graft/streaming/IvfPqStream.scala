@@ -304,10 +304,12 @@ object IvfPqStream {
     * baseline and fire `compactStore(refit = true)` when exceeded.
     * Returns true iff a refit fired; no-ops when `factor <= 0`, on an
     * empty tick, or on a pre-baseline marker. The refit re-pins models
-    * AND baseline, so a persistent shift fires ONCE, not every tick. */
+    * AND baseline; `cooldownCommits` bounds the refit rate while a
+    * persistent shift's mixture converges — the
+    * [[IvfStream.maybeRefitOnDrift]] rationale. */
   def maybeRefitOnDrift(
       spark: SparkSession, storeDir: String, monitor: DataFrame,
-      factor: Double): Boolean = {
+      factor: Double, cooldownCommits: Int = 8): Boolean = {
     if (factor <= 0) return false
     val agg = monitor.agg(
       sum(col("members")).as("n"),
@@ -316,8 +318,11 @@ object IvfPqStream {
     val tickMean = agg.getDouble(1) / agg.getLong(0)
     val base = effectiveMeta(spark, storeDir, promote = false).flatMap(_.baseline)
     val drifted = base.exists(b => tickMean > factor * b)
-    if (drifted) compactStore(spark, storeDir, refit = true)
-    drifted
+    if (!drifted) return false
+    if (StoreCommits.visibleCommitCount(spark,
+        s"$storeDir/pqvecs") < cooldownCommits) return false
+    compactStore(spark, storeDir, refit = true)
+    true
   }
 
   /** Streaming entry, the [[AnnStream.start]]/[[IvfStream.start]]
@@ -343,7 +348,9 @@ object IvfPqStream {
       // and a joint-distribution shift at ≥ ~2×; 1.5 clears the noise
       // band and fires ONCE on a persistent shift (refit re-pins the
       // baseline). 0 disables.
-      refitDriftFactor: Double = 1.5): org.apache.spark.sql.streaming.StreamingQuery = {
+      refitDriftFactor: Double = 1.5,
+      // the [[IvfStream.start]] refit-rate bound
+      refitCooldownCommits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(vecsSchema).parquet(vecsPath)
       .writeStream
       .queryName("ivfpq-maintenance")
@@ -354,7 +361,8 @@ object IvfPqStream {
             .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
         val monitor = upsertStep(batch, storeDir, dim, nlist, m, seed,
           batchTag = s"$qid-$batchId", storeParts = storeParts)
-        maybeRefitOnDrift(spark, storeDir, monitor, refitDriftFactor)
+        maybeRefitOnDrift(spark, storeDir, monitor, refitDriftFactor,
+          refitCooldownCommits)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(spark, storeDir)
         ()

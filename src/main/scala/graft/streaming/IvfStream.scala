@@ -236,9 +236,20 @@ object IvfStream {
     * a pre-baseline marker (stores pinned before baselines existed
     * stay operator-managed). The refit re-pins centroids AND baseline,
     * so a persistent distribution shift fires ONCE, not every tick. */
+  /** @param cooldownCommits refit-rate bound (round 16): a refit (or
+    *   any compaction) folds the store to ONE visible commit and each
+    *   tick publishes one more, so the visible-commit count IS the
+    *   tick distance from the last fold — no extra state. A refit
+    *   only fires once that distance reaches the cooldown. Rationale:
+    *   the refit re-fits on the WHOLE store, so while a persistent
+    *   new-regime stream is still a minority of the mixture, the
+    *   re-pinned baseline keeps trailing the new ticks and the monitor
+    *   keeps firing — rehearsed at sf1: per-tick refits until the
+    *   mixture turns over. The cooldown bounds that to one full-store
+    *   refit per `cooldownCommits` ticks while convergence happens. */
   def maybeRefitOnDrift(
       spark: SparkSession, storeDir: String, monitor: DataFrame,
-      factor: Double): Boolean = {
+      factor: Double, cooldownCommits: Int = 8): Boolean = {
     if (factor <= 0) return false
     val agg = monitor.agg(
       sum(col("members")).as("n"),
@@ -247,8 +258,11 @@ object IvfStream {
     val tickMean = agg.getDouble(1) / agg.getLong(0)
     val base = effectiveMeta(spark, storeDir, promote = false).flatMap(_.baseline)
     val drifted = base.exists(b => tickMean > factor * b)
-    if (drifted) compactStore(spark, storeDir, refit = true)
-    drifted
+    if (!drifted) return false
+    if (StoreCommits.visibleCommitCount(spark,
+        s"$storeDir/ivfvecs") < cooldownCommits) return false
+    compactStore(spark, storeDir, refit = true)
+    true
   }
 
   /** Streaming entry, the [[AnnStream.start]] shape: vector parquet
@@ -276,7 +290,11 @@ object IvfStream {
       // persistent shift refits ONCE (the refit re-pins the baseline).
       // 0 disables. Per-tick cost at factor > 0: one aggregation over
       // the ≤ nlist-row monitor plus a marker read — tick-invisible.
-      refitDriftFactor: Double = 1.5): org.apache.spark.sql.streaming.StreamingQuery = {
+      refitDriftFactor: Double = 1.5,
+      // at most one full-store refit per this many ticks (see
+      // maybeRefitOnDrift: the commit count is the distance from the
+      // last fold, so no extra state)
+      refitCooldownCommits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(vecsSchema).parquet(vecsPath)
       .writeStream
       .queryName("ivf-maintenance")
@@ -289,7 +307,8 @@ object IvfStream {
           batchTag = s"$qid-$batchId", storeParts = storeParts)
         // drift check first (it may refit-compact); the periodic fold
         // then sees a single-commit store and no-ops
-        maybeRefitOnDrift(spark, storeDir, monitor, refitDriftFactor)
+        maybeRefitOnDrift(spark, storeDir, monitor, refitDriftFactor,
+          refitCooldownCommits)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(spark, storeDir)
         ()

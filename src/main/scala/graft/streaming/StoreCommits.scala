@@ -45,6 +45,22 @@ private[graft] object StoreCommits {
       p: org.apache.hadoop.fs.Path): Option[String] =
     DedupStream.readSmallText(f, p)
 
+  /** Visible `batch=` commit count of a store data root — the
+    * manifest's size when claimed, else a directory listing. Because
+    * every fold (compaction or refit) collapses the manifest to ONE
+    * entry and every tick publishes one more, this count is the tick
+    * distance from the last fold — the drift auto-refit's cooldown
+    * signal (no extra state file). */
+  def visibleCommitCount(spark: SparkSession, dataRoot: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dataRoot)
+    val f = fs(spark, root)
+    DedupStream.readManifest(f, root).map(_.size).getOrElse(
+      if (f.exists(root))
+        f.listStatus(root).count(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch="))
+      else 0)
+  }
+
   /** The pinned partition count from the store's `_PARTS` marker. */
   def storePartsOf(
       f: org.apache.hadoop.fs.FileSystem,

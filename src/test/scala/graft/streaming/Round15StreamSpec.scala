@@ -61,7 +61,8 @@ class Round15StreamSpec extends SparkSpec {
     def tick(batch: DataFrame, tag: String): Boolean = {
       val mon = IvfStream.upsertStep(batch, store,
         dim = 64, nlist = 32, seed = 13L, batchTag = tag)
-      IvfStream.maybeRefitOnDrift(spark, store, mon, factor)
+      IvfStream.maybeRefitOnDrift(spark, store, mon, factor,
+        cooldownCommits = 1) // threshold logic in isolation; cooldown spec'd separately
     }
     val f1 = tick(protoVecs(320, 0L, seed = 1), "t1") // fit+pin; baseline in _IVF
     val f2 = tick(protoVecs(160, 1000000L, seed = 1), "t2") // same family
@@ -93,7 +94,8 @@ class Round15StreamSpec extends SparkSpec {
     def tick(batch: DataFrame, tag: String): Boolean = {
       val mon = IvfPqStream.upsertStep(batch, store,
         dim = 64, nlist = 32, m = 8, seed = 37L, batchTag = tag)
-      IvfPqStream.maybeRefitOnDrift(spark, store, mon, factor)
+      IvfPqStream.maybeRefitOnDrift(spark, store, mon, factor,
+        cooldownCommits = 1) // threshold logic in isolation; cooldown spec'd separately
     }
     val f1 = tick(protoVecs(320, 0L, seed = 1), "t1")
     val f2 = tick(protoVecs(160, 1000000L, seed = 1), "t2")
@@ -114,6 +116,44 @@ class Round15StreamSpec extends SparkSpec {
       SimilaritySearch.bruteForceTopK(queries, all, k = 5)
         .select("query_id", "neighbor_id", "rank"))
     assert(got == brute && got.nonEmpty, "post-refit store must answer exactly")
+  }
+
+  test("refit cooldown (round 16): a refit re-arms only after cooldownCommits ticks") {
+    // a persistent shift refits on the WHOLE store, so while the new
+    // regime is a mixture minority the monitor keeps firing — the
+    // cooldown (visible-commit distance from the last fold) bounds the
+    // full-store refit rate; suppressed ticks return false and the
+    // store stays correct
+    val store = java.nio.file.Files.createTempDirectory("ivfcool").toString
+    val factor = 2.0
+    def tick(batch: DataFrame, tag: String, cooldown: Int): Boolean = {
+      val mon = IvfStream.upsertStep(batch, store,
+        dim = 64, nlist = 32, seed = 13L, batchTag = tag)
+      IvfStream.maybeRefitOnDrift(spark, store, mon, factor, cooldown)
+    }
+    val fires = Seq(
+      tick(protoVecs(320, 0L, seed = 1), "t1", 3),       // fit+pin
+      tick(protoVecs(160, 1000000L, seed = 1), "t2", 3), // stationary
+      tick(protoVecs(160, 2000000L, seed = 5), "t3", 3), // drift, 3 commits ≥ 3 → fires
+      tick(protoVecs(160, 3000000L, seed = 9), "t4", 3), // drift again, 2 commits < 3 → SUPPRESSED
+      tick(protoVecs(160, 4000000L, seed = 9), "t5", 3), // 3 commits ≥ 3 → re-arms
+      tick(protoVecs(160, 5000000L, seed = 9), "t6", 3)) // re-pinned on seed 9 → quiet
+    assert(fires == Seq(false, false, true, false, true, false),
+      s"cooldown pattern was $fires")
+    // correctness through suppressed-refit ticks: full-probe search
+    // still equals brute force over everything upserted
+    val all = protoVecs(320, 0L, 1).union(protoVecs(160, 1000000L, 1))
+      .union(protoVecs(160, 2000000L, 5)).union(protoVecs(160, 3000000L, 9))
+      .union(protoVecs(160, 4000000L, 9)).union(protoVecs(160, 5000000L, 9))
+    val queries = protoVecs(320, 0L, 1).filter(col("vec_id") < 10)
+    val got = resultSet(
+      IvfStream.searchStore(spark, store, queries, k = 5, nprobe = 32)
+        .select("query_id", "neighbor_id", "rank"))
+    val brute = resultSet(
+      SimilaritySearch.bruteForceTopK(queries, all, k = 5)
+        .select("query_id", "neighbor_id", "rank"))
+    assert(got == brute && got.nonEmpty,
+      "store must answer exactly through suppressed and re-armed refits")
   }
 
   test("cell-indexed ADC: touches == Σ members(cell)·queriesProbing(cell), far under rows×nq") {
