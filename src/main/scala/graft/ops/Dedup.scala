@@ -546,11 +546,23 @@ object Dedup {
     * ~2.6 MB — its wall was never exchange-bound; it was the repeated
     * scan+explode passes that made it track host page-cache contention
     * (the q96 4→117 s swings at fixed code). This shape scans and
-    * explodes ONCE; the only per-posting overhead vs the plain exact
-    * sweep is one Bloom probe, so the dense-overlap regime (q75's
-    * bigram fixture) degrades gracefully to exact-sweep cost with no
-    * sampling machinery, no fallback double-pay, and no extra scans —
-    * the old `denseFallbackFraction` routing is structurally obsolete.
+    * explodes ONCE.
+    *
+    * DENSE-overlap regime routing (kept, with a near-free detector):
+    * when the benchmark's shingle union stops discriminating (q75's
+    * low-vocabulary bigram fixture — most corpus postings pass the
+    * bloom), the single-pass shape pays a probe per posting, the
+    * winners join, and a survivor-relation dedup exchange for zero
+    * pruning — measured +25 s over the plain exact sweep at sf1
+    * (35.0 vs ~10 s, quiet host). The round-11 sample gate detected
+    * this with an extra corpus-scan pass; now the detector is a
+    * driver-side probe of a PREFIX sample through the
+    * already-collected bloom (one CollectLimit of ~512 docs + a local
+    * mini-job — no corpus scan, no extra distributed pass), routing
+    * dense inputs to [[contaminationPairs]] whose doc-level dedup +
+    * plain count never materializes a posting-level exchange. Both
+    * regimes stay bit-equal to the exact sweep (spec-gated, dirty
+    * inputs included).
     *
     * @param maxBenchShingles fail-fast bound on the collected
     *   benchmark shingle set. The verify join BROADCASTS the exact
@@ -592,6 +604,30 @@ object Dedup {
     bRows.foreach(r => bloom.putLong(r.getLong(shIdx)))
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    // dense-regime router (see docstring): a ~512-doc PREFIX sample
+    // probed through the bloom via a local mini-job — prefix bias is
+    // fine for a corpus-level density estimate, and a wrong route only
+    // costs wall time, never correctness (both branches are exact)
+    val sampleSrc = corpus.select(col(idCol), col(textCol))
+    val sampleRows = sampleSrc.limit(512).collect()
+    if (sampleRows.nonEmpty) {
+      val localSample = spark.createDataFrame(
+        java.util.Arrays.asList(sampleRows: _*), sampleSrc.schema)
+      val nSuspect = localSample
+        .select(col(idCol).as("id"),
+          explode(gramHashArray(col(textCol), n)).as("sh"))
+        .filter(mightContain(col("sh")))
+        .groupBy("id").agg(count(lit(1)).as("ns"))
+        .filter(col("ns") >= minIntersect)
+        .count()
+      if (nSuspect > 0.5 * sampleRows.length) {
+        log.warn(s"contaminationPairsBloom: $nSuspect of ${sampleRows.length} " +
+          "sampled docs are bloom suspects (> 50%) — dense-overlap regime, " +
+          "routing to the plain exact sweep (the probe would prune nothing)")
+        bc.destroy()
+        return contaminationPairs(corpus, benchmark, n, minIntersect, idCol, textCol)
+      }
+    }
     // re-localized: the verify join's broadcast build is a local-table
     // scan instead of a re-run of the whole bench lineage
     val b = spark.createDataFrame(
