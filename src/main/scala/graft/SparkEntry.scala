@@ -110,6 +110,7 @@ object SparkEntry {
     "q103_multimodal_audio" -> (OpsQueries.q103MultimodalAudio _),
     "q105_multimodal_ogg" -> (OpsQueries.q105MultimodalOgg _),
     "q106_multimodal_m4a" -> (OpsQueries.q106MultimodalM4a _),
+    "q107_multimodal_adts" -> (OpsQueries.q107MultimodalAdts _),
     "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
     "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
     "q104_ivfpq_stream" -> (OpsQueries.q104IvfPqStream _),
@@ -1570,6 +1571,26 @@ object SparkEntry {
         |  (4000 + id % 9000) * 1000 //
         |    ([48000,44100,32000,16000,8000])[CAST(id % 5 AS INT) + 1] AS duration_ms,
         |  CAST(332 + id % 32 AS BIGINT) AS n_bytes
+        |FROM ids"""
+      .stripMargin,
+    // q107: raw ADTS-AAC transport streams (MediaSynth.adtsAssetFor),
+    // recovered via the 0xFFF-sync frame-length walk
+    // (AudioCodecs.decodeAdts). Arithmetic: sr table by id%5, channels
+    // = 1+(id//2)%2, frames = 20+id%80 (one 1024-sample raw data block
+    // each), payload = 5+id%20, header = 9 when id%3=0 (CRC form) else
+    // 7 → n_bytes = frames·(header+payload)
+    "q107_multimodal_adts" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
+        |SELECT id AS doc_id, 'aac' AS fmt,
+        |  CAST(1 + (id // 2) % 2 AS BIGINT) AS channels,
+        |  CAST(([48000,44100,32000,16000,8000])[CAST(id % 5 AS INT) + 1] AS BIGINT)
+        |    AS sample_rate,
+        |  CAST((20 + id % 80) * 1024 AS BIGINT) AS n_units,
+        |  (20 + id % 80) * 1024 * 1000 //
+        |    ([48000,44100,32000,16000,8000])[CAST(id % 5 AS INT) + 1] AS duration_ms,
+        |  CAST((20 + id % 80) *
+        |    (CASE WHEN id % 3 = 0 THEN 9 ELSE 7 END + 5 + id % 20) AS BIGINT)
+        |    AS n_bytes
         |FROM ids"""
       .stripMargin
   )

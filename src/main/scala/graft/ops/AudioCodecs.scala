@@ -195,6 +195,81 @@ object AudioCodecs {
     }
   }
 
+  /** One parsed ADTS-AAC stream: header fields plus the raw-data-block
+    * count. Each raw data block decodes to 1024 PCM samples, so
+    * `totalSamples = rawDataBlocks · 1024` and `durationMs` derives
+    * exactly from the sampling-frequency-index table rate. */
+  final case class AdtsInfo(
+      channels: Int, sampleRate: Int, aacObjectType: Int, frames: Int,
+      totalSamples: Long, durationMs: Long)
+
+  /** AAC sampling-frequency-index table (ISO/IEC 14496-3 §1.6.3.4),
+    * index 0..12 (13/14 reserved, 15 forbidden escape). Shared with
+    * the ISO-BMFF `esds` AudioSpecificConfig ([[RiffCodecs]]) and the
+    * [[MediaSynth]] writers. */
+  private[ops] val AacSampleRates: Array[Int] = Array(
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050, 16000,
+    12000, 11025, 8000, 7350)
+
+  /** PCM samples per AAC raw data block. */
+  private[ops] val AacSamplesPerBlock = 1024
+
+  /** Walk an ADTS transport stream (ISO/IEC 14496-3 §1.A.2): fixed
+    * header sync 0xFFF with layer '00' (which is also what separates
+    * ADTS from an MPEG-1 Layer III sync, whose layer bits are '01'),
+    * then header-to-header hops via the 13-bit aac_frame_length field
+    * (which INCLUDES the 7-byte header, 9 with the optional CRC).
+    * Every frame re-reads profile/sfi/channel-config — a mid-stream
+    * parameter change or a corrupt header stops the walk cleanly at
+    * the last consistent frame; no complete first frame returns None.
+    * `number_of_raw_data_blocks_in_frame` is honored: a frame carries
+    * (n+1) blocks of 1024 samples each. */
+  def decodeAdts(b: Array[Byte]): Option[AdtsInfo] = {
+    if (b == null || b.length < 7) return None
+    var o = 0
+    var frames = 0
+    var blocks = 0L
+    var sr = 0
+    var channels = 0
+    var objectType = 0
+    var ok = true
+    while (ok && o + 7 <= b.length &&
+        u8(b, o) == 0xff && (u8(b, o + 1) & 0xf6) == 0xf0) {
+      val protAbsent = u8(b, o + 1) & 1
+      val profile = (u8(b, o + 2) >> 6) & 3 // audioObjectType - 1
+      val sfi = (u8(b, o + 2) >> 2) & 0xf
+      val chCfg = ((u8(b, o + 2) & 1) << 2) | ((u8(b, o + 3) >> 6) & 3)
+      val frameLen = ((u8(b, o + 3) & 3) << 11) | (u8(b, o + 4) << 3) |
+        ((u8(b, o + 5) >> 5) & 7)
+      val nBlocks = (u8(b, o + 6) & 3) + 1
+      val headerLen = if (protAbsent == 1) 7 else 9
+      val thisSr = if (sfi < AacSampleRates.length) AacSampleRates(sfi) else 0
+      // consistency: rate table index valid, a channel configuration
+      // present (0 = PCE-carried, which a header-only walk can't
+      // resolve), the length covers at least its own header, and the
+      // stream doesn't switch parameters mid-walk
+      if (thisSr == 0 || chCfg == 0 || frameLen < headerLen ||
+          o + frameLen > b.length ||
+          (frames > 0 && (thisSr != sr || chCfg != channels ||
+            profile + 1 != objectType)))
+        ok = false
+      else {
+        sr = thisSr
+        channels = chCfg
+        objectType = profile + 1
+        frames += 1
+        blocks += nBlocks
+        o += frameLen
+      }
+    }
+    if (frames == 0) None
+    else {
+      val total = blocks * AacSamplesPerBlock
+      Some(AdtsInfo(channels, sr, objectType, frames, total,
+        total * 1000L / sr))
+    }
+  }
+
   private def be24(b: Array[Byte], o: Int): Int =
     (u8(b, o) << 16) | (u8(b, o + 1) << 8) | u8(b, o + 2)
 

@@ -547,4 +547,57 @@ object MediaSynth {
       m4a(id, sr, 1 + ((id / 2) % 2).toInt, totalSamples,
         totalSamples * 1000L / sr, (id % 32).toInt), empty)
   }
+
+  // ---- q107: ADTS-AAC transport streams ----
+
+  /** A REAL ADTS stream (ISO/IEC 14496-3 §1.A.2): `frames` back-to-back
+    * frames, each a 7-byte fixed+variable header (9 with the CRC-
+    * protected form — protection_absent 0 adds the 16-bit crc_check
+    * field) followed by `payloadLen` deterministic filler bytes. The
+    * 13-bit aac_frame_length includes the header; buffer fullness is
+    * the 0x7FF VBR sentinel; one raw data block per frame. Parameters
+    * must be stream-constant (the walker enforces that), `sr` an AAC
+    * table rate. */
+  def adts(id: Long, sr: Int, channels: Int, frames: Int, payloadLen: Int,
+      withCrc: Boolean = false): Array[Byte] = {
+    val sfi = AudioCodecs.AacSampleRates.indexOf(sr)
+    require(sfi >= 0, s"sr $sr is not an AAC sampling-table rate")
+    val headerLen = if (withCrc) 9 else 7
+    val frameLen = headerLen + payloadLen
+    require(frameLen < (1 << 13), s"frame length $frameLen overflows 13 bits")
+    val out = new Array[Byte](frames * frameLen)
+    var f = 0
+    while (f < frames) {
+      val o = f * frameLen
+      out(o) = 0xff.toByte
+      out(o + 1) = (0xf0 | (if (withCrc) 0 else 1)).toByte // MPEG-4, layer 00
+      out(o + 2) = ((1 << 6) | (sfi << 2) | ((channels >> 2) & 1)).toByte // AAC-LC
+      out(o + 3) = (((channels & 3) << 6) | ((frameLen >> 11) & 3)).toByte
+      out(o + 4) = ((frameLen >> 3) & 0xff).toByte
+      out(o + 5) = (((frameLen & 7) << 5) | 0x1f).toByte // fullness hi
+      out(o + 6) = 0xfc.toByte // fullness lo ++ one raw data block
+      if (withCrc) { out(o + 7) = (id % 251).toByte; out(o + 8) = (f % 253).toByte }
+      var j = 0
+      while (j < payloadLen) {
+        out(o + headerLen + j) = ((id + 7 * f + j) % 255).toByte; j += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** The q107 asset for one document id — raw ADTS-AAC, every parameter
+    * a small modulus of the id (the oracle restates these formulas):
+    * sr ∈ {48000, 44100, 32000, 16000, 8000} by id%5, channels =
+    * 1 + (id/2)%2, frames = 20 + id%80, payload = 5 + id%20, CRC
+    * header form on id%3 = 0 (9-byte headers) → n_bytes =
+    * frames·(header + payload), n_units = frames·1024,
+    * duration_ms = n_units·1000//sr. */
+  def adtsAssetFor(id: Long): MediaAsset = {
+    val empty = MediaMeta(0, 0, 0L, 0, "?")
+    val sr = Array(48000, 44100, 32000, 16000, 8000)((id % 5).toInt)
+    MediaAsset(id, "audio",
+      adts(id, sr, 1 + ((id / 2) % 2).toInt, (20 + id % 80).toInt,
+        (5 + id % 20).toInt, withCrc = id % 3 == 0), empty)
+  }
 }

@@ -154,7 +154,9 @@ object Multimodal {
 
   /** Container dispatch by magic — WAV (`RIFF`), FLAC (`fLaC`), OGG
     * (`OggS`, resolving to `vorbis`/`opus` by the first packet's id
-    * header), MP3 (ID3v2 tag or immediate frame sync; magic-gated so a
+    * header), ADTS-AAC (0xFFF sync with layer bits '00' — tested
+    * BEFORE MP3, whose Layer III sync shares 0xFFF but carries layer
+    * '01'), MP3 (ID3v2 tag or immediate frame sync; magic-gated so a
     * PCM body's stray 0xFF can never be misparsed as MP3), and M4A
     * (ISO-BMFF `ftyp` at offset 4 — resolved to audio only when a
     * `soun` trak with an `mp4a` sample entry exists, so a video MP4
@@ -174,6 +176,12 @@ object Multimodal {
     else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
       AudioCodecs.decodeOgg(b).map(o => AudioInfo(0L, o.codec, o.channels,
         o.sampleRate, o.totalGranules, o.durationMs, b.length.toLong))
+    else if (u(0) == 0xff && (u(1) & 0xf6) == 0xf0)
+      // ADTS-AAC shares the 0xFFF sync with MPEG audio; its layer bits
+      // are '00' where Layer III's are '01', so this branch must test
+      // the tighter mask BEFORE the MP3 one
+      AudioCodecs.decodeAdts(b).map(a => AudioInfo(0L, "aac", a.channels,
+        a.sampleRate, a.totalSamples, a.durationMs, b.length.toLong))
     else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
         (u(0) == 0xff && (u(1) & 0xe0) == 0xe0))
       AudioCodecs.decodeMp3(b).map(m => AudioInfo(0L, "mp3", m.channels,

@@ -1391,6 +1391,31 @@ object OpsQueries {
         col("n_units"), col("duration_ms"), col("n_bytes"))
   }
 
+  /** MULTIMODAL audio, raw ADTS-AAC transport streams (round 16): the
+    * streaming sibling of q106's ISO-BMFF container — back-to-back
+    * 0xFFF-sync frames whose 13-bit lengths chain the walk, with BOTH
+    * header forms in corpus (protection_absent and the 9-byte CRC
+    * form on id%3 = 0), synthesized per doc_id
+    * ([[graft.ops.MediaSynth.adtsAssetFor]]) and decoded ONLY by the
+    * real frame walk ([[graft.ops.AudioCodecs.decodeAdts]]). The
+    * dispatch disambiguates ADTS from MP3 on the layer bits ('00' vs
+    * '01') under the shared 0xFFF sync. The oracle restates the
+    * synthesis arithmetic from the id alone (the q103/q105/q106
+    * idiom); `n_units` is raw-data-blocks × 1024 PCM samples. */
+  def q107MultimodalAdts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val assets = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(graft.ops.MediaSynth.adtsAssetFor)
+    graft.ops.Multimodal.decodeAudioInfo(assets)
+      .toDF()
+      .select(col("asset_id").as("doc_id"), col("fmt"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_units"), col("duration_ms"), col("n_bytes"))
+  }
+
   /** Corpus delta audit ([[Corpus.deltaAudit]]) between two
     * deterministic synthetic versions of the documents table (old drops
     * doc_id ≡ 5 mod 13; new drops doc_id ≡ 3 mod 17 and rewrites

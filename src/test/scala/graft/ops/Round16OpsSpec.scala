@@ -45,6 +45,74 @@ class Round16OpsSpec extends SparkSpec {
       java.util.Arrays.copyOfRange(whole, 0, 60)).isEmpty)
   }
 
+  test("adts: header fields, frame walk, and both header forms recovered exactly") {
+    val b = AudioCodecs.decodeAdts(
+      MediaSynth.adts(5L, sr = 44100, channels = 2, frames = 40,
+        payloadLen = 13)).get
+    assert(b.channels == 2 && b.sampleRate == 44100)
+    assert(b.aacObjectType == 2, "profile field must decode to AAC-LC")
+    assert(b.frames == 40 && b.totalSamples == 40L * 1024)
+    assert(b.durationMs == 40L * 1024 * 1000 / 44100)
+    // the CRC-protected form: 9-byte headers, same fields recovered
+    val crc = MediaSynth.adts(5L, 44100, 2, 40, 13, withCrc = true)
+    assert(crc.length == 40 * (9 + 13), s"writer arithmetic: ${crc.length}")
+    val c = AudioCodecs.decodeAdts(crc).get
+    assert(c.frames == 40 && c.totalSamples == 40L * 1024 &&
+      c.sampleRate == 44100)
+  }
+
+  test("adts: dispatch disambiguates the shared 0xFFF sync from MP3 on layer bits") {
+    import spark.implicits._
+    implicit val s = spark
+    // one ADTS asset, one MP3 asset (the q103 synth family) — the
+    // audio dispatcher must route each to its own walker
+    val adts = MediaSynth.adtsAssetFor(7L)
+    val mp3 = MediaSynth.audioAssetFor(2L) // even ids are MP3 in q103
+    val got = Multimodal.decodeAudioInfo(
+      Seq(adts, mp3).toDS()).collect().map(i => i.asset_id -> i.fmt).toMap
+    assert(got(7L) == "aac", s"ADTS asset decoded as ${got(7L)}")
+    assert(got(2L) == "mp3", s"MP3 asset decoded as ${got(2L)}")
+    // and the raw walkers reject each other's bytes
+    assert(AudioCodecs.decodeAdts(mp3.bytes).isEmpty)
+    assert(AudioCodecs.decodeMp3(adts.bytes).isEmpty)
+  }
+
+  test("adts: garbage, truncation, and mid-stream parameter switches dead-letter or stop cleanly") {
+    assert(AudioCodecs.decodeAdts(Array.fill(64)(0x41.toByte)).isEmpty)
+    assert(AudioCodecs.decodeAdts(Array.emptyByteArray).isEmpty)
+    assert(AudioCodecs.decodeAdts(null).isEmpty)
+    val whole = MediaSynth.adts(3L, 32000, 1, 10, 11)
+    // truncation mid-frame: the walk keeps the complete prefix
+    val cut = java.util.Arrays.copyOfRange(whole, 0, 5 * (7 + 11) + 4)
+    assert(AudioCodecs.decodeAdts(cut).get.frames == 5)
+    // a parameter switch mid-stream stops at the last consistent frame
+    val switched = whole ++ MediaSynth.adts(3L, 48000, 1, 4, 11)
+    assert(AudioCodecs.decodeAdts(switched).get.frames == 10)
+  }
+
+  test("q107 pipeline: ADTS decode over synthesized assets equals the arithmetic oracle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q107docs").toString
+    (0L until 120L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.OpsQueries.q107MultimodalAdts(spark, dir)
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("fmt"), r.getAs[Long]("channels"),
+            r.getAs[Long]("sample_rate"), r.getAs[Long]("n_units"),
+            r.getAs[Long]("duration_ms"), r.getAs[Long]("n_bytes")))
+      }.toMap
+    assert(got.size == 120, s"got ${got.size} rows")
+    (0L until 120L).foreach { id =>
+      val sr = Array(48000L, 44100L, 32000L, 16000L, 8000L)((id % 5).toInt)
+      val frames = 20 + id % 80
+      val header = if (id % 3 == 0) 9 else 7
+      val exp = ("aac", 1 + (id / 2) % 2, sr, frames * 1024,
+        frames * 1024 * 1000 / sr, frames * (header + 5 + id % 20))
+      assert(got(id) == exp, s"id=$id got ${got(id)} expected $exp")
+    }
+  }
+
   test("q106 pipeline: M4A decode over synthesized assets equals the arithmetic oracle") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q106docs").toString
