@@ -111,6 +111,7 @@ object SparkEntry {
     "q105_multimodal_ogg" -> (OpsQueries.q105MultimodalOgg _),
     "q106_multimodal_m4a" -> (OpsQueries.q106MultimodalM4a _),
     "q107_multimodal_adts" -> (OpsQueries.q107MultimodalAdts _),
+    "q108_ivfsq_topk" -> (OpsQueries.q108IvfSqTopK _),
     "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
     "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
     "q104_ivfpq_stream" -> (OpsQueries.q104IvfPqStream _),
@@ -373,6 +374,10 @@ object SparkEntry {
     "q30_ivf_topk" -> annPlantedTopkSql,
     "q45_pq_topk" -> annPlantedTopkSql,
     "q65_ivfpq_topk" -> annPlantedTopkSql,
+    // q108 shares the planted-ANN oracle VERBATIM: the scalar-quantized
+    // IVF tier (byte codes + exact re-rank) must answer exactly like
+    // the q30/q65 builds on the planted corpus
+    "q108_ivfsq_topk" -> annPlantedTopkSql,
     // q101 shares the planted-ANN oracle VERBATIM: the durable
     // incremental LSH store (AnnStream: 3 upsert commits + pruned
     // search) must answer exactly like the one-shot q20 build

@@ -908,6 +908,252 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF-SQ8 fused ANN top-k — the scalar-quantized middle rung of the
+    * compression ladder (FAISS's `IVF,SQ8` layout; Jégou et al. 2011
+    * §III discusses the scalar-quantization baseline PQ improves on):
+    * a coarse quantizer splits the corpus into `nlist` inverted lists
+    * and each vector stores its cell id + its RESIDUAL quantized to
+    * one byte per dimension against per-dimension trained bounds.
+    * 4× smaller than raw float32 (dim bytes vs 4·dim) at near-exact
+    * recall — the tier between IVF-flat (exact vectors, no memory cut)
+    * and IVF-PQ (m bytes total, aggressive cut, re-rank-dependent
+    * recall). One-shot composition; [[ivfSqBuild]]+[[ivfSqSearch]] is
+    * the amortized index path. */
+  def ivfSqTopK(
+      queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 41L,
+      rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 100000): DataFrame =
+    ivfSqSearch(
+      ivfSqEncodedIndex(corpus, dim, nlist, seed, idCol, vecCol, persist = false),
+      queries, k, nprobe, rerank, maxQueries)
+
+  /** A BUILT IVF-SQ8 index: the coarse quantizer, the per-dimension
+    * residual bounds, and the (cell, byte-codes) relation — dim bytes
+    * per vector where the raw corpus stores 4·dim. [[ivfSqBuild]]
+    * persists the codes so repeated [[ivfSqSearch]] batches amortize
+    * the assign+encode pass. */
+  final class IvfSqIndex private[ops] (
+      private[ops] val coarse: Array[Array[Double]],
+      private[ops] val vmin: Array[Double],
+      private[ops] val vstep: Array[Double],
+      private[ops] val encoded: DataFrame,
+      private[ops] val corpus: DataFrame,
+      private[ops] val idCol: String,
+      private[ops] val vecCol: String,
+      val nlist: Int, val dim: Int) {
+    /** (cell, members) occupancy over the inverted lists. */
+    def cellSizes: DataFrame =
+      encoded.groupBy("cell").agg(count(lit(1)).as("members"))
+    def release(): Unit = { encoded.unpersist(blocking = false); () }
+  }
+
+  /** Build an IVF-SQ8 index: one bounded-sample fit (coarse centroids
+    * + per-dim residual bounds) + one assign+encode corpus pass, codes
+    * persisted for repeated [[ivfSqSearch]] batches. */
+  def ivfSqBuild(
+      corpus: DataFrame, dim: Int, nlist: Int = 16, seed: Long = 41L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfSqIndex =
+    ivfSqEncodedIndex(corpus, dim, nlist, seed, idCol, vecCol, persist = true)
+
+  private def ivfSqEncodedIndex(
+      corpus: DataFrame, dim: Int, nlist: Int, seed: Long,
+      idCol: String, vecCol: String, persist: Boolean): IvfSqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val unit = unitUdf
+    val c = corpus.select(col(idCol).as("nid"), unit(col(vecCol)).as("v"))
+
+    // bounded deterministic sample (same contract as the PQ tiers)
+    // trains the coarse quantizer AND the per-dim residual bounds;
+    // out-of-sample residuals clamp into the trained range at encode
+    // (the standard trained-scalar-quantizer contract) and the exact
+    // re-rank absorbs the tail error
+    val sample: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("nid")).asc, col("nid").asc)
+      .limit(20000)
+      .select(col("v"))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val coarse = localKMeans(sample, nlist, iters = 12, seed = seed)
+    def nearestCell(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var ci = 0
+      while (ci < cs.length) {
+        var d = 0.0; var t = 0
+        while (t < v.length) { val df = v(t) - cs(ci)(t); d += df * df; t += 1 }
+        if (d < bd) { bd = d; best = ci }
+        ci += 1
+      }
+      best
+    }
+    val vmin = Array.fill(dim)(Double.MaxValue)
+    val vmax = Array.fill(dim)(Double.MinValue)
+    sample.foreach { v =>
+      val cc = coarse(nearestCell(coarse, v))
+      var t = 0
+      while (t < dim) {
+        val r = v(t) - cc(t)
+        if (r < vmin(t)) vmin(t) = r
+        if (r > vmax(t)) vmax(t) = r
+        t += 1
+      }
+    }
+    // 255 steps across the trained range; a degenerate dimension
+    // (constant residual) gets step 0 and decodes to exactly vmin
+    val vstep = Array.tabulate(dim)(t => (vmax(t) - vmin(t)) / 255.0)
+    val coarseBc = spark.sparkContext.broadcast(coarse)
+    val minBc = spark.sparkContext.broadcast(vmin)
+    val stepBc = spark.sparkContext.broadcast(vstep)
+
+    // ONE corpus pass: coarse-assign, residual scalar-encode
+    val encoded = c.mapPartitions { it =>
+      val cs = coarseBc.value
+      val mn = minBc.value
+      val st = stepBc.value
+      it.map { r =>
+        val id = r.getLong(0)
+        val vf = r.getSeq[Float](1)
+        val v = Array.tabulate(vf.length)(vf(_).toDouble)
+        val cell = nearestCell(cs, v)
+        val cc = cs(cell)
+        val code = new Array[Byte](mn.length)
+        var t = 0
+        while (t < mn.length) {
+          val q =
+            if (st(t) == 0.0) 0
+            else {
+              val raw = math.round((v(t) - cc(t) - mn(t)) / st(t)).toInt
+              if (raw < 0) 0 else if (raw > 255) 255 else raw
+            }
+          code(t) = q.toByte
+          t += 1
+        }
+        (id, cell, code)
+      }
+    }.toDF("nid", "cell", "code")
+    val kept =
+      if (persist) encoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else encoded
+    new IvfSqIndex(coarse, vmin, vstep, kept, corpus, idCol, vecCol, nlist, dim)
+  }
+
+  /** The per-cell query index for a scalar-quantized scoring pass:
+    * under each probed cell, `(query_id, base, s1)` where
+    * `base = ⟨q, c_cell⟩ + ⟨q, vmin⟩` folds every code-independent
+    * term and `s1(d) = q(d) · step(d)` prices one code unit in
+    * dimension d — so a stored row scores as
+    * `⟨q, v̂⟩ = base + Σ_d code(d) · s1(d)` with one multiply-add per
+    * dimension and no per-row decode buffer. `s1` is shared BY
+    * REFERENCE across a query's nprobe entries (broadcast
+    * serialization preserves identity in one graph), so broadcast
+    * bytes are ~8·dim + 16 per query entry — the same dim-scaled class
+    * as [[ivfSearch]]'s raw query vectors, unlike the dim-independent
+    * ADC tables (SQ8 keeps per-dimension resolution; that is its
+    * recall advantage over PQ and its broadcast cost). */
+  private[graft] def sqByCell(
+      qs: Array[(Long, Array[Double])],
+      coarse: Array[Array[Double]],
+      vmin: Array[Double],
+      vstep: Array[Double],
+      nprobe: Int): Map[Int, Array[(Long, Double, Array[Double])]] = {
+    import scala.collection.parallel.CollectionConverters._
+    val dim = vmin.length
+    val perQuery: Array[Array[(Int, (Long, Double, Array[Double]))]] =
+      qs.par.map { case (qid, qv) =>
+        val dots = new Array[Double](coarse.length)
+        val dists = new Array[Double](coarse.length)
+        var ci = 0
+        while (ci < coarse.length) {
+          val cc = coarse(ci)
+          var dot = 0.0; var t = 0
+          while (t < dim) { dot += qv(t) * cc(t); t += 1 }
+          var dist = 0.0; t = 0
+          while (t < dim) { val df = qv(t) - cc(t); dist += df * df; t += 1 }
+          dots(ci) = dot; dists(ci) = dist; ci += 1
+        }
+        var qDotMin = 0.0
+        val s1 = new Array[Double](dim)
+        var t = 0
+        while (t < dim) {
+          qDotMin += qv(t) * vmin(t)
+          s1(t) = qv(t) * vstep(t)
+          t += 1
+        }
+        coarse.indices.sortBy(ci => dists(ci)).take(nprobe)
+          .map(c => (c, (qid, dots(c) + qDotMin, s1))).toArray
+      }.toArray
+    perQuery.flatten.groupBy(_._1).map { case (c, arr) => c -> arr.map(_._2) }
+  }
+
+  /** Search a built [[IvfSqIndex]]: probed-cell asymmetric scoring
+    * over the (persisted) byte-code relation + exact cosine re-rank —
+    * the [[ivfPqSearch]] two-stage shape with scalar decode folded
+    * into per-query linear coefficients ([[sqByCell]]). Bounded
+    * per-query top-cap accumulators inside the scoring mapPartitions
+    * ([[graft.streaming.StoreCommits.TopKMap]]): only ≤ nq·cap
+    * survivors per partition reach the exchange, never the
+    * candidate-proportional pair relation. `touches` counts per-row
+    * query visits (the O(queries-probing-cell) complexity probe);
+    * `emitted` counts exchange survivors. */
+  def ivfSqSearch(
+      index: IvfSqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 32,
+      maxQueries: Int = 100000,
+      touches: Option[org.apache.spark.util.LongAccumulator] = None,
+      emitted: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val idCol = index.idCol
+    val vecCol = index.vecCol
+    val unit = unitUdf
+    val qs = collectBounded(
+      queries.select(col(idCol).cast("long").as("query_id"), unit(col(vecCol)).as("qv")),
+      maxQueries, "ivfSqSearch")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val qBc = spark.sparkContext.broadcast(
+      sqByCell(qs, index.coarse, index.vmin, index.vstep, nprobe))
+    val cap = math.max(rerank, k)
+    val scored = graft.streaming.StoreCommits.rebalance(index.encoded.toDF())
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val qc = qBc.value
+        val none = Array.empty[(Long, Double, Array[Double])]
+        val acc = new graft.streaming.StoreCommits.TopKMap(cap)
+        it.foreach { case (nid, cell, code) =>
+          val entries = qc.getOrElse(cell, none)
+          touches.foreach(_.add(entries.length))
+          var i = 0
+          while (i < entries.length) {
+            val (qid, base, s1) = entries(i)
+            if (qid != nid) {
+              var s = base; var t = 0
+              while (t < s1.length) { s += (code(t) & 0xff) * s1(t); t += 1 }
+              acc.insert(qid, nid, s)
+            }
+            i += 1
+          }
+        }
+        countEmitted(acc.drain(), emitted)
+      }.toDF("query_id", "neighbor_id", "adc")
+
+    // SQ shortlist → exact cosine re-rank (the ivfPqSearch stage 2)
+    val shortlist = rankTopK(scored, "adc", cap)
+      .select("query_id", "neighbor_id")
+    val qRaw = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+    val exact = shortlist
+      .join(index.corpus.select(
+        col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec")),
+        "neighbor_id")
+      .join(broadcast(qRaw), "query_id")
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Driver-local Lloyd's k-means for the PQ codebook fit: the training
     * set is a bounded sample (see pqTopK), so a distributed iterative
     * fit buys nothing but per-iteration job overhead. Random init over

@@ -151,6 +151,21 @@ object OpsQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-SQ8 fused ANN top-5 (coarse inverted lists + one-byte-per-
+    * dimension scalar-quantized residuals + exact re-rank — the
+    * memory rung between IVF-flat and IVF-PQ) over the
+    * planted-neighbor corpus — hash-checked against the brute-force
+    * oracle (see [[annCorpus]]). Same open knobs as the q65 fused
+    * tier: the cell probe is the recall-limiting stage and SQ8's
+    * per-dimension codes keep quantization error an order below PQ's,
+    * so the q65 rerank depth is comfortably sufficient. */
+  def q108IvfSqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = annCorpus(spark, dir)
+    SimilaritySearch.ivfSqTopK(corpus.filter(col("vec_id") < 10), corpus,
+        dim = 64, k = 5, nprobe = 10, rerank = 192)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** Unigram-LM perplexity quality scores (the CCNet KenLM filter at
     * order 1 — selection semantics with an exactly SQL-restatable
     * model, self-corpus MLE): low = looks like the corpus. */

@@ -118,6 +118,64 @@ class Round16BatchAnnSpec extends SparkSpec {
       s"IVF-PQ emitted=${emFused.value} tracks the candidate count (${touches.value})")
   }
 
+  test("ivfSqSearch: byte-per-dim codes, one-step quantization error, bounded survivors") {
+    val sq = SimilaritySearch.ivfSqBuild(corpus, dim = 64, nlist = 16)
+    // the memory claim: dim bytes per vector (vs 4·dim raw float32)
+    val codeLens = sq.encoded.select(length(col("code")).as("l"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(codeLens == Set(64), s"code lengths $codeLens != {dim}")
+
+    // in-sample quantization error ≤ half a step per dimension: the
+    // whole 8k corpus is inside the 20k fit sample, so no clamping —
+    // reconstruct residuals and compare against the exact unit vector
+    val coarse = sq.coarse
+    val vmin = sq.vmin
+    val vstep = sq.vstep
+    val raw = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    sq.encoded.collect().take(500).foreach { r =>
+      val id = r.getLong(0)
+      val cell = r.getInt(1)
+      val code = r.getAs[Array[Byte]](2)
+      val vf = raw(id)
+      var s = 0.0; vf.foreach(x => s += x.toDouble * x)
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      val unit = vf.map(x => (x * inv).toFloat)
+      var t = 0
+      while (t < 64) {
+        val resid = unit(t).toDouble - coarse(cell)(t)
+        val decoded = vmin(t) + (code(t) & 0xff) * vstep(t)
+        assert(math.abs(decoded - resid) <= vstep(t) / 2 + 1e-9,
+          s"id=$id dim=$t error ${math.abs(decoded - resid)} > step/2 ${vstep(t) / 2}")
+        t += 1
+      }
+    }
+
+    // the fold bound: only shortlist survivors reach the exchange,
+    // and per-row work is O(queries-probing-cell)
+    val em = acc()
+    val touches = acc()
+    val rows = SimilaritySearch.ivfSqSearch(sq, queries, k = 5, nprobe = 8,
+      rerank = 20, touches = Some(touches), emitted = Some(em)).count()
+    sq.release()
+    assert(rows > 0)
+    assert(em.value <= partCeil.toLong * nq * 20,
+      s"IVF-SQ emitted=${em.value} exceeds the partitions×nq×cap bound")
+    assert(em.value * 3 <= touches.value,
+      s"IVF-SQ emitted=${em.value} tracks the candidate count (${touches.value})")
+  }
+
+  test("ivfSqTopK: exact re-rank equals brute force on the planted corpus") {
+    val planted = SimilaritySearch.plantedNeighborCorpus(corpus)
+    val qs = planted.filter(col("vec_id") < 10)
+    val got = SimilaritySearch.ivfSqTopK(qs, planted, dim = 64, k = 5,
+        nprobe = 10, rerank = 192)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ref = SimilaritySearch.bruteForceTopK(qs, planted, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == ref, "SQ8 + exact re-rank must equal brute force on planted structure")
+  }
+
   test("TopK large-cap hash membership orders and dedups exactly like the linear path") {
     val rnd = new scala.util.Random(1616)
     // duplicate-heavy insert stream: ids re-appear with different scores
