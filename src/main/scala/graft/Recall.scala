@@ -64,6 +64,8 @@ object Recall {
       "q30_ivf" -> (() => SSb.ivfTopK(q, emb, k = 5, nprobe = 8)),
       "q45_pq" -> (() => SSb.pqTopK(q, emb, dim = 64, k = 5, rerank = 200)),
       "q65_ivfpq" -> (() => SSb.ivfPqTopK(q, emb, dim = 64, k = 5,
+        nprobe = 10, rerank = 192)),
+      "q108_ivfsq" -> (() => SSb.ivfSqTopK(q, emb, dim = 64, k = 5,
         nprobe = 10, rerank = 192))
     ).map { case (name, fn) =>
       val r = pairs(fn())
@@ -163,6 +165,15 @@ object Recall {
         val got = pairs(SS.ivfPqSearch(loaded, qF, k = 5, nprobe = 10, rerank = 192))
         loaded.release()
         ("q65_ivfpq", built, got)
+      }, {
+        val idx = SS.ivfSqBuild(emb, dim = 64)
+        val built = pairs(SS.ivfSqSearch(idx, q, k = 5, nprobe = 10, rerank = 192))
+        AnnIndexIO.ivfSqSave(idx, s"$idxRoot/ivfsq")
+        idx.release(); spark.catalog.clearCache()
+        val loaded = AnnIndexIO.ivfSqLoad(fresh, s"$idxRoot/ivfsq", embF)
+        val got = pairs(SS.ivfSqSearch(loaded, qF, k = 5, nprobe = 10, rerank = 192))
+        loaded.release()
+        ("q108_ivfsq", built, got)
       })
     spark.catalog.clearCache()
 

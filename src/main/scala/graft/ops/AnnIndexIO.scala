@@ -148,6 +148,33 @@ object AnnIndexIO {
     index.encoded.write.mode("overwrite").parquet(s"$path/encoded")
   }
 
+  // ---------------------------------------------------------- IVF-SQ8
+
+  def ivfSqSave(index: IvfSqIndex, path: String): Unit = {
+    val spark = index.encoded.sparkSession
+    writeMeta(spark, path, "kind" -> "ivfsq", "nlist" -> index.nlist,
+      "dim" -> index.dim, "idCol" -> index.idCol, "vecCol" -> index.vecCol)
+    saveMatrix(spark, path, "coarse",
+      index.coarse.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq)
+    // row 0 = per-dim residual minima, row 1 = per-dim step sizes —
+    // bit-exact through parquet DOUBLE like every other model matrix
+    saveMatrix(spark, path, "bounds",
+      Seq((0, index.vmin.toSeq), (1, index.vstep.toSeq)))
+    index.encoded.write.mode("overwrite").parquet(s"$path/encoded")
+  }
+
+  /** `corpus` supplies raw vectors for the exact re-rank stage — the
+    * index stores only the byte codes. */
+  def ivfSqLoad(spark: SparkSession, path: String, corpus: DataFrame): IvfSqIndex = {
+    val m = readMeta(spark, path)
+    require(m.get("kind").asText == "ivfsq", s"not an IVF-SQ index at $path")
+    val bounds = loadMatrix(spark, path, "bounds")
+    new IvfSqIndex(loadMatrix(spark, path, "coarse"), bounds(0), bounds(1),
+      persisted(spark.read.parquet(s"$path/encoded")),
+      corpus, m.get("idCol").asText, m.get("vecCol").asText,
+      m.get("nlist").asInt, m.get("dim").asInt)
+  }
+
   // ------------------------------------------------------------- PCA
 
   /** A fitted [[Pca.Model]] is the same kind of asset as an ANN

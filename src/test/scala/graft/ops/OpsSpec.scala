@@ -396,6 +396,15 @@ class OpsSpec extends SparkSpec {
     assert(rows(SimilaritySearch.ivfPqSearch(fp2, q, k = 5, nprobe = 4, rerank = 30)) == fpExpect)
     fp2.release()
 
+    val sq = SimilaritySearch.ivfSqBuild(vecs, dim = 64, nlist = 8)
+    val sqExpect = rows(SimilaritySearch.ivfSqSearch(sq, q, k = 5, nprobe = 4, rerank = 30))
+    val sqPath = tmp("ivfsq-idx")
+    AnnIndexIO.ivfSqSave(sq, sqPath)
+    sq.release(); spark.catalog.clearCache()
+    val sq2 = AnnIndexIO.ivfSqLoad(spark, sqPath, vecs)
+    assert(rows(SimilaritySearch.ivfSqSearch(sq2, q, k = 5, nprobe = 4, rerank = 30)) == sqExpect)
+    sq2.release()
+
     // a wrong-kind load fails loudly, not with a shape error downstream
     val ex = intercept[IllegalArgumentException] { AnnIndexIO.ivfLoad(spark, lshPath) }
     assert(ex.getMessage.contains("not an IVF index"))
