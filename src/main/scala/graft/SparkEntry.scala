@@ -115,6 +115,7 @@ object SparkEntry {
     "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
     "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
     "q104_ivfpq_stream" -> (OpsQueries.q104IvfPqStream _),
+    "q109_ivfsq_stream" -> (OpsQueries.q109IvfSqStream _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -390,6 +391,10 @@ object SparkEntry {
     // quantizer pinned on first contact, residual codes per commit,
     // cell-pruned ADC + exact re-rank) against q65's one-shot gate
     "q104_ivfpq_stream" -> annPlantedTopkSql,
+    // q109 shares the planted-ANN oracle VERBATIM: the durable
+    // incremental IVF-SQ8 store must answer exactly like q108's
+    // one-shot build
+    "q109_ivfsq_stream" -> annPlantedTopkSql,
     // q53: exact all-pairs cosine ≥ 0.92 over the planted corpus — the
     // threshold regime where the k-means cell blocking provably loses
     // nothing (family diameter ≤ 0.05 rad, distractor ceiling 0.61)

@@ -1331,6 +1331,35 @@ object OpsQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** The durable incremental IVF-SQ8 store
+    * ([[graft.streaming.IvfSqStream]]): the corpus accretes over 3
+    * commits (the FIRST tick fits and pins the model — coarse
+    * centroids + per-dimension residual bounds), each later tick
+    * scalar-encodes under the pinned model, and the cell-pruned
+    * coefficient-scored + exact-re-rank search must answer exactly
+    * like q108's one-shot [[SimilaritySearch.ivfSqTopK]] gate — the
+    * planted-ANN brute-force oracle verbatim (nprobe 10 / rerank 192,
+    * the q65/q108 knee). */
+  def q109IvfSqStream(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = annCorpus(spark, dir)
+    val store = java.nio.file.Files.createTempDirectory("q109sq").toString
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+    (0 until 3).foreach { c =>
+      graft.streaming.IvfSqStream.upsertStep(
+        corpus.filter(pmod(col("vec_id"), lit(3)) === c), store,
+        dim = 64, nlist = 16, seed = 41L, batchTag = s"a$c")
+    }
+    graft.streaming.IvfSqStream.searchStore(
+        spark, store, corpus.filter(col("vec_id") < 10), k = 5,
+        nprobe = 10, rerank = 192)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** MULTIMODAL audio beyond WAV ([[graft.ops.AudioCodecs]], round 14):
     * deterministic MPEG-1 Layer III streams (ID3v2 skip + frame-header
     * sync walk over the published bitrate/samplerate tables) and FLAC

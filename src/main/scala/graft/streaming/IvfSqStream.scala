@@ -1,0 +1,490 @@
+package graft.streaming
+
+import graft.ops.{Dedup, SimilaritySearch}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** STREAMING IVF-SQ8 index maintenance — the SCALAR-QUANTIZED tier
+  * ([[SimilaritySearch.ivfSqBuild]]/[[SimilaritySearch.ivfSqSearch]]:
+  * coarse inverted lists + one-byte-per-dimension trained-range
+  * residual codes + exact re-rank; 4× smaller than raw float32 at
+  * near-exact recall — the memory rung between [[IvfStream]]'s flat
+  * vectors and [[IvfPqStream]]'s m-byte codes) made durable and
+  * incremental on the shared store discipline. The `_IVFSQ` marker
+  * pins the data-fit model (coarse centroids + the per-dimension
+  * residual bounds vmin/vstep — stored codes only decode against the
+  * bounds that encoded them, so the marker is load-bearing the same
+  * way IVF-PQ's codebook order is); the first upsert fits from a
+  * bounded unit-normalized sample and pins, every later upsert
+  * assigns + scalar-encodes under the pinned model as a tag-keyed
+  * commit.
+  *
+  * Search opens ONLY the probed cells' `ab=` partitions with the code
+  * columns pruned at the parquet scan, scores through the per-query
+  * linear-coefficient broadcast ([[SimilaritySearch.sqByCell]]:
+  * `base + Σ code(d)·s1(d)`, one multiply-add per dimension, no
+  * decode buffer), folds bounded per-query shortlists in place, and
+  * exact-re-ranks from vectors in the same pruned partitions.
+  *
+  * Store contracts shared with the siblings: tag-keyed overwrite
+  * commits, manifest-gated visibility from the FIRST commit,
+  * `_MANIFEST`/`_FOLDED` compaction with one-generation GC grace,
+  * `_PARTS` pinning, tombstone deletes, drift-triggered refit with
+  * the cooldown bound, single writer / readers-any-time, and
+  * refit-as-compaction via the two-phase `_IVFSQ.pending` promote.
+  *
+  * reference analog: none (engine-side training-data surface); the
+  * design restates the standard IVF-SQ serving layout on parquet
+  * commits. */
+object IvfSqStream {
+
+  private[streaming] val vecSchema: StructType = StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("code", BinaryType, nullable = true),
+    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true)))
+
+  private def abCol(parts: Column): Column =
+    pmod(xxhash64(col("cell").cast("long")), parts).cast("int")
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Pinned scalar-quantizer model: coarse centroids + per-dimension
+    * residual bounds. Labeled lines (the [[IvfPqStream.PqMeta]]
+    * rendering discipline) so the matrix and the two bound rows parse
+    * unambiguously and double values round-trip bit-exactly through
+    * the decimal text (Double.toString is shortest-round-trip). */
+  private[streaming] final case class SqMeta(
+      dim: Int, nlist: Int, seed: Long,
+      coarse: Array[Array[Double]],
+      vmin: Array[Double],
+      vstep: Array[Double],
+      target: Option[String],
+      baseline: Option[Double] = None) {
+    def render: String = {
+      val head = s"$dim/$nlist/$seed" + target.fold("")(t => s"/$t")
+      val cs = coarse.map(c => "coarse " + c.mkString(","))
+      val bounds = Seq("vmin " + vmin.mkString(","),
+        "vstep " + vstep.mkString(","))
+      ((head +: (cs ++ bounds)) ++ baseline.map(b => s"baseline $b")).mkString("\n")
+    }
+  }
+
+  private def parseMeta(text: String): SqMeta = {
+    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
+    val h = lines.head.split('/')
+    def vecOf(prefix: String): Array[Double] =
+      lines.tail.find(_.startsWith(prefix + " ")).get
+        .stripPrefix(prefix + " ").split(',').map(java.lang.Double.parseDouble)
+    SqMeta(h(0).toInt, h(1).toInt, h(2).toLong,
+      lines.tail.filter(_.startsWith("coarse "))
+        .map(_.stripPrefix("coarse ").split(',').map(java.lang.Double.parseDouble)),
+      vecOf("vmin"), vecOf("vstep"),
+      if (h.length > 3) Some(h(3)) else None,
+      lines.tail.find(_.startsWith("baseline "))
+        .map(s => java.lang.Double.parseDouble(s.stripPrefix("baseline "))))
+  }
+
+  private def effectiveMeta(
+      spark: SparkSession, storeDir: String, promote: Boolean): Option[SqMeta] =
+    StoreCommits.effectivePinned[SqMeta](
+      spark, storeDir, "sqvecs", "_IVFSQ",
+      parseMeta, _.render, _.target, _.copy(target = None), promote)
+
+  /** The pinned (effective) coarse centroids — monitoring / complexity
+    * probes. */
+  def loadCoarse(spark: SparkSession, storeDir: String): Array[Array[Double]] =
+    effectiveMeta(spark, storeDir, promote = false)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an ivf-sq store (no _IVFSQ marker): $storeDir")).coarse
+
+  private def nearestCell(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bd = Double.MaxValue; var ci = 0
+    while (ci < cs.length) {
+      var d = 0.0; var t = 0
+      while (t < v.length) { val df = v(t) - cs(ci)(t); d += df * df; t += 1 }
+      if (d < bd) { bd = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Fit the model from a bounded deterministic unit-normalized sample
+    * (the [[SimilaritySearch.ivfSqBuild]] recipe verbatim, so the
+    * pinned model matches what the batch operator would have fit):
+    * coarse centroids, then per-dimension min/max of the sample's
+    * residuals → 255-step bounds. Baseline = the sample's mean
+    * reconstruction error under the just-fitted model (the tick
+    * monitor's comparison anchor). */
+  private def fitMeta(
+      rows: DataFrame, dim: Int, nlist: Int, seed: Long): SqMeta = {
+    val sample: Array[Array[Double]] = rows
+      .orderBy(xxhash64(col("neighbor_id")).asc, col("neighbor_id").asc)
+      .limit(20000).select("cvec")
+      .collect().map(r => IvfPqStream.unitOf(r.getSeq[Float](0)))
+    require(sample.nonEmpty, "ivf-sq store: first upsert must carry vectors")
+    val coarse = SimilaritySearch.localKMeans(sample, nlist, iters = 12, seed = seed)
+    val vmin = Array.fill(dim)(Double.MaxValue)
+    val vmax = Array.fill(dim)(Double.MinValue)
+    val residuals = sample.map { v =>
+      val cc = coarse(nearestCell(coarse, v))
+      val r = Array.tabulate(dim)(t => v(t) - cc(t))
+      var t = 0
+      while (t < dim) {
+        if (r(t) < vmin(t)) vmin(t) = r(t)
+        if (r(t) > vmax(t)) vmax(t) = r(t)
+        t += 1
+      }
+      r
+    }
+    val vstep = Array.tabulate(dim)(t => (vmax(t) - vmin(t)) / 255.0)
+    var accErr = 0.0
+    residuals.foreach { r =>
+      var d = 0.0; var t = 0
+      while (t < dim) {
+        val q =
+          if (vstep(t) == 0.0) 0
+          else {
+            val raw = math.round((r(t) - vmin(t)) / vstep(t)).toInt
+            if (raw < 0) 0 else if (raw > 255) 255 else raw
+          }
+        val diff = (vmin(t) + q * vstep(t)) - r(t)
+        d += diff * diff; t += 1
+      }
+      accErr += math.sqrt(d)
+    }
+    SqMeta(dim, nlist, seed, coarse, vmin, vstep, None,
+      Some(if (residuals.isEmpty) 0.0 else accErr / residuals.length))
+  }
+
+  private def requireConfig(mt: SqMeta, dim: Int, nlist: Int,
+      seed: Long, storeDir: String): Unit =
+    require(mt.dim == dim && mt.nlist == nlist && mt.seed == seed,
+      s"ivf-sq store $storeDir was pinned with dim/nlist/seed=" +
+        s"${mt.dim}/${mt.nlist}/${mt.seed}; this config is " +
+        s"$dim/$nlist/$seed — rebuild the store or match the writing config")
+
+  /** Assign + scalar-encode rows under the pinned model: one pass,
+    * emits (neighbor_id, cell, code, raw cvec). Encode arithmetic is
+    * [[SimilaritySearch.ivfSqBuild]]'s verbatim (round + clamp). */
+  private def encodeRows(rows: DataFrame, mt: SqMeta): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val coarseBc = spark.sparkContext.broadcast(mt.coarse)
+    val minBc = spark.sparkContext.broadcast(mt.vmin)
+    val stepBc = spark.sparkContext.broadcast(mt.vstep)
+    rows.select(col("neighbor_id"), col("cvec"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = coarseBc.value
+        val mn = minBc.value
+        val st = stepBc.value
+        it.map { case (id, vf) =>
+          val v = IvfPqStream.unitOf(vf)
+          val cell = nearestCell(cs, v)
+          val cc = cs(cell)
+          val code = new Array[Byte](mn.length)
+          var t = 0
+          while (t < mn.length) {
+            val q =
+              if (st(t) == 0.0) 0
+              else {
+                val raw = math.round((v(t) - cc(t) - mn(t)) / st(t)).toInt
+                if (raw < 0) 0 else if (raw > 255) 255 else raw
+              }
+            code(t) = q.toByte
+            t += 1
+          }
+          (id, cell, code, vf)
+        }
+      }.toDF("neighbor_id", "cell", "code", "cvec")
+  }
+
+  /** Fold one micro-batch into the store: fit-and-pin on first
+    * contact, assign + scalar-encode under the pinned model, write as
+    * a tag-keyed commit (L0 single file for tick-sized batches).
+    * Returns the per-cell `(cell, members, mean_code_err)` of the
+    * written commit — the drift monitor (L2 distance between each unit
+    * vector and its quantized reconstruction); consumed by
+    * [[maybeRefitOnDrift]]. */
+  def upsertStep(
+      batch: DataFrame, storeDir: String, dim: Int,
+      nlist: Int = 16, seed: Long = 41L,
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      storeParts: Int = 64,
+      l0Bound: Int = 1 << 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    DedupStream.ensureStoreMeta(spark, storeDir, storeParts, family = 0)
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/sqvecs")
+    StoreCommits.ensureManifestClaimed(spark, root)
+    val b = batch
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val commitDir = s"$storeDir/sqvecs/batch=$batchTag"
+    val wrote = try {
+      val nVecs = b.count() // ONE source scan: cache + layout routing
+      if (nVecs == 0L) false else {
+      val mt = effectiveMeta(spark, storeDir, promote = true) match {
+        case Some(x) => requireConfig(x, dim, nlist, seed, storeDir); x
+        case None =>
+          val x = fitMeta(b, dim, nlist, seed)
+          StoreCommits.writeTextFile(spark,
+            new org.apache.hadoop.fs.Path(storeDir), "_IVFSQ", x.render)
+          x
+      }
+      val keyed = encodeRows(b, mt)
+      if (nVecs <= l0Bound)
+        keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
+      else
+        keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
+          .repartition(col("ab")).write.partitionBy("ab")
+          .mode("overwrite").parquet(commitDir)
+      true
+      }
+    } finally { b.unpersist(blocking = false); () }
+    if (!wrote)
+      // EMPTY micro-batch: no commit, no fit — an unpinned store stays
+      // unpinned until the first non-empty tick (the sibling contract)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("cell", IntegerType, nullable = false),
+          StructField("members", LongType, nullable = false),
+          StructField("mean_code_err", DoubleType, nullable = true))))
+    DedupStream.publishCommit(spark, root, s"batch=$batchTag")
+    // drift monitor off the just-written commit (on-disk rows)
+    val mtPinned = effectiveMeta(spark, storeDir, promote = false).get
+    val coarseBc = spark.sparkContext.broadcast(mtPinned.coarse)
+    val minBc = spark.sparkContext.broadcast(mtPinned.vmin)
+    val stepBc = spark.sparkContext.broadcast(mtPinned.vstep)
+    val codeErr = udf { (cell: Int, code: Array[Byte], v: Seq[Float]) =>
+      val cs = coarseBc.value; val mn = minBc.value; val st = stepBc.value
+      val u = IvfPqStream.unitOf(v); val cc = cs(cell)
+      var d = 0.0; var t = 0
+      while (t < mn.length) {
+        val diff = (cc(t) + mn(t) + (code(t) & 0xff) * st(t)) - u(t)
+        d += diff * diff; t += 1
+      }
+      math.sqrt(d)
+    }
+    spark.read.parquet(commitDir)
+      .groupBy("cell").agg(count(lit(1)).as("members"),
+        avg(codeErr(col("cell"), col("code"), col("cvec"))).as("mean_code_err"))
+  }
+
+  /** Threshold-triggered drift remediation — the
+    * [[IvfPqStream.maybeRefitOnDrift]] contract for this tier:
+    * member-weighted tick mean vs `factor ×` the pinned fit-time
+    * baseline; fires `compactStore(refit = true)` once per shift with
+    * the `cooldownCommits` rate bound; no-ops on factor ≤ 0, empty
+    * ticks, or pre-baseline markers. */
+  def maybeRefitOnDrift(
+      spark: SparkSession, storeDir: String, monitor: DataFrame,
+      factor: Double, cooldownCommits: Int = 8): Boolean = {
+    if (factor <= 0) return false
+    val agg = monitor.agg(
+      sum(col("members")).as("n"),
+      sum(col("members") * col("mean_code_err")).as("wsum")).collect()(0)
+    if (agg.isNullAt(0) || agg.getLong(0) == 0L) return false
+    val tickMean = agg.getDouble(1) / agg.getLong(0)
+    val base = effectiveMeta(spark, storeDir, promote = false).flatMap(_.baseline)
+    val drifted = base.exists(b => tickMean > factor * b)
+    if (!drifted) return false
+    if (StoreCommits.visibleCommitCount(spark,
+        s"$storeDir/sqvecs") < cooldownCommits) return false
+    compactStore(spark, storeDir, refit = true)
+    true
+  }
+
+  /** Streaming entry, the sibling [[IvfPqStream.start]] shape: vector
+    * parquet files land in `vecsPath`, each micro-batch upserts
+    * (deterministic tags → replay-idempotent), drift auto-refit at the
+    * shared default, periodic compaction. */
+  def start(
+      spark: SparkSession,
+      vecsPath: String,
+      vecsSchema: StructType,
+      storeDir: String,
+      checkpoint: String,
+      dim: Int,
+      nlist: Int = 16, seed: Long = 41L,
+      storeParts: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      compactEvery: Int = 64,
+      refitDriftFactor: Double = 1.5,
+      refitCooldownCommits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(vecsSchema).parquet(vecsPath)
+      .writeStream
+      .queryName("ivfsq-maintenance")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qid = Option(batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
+        val monitor = upsertStep(batch, storeDir, dim, nlist, seed,
+          batchTag = s"$qid-$batchId", storeParts = storeParts)
+        maybeRefitOnDrift(spark, storeDir, monitor, refitDriftFactor,
+          refitCooldownCommits)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactStore(spark, storeDir)
+        ()
+      }
+      .start()
+  }
+
+  /** Fold commits into one hash-partitioned commit; with
+    * `refit = true`, the drift remediation: refit the model on a
+    * bounded whole-store sample, re-encode every vector, and swap via
+    * the two-phase `_IVFSQ.pending` promote. Same one-generation GC
+    * grace, tombstone drop + retirement, and crash windows as the
+    * siblings. SINGLE-WRITER contract. */
+  def compactStore(
+      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit = {
+    val applied = StoreCommits.tombstoneCommits(spark, storeDir)
+    StoreCommits.foldAndSwap(
+      spark, storeDir, "sqvecs", vecSchema,
+      p => abCol(lit(p)), Seq("cell"),
+      extraWork = refit || applied.nonEmpty,
+      transform = { all0 =>
+        val all = StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id")
+        val mt = effectiveMeta(spark, storeDir, promote = true)
+          .getOrElse(throw new IllegalArgumentException(
+            s"not an ivf-sq store (no _IVFSQ marker): $storeDir"))
+        if (refit) {
+          val m2 = fitMeta(all, mt.dim, mt.nlist, mt.seed)
+          val target = s"batch=refit-${java.util.UUID.randomUUID()}"
+          (encodeRows(all, m2), target,
+            Some("_IVFSQ.pending" -> m2.copy(target = Some(target)).render))
+        } else (all, s"batch=compact-${java.util.UUID.randomUUID()}", None)
+      },
+      afterSwap = () => {
+        effectiveMeta(spark, storeDir, promote = true)
+        StoreCommits.retireTombstones(spark, storeDir, applied)
+      })
+  }
+
+  /** Upsert-shaped DELETE: tombstone `ids` out of the store — the
+    * shared mask-until-compaction contract
+    * ([[StoreCommits.tombstoneStep]]). */
+  def deleteStep(
+      ids: DataFrame, storeDir: String,
+      batchTag: String = java.util.UUID.randomUUID().toString,
+      idCol: String = "vec_id"): Long =
+    StoreCommits.tombstoneStep(ids, storeDir, idCol, batchTag)
+
+  /** Top-k search: probed-cell scalar-quantized shortlist + exact
+    * cosine re-rank, both stages pruned to the probed cells' `ab=`
+    * partitions — the scoring scan reads only (id, cell, code)
+    * columns; the re-rank fetches vectors from the same pruned
+    * partitions. Scoring arithmetic is
+    * [[SimilaritySearch.ivfSqSearch]]'s verbatim (the cell-indexed
+    * [[SimilaritySearch.sqByCell]] coefficient broadcast), bounded by
+    * [[StoreCommits.TopKMap]] + [[StoreCommits.foldSurvivors]];
+    * pre-compaction duplicate versions dedup by max-over-versions
+    * (the sibling contract). Consistent-snapshot bracket: the model
+    * and the commit list must land in one generation — re-read after
+    * the leaf listing, retry on drift. */
+  def searchStore(
+      spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 32, maxQueries: Int = 100000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      touches: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVFSQ")),
+      s"not an ivf-sq store (no _IVFSQ marker): $storeDir")
+    val parts = StoreCommits.storePartsOf(fs(spark, dir), dir)
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"searchStore got more than $maxQueries query rows — the query side " +
+        "must stay the bounded side; swap sides or raise maxQueries deliberately")
+    val qs = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .collect().map(r => (r.getLong(0), IvfPqStream.unitOf(r.getSeq[Float](1))))
+    var mt = effectiveMeta(spark, storeDir, promote = false)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an ivf-sq store (no _IVFSQ marker): $storeDir"))
+    var stored: DataFrame = null
+    var attempt = 0
+    var consistent = false
+    while (!consistent) {
+      val dimL = mt.dim
+      val coarse = mt.coarse
+      val probed = qs.flatMap { case (_, qv) =>
+        coarse.indices.sortBy { ci =>
+          var d = 0.0; var t = 0
+          while (t < dimL) { val df = qv(t) - coarse(ci)(t); d += df * df; t += 1 }
+          d
+        }.take(nprobe)
+      }.toSet
+      val wanted = probed.map((c: Int) =>
+        math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(c.toLong, 42L), parts.toLong).toInt)
+      stored = DedupStream.readStore(
+        spark, s"$storeDir/sqvecs", vecSchema,
+        excludeTag = " none ", partCol = "ab", wanted = wanted)
+      val after = effectiveMeta(spark, storeDir, promote = false).get
+      if (after.render == mt.render) consistent = true
+      else {
+        mt = after
+        attempt += 1
+        require(attempt < 8, s"ivf-sq store $storeDir models kept moving " +
+          "during search planning — is a writer refitting in a loop?")
+      }
+    }
+    stored = StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id")
+    // cell-indexed per-query linear coefficients (the batch operator's
+    // broadcast shape — dim-scaled like raw query vectors, shared by
+    // reference across a query's nprobe entries)
+    val qBc = spark.sparkContext.broadcast(
+      SimilaritySearch.sqByCell(qs, mt.coarse, mt.vmin, mt.vstep, nprobe))
+    val cap = math.max(rerank, k)
+    val scored = StoreCommits.rebalance(
+        stored.select(col("neighbor_id"), col("cell"), col("code")))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val qc = qBc.value
+        val none = Array.empty[(Long, Double, Array[Double])]
+        val acc = new StoreCommits.TopKMap(cap)
+        it.foreach { case (nid, cell, code) =>
+          val entries = qc.getOrElse(cell, none)
+          touches.foreach(_.add(entries.length))
+          var i = 0
+          while (i < entries.length) {
+            val (qid, base, s1) = entries(i)
+            if (qid != nid) {
+              var s = base; var t = 0
+              while (t < s1.length) { s += (code(t) & 0xff) * s1(t); t += 1 }
+              acc.insert(qid, nid, s)
+            }
+            i += 1
+          }
+        }
+        acc.drain()
+      }.toDF("query_id", "neighbor_id", "adc")
+    val folded = StoreCommits.foldSurvivors(scored, cap, "adc")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = folded.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+      .select("query_id", "neighbor_id")
+    val storedVecs = stored.select(col("neighbor_id"), col("cvec"))
+      .groupBy("neighbor_id").agg(first(col("cvec")).as("cvec"))
+    val qRaw = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+    val exact = shortlist
+      .join(storedVecs, Seq("neighbor_id"))
+      .join(qRaw, Seq("query_id"))
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

@@ -161,6 +161,12 @@ object SearchScaleRehearsal {
         (q => SS.ivfPqSearch(idx, q, k = 5, nprobe = 4, rerank = 32),
           () => idx.release())
       }
+      if (tiers("batch_ivfsq")) built("batch_ivfsq") {
+        val idx = SS.ivfSqBuild(corpusP, dim = 64, nlist = 64)
+        idx.cellSizes.count()
+        (q => SS.ivfSqSearch(idx, q, k = 5, nprobe = 4, rerank = 32),
+          () => idx.release())
+      }
       corpusP.unpersist()
     }
     spark.stop()
