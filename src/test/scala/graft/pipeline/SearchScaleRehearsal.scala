@@ -88,6 +88,11 @@ object SearchScaleRehearsal {
         b, dir, dim = 64, nlist = 64, m = 8, seed = 37L, batchTag = t); () })
       graft.streaming.IvfPqStream.compactStore(spark, dir)
     }
+    val sqDir = if (!tiers("ivfsq")) "" else ensure("ivfsq", "_IVFSQ") { dir =>
+      ticks((b, t) => { graft.streaming.IvfSqStream.upsertStep(
+        b, dir, dim = 64, nlist = 64, seed = 41L, batchTag = t); () })
+      graft.streaming.IvfSqStream.compactStore(spark, dir)
+    }
 
     // ---- search legs: wall of the FULL top-5 answer at each nq
     def leg(tier: String, nq: Int)(run: DataFrame => DataFrame): Unit = {
@@ -105,6 +110,9 @@ object SearchScaleRehearsal {
         graft.streaming.IvfStream.searchStore(spark, ivfDir, q, k = 5, nprobe = 4))
       if (tiers("ivfpq")) leg("ivfpq", nq)(q =>
         graft.streaming.IvfPqStream.searchStore(spark, pqDir, q, k = 5,
+          nprobe = 4, rerank = 32))
+      if (tiers("ivfsq")) leg("ivfsq", nq)(q =>
+        graft.streaming.IvfSqStream.searchStore(spark, sqDir, q, k = 5,
           nprobe = 4, rerank = 32))
     }
 
