@@ -231,6 +231,19 @@ object PipelineDemo {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     println(s"IVFPQ_STREAM top1=$pqHit")
 
+    // --- durable incremental IVF-SQ8 (round 16): model (centroids +
+    // per-dim residual bounds) pinned by the first upsert, byte codes
+    // per commit, coefficient-scored shortlist + exact re-rank
+    val sqStore = java.nio.file.Files.createTempDirectory("demo-sq").toString
+    graft.streaming.IvfSqStream.upsertStep(av1, sqStore, dim = 16, nlist = 2,
+      batchTag = "s0")
+    graft.streaming.IvfSqStream.upsertStep(av2, sqStore, dim = 16, nlist = 2,
+      batchTag = "s1")
+    val sqHit = graft.streaming.IvfSqStream.searchStore(
+        spark, sqStore, av1.filter($"vec_id" === 1L), k = 1, nprobe = 2, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    println(s"IVFSQ_STREAM top1=$sqHit")
+
     // --- watermarked stream-stream attribution join: one in-horizon
     // click matches, the no-impression click drops
     {
