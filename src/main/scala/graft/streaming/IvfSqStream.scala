@@ -316,7 +316,15 @@ object IvfSqStream {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
       compactEvery: Int = 64,
-      refitDriftFactor: Double = 1.5,
+      // default 2.0, NOT the siblings' 1.5: min/max-bound quantization
+      // CLAMPS held-out residual tails, so on a weakly-structured
+      // corpus the stationary held-out band sits higher than the
+      // codebook tiers' (sf1 DriftRehearsal: stationary ratios
+      // 1.35-1.84 where IVF reads ~1.08 and IVF-PQ ~1.13) — 1.5 is
+      // INSIDE this tier's noise band. 2.0 clears it; a genuine
+      // family shift on structured data still fires far above it
+      // (the IvfSqStreamSpec prototype shift). 0 disables.
+      refitDriftFactor: Double = 2.0,
       refitCooldownCommits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(vecsSchema).parquet(vecsPath)
       .writeStream

@@ -134,6 +134,20 @@ object DriftRehearsal {
         spark, pqDir, emb.filter(col("vec_id") < 10), k = 5,
         nprobe = 4, rerank = 32).count())
 
+    // IVF-SQ8 (round 16): same shifted-regime family as the IVF leg —
+    // the offset dominates after unit normalization, so new residuals
+    // vs the pinned centroids fall outside the trained per-dim bounds,
+    // clamp at encode, and the reconstruction-error monitor must clear
+    // the 1.5 default where the stationary band does not
+    val sqDir = java.nio.file.Files.createTempDirectory("driftsq").toString
+    leg(sqDir, "ivfsq", "_IVFSQ", "mean_code_err", scaled,
+      (b, t) => graft.streaming.IvfSqStream.upsertStep(
+        b, sqDir, dim = dim, nlist = 64, seed = 41L, batchTag = t),
+      mon => graft.streaming.IvfSqStream.maybeRefitOnDrift(spark, sqDir, mon, factor),
+      () => graft.streaming.IvfSqStream.searchStore(
+        spark, sqDir, emb.filter(col("vec_id") < 10), k = 5,
+        nprobe = 4, rerank = 32).count())
+
     spark.stop()
   }
 }

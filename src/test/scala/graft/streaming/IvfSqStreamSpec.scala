@@ -146,6 +146,78 @@ class IvfSqStreamSpec extends SparkSpec {
       "deleted id returned post-compaction")
   }
 
+  /** Synthetic PROTOTYPE clusters (the Round15StreamSpec drift
+    * fixture): a model fit on family A compresses family-A ticks
+    * almost perfectly; a family-B tick's residuals fall outside the
+    * trained per-dim bounds, clamp at encode, and the reconstruction
+    * monitor is unmistakably drifted. */
+  private def protoVecs(n: Int, offset: Long, seed: Int): DataFrame = {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    (0L until n.toLong).map { i =>
+      val k = (i % 16).toInt
+      val v = Array.tabulate(64) { t =>
+        val h = (k * 1000003L + t * 7919L + seed * 104729L) * 2654435761L
+        val proto = (((h >>> 16) % 13L) - 6L).toDouble
+        val jitter = (((i * 13 + t) % 7) - 3) * 0.01
+        (proto + jitter).toFloat
+      }
+      (offset + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("drift auto-refit at the 2.0 default: exactly one refit; answers correct through it") {
+    val store = java.nio.file.Files.createTempDirectory("sqdrift").toString
+    def ratioOf(mon: DataFrame): Double = {
+      val r = mon.agg(sum(col("members")).as("n"),
+        sum(col("members") * col("mean_code_err")).as("w")).collect()(0)
+      val mean = if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
+        else r.getDouble(1) / r.getLong(0)
+      val src = scala.io.Source.fromFile(s"$store/_IVFSQ")
+      val base = try src.getLines().find(_.startsWith("baseline "))
+        .map(_.stripPrefix("baseline ").toDouble).getOrElse(-1.0)
+      finally src.close()
+      mean / base
+    }
+    var ratios = List.empty[Double]
+    def tick(batch: DataFrame, tag: String): Boolean = {
+      val mon = IvfSqStream.upsertStep(batch, store,
+        dim = 64, nlist = 32, seed = 41L, batchTag = tag)
+      ratios :+= ratioOf(mon)
+      // the start() default factor (2.0 — see the knob's rationale:
+      // clamp-inflated held-out bands on weak-structure corpora)
+      IvfSqStream.maybeRefitOnDrift(spark, store, mon, factor = 2.0,
+        cooldownCommits = 1) // threshold logic in isolation
+    }
+    val f1 = tick(protoVecs(320, 0L, seed = 1), "t1") // fit+pin; baseline
+    val f2 = tick(protoVecs(160, 1000000L, seed = 1), "t2") // same family
+    val f3 = tick(protoVecs(160, 2000000L, seed = 5), "t3") // drifted → refit
+    val f4 = tick(protoVecs(160, 3000000L, seed = 5), "t4") // re-pinned
+    assert(Seq(f1, f2, f3, f4) == Seq(false, false, true, false),
+      s"refit pattern was ${Seq(f1, f2, f3, f4)}")
+    // the margin the default rests on: the structured-family shift
+    // clears 2.0 decisively while the same-family tick sits near 1
+    assert(ratios(1) < 1.5, s"stationary ratio ${ratios(1)} not in band")
+    assert(ratios(2) > 2.0, s"shift ratio ${ratios(2)} must clear the default")
+    // nprobe = nlist and rerank ≥ store size → the exact re-rank sees
+    // every stored vector → must equal brute force over everything
+    val all = protoVecs(320, 0L, 1).union(protoVecs(160, 1000000L, 1))
+      .union(protoVecs(160, 2000000L, 5)).union(protoVecs(160, 3000000L, 5))
+    val queries = protoVecs(320, 0L, 1).filter(col("vec_id") < 10)
+    val got = resultSet(
+      IvfSqStream.searchStore(spark, store, queries, k = 5,
+          nprobe = 32, rerank = 65536)
+        .select("query_id", "neighbor_id", "rank"))
+    val brute = resultSet(
+      SimilaritySearch.bruteForceTopK(queries, all, k = 5)
+        .select("query_id", "neighbor_id", "rank"))
+    assert(got == brute && got.nonEmpty, "post-refit store must answer exactly")
+    // the streaming entry exposes the knob (compile-time pin)
+    val sig = IvfSqStream.getClass.getMethods.find(_.getName == "start").get
+    assert(sig.getParameterTypes.exists(_ == classOf[Double]))
+  }
+
   test("start: vector files in, durable searchable quantized index; marker round-trips bounds; q109 = q108") {
     val root = java.nio.file.Files.createTempDirectory("sqw").toString
     val vecsDir = s"$root/vecs"
