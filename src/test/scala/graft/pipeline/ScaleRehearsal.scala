@@ -438,6 +438,53 @@ object ScaleRehearsal {
       println("IVFPQ_TICK final_equal_batch=true")
     }
 
+    // durable IVF-SQ8 at 10x (round 16): the scalar tier accretes the
+    // sf1 embeddings over 5 ticks — tick 0 fits + pins the model
+    // (centroids + per-dim residual bounds); each tick runs the
+    // cell-pruned coefficient-scored + exact-re-rank search. Final
+    // search must equal a one-shot store under the same pinned model
+    // (marker copied) — scalar encoding is deterministic given the
+    // pins, so accretion is answer-transparent.
+    {
+      val sstore2 = java.nio.file.Files
+        .createTempDirectory("sf1-sqstore").toString
+      val vecs = spark.read.parquet(s"$DestDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val queries = vecs.filter(col("vec_id") < 10).cache()
+      queries.count()
+      (0 until 5).foreach { c =>
+        val batch = vecs.filter(pmod(col("vec_id"), lit(5)) === c)
+        val t0 = System.nanoTime()
+        graft.streaming.IvfSqStream.upsertStep(batch, sstore2,
+          dim = 64, nlist = 16, seed = 41L, batchTag = s"s$c")
+        val tUp = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val hits = graft.streaming.IvfSqStream
+          .searchStore(spark, sstore2, queries, k = 5, nprobe = 10, rerank = 192)
+          .count()
+        println(f"IVFSQ_TICK $c%d upsert_sec=$tUp%.2f " +
+          f"search_sec=${(System.nanoTime() - t1) / 1e9}%.2f hits=$hits%d")
+        if (c == 2) graft.streaming.IvfSqStream.compactStore(spark, sstore2)
+      }
+      val oneStore = java.nio.file.Files
+        .createTempDirectory("sf1-sqone").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sstore2/_IVFSQ"),
+        java.nio.file.Paths.get(s"$oneStore/_IVFSQ"))
+      graft.streaming.IvfSqStream.upsertStep(vecs, oneStore,
+        dim = 64, nlist = 16, seed = 41L, batchTag = "all")
+      def topk(s: String) = graft.streaming.IvfSqStream
+        .searchStore(spark, s, queries, k = 5, nprobe = 10, rerank = 192)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val accreted = topk(sstore2)
+      val oneShot = topk(oneStore)
+      require(accreted == oneShot,
+        s"accreted IVF-SQ index diverged: ${accreted.size} vs ${oneShot.size}")
+      queries.unpersist()
+      println("IVFSQ_TICK final_equal_batch=true")
+    }
+
     // many-source stress for sourceOverlap: 1000 synthetic sources
     // over the sf1 corpus, every doc carrying a 3-token boilerplate
     // header (nav-bar/licence-header in miniature) — the header
