@@ -230,6 +230,7 @@ object AudioCodecs {
     var frames = 0
     var blocks = 0L
     var sr = 0
+    var cfg = 0
     var channels = 0
     var objectType = 0
     var ok = true
@@ -250,12 +251,16 @@ object AudioCodecs {
       // stream doesn't switch parameters mid-walk
       if (thisSr == 0 || chCfg == 0 || frameLen < headerLen ||
           o + frameLen > b.length ||
-          (frames > 0 && (thisSr != sr || chCfg != channels ||
+          (frames > 0 && (thisSr != sr || chCfg != cfg ||
             profile + 1 != objectType)))
         ok = false
       else {
         sr = thisSr
-        channels = chCfg
+        cfg = chCfg
+        // channel_configuration → channel COUNT (ISO/IEC 14496-3
+        // table 1.19): configs 1–6 map to themselves; config 7 is the
+        // 7.1 layout = 8 channels
+        channels = if (chCfg == 7) 8 else chCfg
         objectType = profile + 1
         frames += 1
         blocks += nBlocks

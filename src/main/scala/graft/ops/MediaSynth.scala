@@ -557,7 +557,9 @@ object MediaSynth {
     * 13-bit aac_frame_length includes the header; buffer fullness is
     * the 0x7FF VBR sentinel; one raw data block per frame. Parameters
     * must be stream-constant (the walker enforces that), `sr` an AAC
-    * table rate. */
+    * table rate. `channels` is the 3-bit channel CONFIGURATION field
+    * (= channel count for 1–6; config 7 is the 8-channel 7.1
+    * layout). */
   def adts(id: Long, sr: Int, channels: Int, frames: Int, payloadLen: Int,
       withCrc: Boolean = false): Array[Byte] = {
     val sfi = AudioCodecs.AacSampleRates.indexOf(sr)

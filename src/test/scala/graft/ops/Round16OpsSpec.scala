@@ -59,6 +59,13 @@ class Round16OpsSpec extends SparkSpec {
     val c = AudioCodecs.decodeAdts(crc).get
     assert(c.frames == 40 && c.totalSamples == 40L * 1024 &&
       c.sampleRate == 44100)
+    // channel_configuration 7 is the 7.1 layout = EIGHT channels
+    // (ISO/IEC 14496-3 table 1.19), and the stream-consistency check
+    // must compare raw configs, not mapped counts (a 7.1 stream walks
+    // all its frames)
+    val c71 = AudioCodecs.decodeAdts(
+      MediaSynth.adts(5L, 48000, channels = 7, frames = 6, payloadLen = 9)).get
+    assert(c71.channels == 8 && c71.frames == 6, s"got $c71")
   }
 
   test("adts: dispatch disambiguates the shared 0xFFF sync from MP3 on layer bits") {

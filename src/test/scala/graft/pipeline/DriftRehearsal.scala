@@ -38,7 +38,11 @@ import org.apache.spark.sql.functions._
   *
   * Emits `DRIFT tier=… tick=… ratio=… refit=…` lines; the factor under
   * test comes from SPARK_GRAFT_DRIFT_FACTOR (default 1.5 — the value
-  * the `start()` entries pin as their default). */
+  * the IVF/IVF-PQ `start()` entries pin) and, for the scalar tier,
+  * SPARK_GRAFT_DRIFT_FACTOR_SQ (default 2.0 — `IvfSqStream.start`'s
+  * own default: min/max-bound clamping lifts THIS tier's stationary
+  * held-out band to 1.35–1.84 on this corpus, measured by this very
+  * rig, so 1.5 sits inside its noise). */
 object DriftRehearsal {
 
   def main(args: Array[String]): Unit = {
@@ -52,6 +56,8 @@ object DriftRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_DRIFT_FACTOR", "1.5").toDouble
+    // the scalar tier ships its own higher default (see the docstring)
+    val sqFactor = sys.env.getOrElse("SPARK_GRAFT_DRIFT_FACTOR_SQ", "2.0").toDouble
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -134,16 +140,19 @@ object DriftRehearsal {
         spark, pqDir, emb.filter(col("vec_id") < 10), k = 5,
         nprobe = 4, rerank = 32).count())
 
-    // IVF-SQ8 (round 16): same shifted-regime family as the IVF leg —
-    // the offset dominates after unit normalization, so new residuals
-    // vs the pinned centroids fall outside the trained per-dim bounds,
-    // clamp at encode, and the reconstruction-error monitor must clear
-    // the 1.5 default where the stationary band does not
+    // IVF-SQ8 (round 16), at ITS OWN shipped default (2.0): this
+    // corpus records the tier's observability boundary rather than a
+    // firing — min/max clamping lifts the stationary held-out band to
+    // 1.35-1.84 (why 1.5 was rejected as the default), and the
+    // shifted-regime ticks read ~1.0 (reconstruction error measures
+    // quantization quality, not novelty; the baseline is already at
+    // the ceiling on a near-isotropic corpus). The structured-corpus
+    // firing at 2.0 is spec-gated (IvfSqStreamSpec).
     val sqDir = java.nio.file.Files.createTempDirectory("driftsq").toString
     leg(sqDir, "ivfsq", "_IVFSQ", "mean_code_err", scaled,
       (b, t) => graft.streaming.IvfSqStream.upsertStep(
         b, sqDir, dim = dim, nlist = 64, seed = 41L, batchTag = t),
-      mon => graft.streaming.IvfSqStream.maybeRefitOnDrift(spark, sqDir, mon, factor),
+      mon => graft.streaming.IvfSqStream.maybeRefitOnDrift(spark, sqDir, mon, sqFactor),
       () => graft.streaming.IvfSqStream.searchStore(
         spark, sqDir, emb.filter(col("vec_id") < 10), k = 5,
         nprobe = 4, rerank = 32).count())
