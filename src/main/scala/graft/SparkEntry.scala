@@ -112,6 +112,7 @@ object SparkEntry {
     "q106_multimodal_m4a" -> (OpsQueries.q106MultimodalM4a _),
     "q107_multimodal_adts" -> (OpsQueries.q107MultimodalAdts _),
     "q108_ivfsq_topk" -> (OpsQueries.q108IvfSqTopK _),
+    "q110_multimodal_tiff" -> (OpsQueries.q110MultimodalTiff _),
     "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
     "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
     "q104_ivfpq_stream" -> (OpsQueries.q104IvfPqStream _),
@@ -1505,6 +1506,17 @@ object SparkEntry {
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 57 + 8 + doc_id % 32
         |    WHEN 1 THEN 18 + 4 + doc_id % 16
         |    ELSE 25 + 7 + 2 * (doc_id % 12) END AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    // q110: baseline TIFF in BOTH byte orders (MediaSynth.tiffAssetFor:
+    // II by even id / MM by odd), recovered via the real IFD walk
+    // (ImageCodecs.decodeTiff). Arithmetic: w = 1+id%60, h = 1+id%45,
+    // n_bytes = 74 + id%24 (8 header + 2 count + 5 entries x 12 + 4
+    // next-IFD + pad)
+    "q110_multimodal_tiff" ->
+      """SELECT doc_id, 'tiff' AS fmt,
+        |  CAST(1 + doc_id % 60 AS INT) AS width,
+        |  CAST(1 + doc_id % 45 AS INT) AS height,
+        |  CAST(74 + doc_id % 24 AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
     // q103: the AUDIO trio beyond WAV (MediaSynth.audioAssetFor: MPEG-1
     // Layer III with an ID3v2 tag / FLAC with STREAMINFO + PADDING

@@ -133,9 +133,50 @@ object ImageCodecs {
     }
   }
 
+  /** TIFF baseline header (TIFF 6.0 §2): 'II'/0x2A00 little-endian or
+    * 'MM'/0x002A big-endian, a 32-bit offset to IFD0, then the IFD —
+    * a 16-bit entry count and 12-byte entries (tag/type/count/value).
+    * Dimensions are tags 256 (ImageWidth) and 257 (ImageLength) with
+    * type SHORT(3) or LONG(4) and count 1, so the value sits INLINE in
+    * the entry's value field — a SHORT occupies the field's FIRST two
+    * bytes in the file's byte order (left-justified per §2, which for
+    * big-endian means the high half of the 32-bit field). Both byte
+    * orders walked with the same code through order-dispatched reads;
+    * garbage, truncation, and missing dimension tags return None. */
+  def decodeTiff(b: Array[Byte]): Option[Dims] = {
+    if (b == null || b.length < 8) return None
+    val little =
+      if (b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0) true
+      else if (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a) false
+      else return None
+    def r16(o: Int): Int = if (little) le16(b, o) else be16(b, o)
+    def r32(o: Int): Int = if (little) le32(b, o) else be32(b, o)
+    val ifd = r32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = r16(ifd)
+    if (n <= 0 || ifd + 2 + 12 * n > b.length) return None
+    var w = 0
+    var h = 0
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + 12 * i
+      val tag = r16(e)
+      val tpe = r16(e + 2)
+      val count = r32(e + 4)
+      if ((tag == 256 || tag == 257) && count == 1 &&
+          (tpe == 3 || tpe == 4)) {
+        // inline value: SHORT left-justified in the 4-byte field
+        val v = if (tpe == 3) r16(e + 8) else r32(e + 8)
+        if (tag == 256) w = v else h = v
+      }
+      i += 1
+    }
+    if (w > 0 && h > 0) Some(Dims(w, h, "tiff")) else None
+  }
+
   /** Try every container in magic-number order. */
   def decodeHeader(b: Array[Byte]): Option[Dims] =
     if (b == null || b.length < 4) None
     else decodePng(b).orElse(decodeBmp(b)).orElse(decodeGif(b))
-      .orElse(decodeWebp(b)).orElse(decodeJpeg(b))
+      .orElse(decodeWebp(b)).orElse(decodeTiff(b)).orElse(decodeJpeg(b))
 }

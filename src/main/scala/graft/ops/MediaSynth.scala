@@ -548,6 +548,58 @@ object MediaSynth {
         totalSamples * 1000L / sr, (id % 32).toInt), empty)
   }
 
+  // ---- q110: TIFF baseline headers ----
+
+  /** A REAL baseline TIFF header (TIFF 6.0 §2) in EITHER byte order:
+    * 'II'/'MM' magic + 42, IFD0 at offset 8 with five entries
+    * (ImageWidth 256 / ImageLength 257 as inline SHORTs, plus
+    * BitsPerSample 8, Compression 1, SamplesPerPixel 1 for parser
+    * realism), a zero next-IFD offset, then `padLen` deterministic
+    * filler bytes standing in for strip data. Closed-form size:
+    * 8 header + 2 count + 5·12 entries + 4 next → 74 + padLen.
+    * Inline SHORT values are left-justified in the 4-byte value field
+    * per §2 (first two bytes in the file's byte order). */
+  def tiff(id: Long, w: Int, h: Int, padLen: Int,
+      bigEndian: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { w16((v >> 16) & 0xffff); w16(v & 0xffff) }
+      else { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    if (bigEndian) { out.write('M'); out.write('M') }
+    else { out.write('I'); out.write('I') }
+    w16(42)
+    w32(8) // IFD0 immediately after the header
+    w16(5) // entry count
+    def entry(tag: Int, value: Int): Unit = {
+      w16(tag); w16(3 /* SHORT */); w32(1)
+      w16(value); w16(0) // left-justified inline SHORT
+    }
+    entry(256, w)
+    entry(257, h)
+    entry(258, 8)
+    entry(259, 1)
+    entry(277, 1)
+    w32(0) // no next IFD
+    var j = 0
+    while (j < padLen) { out.write(((id + 5 + j) % 255).toInt); j += 1 }
+    out.toByteArray
+  }
+
+  /** The q110 asset for one document id — baseline TIFF, byte order
+    * alternating by id parity (II even / MM odd), every parameter a
+    * small modulus of the id (the oracle restates these formulas):
+    * w = 1 + id%60, h = 1 + id%45, pad = id%24
+    * → n_bytes = 74 + id%24. */
+  def tiffAssetFor(id: Long): MediaAsset = {
+    val empty = MediaMeta(0, 0, 0L, 0, "?")
+    MediaAsset(id, "image",
+      tiff(id, 1 + (id % 60).toInt, 1 + (id % 45).toInt, (id % 24).toInt,
+        bigEndian = id % 2 == 1), empty)
+  }
+
   // ---- q107: ADTS-AAC transport streams ----
 
   /** A REAL ADTS stream (ISO/IEC 14496-3 §1.A.2): `frames` back-to-back

@@ -1244,6 +1244,29 @@ object OpsQueries {
         length(col("bytes")).cast("long").as("n_bytes"))
   }
 
+  /** MULTIMODAL dimensions over baseline TIFF (round 16): real TIFF
+    * 6.0 headers in BOTH byte orders (II by even id, MM by odd — the
+    * one image container where endianness is a per-file property),
+    * synthesized per doc_id ([[graft.ops.MediaSynth.tiffAssetFor]])
+    * and recovered exclusively through the real IFD walk
+    * ([[graft.ops.ImageCodecs.decodeTiff]]: magic+42 dispatch,
+    * entry-table scan for tags 256/257, left-justified inline SHORT
+    * semantics). With q98/q99/q100 every ImageCodecs path — now six
+    * image containers — sits inside the DuckDB hash gate; the oracle
+    * restates the synthesis arithmetic from the id alone. */
+  def q110MultimodalTiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val assets = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(graft.ops.MediaSynth.tiffAssetFor)
+    graft.ops.Multimodal.decodeImages(assets)
+      .select(col("asset_id").as("doc_id"),
+        col("meta.format").as("fmt"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+  }
+
   /** STREAMING ANN, oracle-gated ([[graft.streaming.AnnStream]]): the
     * planted-neighbor corpus split into three micro-batches, each
     * upserted as a bucket-keyed commit into a durable LSH store, then

@@ -120,6 +120,49 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("tiff: IFD walk recovers dims in BOTH byte orders; garbage and truncation dead-letter") {
+    // little-endian and big-endian headers carry identical fields
+    val ii = ImageCodecs.decodeTiff(MediaSynth.tiff(4L, 33, 21, 7, bigEndian = false)).get
+    val mm = ImageCodecs.decodeTiff(MediaSynth.tiff(4L, 33, 21, 7, bigEndian = true)).get
+    assert(ii == ImageCodecs.Dims(33, 21, "tiff"))
+    assert(mm == ImageCodecs.Dims(33, 21, "tiff"))
+    // writer arithmetic: 8 + 2 + 5*12 + 4 + pad
+    assert(MediaSynth.tiff(4L, 33, 21, 7, bigEndian = true).length == 74 + 7)
+    // garbage, empty, null, wrong magic, truncated IFD all dead-letter
+    assert(ImageCodecs.decodeTiff(Array.fill(64)(0x41.toByte)).isEmpty)
+    assert(ImageCodecs.decodeTiff(Array.emptyByteArray).isEmpty)
+    assert(ImageCodecs.decodeTiff(null).isEmpty)
+    val whole = MediaSynth.tiff(4L, 33, 21, 0, bigEndian = false)
+    assert(ImageCodecs.decodeTiff(
+      java.util.Arrays.copyOfRange(whole, 0, 20)).isEmpty,
+      "IFD truncated mid-entry-table must not decode")
+    // an IFD carrying no dimension tags dead-letters (count-only walk)
+    val noDims = whole.clone()
+    // overwrite tag 256 -> 320, tag 257 -> 321 (little-endian u16 at
+    // entry offsets 10 and 22)
+    noDims(10) = (320 & 0xff).toByte; noDims(11) = (320 >> 8).toByte
+    noDims(22) = (321 & 0xff).toByte; noDims(23) = (321 >> 8).toByte
+    assert(ImageCodecs.decodeTiff(noDims).isEmpty)
+  }
+
+  test("q110 pipeline: TIFF decode over synthesized assets equals the arithmetic oracle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q110docs").toString
+    (0L until 120L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.OpsQueries.q110MultimodalTiff(spark, dir)
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("fmt"), r.getAs[Int]("width"),
+            r.getAs[Int]("height"), r.getAs[Long]("n_bytes")))
+      }.toMap
+    assert(got.size == 120, s"got ${got.size} rows")
+    (0L until 120L).foreach { id =>
+      val exp = ("tiff", (1 + id % 60).toInt, (1 + id % 45).toInt, 74 + id % 24)
+      assert(got(id) == exp, s"id=$id got ${got(id)} expected $exp")
+    }
+  }
+
   test("q106 pipeline: M4A decode over synthesized assets equals the arithmetic oracle") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q106docs").toString
