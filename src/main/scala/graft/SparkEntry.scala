@@ -113,6 +113,7 @@ object SparkEntry {
     "q107_multimodal_adts" -> (OpsQueries.q107MultimodalAdts _),
     "q108_ivfsq_topk" -> (OpsQueries.q108IvfSqTopK _),
     "q110_multimodal_tiff" -> (OpsQueries.q110MultimodalTiff _),
+    "q111_multimodal_avif" -> (OpsQueries.q111MultimodalAvif _),
     "q101_ann_stream" -> (OpsQueries.q101AnnStream _),
     "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
     "q104_ivfpq_stream" -> (OpsQueries.q104IvfPqStream _),
@@ -1517,6 +1518,18 @@ object SparkEntry {
         |  CAST(1 + doc_id % 60 AS INT) AS width,
         |  CAST(1 + doc_id % 45 AS INT) AS height,
         |  CAST(74 + doc_id % 24 AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    // q111: AVIF/HEIC still images (MediaSynth.avifAssetFor: brand by
+    // id parity), recovered via the meta->iprp->ipco->ispe box-spine
+    // walk (ImageCodecs.decodeAvif). Arithmetic: w = 1+id%64,
+    // h = 1+id%48, n_bytes = 113 + id%20 (ftyp 24 + meta 81 + mdat
+    // 8+pad)
+    "q111_multimodal_avif" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS fmt,
+        |  CAST(1 + doc_id % 64 AS INT) AS width,
+        |  CAST(1 + doc_id % 48 AS INT) AS height,
+        |  CAST(113 + doc_id % 20 AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
     // q103: the AUDIO trio beyond WAV (MediaSynth.audioAssetFor: MPEG-1
     // Layer III with an ID3v2 tag / FLAC with STREAMINFO + PADDING

@@ -174,9 +174,57 @@ object ImageCodecs {
     if (w > 0 && h > 0) Some(Dims(w, h, "tiff")) else None
   }
 
+  /** AVIF / HEIC still images (ISO-BMFF / HEIF, ISO/IEC 23008-12):
+    * `ftyp` with an image brand, then the `meta` FULLBOX (4 bytes of
+    * version/flags precede its children — the one structural trap of
+    * this walk) nesting `iprp` → `ipco` → `ispe`, whose payload after
+    * its own version/flags is image_width/image_height as be32s. The
+    * walk descends exactly that spine with per-box bounds checks;
+    * lying sizes, truncation, or a missing `ispe` return None. Format
+    * reports the brand family (avif/avis → "avif", heic/heix →
+    * "heic", other mif1-style brands → "heif"). */
+  def decodeAvif(b: Array[Byte]): Option[Dims] = {
+    if (b == null || b.length < 16) return None
+    def fourcc(o: Int): String =
+      if (o + 4 > b.length) ""
+      else new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(4) != "ftyp") return None
+    val fmt = fourcc(8) match {
+      case "avif" | "avis" => "avif"
+      case "heic" | "heix" => "heic"
+      case "mif1" | "msf1" => "heif"
+      case _ => return None
+    }
+    // find a child box by type inside [start, end); returns payload
+    // bounds. `skip` leading payload bytes handles fullbox children.
+    def child(start: Int, end: Int, tpe: String): Option[(Int, Int)] = {
+      var o = start
+      while (o + 8 <= end) {
+        val size = be32(b, o).toLong & 0xffffffffL
+        val boxEnd = if (size == 0) end.toLong else o + size
+        if (size == 1 || (size != 0 && size < 8) || boxEnd > end) return None
+        if (fourcc(o + 4) == tpe) return Some((o + 8, boxEnd.toInt))
+        o = boxEnd.toInt
+      }
+      None
+    }
+    for {
+      (metaP, metaE) <- child(0, b.length, "meta")
+      // meta is a FULLBOX: children start after 4 version/flags bytes
+      (iprpP, iprpE) <- child(metaP + 4, metaE, "iprp")
+      (ipcoP, ipcoE) <- child(iprpP, iprpE, "ipco")
+      (ispeP, ispeE) <- child(ipcoP, ipcoE, "ispe")
+      if ispeP + 12 <= ispeE
+      w = be32(b, ispeP + 4)
+      h = be32(b, ispeP + 8)
+      if w > 0 && h > 0
+    } yield Dims(w, h, fmt)
+  }
+
   /** Try every container in magic-number order. */
   def decodeHeader(b: Array[Byte]): Option[Dims] =
     if (b == null || b.length < 4) None
     else decodePng(b).orElse(decodeBmp(b)).orElse(decodeGif(b))
-      .orElse(decodeWebp(b)).orElse(decodeTiff(b)).orElse(decodeJpeg(b))
+      .orElse(decodeWebp(b)).orElse(decodeTiff(b)).orElse(decodeAvif(b))
+      .orElse(decodeJpeg(b))
 }

@@ -548,6 +548,39 @@ object MediaSynth {
         totalSamples * 1000L / sr, (id % 32).toInt), empty)
   }
 
+  // ---- q111: AVIF / HEIC still-image headers ----
+
+  /** A minimal-but-real HEIF still image (ISO/IEC 23008-12): `ftyp`
+    * with the requested brand + mif1 compatibility, the `meta` FULLBOX
+    * nesting a `pict` handler and `iprp(ipco(ispe))` with the
+    * version/flags-prefixed width/height, then an `mdat` pad standing
+    * in for the coded payload. Closed-form size: ftyp 24 + meta 81
+    * (fullbox 12 + hdlr 33 + iprp 36) + mdat (8 + padLen)
+    * → n_bytes = 113 + padLen. */
+  def avif(id: Long, brand: String, w: Int, h: Int, padLen: Int): Array[Byte] = {
+    require(brand.length == 4, s"brand must be a fourcc: $brand")
+    val ftyp = box("ftyp", cc(brand) ++ be32(0) ++ cc(brand) ++ cc("mif1"))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ cc("pict") ++
+      new Array[Byte](12) ++ Array(0.toByte))
+    val ispe = box("ispe", be32(0) ++ be32(w) ++ be32(h))
+    val iprp = box("iprp", box("ipco", ispe))
+    val meta = box("meta", be32(0) ++ hdlr ++ iprp)
+    val pad = Array.tabulate(padLen)(j => ((id + 9 + j) % 255).toByte)
+    ftyp ++ meta ++ box("mdat", pad)
+  }
+
+  /** The q111 asset for one document id — AVIF / HEIC by id parity,
+    * every parameter a small modulus of the id (the oracle restates
+    * these formulas): brand avif on even ids / heic on odd,
+    * w = 1 + id%64, h = 1 + id%48, pad = id%20
+    * → n_bytes = 113 + id%20. */
+  def avifAssetFor(id: Long): MediaAsset = {
+    val empty = MediaMeta(0, 0, 0L, 0, "?")
+    MediaAsset(id, "image",
+      avif(id, if (id % 2 == 0) "avif" else "heic",
+        1 + (id % 64).toInt, 1 + (id % 48).toInt, (id % 20).toInt), empty)
+  }
+
   // ---- q110: TIFF baseline headers ----
 
   /** A REAL baseline TIFF header (TIFF 6.0 §2) in EITHER byte order:

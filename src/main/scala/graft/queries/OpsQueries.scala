@@ -1267,6 +1267,28 @@ object OpsQueries {
         length(col("bytes")).cast("long").as("n_bytes"))
   }
 
+  /** MULTIMODAL dimensions over AVIF/HEIC (round 16): the modern-web
+    * still-image family — ISO-BMFF/HEIF `ftyp` brands with the `meta`
+    * FULLBOX nesting `iprp(ipco(ispe))`, synthesized per doc_id
+    * ([[graft.ops.MediaSynth.avifAssetFor]], brand by id parity) and
+    * recovered exclusively through the real box-spine walk
+    * ([[graft.ops.ImageCodecs.decodeAvif]] — including the meta
+    * fullbox's version/flags offset, the one structural trap). Seven
+    * image containers now sit inside the DuckDB hash gate; the oracle
+    * restates the synthesis arithmetic from the id alone. */
+  def q111MultimodalAvif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val assets = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(graft.ops.MediaSynth.avifAssetFor)
+    graft.ops.Multimodal.decodeImages(assets)
+      .select(col("asset_id").as("doc_id"),
+        col("meta.format").as("fmt"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+  }
+
   /** STREAMING ANN, oracle-gated ([[graft.streaming.AnnStream]]): the
     * planted-neighbor corpus split into three micro-batches, each
     * upserted as a bucket-keyed commit into a durable LSH store, then

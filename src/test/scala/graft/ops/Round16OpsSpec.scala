@@ -163,6 +163,43 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("avif/heic: the meta-fullbox spine walk recovers ispe dims; video MP4 and garbage dead-letter") {
+    val a = ImageCodecs.decodeAvif(MediaSynth.avif(3L, "avif", 320, 240, 11)).get
+    assert(a == ImageCodecs.Dims(320, 240, "avif"))
+    val h = ImageCodecs.decodeAvif(MediaSynth.avif(3L, "heic", 64, 48, 0)).get
+    assert(h == ImageCodecs.Dims(64, 48, "heic"))
+    // writer arithmetic: ftyp 24 + meta 81 + mdat 8 + pad
+    assert(MediaSynth.avif(3L, "avif", 320, 240, 11).length == 113 + 11)
+    // a VIDEO mp4 shares the ftyp magic but not an image brand → None
+    assert(ImageCodecs.decodeAvif(MediaSynth.mp4(4L, nf = 3, frameLen = 50)).isEmpty)
+    assert(ImageCodecs.decodeAvif(Array.fill(64)(0x41.toByte)).isEmpty)
+    assert(ImageCodecs.decodeAvif(Array.emptyByteArray).isEmpty)
+    assert(ImageCodecs.decodeAvif(null).isEmpty)
+    // truncation inside meta: the spine walk stops cleanly
+    val whole = MediaSynth.avif(3L, "avif", 320, 240, 0)
+    assert(ImageCodecs.decodeAvif(
+      java.util.Arrays.copyOfRange(whole, 0, 40)).isEmpty)
+  }
+
+  test("q111 pipeline: AVIF/HEIC decode over synthesized assets equals the arithmetic oracle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q111docs").toString
+    (0L until 120L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.OpsQueries.q111MultimodalAvif(spark, dir)
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("fmt"), r.getAs[Int]("width"),
+            r.getAs[Int]("height"), r.getAs[Long]("n_bytes")))
+      }.toMap
+    assert(got.size == 120, s"got ${got.size} rows")
+    (0L until 120L).foreach { id =>
+      val exp = (if (id % 2 == 0) "avif" else "heic",
+        (1 + id % 64).toInt, (1 + id % 48).toInt, 113 + id % 20)
+      assert(got(id) == exp, s"id=$id got ${got(id)} expected $exp")
+    }
+  }
+
   test("q106 pipeline: M4A decode over synthesized assets equals the arithmetic oracle") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q106docs").toString
