@@ -152,7 +152,9 @@ object ImageCodecs {
     def r16(o: Int): Int = if (little) le16(b, o) else be16(b, o)
     def r32(o: Int): Int = if (little) le32(b, o) else be32(b, o)
     val ifd = r32(4)
-    if (ifd < 8 || ifd + 2 > b.length) return None
+    // subtraction, not addition: a crafted offset near Int.MaxValue
+    // must fail the guard, never wrap it (b.length >= 8 here)
+    if (ifd < 8 || ifd > b.length - 2) return None
     val n = r16(ifd)
     if (n <= 0 || ifd + 2 + 12 * n > b.length) return None
     var w = 0
@@ -196,14 +198,24 @@ object ImageCodecs {
       case _ => return None
     }
     // find a child box by type inside [start, end); returns payload
-    // bounds. `skip` leading payload bytes handles fullbox children.
+    // bounds. Fullbox children are handled at the call sites (the
+    // caller offsets past the 4 version/flags bytes). size==1 carries
+    // a 64-bit largesize at o+8 (some streaming muxers emit it
+    // unconditionally, e.g. on a leading mdat) — parsed, not fatal.
     def child(start: Int, end: Int, tpe: String): Option[(Int, Int)] = {
       var o = start
       while (o + 8 <= end) {
-        val size = be32(b, o).toLong & 0xffffffffL
+        val size32 = be32(b, o).toLong & 0xffffffffL
+        val (size, payload) =
+          if (size32 == 1 && o + 16 <= end)
+            ((be32(b, o + 8).toLong << 32) | (be32(b, o + 12).toLong & 0xffffffffL),
+              o + 16)
+          else (size32, o + 8)
         val boxEnd = if (size == 0) end.toLong else o + size
-        if (size == 1 || (size != 0 && size < 8) || boxEnd > end) return None
-        if (fourcc(o + 4) == tpe) return Some((o + 8, boxEnd.toInt))
+        val minSize = (payload - o).toLong
+        if ((size != 0 && size < minSize) || boxEnd > end || boxEnd < payload)
+          return None
+        if (fourcc(o + 4) == tpe) return Some((payload, boxEnd.toInt))
         o = boxEnd.toInt
       }
       None

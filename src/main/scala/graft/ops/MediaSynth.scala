@@ -593,7 +593,7 @@ object MediaSynth {
     * Inline SHORT values are left-justified in the 4-byte value field
     * per §2 (first two bytes in the file's byte order). */
   def tiff(id: Long, w: Int, h: Int, padLen: Int,
-      bigEndian: Boolean): Array[Byte] = {
+      bigEndian: Boolean, longDims: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -610,8 +610,14 @@ object MediaSynth {
       w16(tag); w16(3 /* SHORT */); w32(1)
       w16(value); w16(0) // left-justified inline SHORT
     }
-    entry(256, w)
-    entry(257, h)
+    // `longDims` writes the dimension tags as inline LONGs (type 4,
+    // the full 4-byte value field) — real-world TIFFs commonly carry
+    // LONG-typed dims, so the reader's type-4 path needs corpus too
+    def dimEntry(tag: Int, value: Int): Unit =
+      if (longDims) { w16(tag); w16(4 /* LONG */); w32(1); w32(value) }
+      else entry(tag, value)
+    dimEntry(256, w)
+    dimEntry(257, h)
     entry(258, 8)
     entry(259, 1)
     entry(277, 1)
@@ -622,15 +628,17 @@ object MediaSynth {
   }
 
   /** The q110 asset for one document id — baseline TIFF, byte order
-    * alternating by id parity (II even / MM odd), every parameter a
-    * small modulus of the id (the oracle restates these formulas):
-    * w = 1 + id%60, h = 1 + id%45, pad = id%24
+    * alternating by id parity (II even / MM odd) and dimension tags
+    * written as inline LONGs on id%3 = 0 (both entry forms are 12
+    * bytes, so the size arithmetic is type-independent), every
+    * parameter a small modulus of the id (the oracle restates these
+    * formulas): w = 1 + id%60, h = 1 + id%45, pad = id%24
     * → n_bytes = 74 + id%24. */
   def tiffAssetFor(id: Long): MediaAsset = {
     val empty = MediaMeta(0, 0, 0L, 0, "?")
     MediaAsset(id, "image",
       tiff(id, 1 + (id % 60).toInt, 1 + (id % 45).toInt, (id % 24).toInt,
-        bigEndian = id % 2 == 1), empty)
+        bigEndian = id % 2 == 1, longDims = id % 3 == 0), empty)
   }
 
   // ---- q107: ADTS-AAC transport streams ----

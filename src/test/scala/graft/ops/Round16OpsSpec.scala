@@ -126,6 +126,13 @@ class Round16OpsSpec extends SparkSpec {
     val mm = ImageCodecs.decodeTiff(MediaSynth.tiff(4L, 33, 21, 7, bigEndian = true)).get
     assert(ii == ImageCodecs.Dims(33, 21, "tiff"))
     assert(mm == ImageCodecs.Dims(33, 21, "tiff"))
+    // LONG-typed (type 4) dimension entries, both byte orders — the
+    // full 4-byte inline value, the common real-world encoding
+    Seq(false, true).foreach { be =>
+      val d = ImageCodecs.decodeTiff(
+        MediaSynth.tiff(4L, 70000, 21, 0, bigEndian = be, longDims = true)).get
+      assert(d == ImageCodecs.Dims(70000, 21, "tiff"), s"LONG dims, be=$be: $d")
+    }
     // writer arithmetic: 8 + 2 + 5*12 + 4 + pad
     assert(MediaSynth.tiff(4L, 33, 21, 7, bigEndian = true).length == 74 + 7)
     // garbage, empty, null, wrong magic, truncated IFD all dead-letter
@@ -143,6 +150,12 @@ class Round16OpsSpec extends SparkSpec {
     noDims(10) = (320 & 0xff).toByte; noDims(11) = (320 >> 8).toByte
     noDims(22) = (321 & 0xff).toByte; noDims(23) = (321 >> 8).toByte
     assert(ImageCodecs.decodeTiff(noDims).isEmpty)
+    // a crafted IFD offset near Int.MaxValue must dead-letter, not
+    // wrap the bounds check and crash the task (overflow regression)
+    val crafted = whole.clone()
+    crafted(4) = 0xfe.toByte; crafted(5) = 0xff.toByte
+    crafted(6) = 0xff.toByte; crafted(7) = 0x7f.toByte
+    assert(ImageCodecs.decodeTiff(crafted).isEmpty)
   }
 
   test("q110 pipeline: TIFF decode over synthesized assets equals the arithmetic oracle") {
@@ -179,6 +192,23 @@ class Round16OpsSpec extends SparkSpec {
     val whole = MediaSynth.avif(3L, "avif", 320, 240, 0)
     assert(ImageCodecs.decodeAvif(
       java.util.Arrays.copyOfRange(whole, 0, 40)).isEmpty)
+    // the generic mif1 brand maps to the heif family
+    assert(ImageCodecs.decodeAvif(
+      MediaSynth.avif(3L, "mif1", 10, 12, 0)).get ==
+      ImageCodecs.Dims(10, 12, "heif"))
+    // a size==1 largesize box BEFORE meta (streaming-muxer layout) is
+    // skipped via its 64-bit length, not treated as fatal: splice a
+    // largesize mdat between ftyp (24 bytes) and the meta box
+    val pad = 5
+    val ftypEnd = 24
+    val mdat = Array.concat(
+      Array(0, 0, 0, 1).map(_.toByte), "mdat".getBytes("US-ASCII"),
+      Array(0, 0, 0, 0, 0, 0, 0, (16 + pad)).map(_.toByte),
+      Array.fill(pad)(0x55.toByte))
+    val spliced = whole.take(ftypEnd) ++ mdat ++ whole.drop(ftypEnd)
+    assert(ImageCodecs.decodeAvif(spliced).get ==
+      ImageCodecs.Dims(320, 240, "avif"),
+      "largesize box before meta must be skipped, not fatal")
   }
 
   test("q111 pipeline: AVIF/HEIC decode over synthesized assets equals the arithmetic oracle") {
