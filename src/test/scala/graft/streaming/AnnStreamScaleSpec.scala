@@ -163,7 +163,14 @@ class AnnStreamScaleSpec extends SparkSpec {
           store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = s"w$i")
         if (i % 2 == 1) AnnStream.compactStore(spark, store)
       }
-    } finally { stop.set(true); searcher.join(120000) }
+    } finally {
+      // liveness floor under suite load (the IvfStreamSpec rationale):
+      // wait bounded for the reads instead of racing the scheduler
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (reads.get() < 3 && searcherFailure.isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(200)
+      stop.set(true); searcher.join(120000)
+    }
     searcherFailure.foreach(t => fail(s"searcher failed mid-write: $t", t))
     println(s"ANN_CONCURRENT reads=${reads.get()} writes=6 compactions=3 " +
       "all_correct=true")

@@ -214,7 +214,18 @@ class IvfStreamSpec extends SparkSpec {
           store, dim = 64, nlist = 16, seed = 13L, batchTag = s"w$i")
         IvfStream.compactStore(spark, store, refit = (i % 2 == 1))
       }
-    } finally { stop.set(true); searcher.join(120000) }
+    } finally {
+      // the correctness signal is searcherFailure; the READ COUNT is
+      // only a liveness floor. Under full-suite load + host steal the
+      // searcher thread can be starved while the writer loop runs, so
+      // wait (bounded) for the floor instead of asserting a race
+      // between two schedulers — a genuine divergence still fails via
+      // searcherFailure regardless of timing.
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (reads.get() < 3 && searcherFailure.isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(200)
+      stop.set(true); searcher.join(120000)
+    }
     searcherFailure.foreach(t => fail(s"searcher failed mid-refit: $t", t))
     println(s"IVF_CONCURRENT reads=${reads.get()} writes=4 compactions=4 " +
       "refits=2 all_correct=true")
