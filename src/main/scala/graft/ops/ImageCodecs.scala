@@ -156,7 +156,10 @@ object ImageCodecs {
     // must fail the guard, never wrap it (b.length >= 8 here)
     if (ifd < 8 || ifd > b.length - 2) return None
     val n = r16(ifd)
-    if (n <= 0 || ifd + 2 + 12 * n > b.length) return None
+    // same subtraction-style overflow discipline as the ifd guard:
+    // ifd + 2 + 12*n can wrap Int for n up to 65535 with ifd near
+    // b.length, so bound n against the remaining bytes instead
+    if (n <= 0 || n > (b.length - ifd - 2) / 12) return None
     var w = 0
     var h = 0
     var i = 0

@@ -44,7 +44,8 @@ object AnnStream {
     StructField("neighbor_id", LongType, nullable = false),
     StructField("tbl", IntegerType, nullable = false),
     StructField("bucket", IntegerType, nullable = false),
-    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true)))
+    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true),
+    StructField("ver", LongType, nullable = false)))
 
   /** The store's partition int for a (tbl, bucket) key — one long so
     * both writer and searcher derive it from the same xxhash64. */
@@ -101,13 +102,18 @@ object AnnStream {
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val commitDir = s"$storeDir/annvecs/batch=$batchTag"
+    // one monotonic version per upsert commit (burned BEFORE the commit
+    // is visible — see StoreCommits.nextVersion): the per-id election
+    // that makes re-upsert mean replace, not accrete
+    val ver = StoreCommits.nextVersion(spark, storeDir)
     try {
       val nVecs = b.count()
       val keyed = b
         .select(col("neighbor_id"), col("cvec"),
           posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
             col("cvec"), planesFlat, planes, dim)).as(Seq("tbl", "bucket")))
-        .select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec"))
+        .select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec"),
+          lit(ver).as("ver"))
       // L0 commits, the foldLabels idiom (measured 2.2× cheaper at tick
       // scale there): a tick-sized batch writes ONE unpartitioned file
       // instead of a shuffled ≤ storeParts dynamic-partition write.
@@ -195,8 +201,14 @@ object AnnStream {
       spark, storeDir, "annvecs", vecSchema,
       p => abCol(lit(p)), Seq("tbl", "bucket"),
       extraWork = applied.nonEmpty,
+      // latest-per-id election (round 17): the fold keeps each id's
+      // max-version rows only — one version per live id afterwards
+      // (tables rows for a multi-table family), the documented
+      // latest-wins contract, zero space cost per update across folds
       transform = all =>
-        (StoreCommits.minusTombstones(all, spark, storeDir, "neighbor_id"),
+        (StoreCommits.electLatest(
+          StoreCommits.minusTombstones(all, spark, storeDir, "neighbor_id"),
+          "neighbor_id"),
           s"batch=compact-${java.util.UUID.randomUUID()}", None),
       afterSwap = () => StoreCommits.retireTombstones(spark, storeDir, applied))
   }
@@ -233,15 +245,19 @@ object AnnStream {
     * keys stay expression-derived (hyperplaneKeys — the exact writer
     * keying), collected as bounded int triples.
     *
-    * PRE-COMPACTION UPSERT CONTRACT (shared with [[IvfStream]]/
-    * [[IvfPqStream]] search): an id re-upserted with a CHANGED vector
-    * leaves both versions in the store until the next
-    * [[compactStore]]; search deduplicates (query, neighbor) by
-    * max-over-versions — deterministic, but the reported similarity
-    * can be the stale vector's if it scores higher. Latest-wins
-    * becomes true after compaction (which keeps the newest commit's
-    * row per id). Callers needing strict latest-wins between upsert
-    * and compaction should compact first. */
+    * UPSERT CONTRACT (round 17, shared with the three sibling stores):
+    * LATEST-WINS, always. Every upsert commit carries a monotonic
+    * version; search drops superseded rows GLOBALLY before scoring
+    * ([[StoreCommits.minusSuperseded]] — a stale row in a probed
+    * bucket is masked even when the newer version hashed into buckets
+    * this query never opens), and [[compactStore]] keeps only each
+    * id's latest version physically. A re-upserted id is therefore
+    * served from its NEW vector the moment the upsert commits: it
+    * ranks wherever the new vector's buckets land (ANN pruning applies
+    * to the new version like any other row), and the old vector can
+    * never outrank it because its rows are masked. The mask costs one
+    * bounded join sized by upserts-since-compaction (the tombstone
+    * bound); a freshly-compacted store pays nothing. */
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       maxQueries: Int = 100000,
@@ -296,11 +312,16 @@ object AnnStream {
       math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
         .hashLong(t.toLong * (1L << 32) + b, 42L), partsN).toInt
     }.toSet
-    val stored = StoreCommits.minusTombstones(
-      DedupStream.readStore(
-        spark, s"$storeDir/annvecs", vecSchema,
-        excludeTag = " none ", partCol = "ab", wanted = wanted),
-      spark, storeDir, "neighbor_id")
+    // tombstoned ids and SUPERSEDED versions (a later re-upsert of the
+    // same id — the global mask, see the contract above) never reach
+    // scoring
+    val stored = StoreCommits.minusSuperseded(
+      StoreCommits.minusTombstones(
+        DedupStream.readStore(
+          spark, s"$storeDir/annvecs", vecSchema,
+          excludeTag = " none ", partCol = "ab", wanted = wanted),
+        spark, storeDir, "neighbor_id"),
+      spark, storeDir, "annvecs", "neighbor_id")
     // BUCKET-INDEXED map-side scoring (the IvfPqStream ADC shape):
     // broadcast Map[(tbl«32|bucket) → probing queries] with each
     // query's vector shared by reference across its probe entries;
@@ -319,39 +340,29 @@ object AnnStream {
           k -> arr.map { case (qid, _, _) => (qid, vecOf(qid)) }
         }
     val qBc = spark.sparkContext.broadcast(byKey)
-    val scored = StoreCommits.rebalance(
-        stored.select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec")))
-      .as[(Long, Int, Int, Array[Float])]
-      .mapPartitions { it =>
-        val qc = qBc.value
-        val none = Array.empty[(Long, Array[Float])]
-        // per-query bounded top-k fold inside the scoring loop
-        // (StoreCommits.TopKMap): multi-table × multi-probe duplicates
-        // dedup INSIDE the bounded structure, no per-pair tuple ever
-        // allocates, and only ≤ nq·k survivors per partition reach the
-        // exchange — the downstream 10⁸-group hash aggregation was the
-        // measured bottleneck, not the scoring
-        val acc = new StoreCommits.TopKMap(k)
-        it.foreach { case (nid, tbl, bucket, cvec) =>
-          val entries = qc.getOrElse(tbl.toLong * (1L << 32) + bucket, none)
-          var i = 0
-          while (i < entries.length) {
-            val qid = entries(i)._1
-            if (qid != nid)
-              acc.insert(qid, nid, StoreCommits.cosineSeq(entries(i)._2, cvec))
-            i += 1
-          }
+    // per-query bounded top-k fold inside the scoring loop, second-level
+    // fold, and ONE bounded ranking window — the shared exchange-bound
+    // tail ([[StoreCommits.scoreAndRank]]): multi-table × multi-probe
+    // duplicates dedup INSIDE the bounded structure, no per-pair tuple
+    // ever allocates, and only ≤ nq·k survivors per partition reach
+    // the exchange
+    StoreCommits.scoreAndRank(
+      StoreCommits.rebalance(
+          stored.select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec")))
+        .as[(Long, Int, Int, Array[Float])],
+      k, "cos") { (it, acc) =>
+      val qc = qBc.value
+      val none = Array.empty[(Long, Array[Float])]
+      it.foreach { case (nid, tbl, bucket, cvec) =>
+        val entries = qc.getOrElse(tbl.toLong * (1L << 32) + bucket, none)
+        var i = 0
+        while (i < entries.length) {
+          val qid = entries(i)._1
+          if (qid != nid)
+            acc.insert(qid, nid, StoreCommits.cosineSeq(entries(i)._2, cvec))
+          i += 1
         }
-        acc.drain()
-      }.toDF("query_id", "neighbor_id", "cos")
-    // second-level fold (StoreCommits.foldSurvivors): the final window
-    // ranks ≤ nq·k rows, never partitions·nq·k — max-over-versions
-    // dedup semantics identical to the groupBy-max it replaces
-    val folded = StoreCommits.foldSurvivors(scored, k, "cos")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    folded.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+      }
+    }
   }
 }

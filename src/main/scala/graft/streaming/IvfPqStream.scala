@@ -45,7 +45,8 @@ object IvfPqStream {
     StructField("neighbor_id", LongType, nullable = false),
     StructField("cell", IntegerType, nullable = false),
     StructField("codes", BinaryType, nullable = true),
-    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true)))
+    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true),
+    StructField("ver", LongType, nullable = false)))
 
   private def abCol(parts: Column): Column =
     pmod(xxhash64(col("cell").cast("long")), parts).cast("int")
@@ -176,7 +177,9 @@ object IvfPqStream {
         s"$dim/$nlist/$m/$seed — rebuild the store or match the writing config")
 
   /** Assign + residual-encode rows under pinned models: one pass,
-    * emits (neighbor_id, cell, codes, raw cvec). */
+    * emits (neighbor_id, cell, codes, raw cvec, ver) — the version
+    * column rides through (upserts stamp it before encoding; a refit
+    * re-encodes already-elected rows and preserves theirs). */
   private def encodeRows(
       rows: DataFrame, mt: PqMeta): DataFrame = {
     val spark = rows.sparkSession
@@ -185,12 +188,12 @@ object IvfPqStream {
     val m = mt.m
     val coarseBc = spark.sparkContext.broadcast(mt.coarse)
     val cbBc = spark.sparkContext.broadcast(mt.codebook)
-    rows.select(col("neighbor_id"), col("cvec"))
-      .as[(Long, Seq[Float])]
+    rows.select(col("neighbor_id"), col("cvec"), col("ver"))
+      .as[(Long, Seq[Float], Long)]
       .mapPartitions { it =>
         val cs = coarseBc.value
         val cb = cbBc.value
-        it.map { case (id, vf) =>
+        it.map { case (id, vf, ver) =>
           val v = unitOf(vf)
           val cell = nearestCell(cs, v)
           val cc = cs(cell)
@@ -208,9 +211,9 @@ object IvfPqStream {
             }
             best.toByte
           }
-          (id, cell, codes, vf)
+          (id, cell, codes, vf, ver)
         }
-      }.toDF("neighbor_id", "cell", "codes", "cvec")
+      }.toDF("neighbor_id", "cell", "codes", "cvec", "ver")
   }
 
   /** Fold one micro-batch into the store: fit-and-pin on first
@@ -239,6 +242,9 @@ object IvfPqStream {
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val commitDir = s"$storeDir/pqvecs/batch=$batchTag"
+    // one monotonic version per upsert commit (burned before visibility
+    // — StoreCommits.nextVersion): the per-id latest-wins election
+    val ver = StoreCommits.nextVersion(spark, storeDir)
     val wrote = try {
       val nVecs = b.count() // ONE source scan: cache + layout routing
       if (nVecs == 0L) false else {
@@ -250,7 +256,7 @@ object IvfPqStream {
             new org.apache.hadoop.fs.Path(storeDir), "_IVFPQ", x.render)
           x
       }
-      val keyed = encodeRows(b, mt)
+      val keyed = encodeRows(b.withColumn("ver", lit(ver)), mt)
       if (nVecs <= l0Bound)
         keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
       else
@@ -386,7 +392,13 @@ object IvfPqStream {
       p => abCol(lit(p)), Seq("cell"),
       extraWork = refit || applied.nonEmpty,
       transform = { all0 =>
-        val all = StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id")
+        // latest-per-id election (round 17): exactly one version per
+        // live id survives the fold (latest-wins made physical; the
+        // row-per-update space leak closed); a refit re-encodes the
+        // elected rows with their versions preserved
+        val all = StoreCommits.electLatest(
+          StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id"),
+          "neighbor_id")
         val mt = effectiveMeta(spark, storeDir, promote = true)
           .getOrElse(throw new IllegalArgumentException(
             s"not an ivf-pq store (no _IVFPQ marker): $storeDir"))
@@ -480,9 +492,12 @@ object IvfPqStream {
           "during search planning — is a writer refitting in a loop?")
       }
     }
-    // tombstoned ids never reach the ADC pass NOR the re-rank (both
-    // stages derive from this relation)
-    stored = StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id")
+    // tombstoned ids and superseded versions never reach the ADC pass
+    // NOR the re-rank (both stages derive from this relation; the
+    // supersede mask is global — the AnnStream.searchStore contract)
+    stored = StoreCommits.minusSuperseded(
+      StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id"),
+      spark, storeDir, "pqvecs", "neighbor_id")
     val m = mt.m
     // cell-indexed, dim-independent broadcast LUTs (the batch
     // operator's shape — SimilaritySearch.adcByCell); probe selection
@@ -491,58 +506,42 @@ object IvfPqStream {
       SimilaritySearch.adcByCell(qs, mt.coarse, mt.codebook, nprobe))
     // ADC over codes only — column pruning keeps cvec out of this scan;
     // rebalance unfolds the small-file single-task packing (codes are
-    // ~(12+m) B/row, so the repartition ships single-digit MB)
-    val scored = StoreCommits.rebalance(
-        stored.select(col("neighbor_id"), col("cell"), col("codes")))
-      .as[(Long, Int, Array[Byte])]
-      .mapPartitions { it =>
-        val qc = qBc.value
-        val none = Array.empty[(Long, Double, Array[Array[Double]])]
-        // per-query bounded top-shortlist fold inside the ADC loop
-        // (StoreCommits.TopKMap, cap = max(rerank, k)): no per-pair
-        // tuple, and only shortlist survivors reach the exchange
-        val acc = new StoreCommits.TopKMap(math.max(rerank, k))
-        it.foreach { case (nid, cell, codes) =>
-          val entries = qc.getOrElse(cell, none)
-          touches.foreach(_.add(entries.length))
-          var i = 0
-          while (i < entries.length) {
-            val (qid, cellDot, table) = entries(i)
-            if (qid != nid) {
-              var s = cellDot; var j = 0
-              while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
-              acc.insert(qid, nid, s)
-            }
-            i += 1
+    // ~(12+m) B/row, so the repartition ships single-digit MB). The
+    // fold + bounded-window tail is the shared
+    // [[StoreCommits.scoreAndRank]]: no per-pair tuple, only shortlist
+    // survivors reach the exchange.
+    val shortlist = StoreCommits.scoreAndRank(
+      StoreCommits.rebalance(
+          stored.select(col("neighbor_id"), col("cell"), col("codes")))
+        .as[(Long, Int, Array[Byte])],
+      math.max(rerank, k), "adc") { (it, acc) =>
+      val qc = qBc.value
+      val none = Array.empty[(Long, Double, Array[Array[Double]])]
+      it.foreach { case (nid, cell, codes) =>
+        val entries = qc.getOrElse(cell, none)
+        touches.foreach(_.add(entries.length))
+        var i = 0
+        while (i < entries.length) {
+          val (qid, cellDot, table) = entries(i)
+          if (qid != nid) {
+            var s = cellDot; var j = 0
+            while (j < m) { s += table(j)(codes(j) & 0xff); j += 1 }
+            acc.insert(qid, nid, s)
           }
+          i += 1
         }
-        acc.drain()
-      }.toDF("query_id", "neighbor_id", "adc")
-    // per-pair dedup (the IvfStream/AnnStream idiom): an id re-upserted
-    // with a CHANGED vector (pre-refit) carries differing codes across
-    // commits — the second-level fold keeps one max() score per
-    // (query, neighbor) pair AND bounds the ranking window to ≤
-    // nq·shortlist rows, never partitions·nq·shortlist
-    val folded = StoreCommits.foldSurvivors(scored, math.max(rerank, k), "adc")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val shortlist = folded.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= math.max(rerank, k))
-      .select("query_id", "neighbor_id")
-    // exact re-rank: vectors come from the SAME pruned partitions (a
-    // shortlist member's cell is probed by construction)
-    val storedVecs = stored.select(col("neighbor_id"), col("cvec"))
-      .groupBy("neighbor_id").agg(first(col("cvec")).as("cvec"))
+      }
+    }.select("query_id", "neighbor_id")
+    // exact re-rank (shared tail — StoreCommits.exactRerank): vectors
+    // come from the SAME pruned partitions (a shortlist member's cell
+    // is probed by construction), one DETERMINISTIC latest vector per
+    // id (StoreCommits.latestVecs — max over (ver, cvec), replacing
+    // the nondeterministic first() the round-16 verdict flagged)
     val qRaw = queries.select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
-    val exact = shortlist
-      .join(storedVecs, Seq("neighbor_id"))
-      .join(qRaw, Seq("query_id"))
-      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-    val w2 = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    StoreCommits.exactRerank(shortlist,
+      StoreCommits.latestVecs(
+        stored.select(col("neighbor_id"), col("ver"), col("cvec"))),
+      qRaw, k)
   }
 }

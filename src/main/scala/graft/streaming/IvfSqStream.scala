@@ -44,7 +44,8 @@ object IvfSqStream {
     StructField("neighbor_id", LongType, nullable = false),
     StructField("cell", IntegerType, nullable = false),
     StructField("code", BinaryType, nullable = true),
-    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true)))
+    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true),
+    StructField("ver", LongType, nullable = false)))
 
   private def abCol(parts: Column): Column =
     pmod(xxhash64(col("cell").cast("long")), parts).cast("int")
@@ -168,7 +169,9 @@ object IvfSqStream {
         s"$dim/$nlist/$seed — rebuild the store or match the writing config")
 
   /** Assign + scalar-encode rows under the pinned model: one pass,
-    * emits (neighbor_id, cell, code, raw cvec). Encode arithmetic is
+    * emits (neighbor_id, cell, code, raw cvec, ver) — versions ride
+    * through (upserts stamp before encoding, refits preserve the
+    * elected rows'). Encode arithmetic is
     * [[SimilaritySearch.ivfSqBuild]]'s verbatim (round + clamp). */
   private def encodeRows(rows: DataFrame, mt: SqMeta): DataFrame = {
     val spark = rows.sparkSession
@@ -176,13 +179,13 @@ object IvfSqStream {
     val coarseBc = spark.sparkContext.broadcast(mt.coarse)
     val minBc = spark.sparkContext.broadcast(mt.vmin)
     val stepBc = spark.sparkContext.broadcast(mt.vstep)
-    rows.select(col("neighbor_id"), col("cvec"))
-      .as[(Long, Seq[Float])]
+    rows.select(col("neighbor_id"), col("cvec"), col("ver"))
+      .as[(Long, Seq[Float], Long)]
       .mapPartitions { it =>
         val cs = coarseBc.value
         val mn = minBc.value
         val st = stepBc.value
-        it.map { case (id, vf) =>
+        it.map { case (id, vf, ver) =>
           val v = IvfPqStream.unitOf(vf)
           val cell = nearestCell(cs, v)
           val cc = cs(cell)
@@ -198,9 +201,9 @@ object IvfSqStream {
             code(t) = q.toByte
             t += 1
           }
-          (id, cell, code, vf)
+          (id, cell, code, vf, ver)
         }
-      }.toDF("neighbor_id", "cell", "code", "cvec")
+      }.toDF("neighbor_id", "cell", "code", "cvec", "ver")
   }
 
   /** Fold one micro-batch into the store: fit-and-pin on first
@@ -225,6 +228,9 @@ object IvfSqStream {
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val commitDir = s"$storeDir/sqvecs/batch=$batchTag"
+    // one monotonic version per upsert commit (burned before visibility
+    // — StoreCommits.nextVersion): the per-id latest-wins election
+    val ver = StoreCommits.nextVersion(spark, storeDir)
     val wrote = try {
       val nVecs = b.count() // ONE source scan: cache + layout routing
       if (nVecs == 0L) false else {
@@ -236,7 +242,7 @@ object IvfSqStream {
             new org.apache.hadoop.fs.Path(storeDir), "_IVFSQ", x.render)
           x
       }
-      val keyed = encodeRows(b, mt)
+      val keyed = encodeRows(b.withColumn("ver", lit(ver)), mt)
       if (nVecs <= l0Bound)
         keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
       else
@@ -359,7 +365,12 @@ object IvfSqStream {
       p => abCol(lit(p)), Seq("cell"),
       extraWork = refit || applied.nonEmpty,
       transform = { all0 =>
-        val all = StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id")
+        // latest-per-id election (round 17): exactly one version per
+        // live id survives the fold (latest-wins made physical); a
+        // refit re-encodes the elected rows, versions preserved
+        val all = StoreCommits.electLatest(
+          StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id"),
+          "neighbor_id")
         val mt = effectiveMeta(spark, storeDir, promote = true)
           .getOrElse(throw new IllegalArgumentException(
             s"not an ivf-sq store (no _IVFSQ marker): $storeDir"))
@@ -393,8 +404,10 @@ object IvfSqStream {
     * [[SimilaritySearch.ivfSqSearch]]'s verbatim (the cell-indexed
     * [[SimilaritySearch.sqByCell]] coefficient broadcast), bounded by
     * [[StoreCommits.TopKMap]] + [[StoreCommits.foldSurvivors]];
-    * pre-compaction duplicate versions dedup by max-over-versions
-    * (the sibling contract). Consistent-snapshot bracket: the model
+    * upsert contract: LATEST-WINS, always — superseded versions are
+    * masked globally before scoring and dropped at compaction (the
+    * [[AnnStream.searchStore]] contract). Consistent-snapshot
+    * bracket: the model
     * and the commit list must land in one generation — re-read after
     * the leaf listing, retry on drift. */
   def searchStore(
@@ -445,54 +458,50 @@ object IvfSqStream {
           "during search planning — is a writer refitting in a loop?")
       }
     }
-    stored = StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id")
+    // tombstoned ids and superseded versions never reach scoring nor
+    // the re-rank (the supersede mask is global — the
+    // AnnStream.searchStore contract)
+    stored = StoreCommits.minusSuperseded(
+      StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id"),
+      spark, storeDir, "sqvecs", "neighbor_id")
     // cell-indexed per-query linear coefficients (the batch operator's
     // broadcast shape — dim-scaled like raw query vectors, shared by
     // reference across a query's nprobe entries)
     val qBc = spark.sparkContext.broadcast(
       SimilaritySearch.sqByCell(qs, mt.coarse, mt.vmin, mt.vstep, nprobe))
     val cap = math.max(rerank, k)
-    val scored = StoreCommits.rebalance(
-        stored.select(col("neighbor_id"), col("cell"), col("code")))
-      .as[(Long, Int, Array[Byte])]
-      .mapPartitions { it =>
-        val qc = qBc.value
-        val none = Array.empty[(Long, Double, Array[Double])]
-        val acc = new StoreCommits.TopKMap(cap)
-        it.foreach { case (nid, cell, code) =>
-          val entries = qc.getOrElse(cell, none)
-          touches.foreach(_.add(entries.length))
-          var i = 0
-          while (i < entries.length) {
-            val (qid, base, s1) = entries(i)
-            if (qid != nid) {
-              var s = base; var t = 0
-              while (t < s1.length) { s += (code(t) & 0xff) * s1(t); t += 1 }
-              acc.insert(qid, nid, s)
-            }
-            i += 1
+    // fold + bounded-window tail: the shared StoreCommits.scoreAndRank
+    val shortlist = StoreCommits.scoreAndRank(
+      StoreCommits.rebalance(
+          stored.select(col("neighbor_id"), col("cell"), col("code")))
+        .as[(Long, Int, Array[Byte])],
+      cap, "adc") { (it, acc) =>
+      val qc = qBc.value
+      val none = Array.empty[(Long, Double, Array[Double])]
+      it.foreach { case (nid, cell, code) =>
+        val entries = qc.getOrElse(cell, none)
+        touches.foreach(_.add(entries.length))
+        var i = 0
+        while (i < entries.length) {
+          val (qid, base, s1) = entries(i)
+          if (qid != nid) {
+            var s = base; var t = 0
+            while (t < s1.length) { s += (code(t) & 0xff) * s1(t); t += 1 }
+            acc.insert(qid, nid, s)
           }
+          i += 1
         }
-        acc.drain()
-      }.toDF("query_id", "neighbor_id", "adc")
-    val folded = StoreCommits.foldSurvivors(scored, cap, "adc")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val shortlist = folded.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= cap)
-      .select("query_id", "neighbor_id")
-    val storedVecs = stored.select(col("neighbor_id"), col("cvec"))
-      .groupBy("neighbor_id").agg(first(col("cvec")).as("cvec"))
+      }
+    }.select("query_id", "neighbor_id")
+    // exact re-rank (shared StoreCommits.exactRerank) from one
+    // DETERMINISTIC latest vector per id (StoreCommits.latestVecs —
+    // replacing the nondeterministic first() the round-16 verdict
+    // flagged); vectors come from the same pruned partitions
     val qRaw = queries.select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
-    val exact = shortlist
-      .join(storedVecs, Seq("neighbor_id"))
-      .join(qRaw, Seq("query_id"))
-      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-    val w2 = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    StoreCommits.exactRerank(shortlist,
+      StoreCommits.latestVecs(
+        stored.select(col("neighbor_id"), col("ver"), col("cvec"))),
+      qRaw, k)
   }
 }

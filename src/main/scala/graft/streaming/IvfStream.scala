@@ -44,7 +44,8 @@ object IvfStream {
   private[streaming] val vecSchema: StructType = StructType(Seq(
     StructField("neighbor_id", LongType, nullable = false),
     StructField("cell", IntegerType, nullable = false),
-    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true)))
+    StructField("cvec", ArrayType(FloatType, containsNull = true), nullable = true),
+    StructField("ver", LongType, nullable = false)))
 
   /** The store's partition int for a cell — same xxhash64 derivation
     * on writer and searcher. */
@@ -174,6 +175,9 @@ object IvfStream {
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val commitDir = s"$storeDir/ivfvecs/batch=$batchTag"
+    // one monotonic version per upsert commit (burned before visibility
+    // — StoreCommits.nextVersion): the per-id latest-wins election
+    val ver = StoreCommits.nextVersion(spark, storeDir)
     val centroidsOpt = try {
       val nVecs = b.count()
       if (nVecs == 0L) None else {
@@ -190,7 +194,7 @@ object IvfStream {
       val assignCell = udf { (v: Seq[Float]) =>
         SimilaritySearch.nearestCellsOf(bc.value, v, 1).head }
       val keyed = b.select(col("neighbor_id"),
-        assignCell(col("cvec")).as("cell"), col("cvec"))
+        assignCell(col("cvec")).as("cell"), col("cvec"), lit(ver).as("ver"))
       if (nVecs <= l0Bound)
         keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
       else
@@ -342,7 +346,12 @@ object IvfStream {
       p => abCol(lit(p)), Seq("cell"),
       extraWork = refit || applied.nonEmpty,
       transform = { all0 =>
-        val all = StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id")
+        // latest-per-id election (round 17): exactly one version per
+        // live id survives the fold — the latest-wins contract made
+        // physical, and the row-per-update space leak closed
+        val all = StoreCommits.electLatest(
+          StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id"),
+          "neighbor_id")
         val meta = effectiveMeta(spark, storeDir, promote = true)
           .getOrElse(throw new IllegalArgumentException(
             s"not an ivf store (no _IVF marker): $storeDir"))
@@ -353,8 +362,11 @@ object IvfStream {
           val assignCell = udf { (v: Seq[Float]) =>
             SimilaritySearch.nearestCellsOf(bc.value, v, 1).head }
           val target = s"batch=refit-${java.util.UUID.randomUUID()}"
+          // versions ride through the refit unchanged: the re-encoded
+          // rows are all latest-per-id, and future deltas outversion
+          // them through the still-monotonic _SEQ
           (all.select(col("neighbor_id"),
-            assignCell(col("cvec")).as("cell"), col("cvec")),
+            assignCell(col("cvec")).as("cell"), col("cvec"), col("ver")),
             target, Some("_IVF.pending" -> m2.copy(target = Some(target)).render))
         } else (all, s"batch=compact-${java.util.UUID.randomUUID()}", None)
       },
@@ -389,9 +401,10 @@ object IvfStream {
     * the stored vector per CANDIDATE (twice); see the BENCH_NOTES
     * round-15 search-scale A/B for the measured walls.
     *
-    * Pre-compaction upsert contract: duplicate (query, neighbor)
-    * versions dedup by max-over-versions — see
-    * [[AnnStream.searchStore]] for the full statement. */
+    * Upsert contract: LATEST-WINS, always — superseded versions are
+    * masked globally before scoring and dropped physically at
+    * compaction; see [[AnnStream.searchStore]] for the full
+    * statement. */
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       nprobe: Int = 3, maxQueries: Int = 100000,
@@ -445,8 +458,12 @@ object IvfStream {
           "during search planning — is a writer refitting in a loop?")
       }
     }
-    // tombstoned ids never reach scoring (delete masks until compaction)
-    stored = StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id")
+    // tombstoned ids and superseded versions never reach scoring
+    // (delete masks until compaction; the supersede mask is global —
+    // the AnnStream.searchStore contract)
+    stored = StoreCommits.minusSuperseded(
+      StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id"),
+      spark, storeDir, "ivfvecs", "neighbor_id")
     // CELL-INDEXED scoring (the IvfPqStream ADC shape): broadcast
     // Map[cell → queries probing it] with each query's vector shared by
     // reference across its nprobe entries (nq×dim×4 B ≤ ~300 MB at the
@@ -464,37 +481,27 @@ object IvfStream {
       }
     }
     val qBc = spark.sparkContext.broadcast(byCell)
-    val scored = StoreCommits.rebalance(
-        stored.select(col("neighbor_id"), col("cell"), col("cvec")))
-      .as[(Long, Int, Array[Float])]
-      .mapPartitions { it =>
-        val qc = qBc.value
-        val none = Array.empty[(Long, Array[Float])]
-        // fold to per-query bounded top-k INSIDE the scoring loop
-        // (StoreCommits.TopKMap — no per-pair tuple, no downstream
-        // 10⁸-group hash aggregation; see TopKMap's doc for the
-        // measured walls); survivors ≤ nq·k rows per partition,
-        // provably containing the global top-k
-        val acc = new StoreCommits.TopKMap(k)
-        it.foreach { case (nid, cell, cvec) =>
-          val entries = qc.getOrElse(cell, none)
-          var i = 0
-          while (i < entries.length) {
-            val qid = entries(i)._1
-            if (qid != nid)
-              acc.insert(qid, nid, StoreCommits.cosineSeq(entries(i)._2, cvec))
-            i += 1
-          }
+    // fold to per-query bounded top-k INSIDE the scoring loop, then the
+    // shared exchange-bound tail (StoreCommits.scoreAndRank): no
+    // per-pair tuple, survivors ≤ nq·k rows per partition, one bounded
+    // ranking window
+    StoreCommits.scoreAndRank(
+      StoreCommits.rebalance(
+          stored.select(col("neighbor_id"), col("cell"), col("cvec")))
+        .as[(Long, Int, Array[Float])],
+      k, "cos") { (it, acc) =>
+      val qc = qBc.value
+      val none = Array.empty[(Long, Array[Float])]
+      it.foreach { case (nid, cell, cvec) =>
+        val entries = qc.getOrElse(cell, none)
+        var i = 0
+        while (i < entries.length) {
+          val qid = entries(i)._1
+          if (qid != nid)
+            acc.insert(qid, nid, StoreCommits.cosineSeq(entries(i)._2, cvec))
+          i += 1
         }
-        acc.drain()
-      }.toDF("query_id", "neighbor_id", "cos")
-    // second-level fold: ranks ≤ nq·k rows, never partitions·nq·k;
-    // max-over-versions dedup identical to the groupBy-max it replaces
-    val folded = StoreCommits.foldSurvivors(scored, k, "cos")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    folded.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+      }
+    }
   }
 }

@@ -65,13 +65,35 @@ class AnnStreamScaleSpec extends SparkSpec {
   }
 
   /** Every broadcast relation must be vector-free, and every shuffle
-    * exchange that carries an array column must sit DIRECTLY over the
-    * store scan (the rebalance repartition) — never above the scoring
-    * map, where row count is candidate-proportional. */
+    * exchange that carries an array column must sit on the STREAMED
+    * path directly over the store scan (the rebalance repartition) —
+    * never above the scoring map, where row count is
+    * candidate-proportional. Aggregates reached only THROUGH a
+    * broadcast exchange are exempt: the round-17 supersede mask is a
+    * broadcast left-join below the rebalance whose build side is a
+    * groupBy-max over tick-sized delta commits — it filters the
+    * streamed store rows (shuffle input shrinks or stays equal), so
+    * the exchange stays store-row-proportional. An aggregate on the
+    * streamed path itself still fails: that's a scoring/dedup agg
+    * whose output is candidate-proportional. */
   private def assertNoCandidateVectorExchange(p: SparkPlan): Unit = {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     def hasScan(n: SparkPlan): Boolean =
       collectAll(n) { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.nonEmpty
+    def streamedAggs(n: SparkPlan): Seq[SparkPlan] = {
+      val self: Seq[SparkPlan] = n match {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => Seq(a)
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => Seq(a)
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => Seq(a)
+        case _ => Nil
+      }
+      val kids = n match {
+        case _: BroadcastExchangeExec => Nil // build side: bounded mask relation
+        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(streamedAggs)
+    }
     val broadcasts = collectAll(p) { case b: BroadcastExchangeExec => b }
     broadcasts.foreach(b => assert(
       !b.output.exists(_.dataType.isInstanceOf[ArrayType]),
@@ -81,11 +103,7 @@ class AnnStreamScaleSpec extends SparkSpec {
           if s.output.exists(_.dataType.isInstanceOf[ArrayType]) => s
     }
     arrayShuffles.foreach { s =>
-      val overScanOnly = hasScan(s.child) && collectAll(s.child) {
-        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
-        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
-        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
-      }.isEmpty
+      val overScanOnly = hasScan(s.child) && streamedAggs(s.child).isEmpty
       assert(overScanOnly,
         s"array column crosses a post-scoring exchange: ${s.output.map(_.name)}")
     }
