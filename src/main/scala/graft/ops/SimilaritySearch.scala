@@ -37,18 +37,14 @@ object SimilaritySearch {
     * than the pair relation it replaced (the 10⁸-group hash
     * aggregation + per-pair boxed tuples were the measured 130–630 s
     * walls at nq = 10k–50k — see BENCH_NOTES round 15). */
-  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
-    // second-level fold BEFORE the window: at nq=100k × cap=32 × 32
-    // scoring partitions the survivors are ~10⁸ rows, and a groupBy-max
-    // + window here re-created the very sort/hash-agg the scoring fold
-    // removed (thread-dump-verified) — fold to ≤ nq·cap rows first
-    val folded = graft.streaming.StoreCommits.foldSurvivors(scored, k, scoreCol)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
-    folded.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", scoreCol)
-  }
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    // the shared exchange-bound tail (StoreCommits.rankSurvivors):
+    // second-level fold to ≤ nq·k survivors BEFORE one bounded ranking
+    // window — at nq=100k × cap=32 × 32 scoring partitions the raw
+    // survivors are ~10⁸ rows, and a groupBy-max + window here
+    // re-created the very sort/hash-agg the scoring fold removed
+    // (thread-dump-verified, BENCH_NOTES round 15)
+    graft.streaming.StoreCommits.rankSurvivors(scored, k, scoreCol)
 
   /** Wrap a drained survivor iterator with the optional exchange-row
     * probe the scale specs assert against: `emitted` counts exactly

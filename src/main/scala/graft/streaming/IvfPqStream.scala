@@ -62,14 +62,16 @@ object IvfPqStream {
       coarse: Array[Array[Double]],
       codebook: Array[Array[Array[Double]]],
       target: Option[String],
-      baseline: Option[Double] = None) {
+      baseline: Option[Double] = None,
+      occ: Option[Array[Double]] = None) {
     def render: String = {
       val head = s"$dim/$nlist/$m/$seed" + target.fold("")(t => s"/$t")
       val cs = coarse.map(c => "coarse " + c.mkString(","))
       val cb = codebook.zipWithIndex.flatMap { case (words, j) =>
         words.map(wd => s"cb$j " + wd.mkString(","))
       }
-      ((head +: (cs ++ cb)) ++ baseline.map(b => s"baseline $b")).mkString("\n")
+      ((head +: (cs ++ cb)) ++ baseline.map(b => s"baseline $b")
+        ++ occ.map(o => "occupancy " + o.mkString(","))).mkString("\n")
     }
   }
 
@@ -86,7 +88,10 @@ object IvfPqStream {
     PqMeta(h(0).toInt, h(1).toInt, m, h(3).toLong, coarse, cb,
       if (h.length > 4) Some(h(4)) else None,
       lines.tail.find(_.startsWith("baseline "))
-        .map(s => java.lang.Double.parseDouble(s.stripPrefix("baseline "))))
+        .map(s => java.lang.Double.parseDouble(s.stripPrefix("baseline "))),
+      lines.tail.find(_.startsWith("occupancy "))
+        .map(_.stripPrefix("occupancy ").split(',')
+          .map(java.lang.Double.parseDouble)))
   }
 
   /** The effective dual quantizer for the current visible state — the
@@ -137,8 +142,13 @@ object IvfPqStream {
       .collect().map(r => unitOf(r.getSeq[Float](0)))
     require(sample.nonEmpty, "ivf-pq store: first upsert must carry vectors")
     val coarse = SimilaritySearch.localKMeans(sample, nlist, iters = 12, seed = seed)
+    // fit-time cell OCCUPANCY baseline (round 17) — the anchor for the
+    // occupancy-drift signal (StoreCommits.occupancyTv)
+    val cellCounts = new Array[Long](coarse.length)
     val residuals = sample.map { v =>
-      val cc = coarse(nearestCell(coarse, v))
+      val ci = nearestCell(coarse, v)
+      cellCounts(ci) += 1
+      val cc = coarse(ci)
       Array.tabulate(dim)(t => v(t) - cc(t))
     }
     val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
@@ -166,7 +176,8 @@ object IvfPqStream {
       accErr += math.sqrt(d)
     }
     PqMeta(dim, nlist, m, seed, coarse, codebook, None,
-      Some(if (residuals.isEmpty) 0.0 else accErr / residuals.length))
+      Some(if (residuals.isEmpty) 0.0 else accErr / residuals.length),
+      Some(cellCounts.map(_.toDouble / sample.length)))
   }
 
   private def requireConfig(mt: PqMeta, dim: Int, nlist: Int, m: Int,
@@ -315,16 +326,27 @@ object IvfPqStream {
     * [[IvfStream.maybeRefitOnDrift]] rationale. */
   def maybeRefitOnDrift(
       spark: SparkSession, storeDir: String, monitor: DataFrame,
-      factor: Double, cooldownCommits: Int = 8): Boolean = {
-    if (factor <= 0) return false
-    val agg = monitor.agg(
-      sum(col("members")).as("n"),
-      sum(col("members") * col("mean_code_err")).as("wsum")).collect()(0)
-    if (agg.isNullAt(0) || agg.getLong(0) == 0L) return false
-    val tickMean = agg.getDouble(1) / agg.getLong(0)
-    val base = effectiveMeta(spark, storeDir, promote = false).flatMap(_.baseline)
-    val drifted = base.exists(b => tickMean > factor * b)
-    if (!drifted) return false
+      factor: Double, cooldownCommits: Int = 8,
+      occTvMax: Double = 0.35): Boolean = {
+    if (factor <= 0 && occTvMax <= 0) return false
+    // ONE bounded collect (nlist rows) feeds both signals: the error
+    // ratio AND the round-17 occupancy-TV OR-trigger — the signal that
+    // sees regime shifts the reconstruction-error monitor is blind to
+    // on weak-structure corpora (sf1 rehearsal: ×3 scale+offset reads
+    // error ratio ~1.1 here but occupancy TV ~0.9)
+    val rows = monitor
+      .select(col("cell"), col("members"), col("mean_code_err")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val n = rows.iterator.map(_._2).sum
+    if (n == 0L) return false
+    val meta = effectiveMeta(spark, storeDir, promote = false)
+    val tickMean = rows.iterator.map(t => t._2 * t._3).sum / n
+    val errDrifted = factor > 0 &&
+      meta.flatMap(_.baseline).exists(b => tickMean > factor * b)
+    val occDrifted = occTvMax > 0 && meta.flatMap(_.occ).exists(o =>
+      StoreCommits.occupancyTv(rows.map(t => (t._1, t._2)).toSeq, o)
+        .exists(_ > occTvMax))
+    if (!errDrifted && !occDrifted) return false
     if (StoreCommits.visibleCommitCount(spark,
         s"$storeDir/pqvecs") < cooldownCommits) return false
     compactStore(spark, storeDir, refit = true)
@@ -356,7 +378,11 @@ object IvfPqStream {
       // baseline). 0 disables.
       refitDriftFactor: Double = 1.5,
       // the [[IvfStream.start]] refit-rate bound
-      refitCooldownCommits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+      refitCooldownCommits: Int = 8,
+      // occupancy-TV OR-trigger (round 17): fires on cell-histogram
+      // shifts the code-error ratio misses (sf1 rehearsal: stationary
+      // ≤ ~0.1, shifted ~0.9). 0 disables.
+      refitOccupancyTv: Double = 0.35): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(vecsSchema).parquet(vecsPath)
       .writeStream
       .queryName("ivfpq-maintenance")
@@ -368,7 +394,7 @@ object IvfPqStream {
         val monitor = upsertStep(batch, storeDir, dim, nlist, m, seed,
           batchTag = s"$qid-$batchId", storeParts = storeParts)
         maybeRefitOnDrift(spark, storeDir, monitor, refitDriftFactor,
-          refitCooldownCommits)
+          refitCooldownCommits, refitOccupancyTv)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(spark, storeDir)
         ()

@@ -64,13 +64,15 @@ object IvfSqStream {
       vmin: Array[Double],
       vstep: Array[Double],
       target: Option[String],
-      baseline: Option[Double] = None) {
+      baseline: Option[Double] = None,
+      occ: Option[Array[Double]] = None) {
     def render: String = {
       val head = s"$dim/$nlist/$seed" + target.fold("")(t => s"/$t")
       val cs = coarse.map(c => "coarse " + c.mkString(","))
       val bounds = Seq("vmin " + vmin.mkString(","),
         "vstep " + vstep.mkString(","))
-      ((head +: (cs ++ bounds)) ++ baseline.map(b => s"baseline $b")).mkString("\n")
+      ((head +: (cs ++ bounds)) ++ baseline.map(b => s"baseline $b")
+        ++ occ.map(o => "occupancy " + o.mkString(","))).mkString("\n")
     }
   }
 
@@ -86,7 +88,10 @@ object IvfSqStream {
       vecOf("vmin"), vecOf("vstep"),
       if (h.length > 3) Some(h(3)) else None,
       lines.tail.find(_.startsWith("baseline "))
-        .map(s => java.lang.Double.parseDouble(s.stripPrefix("baseline "))))
+        .map(s => java.lang.Double.parseDouble(s.stripPrefix("baseline "))),
+      lines.tail.find(_.startsWith("occupancy "))
+        .map(_.stripPrefix("occupancy ").split(',')
+          .map(java.lang.Double.parseDouble)))
   }
 
   private def effectiveMeta(
@@ -130,8 +135,14 @@ object IvfSqStream {
     val coarse = SimilaritySearch.localKMeans(sample, nlist, iters = 12, seed = seed)
     val vmin = Array.fill(dim)(Double.MaxValue)
     val vmax = Array.fill(dim)(Double.MinValue)
+    // fit-time cell OCCUPANCY baseline (round 17): the sample's
+    // assignment histogram, the anchor the occupancy-drift signal
+    // compares tick histograms against (StoreCommits.occupancyTv)
+    val cellCounts = new Array[Long](coarse.length)
     val residuals = sample.map { v =>
-      val cc = coarse(nearestCell(coarse, v))
+      val ci = nearestCell(coarse, v)
+      cellCounts(ci) += 1
+      val cc = coarse(ci)
       val r = Array.tabulate(dim)(t => v(t) - cc(t))
       var t = 0
       while (t < dim) {
@@ -158,7 +169,8 @@ object IvfSqStream {
       accErr += math.sqrt(d)
     }
     SqMeta(dim, nlist, seed, coarse, vmin, vstep, None,
-      Some(if (residuals.isEmpty) 0.0 else accErr / residuals.length))
+      Some(if (residuals.isEmpty) 0.0 else accErr / residuals.length),
+      Some(cellCounts.map(_.toDouble / sample.length)))
   }
 
   private def requireConfig(mt: SqMeta, dim: Int, nlist: Int,
@@ -283,23 +295,37 @@ object IvfSqStream {
   }
 
   /** Threshold-triggered drift remediation — the
-    * [[IvfPqStream.maybeRefitOnDrift]] contract for this tier:
-    * member-weighted tick mean vs `factor ×` the pinned fit-time
-    * baseline; fires `compactStore(refit = true)` once per shift with
-    * the `cooldownCommits` rate bound; no-ops on factor ≤ 0, empty
-    * ticks, or pre-baseline markers. */
+    * [[IvfPqStream.maybeRefitOnDrift]] contract for this tier, now a
+    * TWO-SIGNAL OR (round 17): member-weighted tick mean vs `factor ×`
+    * the pinned error baseline, OR cell-occupancy total-variation vs
+    * `occTvMax` ([[StoreCommits.occupancyTv]]). The occupancy signal
+    * exists because THIS tier's error monitor is provably blind on
+    * weak-structure corpora (round-16 rehearsal: a ×3 scale+offset
+    * shift reads ratio ~1.00 — min/max clamping absorbs it), while the
+    * same shift re-routes every vector's cell assignment. Fires
+    * `compactStore(refit = true)` once per shift with the
+    * `cooldownCommits` rate bound; no-ops on empty ticks, disabled
+    * signals (`factor ≤ 0` / `occTvMax ≤ 0`), or pre-baseline
+    * markers. */
   def maybeRefitOnDrift(
       spark: SparkSession, storeDir: String, monitor: DataFrame,
-      factor: Double, cooldownCommits: Int = 8): Boolean = {
-    if (factor <= 0) return false
-    val agg = monitor.agg(
-      sum(col("members")).as("n"),
-      sum(col("members") * col("mean_code_err")).as("wsum")).collect()(0)
-    if (agg.isNullAt(0) || agg.getLong(0) == 0L) return false
-    val tickMean = agg.getDouble(1) / agg.getLong(0)
-    val base = effectiveMeta(spark, storeDir, promote = false).flatMap(_.baseline)
-    val drifted = base.exists(b => tickMean > factor * b)
-    if (!drifted) return false
+      factor: Double, cooldownCommits: Int = 8,
+      occTvMax: Double = 0.35): Boolean = {
+    if (factor <= 0 && occTvMax <= 0) return false
+    // ONE bounded collect (nlist rows) feeds both signals
+    val rows = monitor
+      .select(col("cell"), col("members"), col("mean_code_err")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val n = rows.iterator.map(_._2).sum
+    if (n == 0L) return false
+    val meta = effectiveMeta(spark, storeDir, promote = false)
+    val tickMean = rows.iterator.map(t => t._2 * t._3).sum / n
+    val errDrifted = factor > 0 &&
+      meta.flatMap(_.baseline).exists(b => tickMean > factor * b)
+    val occDrifted = occTvMax > 0 && meta.flatMap(_.occ).exists(o =>
+      StoreCommits.occupancyTv(rows.map(t => (t._1, t._2)).toSeq, o)
+        .exists(_ > occTvMax))
+    if (!errDrifted && !occDrifted) return false
     if (StoreCommits.visibleCommitCount(spark,
         s"$storeDir/sqvecs") < cooldownCommits) return false
     compactStore(spark, storeDir, refit = true)
@@ -331,7 +357,12 @@ object IvfSqStream {
       // family shift on structured data still fires far above it
       // (the IvfSqStreamSpec prototype shift). 0 disables.
       refitDriftFactor: Double = 2.0,
-      refitCooldownCommits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+      refitCooldownCommits: Int = 8,
+      // occupancy-TV OR-trigger (round 17) — the signal that DOES see
+      // the shifts the clamped error monitor is blind to. sf1
+      // rehearsal: stationary ticks ≤ ~0.1, the ×3 scale+offset shift
+      // (error ratio ~1.0 on this tier) reads ~0.9. 0 disables.
+      refitOccupancyTv: Double = 0.35): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(vecsSchema).parquet(vecsPath)
       .writeStream
       .queryName("ivfsq-maintenance")
@@ -343,7 +374,7 @@ object IvfSqStream {
         val monitor = upsertStep(batch, storeDir, dim, nlist, seed,
           batchTag = s"$qid-$batchId", storeParts = storeParts)
         maybeRefitOnDrift(spark, storeDir, monitor, refitDriftFactor,
-          refitCooldownCommits)
+          refitCooldownCommits, refitOccupancyTv)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(spark, storeDir)
         ()

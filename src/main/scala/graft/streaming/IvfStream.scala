@@ -62,25 +62,32 @@ object IvfStream {
   private[streaming] final case class IvfMeta(
       dim: Int, nlist: Int, seed: Long,
       centroids: Array[Array[Double]], target: Option[String],
-      baseline: Option[Double] = None) {
+      baseline: Option[Double] = None,
+      occ: Option[Array[Double]] = None) {
     def render: String = {
       val head = s"$dim/$nlist/$seed" + target.fold("")(t => s"/$t")
       ((head +: centroids.map(_.mkString(","))) ++
-        baseline.map(b => s"baseline $b")).mkString("\n")
+        baseline.map(b => s"baseline $b") ++
+        occ.map(o => "occupancy " + o.mkString(","))).mkString("\n")
     }
   }
 
   private def parseMeta(text: String): IvfMeta = {
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     val h = lines.head.split('/')
-    // `baseline <x>` is a labeled trailing line (absent on pre-drift
-    // markers — those stores simply never auto-refit)
+    // `baseline <x>` / `occupancy <x,…>` are labeled trailing lines
+    // (absent on pre-drift markers — those stores simply never
+    // auto-refit on the missing signal)
     IvfMeta(h(0).toInt, h(1).toInt, h(2).toLong,
-      lines.tail.filterNot(_.startsWith("baseline "))
+      lines.tail.filterNot(s =>
+          s.startsWith("baseline ") || s.startsWith("occupancy "))
         .map(_.split(',').map(java.lang.Double.parseDouble)),
       if (h.length > 3) Some(h(3)) else None,
       lines.tail.find(_.startsWith("baseline "))
-        .map(s => java.lang.Double.parseDouble(s.stripPrefix("baseline "))))
+        .map(s => java.lang.Double.parseDouble(s.stripPrefix("baseline "))),
+      lines.tail.find(_.startsWith("occupancy "))
+        .map(_.stripPrefix("occupancy ").split(',')
+          .map(java.lang.Double.parseDouble)))
   }
 
   /** The EFFECTIVE quantizer for the store's current visible state —
@@ -105,24 +112,31 @@ object IvfStream {
     * mean distance-to-nearest-centroid, the number the tick monitor's
     * mean_dist is compared against by [[maybeRefitOnDrift]]. */
   private def fitCentroids(
-      rows: DataFrame, nlist: Int, seed: Long): (Array[Array[Double]], Double) = {
+      rows: DataFrame, nlist: Int, seed: Long)
+      : (Array[Array[Double]], Double, Array[Double]) = {
     val sample = rows
       .orderBy(xxhash64(col("neighbor_id")).asc, col("neighbor_id").asc)
       .limit(20000).select("cvec")
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val cs = SimilaritySearch.localKMeans(sample, nlist, iters = 10, seed = seed)
     var acc = 0.0
+    // fit-time cell OCCUPANCY baseline (round 17) — the anchor for the
+    // occupancy-drift signal (StoreCommits.occupancyTv)
+    val cellCounts = new Array[Long](cs.length)
     sample.foreach { v =>
-      var bd = Double.MaxValue; var ci = 0
+      var bd = Double.MaxValue; var best = 0; var ci = 0
       while (ci < cs.length) {
         var d = 0.0; var t = 0
         while (t < v.length) { val df = v(t) - cs(ci)(t); d += df * df; t += 1 }
-        if (d < bd) bd = d
+        if (d < bd) { bd = d; best = ci }
         ci += 1
       }
+      cellCounts(best) += 1
       acc += math.sqrt(bd)
     }
-    (cs, if (sample.isEmpty) 0.0 else acc / sample.length)
+    (cs, if (sample.isEmpty) 0.0 else acc / sample.length,
+      if (sample.isEmpty) Array.empty[Double]
+      else cellCounts.map(_.toDouble / sample.length))
   }
 
   /** Pre-pin a quantizer (e.g. to build a second store that must
@@ -184,8 +198,8 @@ object IvfStream {
       val meta = effectiveMeta(spark, storeDir, promote = true) match {
         case Some(m) => requireConfig(m, dim, nlist, seed, storeDir); m
         case None =>
-          val (cs, base) = fitCentroids(b, nlist, seed)
-          val m = IvfMeta(dim, nlist, seed, cs, None, Some(base))
+          val (cs, base, occ) = fitCentroids(b, nlist, seed)
+          val m = IvfMeta(dim, nlist, seed, cs, None, Some(base), Some(occ))
           StoreCommits.writeTextFile(
             spark, new org.apache.hadoop.fs.Path(storeDir), "_IVF", m.render)
           m
@@ -253,16 +267,27 @@ object IvfStream {
     *   refit per `cooldownCommits` ticks while convergence happens. */
   def maybeRefitOnDrift(
       spark: SparkSession, storeDir: String, monitor: DataFrame,
-      factor: Double, cooldownCommits: Int = 8): Boolean = {
-    if (factor <= 0) return false
-    val agg = monitor.agg(
-      sum(col("members")).as("n"),
-      sum(col("members") * col("mean_dist")).as("wsum")).collect()(0)
-    if (agg.isNullAt(0) || agg.getLong(0) == 0L) return false
-    val tickMean = agg.getDouble(1) / agg.getLong(0)
-    val base = effectiveMeta(spark, storeDir, promote = false).flatMap(_.baseline)
-    val drifted = base.exists(b => tickMean > factor * b)
-    if (!drifted) return false
+      factor: Double, cooldownCommits: Int = 8,
+      occTvMax: Double = 0.35): Boolean = {
+    if (factor <= 0 && occTvMax <= 0) return false
+    // ONE bounded collect (nlist rows) feeds both signals: the error
+    // ratio AND the round-17 occupancy-TV OR-trigger (a regime shift
+    // re-routes cell assignments even when distance-to-centroid stays
+    // in band — the signal family the error monitor misses on
+    // weak-structure corpora)
+    val rows = monitor
+      .select(col("cell"), col("members"), col("mean_dist")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val n = rows.iterator.map(_._2).sum
+    if (n == 0L) return false
+    val meta = effectiveMeta(spark, storeDir, promote = false)
+    val tickMean = rows.iterator.map(t => t._2 * t._3).sum / n
+    val errDrifted = factor > 0 &&
+      meta.flatMap(_.baseline).exists(b => tickMean > factor * b)
+    val occDrifted = occTvMax > 0 && meta.flatMap(_.occ).exists(o =>
+      StoreCommits.occupancyTv(rows.map(t => (t._1, t._2)).toSeq, o)
+        .exists(_ > occTvMax))
+    if (!errDrifted && !occDrifted) return false
     if (StoreCommits.visibleCommitCount(spark,
         s"$storeDir/ivfvecs") < cooldownCommits) return false
     compactStore(spark, storeDir, refit = true)
@@ -298,7 +323,11 @@ object IvfStream {
       // at most one full-store refit per this many ticks (see
       // maybeRefitOnDrift: the commit count is the distance from the
       // last fold, so no extra state)
-      refitCooldownCommits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+      refitCooldownCommits: Int = 8,
+      // occupancy-TV OR-trigger (round 17): fires on cell-histogram
+      // shifts the distance ratio misses (sf1 rehearsal: stationary
+      // ≤ ~0.1, shifted ≥ ~0.9). 0 disables.
+      refitOccupancyTv: Double = 0.35): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(vecsSchema).parquet(vecsPath)
       .writeStream
       .queryName("ivf-maintenance")
@@ -312,7 +341,7 @@ object IvfStream {
         // drift check first (it may refit-compact); the periodic fold
         // then sees a single-commit store and no-ops
         maybeRefitOnDrift(spark, storeDir, monitor, refitDriftFactor,
-          refitCooldownCommits)
+          refitCooldownCommits, refitOccupancyTv)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(spark, storeDir)
         ()
@@ -356,8 +385,9 @@ object IvfStream {
           .getOrElse(throw new IllegalArgumentException(
             s"not an ivf store (no _IVF marker): $storeDir"))
         if (refit) {
-          val (cs2, base2) = fitCentroids(all, meta.nlist, meta.seed)
-          val m2 = meta.copy(centroids = cs2, baseline = Some(base2))
+          val (cs2, base2, occ2) = fitCentroids(all, meta.nlist, meta.seed)
+          val m2 = meta.copy(centroids = cs2, baseline = Some(base2),
+            occ = Some(occ2))
           val bc = spark.sparkContext.broadcast(m2.centroids)
           val assignCell = udf { (v: Seq[Float]) =>
             SimilaritySearch.nearestCellsOf(bc.value, v, 1).head }

@@ -222,6 +222,44 @@ private[graft] object StoreCommits {
       .drop("__latest")
   }
 
+  /** Cell-OCCUPANCY drift signal (round 17): total-variation distance
+    * between a tick's per-cell member distribution and the fit-time
+    * occupancy recorded in the store marker. The reconstruction-error
+    * monitors have a measured blind spot on weak-structure corpora
+    * (round-16 SQ rehearsal: a ×3 scale + offset shift reads ratio
+    * ~1.00 for both IVF-SQ and IVF-PQ — clamping and normalization
+    * absorb the shift, and a near-isotropic corpus fits at the error
+    * ceiling so there is no quality left to lose). Occupancy sees
+    * exactly that failure mode: a regime shift re-routes vectors into
+    * different cells even when their reconstruction error is
+    * unchanged, so the tick's cell histogram diverges from the pinned
+    * baseline. TV ∈ [0, 1]: 0 = identical distribution, 1 = disjoint
+    * support. Stationary sampling noise at tick sizes ≥ ~10k rows and
+    * nlist ≤ 64 sits under ~0.1 (per-cell sd √(p(1−p)/n) summed);
+    * the rehearsed shift families read ≥ 0.8. Takes the already-
+    * collected (cell, members) pairs — the monitor relation is nlist
+    * rows and each store's drift check collects it ONCE for both
+    * signals. */
+  def occupancyTv(cells: Seq[(Int, Long)], base: Array[Double]): Option[Double] = {
+    if (base.isEmpty) return None
+    val n = cells.iterator.map(_._2).sum
+    // a histogram over nlist cells needs O(nlist) samples before TV
+    // means anything: at n ≈ nlist the expected TV of an IDENTICALLY
+    // distributed tick is already ~0.5 (most cells empty by chance).
+    // 32 samples/cell puts stationary noise at ~0.1·√(nlist/64) —
+    // well under the 0.35 default. Smaller ticks return None (signal
+    // abstains; the error ratio still covers them).
+    if (n < 32L * base.length) return None
+    val p = new Array[Double](base.length)
+    cells.foreach { case (c, m) =>
+      if (c >= 0 && c < p.length) p(c) = m.toDouble / n
+    }
+    var tv = 0.0
+    var i = 0
+    while (i < base.length) { tv += math.abs(p(i) - base(i)); i += 1 }
+    Some(tv / 2.0)
+  }
+
   /** One DETERMINISTIC vector per neighbor id for the exact re-rank:
     * max over (ver, cvec) structs — the latest version wins, and an
     * equal-version duplicate (the same id twice in one batch) breaks

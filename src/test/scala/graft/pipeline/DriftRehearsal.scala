@@ -36,13 +36,27 @@ import org.apache.spark.sql.functions._
   * had no quality to lose), not blind. ARCHITECTURE §2b records the
   * boundary.
   *
-  * Emits `DRIFT tier=… tick=… ratio=… refit=…` lines; the factor under
-  * test comes from SPARK_GRAFT_DRIFT_FACTOR (default 1.5 — the value
-  * the IVF/IVF-PQ `start()` entries pin) and, for the scalar tier,
-  * SPARK_GRAFT_DRIFT_FACTOR_SQ (default 2.0 — `IvfSqStream.start`'s
-  * own default: min/max-bound clamping lifts THIS tier's stationary
-  * held-out band to 1.35–1.84 on this corpus, measured by this very
-  * rig, so 1.5 sits inside its noise). */
+  * Emits `DRIFT tier=… tick=… ratio=… occ_tv=… refit=…` lines; the
+  * factor under test comes from SPARK_GRAFT_DRIFT_FACTOR (default
+  * 1.5 — the value the IVF/IVF-PQ `start()` entries pin) and, for the
+  * scalar tier, SPARK_GRAFT_DRIFT_FACTOR_SQ (default 2.0 —
+  * `IvfSqStream.start`'s own default: min/max-bound clamping lifts
+  * THIS tier's stationary held-out band to 1.35–1.84 on this corpus,
+  * measured by this very rig, so 1.5 sits inside its noise).
+  *
+  * ROUND 17 closes the observability boundary above: the
+  * cell-OCCUPANCY TV signal (SPARK_GRAFT_DRIFT_OCC_TV, default 0.35 —
+  * the shipped `refitOccupancyTv`) OR-triggers beside the error
+  * ratio. Measured on this corpus at the defaults: the IVF-SQ leg's
+  * ×3 scale+offset shift reads error ratio 1.001 (BLIND — the round-16
+  * finding) but occ_tv 0.944 → refit FIRES; the IVF-PQ concentration
+  * shift reads ratio 1.337 (under 1.5) but occ_tv 0.964 → FIRES; zero
+  * stationary fires on any leg (ticks under the 32-samples/cell
+  * minimum abstain — printed occ_tv=-1 — and the active fit tick reads
+  * 0.000); exactly one refit per leg through the cooldown.
+  * Round17OccupancySpec pins the active-signal stationary band (≤
+  * ~0.05 at 128 samples/cell) and the routing-shift firing on a
+  * structured corpus where the error ratio is provably flat. */
 object DriftRehearsal {
 
   def main(args: Array[String]): Unit = {
@@ -58,6 +72,10 @@ object DriftRehearsal {
     val factor = sys.env.getOrElse("SPARK_GRAFT_DRIFT_FACTOR", "1.5").toDouble
     // the scalar tier ships its own higher default (see the docstring)
     val sqFactor = sys.env.getOrElse("SPARK_GRAFT_DRIFT_FACTOR_SQ", "2.0").toDouble
+    // round-17 occupancy-TV OR-trigger under test (the stores' shipped
+    // default): the signal that fires on the regime shifts the error
+    // ratios above are blind to on this near-isotropic corpus
+    val occTv = sys.env.getOrElse("SPARK_GRAFT_DRIFT_OCC_TV", "0.35").toDouble
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -91,6 +109,13 @@ object DriftRehearsal {
         .map(_.stripPrefix("baseline ").toDouble).getOrElse(-1.0)
       finally src.close()
     }
+    def occBaseOf(storeDir: String, marker: String): Array[Double] = {
+      val src = scala.io.Source.fromFile(s"$storeDir/$marker")
+      try src.getLines().find(_.startsWith("occupancy "))
+        .map(_.stripPrefix("occupancy ").split(',').map(_.toDouble))
+        .getOrElse(Array.empty[Double])
+      finally src.close()
+    }
     def weightedMean(monitor: DataFrame, distCol: String): Double = {
       val r = monitor.agg(sum(col("members")).as("n"),
         sum(col("members") * col(distCol)).as("w")).collect()(0)
@@ -104,13 +129,22 @@ object DriftRehearsal {
         search: () => Long): Unit = {
       var refits = 0
       def tick(t: Int, batch: DataFrame): Unit = {
-        val mon = up(batch, s"t$t")
+        val mon = up(batch, s"t$t").persist()
         val mean = weightedMean(mon, distCol)
         val base = baselineOf(dir, marker)
+        // the round-17 occupancy signal, computed exactly as the
+        // stores' maybeRefitOnDrift does (TV vs the marker's pinned
+        // fit-sample histogram); -1 = signal abstained (no baseline
+        // or sub-minimum tick)
+        val tv = graft.streaming.StoreCommits.occupancyTv(
+          mon.select(col("cell"), col("members")).collect()
+            .map(r => (r.getInt(0), r.getLong(1))).toSeq,
+          occBaseOf(dir, marker)).getOrElse(-1.0)
         val fired = refit(mon)
+        mon.unpersist()
         if (fired) refits += 1
         println(f"DRIFT tier=$tier%s tick=$t%d ratio=${mean / base}%.3f " +
-          f"refit=$fired%s")
+          f"occ_tv=$tv%.3f refit=$fired%s")
       }
       tick(0, fitBatch)
       (0 until 7).foreach(t => tick(t + 1, slice(t)))
@@ -127,7 +161,8 @@ object DriftRehearsal {
     leg(ivfDir, "ivf", "_IVF", "mean_dist", scaled,
       (b, t) => graft.streaming.IvfStream.upsertStep(
         b, ivfDir, dim = dim, nlist = 64, seed = 13L, batchTag = t),
-      mon => graft.streaming.IvfStream.maybeRefitOnDrift(spark, ivfDir, mon, factor),
+      mon => graft.streaming.IvfStream.maybeRefitOnDrift(spark, ivfDir, mon,
+        factor, occTvMax = occTv),
       () => graft.streaming.IvfStream.searchStore(
         spark, ivfDir, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4).count())
 
@@ -135,7 +170,8 @@ object DriftRehearsal {
     leg(pqDir, "ivfpq", "_IVFPQ", "mean_code_err", concentrated,
       (b, t) => graft.streaming.IvfPqStream.upsertStep(
         b, pqDir, dim = dim, nlist = 64, m = 8, seed = 37L, batchTag = t),
-      mon => graft.streaming.IvfPqStream.maybeRefitOnDrift(spark, pqDir, mon, factor),
+      mon => graft.streaming.IvfPqStream.maybeRefitOnDrift(spark, pqDir, mon,
+        factor, occTvMax = occTv),
       () => graft.streaming.IvfPqStream.searchStore(
         spark, pqDir, emb.filter(col("vec_id") < 10), k = 5,
         nprobe = 4, rerank = 32).count())
@@ -152,7 +188,8 @@ object DriftRehearsal {
     leg(sqDir, "ivfsq", "_IVFSQ", "mean_code_err", scaled,
       (b, t) => graft.streaming.IvfSqStream.upsertStep(
         b, sqDir, dim = dim, nlist = 64, seed = 41L, batchTag = t),
-      mon => graft.streaming.IvfSqStream.maybeRefitOnDrift(spark, sqDir, mon, sqFactor),
+      mon => graft.streaming.IvfSqStream.maybeRefitOnDrift(spark, sqDir, mon,
+        sqFactor, occTvMax = occTv),
       () => graft.streaming.IvfSqStream.searchStore(
         spark, sqDir, emb.filter(col("vec_id") < 10), k = 5,
         nprobe = 4, rerank = 32).count())
