@@ -73,10 +73,11 @@ object Recall {
       name -> recallOf(r, truth)
     }
 
-    // ---- streaming-store recall (round 16): the three durable stores'
-    // searchStore against the SAME brute-force truth, at TWO store
-    // states — mid-accretion (3 un-compacted commits) and
-    // post-compaction. Store knobs mirror the q101/q102/q104 entries.
+    // ---- streaming-store recall (round 16; 4th tier round 17): the
+    // durable stores' searchStore against the SAME brute-force truth,
+    // at TWO store states — mid-accretion (3 un-compacted commits) and
+    // post-compaction. Store knobs mirror the q101/q102/q104/q109
+    // entries.
     val storeRoot = java.nio.file.Files.createTempDirectory("recallstores").toString
     def accrete(up: (DataFrame, String) => Unit): Unit =
       (0 until 3).foreach(c =>
@@ -112,6 +113,18 @@ object Recall {
           spark, d, q, k = 5, nprobe = 10, rerank = 192)), truth)
         graft.streaming.IvfPqStream.compactStore(spark, d)
         val post = recallOf(pairs(graft.streaming.IvfPqStream.searchStore(
+          spark, d, q, k = 5, nprobe = 10, rerank = 192)), truth)
+        (mid, post)
+      }),
+      // round 17: the fourth durable tier at the q109 gate knobs
+      ("ivfsq_store", () => {
+        val d = s"$storeRoot/ivfsq"
+        accrete((b, t) => { graft.streaming.IvfSqStream.upsertStep(
+          b, d, dim = 64, nlist = 16, seed = 41L, batchTag = t); () })
+        val mid = recallOf(pairs(graft.streaming.IvfSqStream.searchStore(
+          spark, d, q, k = 5, nprobe = 10, rerank = 192)), truth)
+        graft.streaming.IvfSqStream.compactStore(spark, d)
+        val post = recallOf(pairs(graft.streaming.IvfSqStream.searchStore(
           spark, d, q, k = 5, nprobe = 10, rerank = 192)), truth)
         (mid, post)
       })

@@ -129,42 +129,79 @@ object AudioCodecs {
     * running value. Truncated tails stop cleanly at the last complete
     * page; garbage returns None.
     *
-    * Known limit: the identification-header reassembly walks only page
-    * 1's lacing table, so a first packet that CONTINUES onto page 2
-    * (a 255-lacing segment ending page 1 — legal per RFC 3533 §6,
-    * never emitted by mainstream encoders, whose id headers fit one
-    * page) returns None and dead-letters even though the header is
-    * recoverable. Acceptable under the dead-letter contract; extend
-    * reassembly across page boundaries if real crawl data hits it. */
+    * The identification-header reassembly crosses page boundaries
+    * (round 17): a first packet whose page-1 lacing table ends on a
+    * 255 value legally CONTINUES on page 2 (RFC 3533 §5–6, header-type
+    * flag 0x01) — never emitted by mainstream encoders, whose id
+    * headers fit one page, but recoverable and present in real crawl
+    * audio. The walk honors the continuation-flag discipline both ways
+    * (page 1 must not be flagged continued; a continuation page must
+    * be) and caps the assembled packet at 64 KiB so a crafted all-255
+    * stream dead-letters instead of buffering without bound. */
   def decodeOgg(b: Array[Byte]): Option[OggInfo] = {
     if (b == null || b.length < 28 || !hasMagic(b, 0, "OggS") || b(4) != 0)
       return None
-    // first page: reassemble packet 1 from the lacing table (an id
-    // header is < 255 bytes in practice, but honor 255-continuations)
-    val nseg0 = u8(b, 26)
-    if (27 + nseg0 > b.length) return None
-    var p0len = 0
+    // ---- packet-1 reassembly across pages: collect (offset, length)
+    // slices until a lacing value < 255 terminates the packet
+    var pageOff = 0
+    var plen = 0
     var complete = false
-    var i = 0
-    while (i < nseg0 && !complete) {
-      val l = u8(b, 27 + i); p0len += l
-      if (l < 255) complete = true
-      i += 1
+    var valid = true
+    var firstPage = true
+    var slices = List.empty[(Int, Int)]
+    while (!complete && valid) {
+      if (pageOff + 27 > b.length || !hasMagic(b, pageOff, "OggS") ||
+          b(pageOff + 4) != 0) valid = false
+      else {
+        val continued = (u8(b, pageOff + 5) & 1) != 0
+        // the continuation flag must MATCH the walk state — a flagged
+        // first page or an unflagged follow-up is a torn stream
+        if (continued == firstPage) valid = false
+        else {
+          val nseg = u8(b, pageOff + 26)
+          if (nseg == 0 || pageOff + 27 + nseg > b.length) valid = false
+          else {
+            var i = 0
+            var part = 0
+            while (i < nseg && !complete) {
+              val l = u8(b, pageOff + 27 + i); part += l
+              if (l < 255) complete = true
+              i += 1
+            }
+            // full page length (all segments) to hop to the next page
+            var dlen = part
+            var j = i
+            while (j < nseg) { dlen += u8(b, pageOff + 27 + j); j += 1 }
+            val dstart = pageOff + 27 + nseg
+            if (dstart + dlen > b.length || plen + part > 65536) valid = false
+            else {
+              slices = slices :+ ((dstart, part))
+              plen += part
+              pageOff = dstart + dlen
+              firstPage = false
+            }
+          }
+        }
+      }
     }
-    val d0 = 27 + nseg0
-    if (!complete || d0 + p0len > b.length) return None
+    if (!valid || !complete) return None
+    val pkt = new Array[Byte](plen)
+    var w = 0
+    slices.foreach { case (off, l) =>
+      System.arraycopy(b, off, pkt, w, l); w += l
+    }
     val head: Option[(String, Int, Int, Int)] = // codec, channels, rate, preSkip
-      if (p0len >= 30 && b(d0) == 0x01 && hasMagic(b, d0 + 1, "vorbis")) {
-        val version = le32(b, d0 + 7)
-        val ch = u8(b, d0 + 11)
-        val sr = le32(b, d0 + 12)
+      if (plen >= 30 && pkt(0) == 0x01 && hasMagic(pkt, 1, "vorbis")) {
+        val version = le32(pkt, 7)
+        val ch = u8(pkt, 11)
+        val sr = le32(pkt, 12)
         if (version != 0 || ch == 0 || sr <= 0) None
         else Some(("vorbis", ch, sr, 0))
-      } else if (p0len >= 19 && hasMagic(b, d0, "OpusHead")) {
-        val version = u8(b, d0 + 8)
-        val ch = u8(b, d0 + 9)
-        val preSkip = le16(b, d0 + 10)
-        val inputSr = le32(b, d0 + 12)
+      } else if (plen >= 19 && hasMagic(pkt, 0, "OpusHead")) {
+        val version = u8(pkt, 8)
+        val ch = u8(pkt, 9)
+        val preSkip = le16(pkt, 10)
+        val inputSr = le32(pkt, 12)
         if ((version >> 4) != 0 || ch == 0) None // major version must be 0
         else Some(("opus", ch, inputSr, preSkip))
       } else None

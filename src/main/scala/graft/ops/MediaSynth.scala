@@ -417,6 +417,50 @@ object MediaSynth {
     page
   }
 
+  /** One OGG page with an EXPLICIT lacing table — the fragmented-
+    * packet writer ([[oggVorbisSplitHeader]]): a packet slice laced
+    * 255 continues on the next page, which [[oggPage]]'s < 255
+    * invariant cannot express. Same real CRC. */
+  private def oggPageRaw(headerType: Int, granule: Long, serial: Int,
+      seq: Int, lacing: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val page = cc("OggS") ++ Array(0.toByte, headerType.toByte) ++
+      Array.tabulate(8)(i => ((granule >>> (8 * i)) & 0xff).toByte) ++
+      le32(serial) ++ le32(seq) ++ le32(0) ++
+      Array(lacing.length.toByte) ++ lacing ++ data
+    var crc = 0
+    var i = 0
+    while (i < page.length) {
+      crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ (page(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    System.arraycopy(le32(crc), 0, page, 22, 4)
+    page
+  }
+
+  /** OGG/Vorbis with the identification header FRAGMENTED across the
+    * page boundary (RFC 3533 §5–6: page 1's single lacing value is
+    * 255, so the packet continues on page 2, which carries the
+    * continued-packet flag 0x01) — the legal-but-never-mainstream
+    * layout the round-16 verdict asked the decoder to survive. The id
+    * packet is the real 30-byte header padded to 300 bytes (container-
+    * level fragmentation requires ≥ 255 bytes before the split;
+    * trailing bytes in the packet are ignored padding), split 255/45.
+    * Page 3 (EOS) carries the payload and final granule. */
+  def oggVorbisSplitHeader(id: Long, sr: Int, channels: Int,
+      totalSamples: Long, payloadLen: Int): Array[Byte] = {
+    val idHeader = Array(0x01.toByte) ++ cc("vorbis") ++ le32(0) ++
+      Array(channels.toByte) ++ le32(sr) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      Array(0xb8.toByte, 0x01.toByte)
+    val pkt = idHeader ++ Array.tabulate(300 - idHeader.length)(j =>
+      ((id + 31 + j) % 255).toByte)
+    val payload = Array.tabulate(payloadLen)(j => ((id + j) % 255).toByte)
+    oggPageRaw(0x02, 0L, id.toInt, 0,
+        Array(255.toByte), pkt.take(255)) ++
+      oggPageRaw(0x01, 0L, id.toInt, 1,
+        Array((pkt.length - 255).toByte), pkt.drop(255)) ++
+      oggPage(0x04, totalSamples, id.toInt, 2, Array(payload))
+  }
+
   /** OGG/Vorbis: page 1 (BOS) = the 30-byte Vorbis I identification
     * header (version 0, channels, rate, three bitrate fields 0,
     * blocksizes 2⁸/2¹¹, framing 1), page 2 (EOS) = `payloadLen` opaque

@@ -63,6 +63,49 @@ class Round15OpsSpec extends SparkSpec {
     assert(i.codec == "vorbis" && i.totalGranules == 0L)
   }
 
+  test("ogg fragmented id header (round 17): packet spliced across the page boundary reassembles") {
+    // RFC 3533 §5-6: page 1's single lacing value is 255, the id
+    // packet continues on page 2 (continued-packet flag 0x01) — legal,
+    // never emitted by mainstream encoders, present in crawl audio
+    val b = MediaSynth.oggVorbisSplitHeader(11L, sr = 22050, channels = 2,
+      totalSamples = 44100L, payloadLen = 32)
+    val i = AudioCodecs.decodeOgg(b).get
+    assert(i.codec == "vorbis" && i.channels == 2 && i.sampleRate == 22050)
+    assert(i.totalGranules == 44100L && i.durationMs == 2000L)
+    // torn continuations dead-letter, in both flag directions:
+    // (a) the stream ends mid-packet (continuation page missing)
+    val page1Len = 27 + 1 + 255
+    assert(AudioCodecs.decodeOgg(b.take(page1Len)).isEmpty,
+      "headerless tail must dead-letter")
+    // (b) the continuation page is NOT flagged continued — a torn
+    // stream masquerading as a fresh packet boundary
+    val unflagged = b.clone()
+    unflagged(page1Len + 5) = 0.toByte
+    assert(AudioCodecs.decodeOgg(unflagged).isEmpty,
+      "unflagged continuation must dead-letter")
+    // (c) a FLAGGED first page is equally torn
+    val flaggedFirst = MediaSynth.oggVorbis(5L, 8000, 1, 100L, 10).clone()
+    flaggedFirst(5) = (flaggedFirst(5) | 1).toByte
+    assert(AudioCodecs.decodeOgg(flaggedFirst).isEmpty,
+      "continued-flagged first page must dead-letter")
+    // (d) a crafted endless all-255 chain hits the 64 KiB cap and
+    // dead-letters instead of buffering without bound: build 300
+    // pages of lacing [255] (never terminating)
+    val chain = new java.io.ByteArrayOutputStream()
+    (0 until 300).foreach { s =>
+      val hdr = new Array[Byte](27 + 1 + 255)
+      "OggS".getBytes.copyToArray(hdr, 0)
+      hdr(4) = 0; hdr(5) = if (s == 0) 2 else 1
+      hdr(26) = 1; hdr(27) = 255.toByte
+      chain.write(hdr)
+    }
+    assert(AudioCodecs.decodeOgg(chain.toByteArray).isEmpty,
+      "unbounded 255-chain must dead-letter at the cap")
+    // and the single-page fast path is untouched
+    val whole = MediaSynth.oggVorbis(6L, 44100, 2, 123456L, 40)
+    assert(AudioCodecs.decodeOgg(whole).get.totalGranules == 123456L)
+  }
+
   test("q105 pipeline: OGG decode over synthesized assets equals the arithmetic oracle") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q105docs").toString
