@@ -118,6 +118,7 @@ object SparkEntry {
     "q102_ivf_stream" -> (OpsQueries.q102IvfStream _),
     "q104_ivfpq_stream" -> (OpsQueries.q104IvfPqStream _),
     "q109_ivfsq_stream" -> (OpsQueries.q109IvfSqStream _),
+    "q112_upsert_churn" -> (OpsQueries.q112UpsertChurn _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -397,6 +398,36 @@ object SparkEntry {
     // incremental IVF-SQ8 store must answer exactly like q108's
     // one-shot build
     "q109_ivfsq_stream" -> annPlantedTopkSql,
+    // q112 (round 17): the upsert-CHURN gate — brute force over the
+    // LATEST corpus (two of each query's five planted copies
+    // re-upserted as a 0.5/0.5 mix), doubled across both store states.
+    // Under max-over-versions the stale v1 rows (cos ≥ 0.98) would
+    // outrank and the hash would mismatch; under latest-wins the store
+    // must serve the v2 ranking pre- AND post-compaction.
+    "q112_upsert_churn" ->
+      s"""WITH $plantedCtes,
+        |churned AS (
+        |  SELECT 1099511627776 + pq.qid * 5 + c AS vec_id,
+        |    list_transform(range(1, len(qv) + 1), i ->
+        |      CAST(CAST(0.5 AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+        |         + CAST(0.5 AS DOUBLE) * CAST(uv[i] AS DOUBLE) AS FLOAT)) AS embedding
+        |  FROM pq JOIN pu USING (qid), (SELECT unnest(range(1, 3)) AS c) cs),
+        |latest AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted
+        |    WHERE (vec_id - 1099511627776) % 5 NOT IN (1, 2)
+        |  UNION ALL SELECT vec_id, embedding FROM churned),
+        |s AS (SELECT pq.qid, c.vec_id AS nid,
+        |        list_cosine_similarity(CAST(pq.qv AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) AS cos
+        |      FROM latest c, pq WHERE c.vec_id <> pq.qid),
+        |topk AS (SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM s)
+        |  WHERE rank <= 5)
+        |SELECT query_id, neighbor_id, rank, state
+        |FROM topk, (SELECT unnest(['pre', 'post']) AS state) st""".stripMargin,
     // q53: exact all-pairs cosine ≥ 0.92 over the planted corpus — the
     // threshold regime where the k-means cell blocking provably loses
     // nothing (family diameter ≤ 0.05 rad, distractor ceiling 0.61)

@@ -1405,6 +1405,70 @@ object OpsQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** UPSERT-CHURN gate (round 17): the latest-wins contract under
+    * CORRECTNESS, not just specs. The planted corpus accretes into an
+    * IVF-PQ store over 3 commits (the q104 shape), then a FOURTH tick
+    * RE-UPSERTS two of each query's five planted copies (c ∈ {1, 2})
+    * with CHANGED vectors — a 0.5/0.5 query/distractor mix whose
+    * cosine sits far below the v1 copies' ≥ 0.98. The search runs
+    * TWICE, pre-compaction (the [[graft.streaming.StoreCommits
+    * .minusSuperseded]] global mask) and post-compaction (the
+    * [[graft.streaming.StoreCommits.electLatest]] physical fold), and
+    * both states are hash-gated against ONE DuckDB brute-force oracle
+    * over the LATEST corpus. Under the pre-round-17 max-over-versions
+    * semantics the stale v1 rows (cos ≥ 0.98) would outrank and the
+    * hash would mismatch — this gate is the end-to-end proof that
+    * upsert means replace, in both store states. */
+  def q112UpsertChurn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = annCorpus(spark, dir)
+    val emb = table(spark, dir, "embeddings")
+    val store = java.nio.file.Files.createTempDirectory("q112churn").toString
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+    (0 until 3).foreach { c =>
+      graft.streaming.IvfPqStream.upsertStep(
+        corpus.filter(pmod(col("vec_id"), lit(3)) === c), store,
+        dim = 64, nlist = 16, m = 8, seed = 37L, batchTag = s"a$c")
+    }
+    // the churn tick: v2 of the c ∈ {1, 2} planted ids — the
+    // plantedNeighborCorpus id/mix formula with the coefficient pushed
+    // to 0.5 (same double-arithmetic-then-float-cast discipline as the
+    // oracle's CTE, so the vectors are bit-identical)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qv"))
+    val u = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select((col("vec_id") - 10).cast("long").as("qid"),
+        col("embedding").as("uv"))
+    val v2 = q.join(u, "qid")
+      .select(col("qid"), col("qv"), col("uv"),
+        explode(sequence(lit(1), lit(2))).as("c"))
+      .select(
+        (lit(1L << 40) + col("qid") * 5 + col("c")).cast("long").as("vec_id"),
+        zip_with(col("qv"), col("uv"), (a, b) =>
+          (lit(0.5) * a.cast("double") + lit(0.5) * b.cast("double"))
+            .cast("float")).as("embedding"))
+    graft.streaming.IvfPqStream.upsertStep(v2, store,
+      dim = 64, nlist = 16, m = 8, seed = 37L, batchTag = "churn")
+    val queries = corpus.filter(col("vec_id") < 10)
+    def searchState(state: String): DataFrame =
+      graft.streaming.IvfPqStream.searchStore(
+          spark, store, queries, k = 5, nprobe = 10, rerank = 192)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), lit(state).as("state"))
+    // materialize the pre-compaction answer BEFORE compacting (the
+    // DataFrame is lazy; a union would re-read the folded store)
+    val preDf = searchState("pre")
+    val pre = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        preDf.collect(): _*)), preDf.schema)
+    graft.streaming.IvfPqStream.compactStore(spark, store)
+    pre.unionByName(searchState("post"))
+  }
+
   /** MULTIMODAL audio beyond WAV ([[graft.ops.AudioCodecs]], round 14):
     * deterministic MPEG-1 Layer III streams (ID3v2 skip + frame-header
     * sync walk over the published bitrate/samplerate tables) and FLAC
