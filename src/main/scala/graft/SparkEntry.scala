@@ -119,6 +119,7 @@ object SparkEntry {
     "q104_ivfpq_stream" -> (OpsQueries.q104IvfPqStream _),
     "q109_ivfsq_stream" -> (OpsQueries.q109IvfSqStream _),
     "q112_upsert_churn" -> (OpsQueries.q112UpsertChurn _),
+    "q113_filtered_ann" -> (OpsQueries.q113FilteredAnn _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -428,6 +429,23 @@ object SparkEntry {
         |  WHERE rank <= 5)
         |SELECT query_id, neighbor_id, rank, state
         |FROM topk, (SELECT unnest(['pre', 'post']) AS state) st""".stripMargin,
+    // q113 (round 17): FILTERED ANN — the planted brute-force oracle
+    // with the same candidate predicate the store search carries
+    // (neighbor_id % 2 = 0). The filter removes 2-3 of each query's 5
+    // planted copies, so an unfiltered or post-filtered implementation
+    // hash-mismatches immediately.
+    "q113_filtered_ann" ->
+      s"""WITH $plantedCtes,
+        |s AS (SELECT pq.qid, c.vec_id AS nid,
+        |        list_cosine_similarity(CAST(pq.qv AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) AS cos
+        |      FROM pcorpus c, pq
+        |      WHERE c.vec_id <> pq.qid AND c.vec_id % 2 = 0)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM s)
+        |WHERE rank <= 2""".stripMargin,
     // q53: exact all-pairs cosine ≥ 0.92 over the planted corpus — the
     // threshold regime where the k-means cell blocking provably loses
     // nothing (family diameter ≤ 0.05 rad, distractor ceiling 0.61)

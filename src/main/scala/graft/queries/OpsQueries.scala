@@ -1469,6 +1469,46 @@ object OpsQueries {
     pre.unionByName(searchState("post"))
   }
 
+  /** FILTERED ANN search (round 17): attribute-constrained top-k over
+    * a DURABLE store — the serving path a real corpus needs (tenant /
+    * licence / freshness predicates composed with vector search). The
+    * batch tiers need no API for this (their corpus is a DataFrame the
+    * caller filters before the build), but a store's index is already
+    * built, so the predicate rides the search: `candidateFilter`
+    * applies to the pruned scan BEFORE scoring and the re-rank —
+    * PRE-filtering, so the answer is the exact top-k over the
+    * qualifying subset (post-filtering a fixed-size shortlist silently
+    * loses recall under selective filters). Gate: the q109-shaped
+    * IVF-SQ8 store searched under `neighbor_id % 2 = 0` at k = 2,
+    * against the planted brute-force oracle with the same predicate.
+    * k = 2 is load-bearing: the parity filter keeps two planted copies
+    * for even query ids (c ∈ {2,4}) and three for odd (c ∈ {1,3,5}),
+    * so the top-2 is provably all-planted (floor ≥ 0.99 vs distractor
+    * ceiling 0.61) and inside the probed cells — exact under pruning —
+    * while an UNFILTERED search would answer c ∈ {1,2} for even qids
+    * and hash-mismatch immediately. (Deeper ranks fall to distractors,
+    * where nprobe pruning is legitimately lossy — not gateable.) */
+  def q113FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = annCorpus(spark, dir)
+    val store = java.nio.file.Files.createTempDirectory("q113filt").toString
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+    (0 until 3).foreach { c =>
+      graft.streaming.IvfSqStream.upsertStep(
+        corpus.filter(pmod(col("vec_id"), lit(3)) === c), store,
+        dim = 64, nlist = 16, seed = 41L, batchTag = s"a$c")
+    }
+    graft.streaming.IvfSqStream.searchStore(
+        spark, store, corpus.filter(col("vec_id") < 10), k = 2,
+        nprobe = 10, rerank = 192,
+        candidateFilter = Some(pmod(col("neighbor_id"), lit(2)) === 0))
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** MULTIMODAL audio beyond WAV ([[graft.ops.AudioCodecs]], round 14):
     * deterministic MPEG-1 Layer III streams (ID3v2 skip + frame-header
     * sync walk over the published bitrate/samplerate tables) and FLAC

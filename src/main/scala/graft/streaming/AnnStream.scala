@@ -261,7 +261,12 @@ object AnnStream {
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       maxQueries: Int = 100000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      // FILTERED search (round 17): a predicate over the store rows
+      // applied to the pruned scan before scoring -- PRE-filtering,
+      // exact top-k over the qualifying subset; see
+      // IvfSqStream.searchStore for the full rationale
+      candidateFilter: Option[Column] = None): DataFrame = {
     // the searcher derives its keying from the STORE's marker — a
     // caller cannot probe with a drifted family
     val dir = new org.apache.hadoop.fs.Path(storeDir)
@@ -315,13 +320,15 @@ object AnnStream {
     // tombstoned ids and SUPERSEDED versions (a later re-upsert of the
     // same id — the global mask, see the contract above) never reach
     // scoring
-    val stored = StoreCommits.minusSuperseded(
+    val stored0 = StoreCommits.minusSuperseded(
       StoreCommits.minusTombstones(
         DedupStream.readStore(
           spark, s"$storeDir/annvecs", vecSchema,
           excludeTag = " none ", partCol = "ab", wanted = wanted),
         spark, storeDir, "neighbor_id"),
       spark, storeDir, "annvecs", "neighbor_id")
+    // pre-filter: scoring reads only the filtered relation
+    val stored = candidateFilter.fold(stored0)(stored0.filter)
     // BUCKET-INDEXED map-side scoring (the IvfPqStream ADC shape):
     // broadcast Map[(tbl«32|bucket) → probing queries] with each
     // query's vector shared by reference across its probe entries;

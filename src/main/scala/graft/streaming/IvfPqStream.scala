@@ -466,7 +466,12 @@ object IvfPqStream {
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       nprobe: Int = 4, rerank: Int = 32, maxQueries: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      touches: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      touches: Option[org.apache.spark.util.LongAccumulator] = None,
+      // FILTERED search (round 17): a predicate over the store rows
+      // applied to the pruned scan before scoring and the re-rank --
+      // PRE-filtering, exact top-k over the qualifying subset; see
+      // IvfSqStream.searchStore for the full rationale
+      candidateFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVFPQ")),
@@ -524,6 +529,8 @@ object IvfPqStream {
     stored = StoreCommits.minusSuperseded(
       StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id"),
       spark, storeDir, "pqvecs", "neighbor_id")
+    // pre-filter: ADC pass and re-rank both read the filtered relation
+    stored = candidateFilter.fold(stored)(stored.filter)
     val m = mt.m
     // cell-indexed, dim-independent broadcast LUTs (the batch
     // operator's shape — SimilaritySearch.adcByCell); probe selection

@@ -445,7 +445,17 @@ object IvfSqStream {
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       nprobe: Int = 4, rerank: Int = 32, maxQueries: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      touches: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      touches: Option[org.apache.spark.util.LongAccumulator] = None,
+      // FILTERED search (round 17): a predicate over the store rows
+      // (typically `neighbor_id`) applied to the pruned scan BEFORE
+      // scoring and the re-rank — PRE-filtering, so top-k is exact
+      // over the qualifying subset (post-filtering a fixed shortlist
+      // silently loses recall under selective filters). Batch tiers
+      // need no such knob — their corpus is a DataFrame the caller
+      // filters before the build; a durable store's index is already
+      // built, so the filter must ride the search. Catalyst pushes a
+      // plain column predicate into the parquet scan.
+      candidateFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVFSQ")),
@@ -495,6 +505,9 @@ object IvfSqStream {
     stored = StoreCommits.minusSuperseded(
       StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id"),
       spark, storeDir, "sqvecs", "neighbor_id")
+    // pre-filter: both the scoring pass and the re-rank read from the
+    // filtered relation, so the answer is exact top-k over qualifiers
+    stored = candidateFilter.fold(stored)(stored.filter)
     // cell-indexed per-query linear coefficients (the batch operator's
     // broadcast shape — dim-scaled like raw query vectors, shared by
     // reference across a query's nprobe entries)

@@ -438,7 +438,12 @@ object IvfStream {
   def searchStore(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
       nprobe: Int = 3, maxQueries: Int = 100000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      // FILTERED search (round 17): a predicate over the store rows
+      // applied to the pruned scan before scoring -- PRE-filtering,
+      // exact top-k over the qualifying subset; see
+      // IvfSqStream.searchStore for the full rationale
+      candidateFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVF")),
@@ -494,6 +499,8 @@ object IvfStream {
     stored = StoreCommits.minusSuperseded(
       StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id"),
       spark, storeDir, "ivfvecs", "neighbor_id")
+    // pre-filter: scoring reads only the filtered relation
+    stored = candidateFilter.fold(stored)(stored.filter)
     // CELL-INDEXED scoring (the IvfPqStream ADC shape): broadcast
     // Map[cell → queries probing it] with each query's vector shared by
     // reference across its nprobe entries (nq×dim×4 B ≤ ~300 MB at the

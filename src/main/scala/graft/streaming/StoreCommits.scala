@@ -169,14 +169,14 @@ private[graft] object StoreCommits {
     * version per id over the DELTA commits (everything since the last
     * fold — fold targets carry at most one version per id already and
     * every later upsert outversions them, so they never need reading).
-    * Broadcast below `broadcastIdBound` distinct ids, shuffle join
+    * Broadcast below `broadcastDeltaBytes` of delta files, shuffle join
     * above it; a store with no delta commits returns the UNTOUCHED
     * plan. Size discipline is the tombstone one: compaction retires
     * the deltas, so the mask is bounded by upserts-since-compaction —
     * size `compactEvery` accordingly at corpus scale. */
   def minusSuperseded(
       df: DataFrame, spark: SparkSession, storeDir: String, subdir: String,
-      idCol: String, broadcastIdBound: Long = 10000000L): DataFrame = {
+      idCol: String, broadcastDeltaBytes: Long = 1L << 30): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
     val f = fs(spark, root)
     if (!f.exists(root)) return df
@@ -200,11 +200,25 @@ private[graft] object StoreCommits {
         org.apache.spark.sql.types.LongType, nullable = false)))
     val latest = spark.read.schema(verSchema).parquet(leaves: _*)
       .groupBy(col(idCol)).agg(max(col("ver")).as("__latest"))
-    // the count is a cheap column-pruned pass over tick-sized deltas;
-    // it keeps a bulk-loaded never-compacted store from OOMing the
-    // driver through a forced broadcast
+    // broadcast decision from the FILE LISTING, not a count() job (the
+    // count was a whole extra pass over the deltas per search): delta
+    // file bytes include the vector column, so bytes-per-row is ≥
+    // ~300 B (dim 64 float) while a mask row is 16 B — 1 GiB of delta
+    // files is ≤ ~4M ids ≈ 64 MB broadcast, safely under the 8 GiB
+    // broadcast hard cap at ANY dim. A bulk-loaded never-compacted
+    // store (TBs of deltas) falls through to the shuffle join instead
+    // of OOMing the driver.
+    val deltaBytes = deltas.iterator.flatMap { b =>
+      val st = f.getFileStatus(b.getPath)
+      if (st.isDirectory)
+        f.listStatus(b.getPath).iterator.flatMap { s =>
+          if (s.isDirectory) f.listStatus(s.getPath).iterator.map(_.getLen)
+          else Iterator.single(s.getLen)
+        }
+      else Iterator.single(st.getLen)
+    }.sum
     val joined =
-      if (latest.count() <= broadcastIdBound)
+      if (deltaBytes <= broadcastDeltaBytes)
         df.join(broadcast(latest), Seq(idCol), "left")
       else df.join(latest, Seq(idCol), "left")
     joined.filter(col("__latest").isNull || col("ver") >= col("__latest"))
