@@ -120,6 +120,7 @@ object SparkEntry {
     "q109_ivfsq_stream" -> (OpsQueries.q109IvfSqStream _),
     "q112_upsert_churn" -> (OpsQueries.q112UpsertChurn _),
     "q113_filtered_ann" -> (OpsQueries.q113FilteredAnn _),
+    "q114_multimodal_aiff" -> (OpsQueries.q114MultimodalAiff _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1639,6 +1640,22 @@ object SparkEntry {
         |FROM ids WHERE id % 2 = 1"""
       .stripMargin,
     // q106: the M4A/AAC container (MediaSynth.m4aAssetFor: ISO-BMFF
+    // q114 (round 17): AIFF/AIFF-C — the big-endian IFF mirror of WAV;
+    // COMM fields + the 80-bit extended-float sample rate recovered
+    // only by the real chunk walk. Arithmetic: sr table by id%5,
+    // channels = 1+id%2, n_units = 1000+id%9000 sample frames,
+    // duration = n_units·1000//sr, bytes = 54 + n_units·channels·2
+    "q114_multimodal_aiff" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
+        |SELECT id AS doc_id, 'aiff' AS fmt,
+        |  CAST(1 + id % 2 AS BIGINT) AS channels,
+        |  CAST(CASE id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000
+        |       WHEN 3 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+        |  CAST(1000 + id % 9000 AS BIGINT) AS n_units,
+        |  (1000 + id % 9000) * 1000 // (CASE id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |    WHEN 2 THEN 16000 WHEN 3 THEN 22050 ELSE 44100 END) AS duration_ms,
+        |  CAST(54 + (1000 + id % 9000) * (1 + id % 2) * 2 AS BIGINT) AS n_bytes
+        |FROM ids""".stripMargin,
     // ftyp/moov/trak/mdia with a real esds descriptor chain), recovered
     // via the box walk's soun-hdlr dispatch + mp4a sample entry + mdhd
     // sample clock. Arithmetic: sr table by id%5, channels =

@@ -350,4 +350,68 @@ object AudioCodecs {
     }
     info
   }
+
+  /** One parsed AIFF/AIFF-C file: COMM-chunk fields plus the duration
+    * derived from the sample-frame count at the 80-bit extended-float
+    * sample rate. `compression` is "NONE" for plain AIFF; for AIFF-C
+    * it is the COMM compressionType fourcc (header fields stay
+    * meaningful for compressed payloads — this is a header walk). */
+  final case class AiffInfo(
+      channels: Int, sampleRate: Int, bitsPerSample: Int,
+      sampleFrames: Long, durationMs: Long, compression: String)
+
+  private def be16(b: Array[Byte], o: Int): Int = (u8(b, o) << 8) | u8(b, o + 1)
+  private def be32u(b: Array[Byte], o: Int): Long =
+    ((u8(b, o).toLong << 24) | (u8(b, o + 1) << 16) | (u8(b, o + 2) << 8) |
+      u8(b, o + 3)) & 0xffffffffL
+
+  /** IEEE 754 80-bit extended float, big-endian (the AIFF COMM sample
+    * rate — Apple's "Audio Interchange File Format 1.3" spec): 1 sign
+    * + 15 exponent (bias 16383) + 64 mantissa bits with an EXPLICIT
+    * integer bit. value = sign * mantissa * 2^(exp - 16383 - 63). */
+  private def ext80(b: Array[Byte], o: Int): Double = {
+    val se = be16(b, o)
+    val sign = if ((se & 0x8000) != 0) -1.0 else 1.0
+    val exp = se & 0x7fff
+    val mant = be32u(b, o + 2).toDouble * 4294967296.0 + be32u(b, o + 6).toDouble
+    if (exp == 0 && mant == 0.0) 0.0
+    else sign * mant * math.pow(2.0, exp - 16383 - 63)
+  }
+
+  /** Walk an AIFF / AIFF-C file (EA IFF 85 chunks, all big-endian —
+    * the byte-order mirror of RIFF/WAV): `FORM` + form type `AIFF` /
+    * `AIFC`, then id+size chunks padded to even, to the `COMM` chunk
+    * (channels s16, sampleFrames u32, sampleSize s16, sampleRate
+    * 80-bit extended; AIFC appends a compressionType fourcc).
+    * Duration uses the WAV integer idiom: frames * 1000 / rate.
+    * Truncated or garbage input returns None (dead-letter). */
+  def decodeAiff(b: Array[Byte]): Option[AiffInfo] = {
+    if (b == null || b.length < 12) return None
+    if (!hasMagic(b, 0, "FORM")) return None
+    val aifc = hasMagic(b, 8, "AIFC")
+    if (!aifc && !hasMagic(b, 8, "AIFF")) return None
+    var o = 12
+    while (o + 8 <= b.length) {
+      val size = be32u(b, o + 4)
+      if (hasMagic(b, o, "COMM")) {
+        val need = if (aifc) 22L else 18L
+        if (size < need || o + 8 + need > b.length) return None
+        val d = o + 8
+        val ch = be16(b, d)
+        val frames = be32u(b, d + 2)
+        val bits = be16(b, d + 6)
+        val rate = ext80(b, d + 8)
+        if (ch <= 0 || bits <= 0 || !(rate > 0.0) || rate > 1e7) return None
+        val sr = math.round(rate).toInt
+        val comp = if (aifc) new String(b, d + 18, 4, "ISO-8859-1") else "NONE"
+        return Some(AiffInfo(ch, sr, bits, frames,
+          frames * 1000L / sr, comp))
+      }
+      // chunks pad to even length (EA IFF 85)
+      val adv = size + (size & 1L)
+      if (adv > Int.MaxValue - 8 - o) return None
+      o += 8 + adv.toInt
+    }
+    None
+  }
 }

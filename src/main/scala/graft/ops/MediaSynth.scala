@@ -739,4 +739,46 @@ object MediaSynth {
       adts(id, sr, 1 + ((id / 2) % 2).toInt, (20 + id % 80).toInt,
         (5 + id % 20).toInt, withCrc = id % 3 == 0), empty)
   }
+
+  // ---- q114: AIFF / AIFF-C audio (round 17) ----
+
+  /** IEEE 754 80-bit extended float, big-endian, for an integral
+    * sample rate (the AIFF COMM encoding): exponent 16383 + p where p
+    * is the rate's highest set bit, 64-bit mantissa with the explicit
+    * integer bit left-justified. */
+  private def ext80(rate: Int): Array[Byte] = {
+    require(rate > 0, "ext80 synthesizes positive rates")
+    val p = 31 - Integer.numberOfLeadingZeros(rate)
+    val exp = 16383 + p
+    val mant = rate.toLong << (63 - p)
+    be16(exp) ++ Array.tabulate(8)(i => ((mant >>> (8 * (7 - i))) & 0xff).toByte)
+  }
+
+  /** Minimal-but-real AIFF (EA IFF 85, big-endian — the byte-order
+    * mirror of [[wav]]): `FORM`/`AIFF` + an 18-byte `COMM` (channels,
+    * sampleFrames, 16-bit sampleSize, 80-bit extended rate) + an
+    * `SSND` chunk (offset/blockSize 0) carrying
+    * `frames · channels · 2` deterministic payload bytes.
+    * n_bytes = 12 + 26 + 16 + dataLen = 54 + frames·channels·2. */
+  def aiff(id: Long, sr: Int, channels: Int, frames: Int): Array[Byte] = {
+    val dataLen = frames * channels * 2
+    val comm = cc("COMM") ++ be32(18) ++ be16(channels) ++ be32(frames) ++
+      be16(16) ++ ext80(sr)
+    val payload = Array.tabulate(dataLen)(j => ((id + 3 * j) % 251).toByte)
+    val ssnd = cc("SSND") ++ be32(8 + dataLen) ++ be32(0) ++ be32(0) ++ payload
+    val body = cc("AIFF") ++ comm ++ ssnd
+    cc("FORM") ++ be32(body.length) ++ body
+  }
+
+  /** The q114 asset for one document id — every parameter a small
+    * modulus of the id (the oracle restates these formulas):
+    * sr ∈ {8000,11025,16000,22050,44100} by id%5, channels = 1+id%2,
+    * frames = 1000 + id%9000 → n_bytes = 54 + frames·channels·2,
+    * duration_ms = frames·1000 // sr. */
+  def aiffAssetFor(id: Long): MediaAsset = {
+    val empty = MediaMeta(0, 0, 0L, 0, "?")
+    MediaAsset(id, "audio",
+      aiff(id, Array(8000, 11025, 16000, 22050, 44100)((id % 5).toInt),
+        1 + (id % 2).toInt, (1000 + id % 9000).toInt), empty)
+  }
 }

@@ -190,6 +190,11 @@ object Multimodal {
         && b(7) == 'p')
       RiffCodecs.decodeM4a(b).map(m => AudioInfo(0L, "m4a", m.channels,
         m.sampleRate, m.totalSamples, m.durationMs, b.length.toLong))
+    else if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M')
+      // AIFF/AIFF-C (round 17) — the big-endian IFF mirror of RIFF;
+      // seven audio families now dispatch
+      AudioCodecs.decodeAiff(b).map(a => AudioInfo(0L, "aiff", a.channels,
+        a.sampleRate, a.sampleFrames, a.durationMs, b.length.toLong))
     else None
   }
 

@@ -1469,6 +1469,29 @@ object OpsQueries {
     pre.unionByName(searchState("post"))
   }
 
+  /** MULTIMODAL audio, AIFF/AIFF-C (round 17): the big-endian EA IFF
+    * 85 mirror of RIFF/WAV — `FORM`/`AIFF` + `COMM` (channels s16,
+    * sampleFrames u32, sampleSize s16, sampleRate as an 80-bit IEEE
+    * extended float) + `SSND` payload — synthesized per doc_id
+    * ([[graft.ops.MediaSynth.aiffAssetFor]]) and decoded only by the
+    * real chunk walk + extended-float decode
+    * ([[graft.ops.AudioCodecs.decodeAiff]]). The oracle restates the
+    * synthesis arithmetic from the id alone (the q103/q105 idiom) —
+    * `decodeAudioInfo` now dispatches SEVEN audio families. */
+  def q114MultimodalAiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val assets = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(graft.ops.MediaSynth.aiffAssetFor)
+    graft.ops.Multimodal.decodeAudioInfo(assets)
+      .toDF()
+      .select(col("asset_id").as("doc_id"), col("fmt"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_units"), col("duration_ms"), col("n_bytes"))
+  }
+
   /** FILTERED ANN search (round 17): attribute-constrained top-k over
     * a DURABLE store — the serving path a real corpus needs (tenant /
     * licence / freshness predicates composed with vector search). The
