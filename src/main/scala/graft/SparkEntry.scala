@@ -121,6 +121,7 @@ object SparkEntry {
     "q112_upsert_churn" -> (OpsQueries.q112UpsertChurn _),
     "q113_filtered_ann" -> (OpsQueries.q113FilteredAnn _),
     "q114_multimodal_aiff" -> (OpsQueries.q114MultimodalAiff _),
+    "q115_hybrid_rrf" -> (OpsQueries.q115HybridRrf _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1640,6 +1641,50 @@ object SparkEntry {
         |FROM ids WHERE id % 2 = 1"""
       .stripMargin,
     // q106: the M4A/AAC container (MediaSynth.m4aAssetFor: ISO-BMFF
+    // q115 (round 17): hybrid RRF — BM25 leg (the q61 SQL, rounded to
+    // 6 places before ranking), vector leg (cosine vs vec 0 over the
+    // doc-embedding join), both rank-windowed with id tie-breaks, fused
+    // as 1/(60+r) + 1/(60+r), top 20
+    "q115_hybrid_rrf" ->
+      """WITH words AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT id, word, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
+        |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id AS id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS dl
+        |  FROM documents),
+        |meta AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot
+        |  FROM lens),
+        |t AS (SELECT tf.id, tf.word, tf.tf, dfreq.df FROM tf JOIN dfreq USING (word)
+        |  WHERE tf.word IN ('spark', 'hash', 'window')),
+        |scored AS (
+        |  SELECT t.id,
+        |    ROUND(SUM(ln((meta.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+        |      * (t.tf * (1.2 + 1))
+        |      / (t.tf + 1.2 * ((1 - 0.75) + 0.75 * lens.dl
+        |          / (CAST(meta.tot AS DOUBLE) / meta.n)))), 6) AS ls
+        |  FROM t JOIN lens ON t.id = lens.id CROSS JOIN meta
+        |  GROUP BY t.id),
+        |lex AS (SELECT id AS doc_id,
+        |  row_number() OVER (ORDER BY ls DESC, id ASC) AS lex_rank FROM scored),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |vecs AS (SELECT d.doc_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(qv.q AS DOUBLE[])) AS cs
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, qv),
+        |vec AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS vec_rank FROM vecs),
+        |fused AS (
+        |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+        |    lex.lex_rank, vec.vec_rank,
+        |    COALESCE(1.0 / (60 + lex.lex_rank), 0.0)
+        |      + COALESCE(1.0 / (60 + vec.vec_rank), 0.0) AS rrf
+        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT doc_id, COALESCE(lex_rank, -1) AS lex_rank,
+        |  COALESCE(vec_rank, -1) AS vec_rank, ROUND(rrf, 6) AS rrf, rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+        |      FROM fused)
+        |WHERE rank <= 20""".stripMargin,
     // q114 (round 17): AIFF/AIFF-C — the big-endian IFF mirror of WAV;
     // COMM fields + the 80-bit extended-float sample rate recovered
     // only by the real chunk walk. Arithmetic: sr table by id%5,

@@ -686,4 +686,39 @@ object Corpus {
           .cast("long"))
       .drop("_tok", "_pid", "_opid", "_off", "_start", "_pstart")
   }
+
+  /** Exact GLOBAL row_number without a single-partition window — the
+    * [[packSequences]] two-phase shape generalized to ranking: range-
+    * partition on the sort order (a distributed sort, every partition
+    * holding a contiguous key range), collect O(partitions) per-
+    * partition COUNTS, fold exclusive offsets driver-side, broadcast
+    * them back, and add a partition-LOCAL row_number. Bit-identical to
+    * `row_number() OVER (ORDER BY …)` under a total order (pass a
+    * tie-break column), but the sort and the numbering both stay at
+    * full parallelism — the naive global window funnels the corpus
+    * through ONE task. Input is persisted across the two jobs (module
+    * cache contract). `order` must be deterministic and total. */
+  def globalRank(df: DataFrame, order: Seq[Column],
+      rankCol: String = "rank"): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val keyed = df
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_pid").asc).collect()
+    var acc = 0L
+    val offsets = partials.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("_opid", "_off")
+    val wLoc = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    keyed
+      .join(broadcast(offDf), col("_pid") === col("_opid"))
+      .withColumn(rankCol, col("_off") + row_number().over(wLoc))
+      .drop("_pid", "_opid", "_off")
+  }
 }

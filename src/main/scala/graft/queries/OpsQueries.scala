@@ -1469,6 +1469,58 @@ object OpsQueries {
     pre.unionByName(searchState("post"))
   }
 
+  /** HYBRID retrieval (round 17): reciprocal-rank fusion of a LEXICAL
+    * ranking (BM25, the q61 terms) and a VECTOR ranking (exact cosine
+    * against document 0's embedding over the doc∩embedding join) —
+    * the standard hybrid-search shape a retrieval/training pipeline
+    * runs over a 100 TB corpus, here as two narrow rank relations
+    * fused by `1/(60+rank)` (the published RRF constant) in one
+    * full-outer join. Determinism: both legs rank on values the
+    * engine/oracle pair already proves bit-identical (BM25 rounded to
+    * 6 places — the q61 discipline; sequential-double cosine — the
+    * q19/q53 discipline), ranks tie-break by id, and the fused score
+    * is two double terms summed in a fixed order. Scale shape: the
+    * legs are rank-windowed ONCE each over hash-partitioned relations,
+    * the fusion join is rank-bounded (top-N per leg would bound it at
+    * corpus scale), nothing quadratic. */
+  def q115HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val emb = table(spark, dir, "embeddings")
+    val lex = graft.ops.TextAnalysis.bm25(docs,
+        queryTerms = Seq("spark", "hash", "window"))
+      .select(col("id").as("doc_id"), round(col("score"), 6).as("ls"))
+    // all three rankings through Corpus.globalRank — exact global
+    // row_number at full parallelism (a bare Window.orderBy funnels
+    // the corpus through ONE task; the two-phase range-partitioned
+    // shape is the 100 TB formulation and bit-identical under the
+    // id tie-break)
+    val lexRank = graft.ops.Corpus.globalRank(lex,
+        Seq(col("ls").desc, col("doc_id").asc), "lex_rank")
+      .select("doc_id", "lex_rank")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val vec = emb.join(docs.select(col("doc_id")),
+        emb("vec_id") === docs("doc_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"),
+        graft.ops.Dedup.cosine(col("embedding"), col("qv")).as("cs"))
+    val vecRank = graft.ops.Corpus.globalRank(vec,
+        Seq(col("cs").desc, col("doc_id").asc), "vec_rank")
+      .select("doc_id", "vec_rank")
+    val fused = lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+    graft.ops.Corpus.globalRank(fused,
+        Seq(col("rrf").desc, col("doc_id").asc), "rank")
+      .filter(col("rank") <= 20)
+      .select(col("doc_id"),
+        coalesce(col("lex_rank").cast("long"), lit(-1L)).as("lex_rank"),
+        coalesce(col("vec_rank").cast("long"), lit(-1L)).as("vec_rank"),
+        round(col("rrf"), 6).as("rrf"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** MULTIMODAL audio, AIFF/AIFF-C (round 17): the big-endian EA IFF
     * 85 mirror of RIFF/WAV — `FORM`/`AIFF` + `COMM` (channels s16,
     * sampleFrames u32, sampleSize s16, sampleRate as an 80-bit IEEE

@@ -57,6 +57,31 @@ class Round17OpsSpec extends SparkSpec {
     assert(AudioCodecs.decodeAiff(ssndOnly).isEmpty)
   }
 
+  test("globalRank = single-partition window row_number, at full parallelism") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("score", pmod(col("id") * 37 % 101, lit(101)).cast("double"))
+      .repartition(16) // arbitrary input partitioning must not matter
+    val order = Seq(col("score").desc, col("id").asc)
+    val want = df.withColumn("rank",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Corpus.globalRank(df, order, "rank")
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // and the PLAN never funnels through a single partition (the
+    // point) — at this toy size AQE may still coalesce post-shuffle,
+    // so assert the plan shape, not the runtime partition count: the
+    // sort is a RANGE exchange and the window partitions by _pid,
+    // where a bare Window.orderBy plans Exchange SinglePartition
+    val plan = Corpus.globalRank(df, order, "rank")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "globalRank must not plan a single-partition exchange")
+    assert(plan.contains("rangepartitioning"),
+      "globalRank's sort must be a distributed range partitioning")
+  }
+
   test("q114 pipeline: AIFF decode over synthesized assets equals the arithmetic oracle") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
