@@ -122,6 +122,7 @@ object SparkEntry {
     "q113_filtered_ann" -> (OpsQueries.q113FilteredAnn _),
     "q114_multimodal_aiff" -> (OpsQueries.q114MultimodalAiff _),
     "q115_hybrid_rrf" -> (OpsQueries.q115HybridRrf _),
+    "q116_mmr_rerank" -> (OpsQueries.q116MmrRerank _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1685,6 +1686,69 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
         |      FROM fused)
         |WHERE rank <= 20""".stripMargin,
+    // q116 (round 17): MMR selection-sequence oracle — the five greedy
+    // steps UNROLLED as chained CTEs (the q59 PageRank idiom) over the
+    // exact top-20 shortlist and its pairwise-sim relation; every
+    // argmax is a rank-1 window with the id tie-break
+    "q116_mmr_rerank" ->
+      s"""WITH $plantedCtes,
+        |s AS (SELECT pq.qid, c.vec_id AS nid, c.embedding AS emb,
+        |        list_cosine_similarity(CAST(pq.qv AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) AS rel
+        |      FROM pcorpus c, pq WHERE c.vec_id <> pq.qid),
+        |cand AS (SELECT qid, nid, emb, rel FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rn
+        |  FROM s) WHERE rn <= 20),
+        |sims AS (SELECT a.qid, a.nid AS an, b.nid AS bn,
+        |    list_cosine_similarity(CAST(a.emb AS DOUBLE[]),
+        |      CAST(b.emb AS DOUBLE[])) AS sim
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid),
+        |p1 AS (SELECT qid, nid AS s1 FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rn
+        |  FROM cand) WHERE rn = 1),
+        |sc2 AS (SELECT c.qid, p1.s1, c.nid,
+        |    0.5 * c.rel - 0.5 * x1.sim AS score
+        |  FROM cand c JOIN p1 ON c.qid = p1.qid AND c.nid <> p1.s1
+        |   JOIN sims x1 ON x1.qid = c.qid AND x1.an = c.nid AND x1.bn = p1.s1),
+        |p2 AS (SELECT qid, s1, nid AS s2 FROM (
+        |  SELECT qid, s1, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rn
+        |  FROM sc2) WHERE rn = 1),
+        |sc3 AS (SELECT c.qid, p2.s1, p2.s2, c.nid,
+        |    0.5 * c.rel - 0.5 * greatest(x1.sim, x2.sim) AS score
+        |  FROM cand c JOIN p2 ON c.qid = p2.qid AND c.nid <> p2.s1 AND c.nid <> p2.s2
+        |   JOIN sims x1 ON x1.qid = c.qid AND x1.an = c.nid AND x1.bn = p2.s1
+        |   JOIN sims x2 ON x2.qid = c.qid AND x2.an = c.nid AND x2.bn = p2.s2),
+        |p3 AS (SELECT qid, s1, s2, nid AS s3 FROM (
+        |  SELECT qid, s1, s2, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rn
+        |  FROM sc3) WHERE rn = 1),
+        |sc4 AS (SELECT c.qid, p3.s1, p3.s2, p3.s3, c.nid,
+        |    0.5 * c.rel - 0.5 * greatest(x1.sim, x2.sim, x3.sim) AS score
+        |  FROM cand c JOIN p3 ON c.qid = p3.qid AND c.nid <> p3.s1 AND c.nid <> p3.s2 AND c.nid <> p3.s3
+        |   JOIN sims x1 ON x1.qid = c.qid AND x1.an = c.nid AND x1.bn = p3.s1
+        |   JOIN sims x2 ON x2.qid = c.qid AND x2.an = c.nid AND x2.bn = p3.s2
+        |   JOIN sims x3 ON x3.qid = c.qid AND x3.an = c.nid AND x3.bn = p3.s3),
+        |p4 AS (SELECT qid, s1, s2, s3, nid AS s4 FROM (
+        |  SELECT qid, s1, s2, s3, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rn
+        |  FROM sc4) WHERE rn = 1),
+        |sc5 AS (SELECT c.qid, p4.s1, p4.s2, p4.s3, p4.s4, c.nid,
+        |    0.5 * c.rel - 0.5 * greatest(x1.sim, x2.sim, x3.sim, x4.sim) AS score
+        |  FROM cand c JOIN p4 ON c.qid = p4.qid AND c.nid <> p4.s1 AND c.nid <> p4.s2 AND c.nid <> p4.s3 AND c.nid <> p4.s4
+        |   JOIN sims x1 ON x1.qid = c.qid AND x1.an = c.nid AND x1.bn = p4.s1
+        |   JOIN sims x2 ON x2.qid = c.qid AND x2.an = c.nid AND x2.bn = p4.s2
+        |   JOIN sims x3 ON x3.qid = c.qid AND x3.an = c.nid AND x3.bn = p4.s3
+        |   JOIN sims x4 ON x4.qid = c.qid AND x4.an = c.nid AND x4.bn = p4.s4),
+        |p5 AS (SELECT qid, s1, s2, s3, s4, nid AS s5 FROM (
+        |  SELECT qid, s1, s2, s3, s4, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rn
+        |  FROM sc5) WHERE rn = 1)
+        |SELECT qid AS query_id, s1 AS neighbor_id, CAST(1 AS BIGINT) AS mmr_rank FROM p5
+        |UNION ALL SELECT qid AS query_id, s2 AS neighbor_id, CAST(2 AS BIGINT) AS mmr_rank FROM p5
+        |UNION ALL SELECT qid AS query_id, s3 AS neighbor_id, CAST(3 AS BIGINT) AS mmr_rank FROM p5
+        |UNION ALL SELECT qid AS query_id, s4 AS neighbor_id, CAST(4 AS BIGINT) AS mmr_rank FROM p5
+        |UNION ALL SELECT qid AS query_id, s5 AS neighbor_id, CAST(5 AS BIGINT) AS mmr_rank FROM p5""".stripMargin,
     // q114 (round 17): AIFF/AIFF-C — the big-endian IFF mirror of WAV;
     // COMM fields + the 80-bit extended-float sample rate recovered
     // only by the real chunk walk. Arithmetic: sr table by id%5,

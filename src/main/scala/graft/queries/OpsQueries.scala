@@ -1521,6 +1521,74 @@ object OpsQueries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** MMR diversity re-rank (round 17): maximal marginal relevance over
+    * an exact cosine shortlist — the curation/retrieval op that trades
+    * relevance against redundancy (λ = 0.5): step 1 takes the most
+    * relevant candidate, every later step takes
+    * argmax(0.5·rel − 0.5·max-sim-to-selected), ids ascending on ties.
+    * On the planted corpus the semantics are visible by construction:
+    * a plain top-5 is the query's five near-identical planted copies,
+    * while MMR keeps ONE copy and diversifies into distractors (the
+    * remaining copies pay their ~0.999 similarity to the first).
+    * Scale shape: the shortlist is the bounded [[SimilaritySearch
+    * .bruteForceTopK]] relation (N = 20 per query), candidate vectors
+    * join in ONCE, and the greedy loop runs per-query inside
+    * `flatMapGroups` over ≤ N-row groups — O(queries) groups, O(N²·k)
+    * arithmetic per group, nothing driver-side, no cross-query state.
+    * The oracle unrolls the five greedy steps as chained CTEs (the q59
+    * PageRank idiom) over the same shortlist and pairwise-sim
+    * relations — selection-sequence equality IS the gate. */
+  def q116MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = annCorpus(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val short = SimilaritySearch.bruteForceTopK(queries, corpus, k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
+    val withVec = short.join(
+      corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("cvec"))
+      .as[(Long, Long, Double, Array[Float])]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cands = it.map { case (_, nid, rel, v) => (nid, rel, v) }.toArray
+        val selectedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val used = scala.collection.mutable.Set.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val k = math.min(5, cands.length)
+        var step = 1
+        while (step <= k) {
+          var bestNid = -1L
+          var bestVec: Array[Float] = null
+          var bestScore = Double.NegativeInfinity
+          cands.foreach { case (nid, rel, v) =>
+            if (!used(nid)) {
+              val score =
+                if (selectedVecs.isEmpty) rel
+                else {
+                  var mx = Double.NegativeInfinity
+                  selectedVecs.foreach { sv =>
+                    val sim = graft.streaming.StoreCommits.cosineSeq(v, sv)
+                    if (sim > mx) mx = sim
+                  }
+                  0.5 * rel - 0.5 * mx
+                }
+              if (score > bestScore ||
+                  (score == bestScore && (bestNid < 0 || nid < bestNid))) {
+                bestScore = score; bestNid = nid; bestVec = v
+              }
+            }
+          }
+          used += bestNid
+          selectedVecs += bestVec
+          out += ((qid, bestNid, step.toLong))
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "mmr_rank")
+  }
+
   /** MULTIMODAL audio, AIFF/AIFF-C (round 17): the big-endian EA IFF
     * 85 mirror of RIFF/WAV — `FORM`/`AIFF` + `COMM` (channels s16,
     * sampleFrames u32, sampleSize s16, sampleRate as an 80-bit IEEE

@@ -106,18 +106,38 @@ private[graft] object StoreCommits {
     val f = fs(spark, dir)
     val root = new org.apache.hadoop.fs.Path(dir, subdir)
     val pendingPath = new org.apache.hadoop.fs.Path(dir, s"$marker.pending")
-    val pending = readTextFile(f, pendingPath).map(parse)
-    val visible = DedupStream.readManifest(f, root).getOrElse(Set.empty)
-    pending match {
-      case Some(m) if targetOf(m).exists(visible.contains) =>
-        if (promote) {
-          writeTextFile(spark, dir, marker, render(clearTarget(m)))
-          f.delete(pendingPath, false)
-        }
-        Some(clearTarget(m))
-      case _ =>
-        readTextFile(f, new org.apache.hadoop.fs.Path(dir, marker)).map(parse)
+    def resolveOnce(): Option[M] = {
+      val pending = readTextFile(f, pendingPath).map(parse)
+      val visible = DedupStream.readManifest(f, root).getOrElse(Set.empty)
+      pending match {
+        case Some(m) if targetOf(m).exists(visible.contains) =>
+          if (promote) {
+            writeTextFile(spark, dir, marker, render(clearTarget(m)))
+            f.delete(pendingPath, false)
+          }
+          Some(clearTarget(m))
+        case _ =>
+          readTextFile(f, new org.apache.hadoop.fs.Path(dir, marker)).map(parse)
+      }
     }
+    // Marker OVERWRITES (a refit re-pin, a concurrent promote) go
+    // through rename-with-OVERWRITE, which on the local filesystem is
+    // delete-then-rename — NOT atomic, so a concurrent reader can
+    // observe a VANISHING marker for microseconds (caught by the
+    // concurrent-searcher spec under heavy host contention: a search
+    // falling through pending straight into the delete window read
+    // "no marker" on a live store). A store that ever HAD a marker
+    // only lacks one transiently, so an empty resolution retries
+    // briefly before it is believed; a genuinely unpinned dir pays
+    // ~100 ms once on its error path.
+    var attempt = 0
+    var out = resolveOnce()
+    while (out.isEmpty && attempt < 4) {
+      Thread.sleep(25L)
+      attempt += 1
+      out = resolveOnce()
+    }
+    out
   }
 
   // ======== per-id version election (round 17) ========
