@@ -123,6 +123,7 @@ object SparkEntry {
     "q114_multimodal_aiff" -> (OpsQueries.q114MultimodalAiff _),
     "q115_hybrid_rrf" -> (OpsQueries.q115HybridRrf _),
     "q116_mmr_rerank" -> (OpsQueries.q116MmrRerank _),
+    "q117_store_corpus" -> (OpsQueries.q117StoreCorpus _),
     "q24_deal_decode" -> (DealQueries.q24DealDecode _),
     "q25_deal_state_counts" -> (DealQueries.q25DealStateCounts _),
     "q26_deal_submittable" -> (DealQueries.q26DealSubmittable _)
@@ -1749,6 +1750,28 @@ object SparkEntry {
         |UNION ALL SELECT qid AS query_id, s3 AS neighbor_id, CAST(3 AS BIGINT) AS mmr_rank FROM p5
         |UNION ALL SELECT qid AS query_id, s4 AS neighbor_id, CAST(4 AS BIGINT) AS mmr_rank FROM p5
         |UNION ALL SELECT qid AS query_id, s5 AS neighbor_id, CAST(5 AS BIGINT) AS mmr_rank FROM p5""".stripMargin,
+    // q117 (round 17): the store-as-corpus read — the latest corpus
+    // (q112's churned CTEs) minus the tombstoned id, doubled across
+    // both store states; vector values compared through the first
+    // component (the plantedCtes float discipline)
+    "q117_store_corpus" ->
+      s"""WITH $plantedCtes,
+        |churned AS (
+        |  SELECT 1099511627776 + pq.qid * 5 + c AS vec_id,
+        |    list_transform(range(1, len(qv) + 1), i ->
+        |      CAST(CAST(0.5 AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+        |         + CAST(0.5 AS DOUBLE) * CAST(uv[i] AS DOUBLE) AS FLOAT)) AS embedding
+        |  FROM pq JOIN pu USING (qid), (SELECT unnest(range(1, 3)) AS c) cs),
+        |latest AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted
+        |    WHERE (vec_id - 1099511627776) % 5 NOT IN (1, 2)
+        |  UNION ALL SELECT vec_id, embedding FROM churned),
+        |live AS (SELECT vec_id,
+        |    ROUND(CAST(embedding[1] AS DOUBLE), 6) AS c1
+        |  FROM latest WHERE vec_id <> 1099511627779)
+        |SELECT vec_id, c1, state
+        |FROM live, (SELECT unnest(['pre', 'post']) AS state) st""".stripMargin,
     // q114 (round 17): AIFF/AIFF-C — the big-endian IFF mirror of WAV;
     // COMM fields + the 80-bit extended-float sample rate recovered
     // only by the real chunk walk. Arithmetic: sr table by id%5,

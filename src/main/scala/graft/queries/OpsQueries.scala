@@ -1521,6 +1521,70 @@ object OpsQueries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** STORE-AS-CORPUS read gate (round 17): [[graft.streaming
+    * .IvfSqStream.liveVectors]] — the masked, latest-wins,
+    * tombstone-free relation a downstream batch job consumes without
+    * searching. The store accretes the planted corpus over 3 commits,
+    * a CHURN tick re-upserts two of each query's five planted copies
+    * (the q112 vectors), and a TOMBSTONE deletes query 0's c=3 copy;
+    * liveVectors then must read exactly the latest corpus minus the
+    * deletion, vector VALUES included (first component, rounded — the
+    * plantedCtes float discipline makes it bit-comparable), in BOTH
+    * store states. Under the pre-election semantics the churned ids
+    * would read two rows (or the stale vector); without the tombstone
+    * mask the deleted id would resurface. */
+  def q117StoreCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = annCorpus(spark, dir)
+    val emb = table(spark, dir, "embeddings")
+    val store = java.nio.file.Files.createTempDirectory("q117live").toString
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+    (0 until 3).foreach { c =>
+      graft.streaming.IvfSqStream.upsertStep(
+        corpus.filter(pmod(col("vec_id"), lit(3)) === c), store,
+        dim = 64, nlist = 16, seed = 41L, batchTag = s"a$c")
+    }
+    // churn (the q112 formula): v2 of the c ∈ {1, 2} planted ids
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qv"))
+    val u = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select((col("vec_id") - 10).cast("long").as("qid"),
+        col("embedding").as("uv"))
+    val v2 = q.join(u, "qid")
+      .select(col("qid"), col("qv"), col("uv"),
+        explode(sequence(lit(1), lit(2))).as("c"))
+      .select(
+        (lit(1L << 40) + col("qid") * 5 + col("c")).cast("long").as("vec_id"),
+        zip_with(col("qv"), col("uv"), (a, b) =>
+          (lit(0.5) * a.cast("double") + lit(0.5) * b.cast("double"))
+            .cast("float")).as("embedding"))
+    graft.streaming.IvfSqStream.upsertStep(v2, store,
+      dim = 64, nlist = 16, seed = 41L, batchTag = "churn")
+    // tombstone: query 0's c=3 planted copy
+    graft.streaming.IvfSqStream.deleteStep(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row((1L << 40) + 3L))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false)))),
+      store, batchTag = "del")
+    def live(state: String): DataFrame =
+      graft.streaming.IvfSqStream.liveVectors(spark, store)
+        .select(col("neighbor_id").as("vec_id"),
+          round(element_at(col("cvec"), 1).cast("double"), 6).as("c1"),
+          lit(state).as("state"))
+    val preDf = live("pre")
+    val pre = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        preDf.collect(): _*)), preDf.schema)
+    graft.streaming.IvfSqStream.compactStore(spark, store)
+    pre.unionByName(live("post"))
+  }
+
   /** MMR diversity re-rank (round 17): maximal marginal relevance over
     * an exact cosine shortlist — the curation/retrieval op that trades
     * relevance against redundancy (λ = 0.5): step 1 takes the most

@@ -372,4 +372,9 @@ object AnnStream {
       }
     }
   }
+
+  /** The store's live vectors as a corpus relation — see
+    * [[StoreCommits.liveVectors]]. */
+  def liveVectors(spark: SparkSession, storeDir: String): org.apache.spark.sql.DataFrame =
+    StoreCommits.liveVectors(spark, storeDir, "annvecs", vecSchema)
 }

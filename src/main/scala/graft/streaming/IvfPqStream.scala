@@ -577,4 +577,9 @@ object IvfPqStream {
         stored.select(col("neighbor_id"), col("ver"), col("cvec"))),
       qRaw, k)
   }
+
+  /** The store's live vectors as a corpus relation — see
+    * [[StoreCommits.liveVectors]]. */
+  def liveVectors(spark: SparkSession, storeDir: String): org.apache.spark.sql.DataFrame =
+    StoreCommits.liveVectors(spark, storeDir, "pqvecs", vecSchema)
 }

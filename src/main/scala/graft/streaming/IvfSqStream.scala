@@ -548,4 +548,9 @@ object IvfSqStream {
         stored.select(col("neighbor_id"), col("ver"), col("cvec"))),
       qRaw, k)
   }
+
+  /** The store's live vectors as a corpus relation — see
+    * [[StoreCommits.liveVectors]]. */
+  def liveVectors(spark: SparkSession, storeDir: String): org.apache.spark.sql.DataFrame =
+    StoreCommits.liveVectors(spark, storeDir, "sqvecs", vecSchema)
 }

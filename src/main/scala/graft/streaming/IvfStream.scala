@@ -541,4 +541,9 @@ object IvfStream {
       }
     }
   }
+
+  /** The store's live vectors as a corpus relation — see
+    * [[StoreCommits.liveVectors]]. */
+  def liveVectors(spark: SparkSession, storeDir: String): org.apache.spark.sql.DataFrame =
+    StoreCommits.liveVectors(spark, storeDir, "ivfvecs", vecSchema)
 }

@@ -524,6 +524,31 @@ private[graft] object StoreCommits {
     rankSurvivors(scored, cap, scoreName)
   }
 
+  /** STORE-AS-CORPUS read (round 17): the store's LIVE vectors as a
+    * plain (neighbor_id, cvec) relation — exactly one deterministic
+    * row per live id, after the tombstone mask, the supersede mask,
+    * and the [[latestVecs]] election (which also collapses an LSH
+    * id's per-table rows). This is the read surface a downstream
+    * batch job consumes (recluster the serving corpus, join store
+    * contents against fresh metadata, export for training) without
+    * going through search. Cost: one full-store scan of (id, ver,
+    * cvec) — column-pruned, all partitions — plus the delta-bounded
+    * masks; on a freshly-compacted store the masks are free and the
+    * election is a single hash aggregation. */
+  def liveVectors(
+      spark: SparkSession, storeDir: String, subdir: String,
+      schema: StructType): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val parts = storePartsOf(fs(spark, dir), dir)
+    val all = DedupStream.readStore(
+      spark, s"$storeDir/$subdir", schema,
+      excludeTag = " none ", partCol = "ab",
+      wanted = (0 until parts).toSet)
+    latestVecs(minusSuperseded(
+      minusTombstones(all, spark, storeDir, "neighbor_id"),
+      spark, storeDir, subdir, "neighbor_id"))
+  }
+
   /** The fused tiers' exact re-rank, shared by the IVF-PQ and IVF-SQ
     * stores: join the approximate shortlist to one deterministic
     * vector per candidate ([[latestVecs]]) and the raw queries, score

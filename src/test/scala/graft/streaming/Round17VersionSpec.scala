@@ -106,6 +106,30 @@ class Round17VersionSpec extends SparkSpec {
     assert(rowsOf(search(store, queries)) == post)
   }
 
+  test("liveVectors: store-as-corpus read is latest-wins, tombstone-free, one row per id") {
+    // AnnStream is the sharpest case: an id holds TABLES rows per
+    // version, so the read must collapse both dimensions (per-table
+    // rows AND versions); a tombstone must not resurface
+    val store = java.nio.file.Files.createTempDirectory("liveann").toString
+    AnnStream.upsertStep(df(background :+ (1L -> v1)), store, dim,
+      planes = 6, seed = 7L, tables = 8, batchTag = "b0")
+    AnnStream.upsertStep(df(Seq(1L -> v2)), store, dim,
+      planes = 6, seed = 7L, tables = 8, batchTag = "b1")
+    AnnStream.deleteStep(df(Seq(100L -> rv(100L))).select("vec_id"),
+      store, "d0")
+    def liveMap(): Map[Long, Float] =
+      AnnStream.liveVectors(spark, store).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).head).toMap
+    val pre = liveMap()
+    assert(pre.size == background.size, // 200 background + id 1 - deleted 100
+      s"live ids ${pre.size} != ${background.size}")
+    assert(!pre.contains(100L), "tombstoned id must not appear")
+    assert(pre(1L) == v2(0), "re-upserted id must read its LATEST vector")
+    AnnStream.compactStore(spark, store)
+    assert(liveMap() == pre, "compaction must not change the live read")
+    ()
+  }
+
   test("AnnStream: changed-vector re-upsert serves v2 pre/post-compaction; one version per id") {
     reupsertContract(
       (b, s, t) => { AnnStream.upsertStep(b, s, dim,
