@@ -189,7 +189,8 @@ object AnnStream {
     * anything is written, `_FOLDED` extended before the swap, one
     * atomic manifest replace, unlisted dirs GC'd. SINGLE-WRITER
     * contract: run between upserts. */
-  def compactStore(spark: SparkSession, storeDir: String): Unit = {
+  def compactStore(spark: SparkSession, storeDir: String,
+      gcGraceMs: Long = StoreCommits.defaultGcGraceMs): Unit = {
     // pending deletes force a fold even on a single-commit store (the
     // drop must happen); the applied set is captured BEFORE the fold so
     // retireTombstones retires exactly what the filter read
@@ -210,7 +211,9 @@ object AnnStream {
           StoreCommits.minusTombstones(all, spark, storeDir, "neighbor_id"),
           "neighbor_id"),
           s"batch=compact-${java.util.UUID.randomUUID()}", None),
-      afterSwap = () => StoreCommits.retireTombstones(spark, storeDir, applied))
+      afterSwap = () => StoreCommits.retireTombstones(
+        spark, storeDir, applied, gcGraceMs = gcGraceMs),
+      gcGraceMs = gcGraceMs)
   }
 
   /** Upsert-shaped DELETE: tombstone `ids` out of the store —

@@ -409,7 +409,8 @@ object IvfPqStream {
     * grace and crash windows as [[IvfStream.compactStore]].
     * SINGLE-WRITER contract. */
   def compactStore(
-      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit = {
+      spark: SparkSession, storeDir: String, refit: Boolean = false,
+      gcGraceMs: Long = StoreCommits.defaultGcGraceMs): Unit = {
     // pending deletes force a fold (tombstoned rows must drop) and a
     // refit fits on the SURVIVORS — the filter runs first
     val applied = StoreCommits.tombstoneCommits(spark, storeDir)
@@ -438,8 +439,10 @@ object IvfPqStream {
       // finish the promotion staged above, then retire applied deletes
       afterSwap = () => {
         effectiveMeta(spark, storeDir, promote = true)
-        StoreCommits.retireTombstones(spark, storeDir, applied)
-      })
+        StoreCommits.retireTombstones(
+          spark, storeDir, applied, gcGraceMs = gcGraceMs)
+      },
+      gcGraceMs = gcGraceMs)
   }
 
   /** Upsert-shaped DELETE: tombstone `ids` out of the store — see

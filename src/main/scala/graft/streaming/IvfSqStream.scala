@@ -389,7 +389,8 @@ object IvfSqStream {
     * grace, tombstone drop + retirement, and crash windows as the
     * siblings. SINGLE-WRITER contract. */
   def compactStore(
-      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit = {
+      spark: SparkSession, storeDir: String, refit: Boolean = false,
+      gcGraceMs: Long = StoreCommits.defaultGcGraceMs): Unit = {
     val applied = StoreCommits.tombstoneCommits(spark, storeDir)
     StoreCommits.foldAndSwap(
       spark, storeDir, "sqvecs", vecSchema,
@@ -414,8 +415,10 @@ object IvfSqStream {
       },
       afterSwap = () => {
         effectiveMeta(spark, storeDir, promote = true)
-        StoreCommits.retireTombstones(spark, storeDir, applied)
-      })
+        StoreCommits.retireTombstones(
+          spark, storeDir, applied, gcGraceMs = gcGraceMs)
+      },
+      gcGraceMs = gcGraceMs)
   }
 
   /** Upsert-shaped DELETE: tombstone `ids` out of the store — the

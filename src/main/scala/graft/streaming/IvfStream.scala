@@ -366,7 +366,8 @@ object IvfStream {
     * readers finish): [[StoreCommits.foldAndSwap]].
     * SINGLE-WRITER contract. */
   def compactStore(
-      spark: SparkSession, storeDir: String, refit: Boolean = false): Unit = {
+      spark: SparkSession, storeDir: String, refit: Boolean = false,
+      gcGraceMs: Long = StoreCommits.defaultGcGraceMs): Unit = {
     // pending deletes force a fold (tombstoned rows must drop) and a
     // refit must fit on the SURVIVORS — so the filter runs first
     val applied = StoreCommits.tombstoneCommits(spark, storeDir)
@@ -403,8 +404,10 @@ object IvfStream {
       // finish the promotion staged above, then retire applied deletes
       afterSwap = () => {
         effectiveMeta(spark, storeDir, promote = true)
-        StoreCommits.retireTombstones(spark, storeDir, applied)
-      })
+        StoreCommits.retireTombstones(
+          spark, storeDir, applied, gcGraceMs = gcGraceMs)
+      },
+      gcGraceMs = gcGraceMs)
   }
 
   /** Upsert-shaped DELETE: tombstone `ids` out of the store — see

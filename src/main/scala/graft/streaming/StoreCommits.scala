@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.StructType
   * compaction skeleton with one-generation GC grace, and the generic
   * two-phase pending-marker promote for data-fit models. Each store
   * keeps only its schema, key derivation, and fit/encode logic — a fix
-  * to the promote/GC machinery lands HERE, once.
+  * to the promote/GC machinery lands HERE, once. (The GC grace is
+  * TIME-based since round 17 — see [[gcUnlisted]].)
   *
   * The contracts these primitives implement are documented at their
   * original sites ([[DedupStream]] for manifest/`_FOLDED`/visibility,
@@ -44,6 +45,86 @@ private[graft] object StoreCommits {
       f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
     DedupStream.readSmallText(f, p)
+
+  // ======== deferred physical GC (round-17 optimization round) ========
+  //
+  // The one-generation grace window is a RACE at read latency scale: a
+  // reader resolves the manifest, captures its leaf list, and reads
+  // lazily — if TWO compactions complete before its last file open, the
+  // second one physically deletes the generation it is reading
+  // (observed: the concurrent-searcher spec's FAILED_READ_FILE on
+  // batch=w2 under full-suite load, where each read spans several Spark
+  // jobs and the writer folds every other tick). Generations are
+  // therefore retired by TIME, not by count: a replaced commit is
+  // stamped into a `_RETIRED` ledger at the manifest swap and its files
+  // are deleted only once the stamp is older than the grace window —
+  // the snapshot-retention contract table formats use (Iceberg's
+  // expire_snapshots(older_than)). Visibility is unchanged (the
+  // manifest hides retired dirs from every NEW reader the instant the
+  // swap lands); only physical file lifetime extends, so disk cost is
+  // bounded by the writes inside one grace window. Never-visible strays
+  // (a crashed partial write that no manifest ever listed) still delete
+  // immediately — no reader can hold a reference to them.
+
+  /** Grace window for retired commit dirs. Parameterized for scale
+    * (`SPARK_GRAFT_GC_GRACE_MS`; sys-prop override for tests): the
+    * default must exceed the slowest expected reader's manifest-resolve
+    * → last-file-open span. Readers slower than the grace re-resolve
+    * and retry — the standard snapshot-retention contract. */
+  def defaultGcGraceMs: Long =
+    sys.props.get("graft.gc.grace.ms")
+      .orElse(sys.env.get("SPARK_GRAFT_GC_GRACE_MS"))
+      .map(_.trim.toLong).getOrElse(600000L)
+
+  private def readRetired(
+      f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Map[String, Long] =
+    readTextFile(f, new org.apache.hadoop.fs.Path(root, "_RETIRED"))
+      .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+        val i = l.lastIndexOf(' ')
+        if (i <= 0) None
+        else scala.util.Try(l.substring(0, i) -> l.substring(i + 1).toLong).toOption
+      }.toMap).getOrElse(Map.empty)
+
+  /** Sweep UNLISTED commit dirs under `root`: manifest-visible dirs are
+    * untouchable; `stampNow` names (the generation this call just
+    * replaced / the tombstones it just applied) are stamped into the
+    * ledger; once-visible dirs (in `_FOLDED` or already stamped) are
+    * deleted only when their stamp is older than `graceMs`;
+    * never-visible strays delete immediately. Ledger entries for
+    * vanished dirs drop out naturally (the rewrite keeps only what the
+    * listing walk retained). */
+  def gcUnlisted(
+      spark: SparkSession, root: org.apache.hadoop.fs.Path,
+      graceMs: Long, stampNow: Set[String]): Unit = {
+    val f = fs(spark, root)
+    if (!f.exists(root)) return
+    DedupStream.readManifest(f, root) match {
+      case None => () // no manifest authority: never delete
+      case Some(visible) =>
+        val folded = DedupStream.readFolded(f, root)
+        val ledger = readRetired(f, root)
+        val now = System.currentTimeMillis()
+        var next = Map.empty[String, Long]
+        f.listStatus(root).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith("batch="))
+          .filterNot(p => visible.contains(p.getName))
+          .foreach { p =>
+            val name = p.getName
+            if (stampNow.contains(name)) next += name -> now
+            else if (!folded.contains(name) && !ledger.contains(name)) {
+              f.delete(p, true); () // never-visible stray
+            } else {
+              val t = ledger.getOrElse(name, now)
+              if (now - t >= graceMs) { f.delete(p, true); () }
+              else next += name -> t
+            }
+          }
+        if (next != ledger)
+          writeTextFile(spark, root, "_RETIRED",
+            next.toSeq.sorted.map { case (n, t) => s"$n $t" }.mkString("\n"))
+    }
+  }
 
   /** Visible `batch=` commit count of a store data root — the
     * manifest's size when claimed, else a directory listing. Because
@@ -655,7 +736,8 @@ private[graft] object StoreCommits {
     * answer until the next compaction retires them (idempotent). */
   def retireTombstones(
       spark: SparkSession, storeDir: String, applied: Set[String],
-      subdir: String = "tombstones"): Unit = {
+      subdir: String = "tombstones",
+      gcGraceMs: Long = defaultGcGraceMs): Unit = {
     if (applied.isEmpty) return
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
     val f = fs(spark, root)
@@ -665,8 +747,11 @@ private[graft] object StoreCommits {
     val remaining =
       DedupStream.visibleCommits(f, root).map(_.getPath.getName).toSet -- applied
     DedupStream.writeManifest(spark, root, remaining)
-    applied.foreach(n =>
-      f.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    // physical deletion deferred by the grace window — an in-flight
+    // reader's minusTombstones still opens these files; the mask it
+    // applies is against the generation it is reading, so the answer
+    // is unchanged
+    gcUnlisted(spark, root, gcGraceMs, stampNow = applied)
   }
 
   /** The fold-and-swap compaction skeleton: adopt the manifest, read
@@ -674,11 +759,14 @@ private[graft] object StoreCommits {
     * fold or refit re-encode), write the target commit hash-partitioned
     * and sorted, stage an optional pending marker, extend `_FOLDED`,
     * swap the manifest atomically, run the caller's post-swap step
-    * (e.g. finish a pending promotion), then GC with a ONE-GENERATION
-    * GRACE PERIOD: the commits THIS call replaced stay on disk until
-    * the next compaction so an in-flight reader whose leaf list was
-    * captured against the prior manifest finishes its lazy read.
-    * Anything unlisted AND not just-replaced is deleted.
+    * (e.g. finish a pending promotion), then GC with a TIME-BASED
+    * GRACE PERIOD ([[gcUnlisted]]): the commits this call replaced are
+    * ledger-stamped and stay on disk until `gcGraceMs` has elapsed —
+    * an in-flight reader whose leaf list was captured against a prior
+    * manifest finishes its lazy read even when multiple folds complete
+    * under it (the one-generation grace this replaces lost that race
+    * whenever two folds landed inside one read's latency).
+    * Never-visible strays are deleted immediately.
     * SINGLE-WRITER contract: run between upserts.
     *
     * @param extraWork   work even with one visible commit (a refit
@@ -691,7 +779,8 @@ private[graft] object StoreCommits {
       schema: StructType, abOf: Long => Column, sortCols: Seq[String],
       extraWork: Boolean,
       transform: DataFrame => (DataFrame, String, Option[(String, String)]),
-      afterSwap: () => Unit = () => ()): Unit = {
+      afterSwap: () => Unit = () => (),
+      gcGraceMs: Long = defaultGcGraceMs): Unit = {
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     val root = new org.apache.hadoop.fs.Path(dir, subdir)
     val f = fs(spark, root)
@@ -715,12 +804,13 @@ private[graft] object StoreCommits {
         afterSwap()
         visible.map(_.getPath.getName).toSet
       } else Set.empty
-    DedupStream.readManifest(f, root).foreach { nowVisible =>
-      f.listStatus(root).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("batch="))
-        .filterNot(s => nowVisible.contains(s.getPath.getName)
-          || justReplaced.contains(s.getPath.getName))
-        .foreach(s => f.delete(s.getPath, true))
-    }
+    // grace-ledger GC: just-replaced dirs are stamped (never deleted in
+    // the call that retired them), prior generations age out past the
+    // grace window, never-visible strays go immediately
+    gcUnlisted(spark, root, gcGraceMs, stampNow = justReplaced)
+    // opportunistic sweep of the sibling tombstones root so retired
+    // tombstone dirs age out even when no further deletes ever happen
+    val tombRoot = new org.apache.hadoop.fs.Path(dir, "tombstones")
+    if (f.exists(tombRoot)) gcUnlisted(spark, tombRoot, gcGraceMs, Set.empty)
   }
 }

@@ -87,8 +87,11 @@ class AnnStreamSpec extends SparkSpec {
     // compaction folds BOTH layouts into one partitioned commit and
     // changes no answer; a replay AFTER compaction is suppressed by
     // the _FOLDED ledger
-    AnnStream.compactStore(spark, store)
-    // ONE-GENERATION GRACE: the replaced commits survive the manifest
+    // gcGraceMs = 0 pins the deterministic generation-count path (the
+    // production default defers physical deletion by a time grace —
+    // Round17GcGraceSpec)
+    AnnStream.compactStore(spark, store, gcGraceMs = 0L)
+    // GENERATION GRACE: the replaced commits survive the manifest
     // swap (an in-flight reader of the prior generation finishes its
     // lazy read); only the compact- commit is manifest-visible, and the
     // NEXT compaction physically GCs the prior generation
@@ -98,7 +101,7 @@ class AnnStreamSpec extends SparkSpec {
     assert(resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
       .select("query_id", "neighbor_id", "rank")) == batch,
       "stale-but-graced dirs must stay invisible to a fresh reader")
-    AnnStream.compactStore(spark, store)
+    AnnStream.compactStore(spark, store, gcGraceMs = 0L)
     val folded = commits
     assert(folded.size == 1 && folded.head.startsWith("batch=compact-"), folded)
     val compacted = new java.io.File(s"$store/annvecs/${folded.head}").listFiles()
@@ -109,7 +112,7 @@ class AnnStreamSpec extends SparkSpec {
     AnnStream.upsertStep(corpus.filter(pmod(col("vec_id"), lit(3)) === 0L),
       store, dim = 64, planes = 6, seed = 7L, tables = 8, batchTag = "b0",
       l0Bound = 0)
-    AnnStream.compactStore(spark, store) // GC the invisible rewrite
+    AnnStream.compactStore(spark, store, gcGraceMs = 0L) // GC the invisible rewrite
     assert(resultSet(AnnStream.searchStore(spark, store, queries, k = 5)
       .select("query_id", "neighbor_id", "rank")) == batch,
       "replay behind compaction must not duplicate or change answers")

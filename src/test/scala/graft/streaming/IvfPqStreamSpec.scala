@@ -81,11 +81,11 @@ class IvfPqStreamSpec extends SparkSpec {
       IvfPqStream.searchStore(spark, "/tmp/not-a-pq-store", queries, k = 5)
     }
 
-    IvfPqStream.compactStore(spark, store)
+    IvfPqStream.compactStore(spark, store, gcGraceMs = 0L)
     assert(commits.size == 4 && commits.exists(_.startsWith("batch=compact-")),
-      "one-generation GC grace")
+      "generation GC grace")
     assert(searchSet(store, queries) == expected)
-    IvfPqStream.compactStore(spark, store)
+    IvfPqStream.compactStore(spark, store, gcGraceMs = 0L)
     assert(commits.size == 1, "second compaction collects the prior generation")
     assert(searchSet(store, queries) == expected)
 

@@ -89,11 +89,11 @@ class IvfSqStreamSpec extends SparkSpec {
       IvfSqStream.searchStore(spark, "/tmp/not-a-sq-store", queries, k = 5)
     }
 
-    IvfSqStream.compactStore(spark, store)
+    IvfSqStream.compactStore(spark, store, gcGraceMs = 0L)
     assert(commits.size == 4 && commits.exists(_.startsWith("batch=compact-")),
-      "one-generation GC grace")
+      "generation GC grace")
     assert(searchSet(store, queries) == expected)
-    IvfSqStream.compactStore(spark, store)
+    IvfSqStream.compactStore(spark, store, gcGraceMs = 0L)
     assert(commits.size == 1, "second compaction collects the prior generation")
     assert(searchSet(store, queries) == expected)
 

@@ -81,11 +81,12 @@ class IvfStreamSpec extends SparkSpec {
       IvfStream.searchStore(spark, "/tmp/not-an-ivf-store", queries, k = 5)
     }
 
-    IvfStream.compactStore(spark, store)
-    // one-generation GC grace, then physical collection
+    IvfStream.compactStore(spark, store, gcGraceMs = 0L)
+    // generation grace, then physical collection (gcGraceMs = 0 pins
+    // the deterministic count path; the production default is timed)
     assert(commits.size == 4 && commits.exists(_.startsWith("batch=compact-")))
     assert(searchSet(store, queries) == expected)
-    IvfStream.compactStore(spark, store)
+    IvfStream.compactStore(spark, store, gcGraceMs = 0L)
     val folded = commits
     assert(folded.size == 1 && folded.head.startsWith("batch=compact-"), folded)
     assert(searchSet(store, queries) == expected)
