@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -641,11 +640,11 @@ object SimilaritySearch {
           "neighbor_id")
         .join(broadcast(qRaw), "query_id")
         .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-      val w2 = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      exact.withColumn("rank", row_number().over(w2))
-        .filter(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
+      // unique (query, neighbor) pairs by construction, so the shared
+      // fold-ranked tail IS the ranking window it replaces — one
+      // exchange, no sort (optimization round 17)
+      graft.streaming.StoreCommits.rankSurvivors(
+        exact.select(col("query_id"), col("neighbor_id"), col("cos")), k, "cos")
     }
   }
 
@@ -897,11 +896,10 @@ object SimilaritySearch {
         "neighbor_id")
       .join(broadcast(qRaw), "query_id")
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-    val w2 = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    // unique (query, neighbor) pairs by construction — the shared
+    // fold-ranked tail replaces the window: one exchange, no sort
+    graft.streaming.StoreCommits.rankSurvivors(
+      exact.select(col("query_id"), col("neighbor_id"), col("cos")), k, "cos")
   }
 
   /** IVF-SQ8 fused ANN top-k — the scalar-quantized middle rung of the
@@ -1143,11 +1141,10 @@ object SimilaritySearch {
         "neighbor_id")
       .join(broadcast(qRaw), "query_id")
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
-    val w2 = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    // unique (query, neighbor) pairs by construction — the shared
+    // fold-ranked tail replaces the window: one exchange, no sort
+    graft.streaming.StoreCommits.rankSurvivors(
+      exact.select(col("query_id"), col("neighbor_id"), col("cos")), k, "cos")
   }
 
   /** Driver-local Lloyd's k-means for the PQ codebook fit: the training

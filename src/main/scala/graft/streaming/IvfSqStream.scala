@@ -437,7 +437,7 @@ object IvfSqStream {
     * partitions. Scoring arithmetic is
     * [[SimilaritySearch.ivfSqSearch]]'s verbatim (the cell-indexed
     * [[SimilaritySearch.sqByCell]] coefficient broadcast), bounded by
-    * [[StoreCommits.TopKMap]] + [[StoreCommits.foldSurvivors]];
+    * [[StoreCommits.TopKMap]] + [[StoreCommits.rankSurvivors]];
     * upsert contract: LATEST-WINS, always — superseded versions are
     * masked globally before scoring and dropped at compaction (the
     * [[AnnStream.searchStore]] contract). Consistent-snapshot

@@ -489,6 +489,13 @@ private[graft] object StoreCommits {
     }
     def drain(qid: Long): Iterator[(Long, Long, Double)] =
       (0 until n).iterator.map(i => (qid, nids(i), scs(i)))
+    /** Drain with the slot position as the 1-based rank: the structure
+      * is maintained sorted under (score desc, neighbor asc) — exactly
+      * the ranking-window ordering — so when a fold holds a query's
+      * GLOBAL survivors the position IS `row_number()` and the caller
+      * skips the window (and its exchange + sort) entirely. */
+    def drainRanked(qid: Long): Iterator[(Long, Long, Int, Double)] =
+      (0 until n).iterator.map(i => (qid, nids(i), i + 1, scs(i)))
   }
 
   /** Per-partition map of [[TopK]] accumulators — the map-side combine
@@ -546,21 +553,34 @@ private[graft] object StoreCommits {
     def drain(): Iterator[(Long, Long, Double)] =
       keys.indices.iterator.filter(accs(_) != null)
         .flatMap(i => accs(i).drain(keys(i)))
+    /** See [[TopK.drainRanked]] — valid once each query's rows are all
+      * in THIS fold's partition (post `repartition(query_id)`). */
+    def drainRanked(): Iterator[(Long, Long, Int, Double)] =
+      keys.indices.iterator.filter(accs(_) != null)
+        .flatMap(i => accs(i).drainRanked(keys(i)))
   }
 
-  /** SECOND-LEVEL top-K fold (round 16): hash-partition the scoring
-    * partitions' survivors by query and fold once more, so the final
-    * ranking window sees ≤ nq·cap rows instead of partitions·nq·cap.
-    * The groupBy-max + window directly over the drained relation
-    * re-created the round-15 lesson one level up: at nq = 100k,
-    * cap = 32, 32 scoring partitions the survivors are ~10⁸ rows, and
-    * the thread dump showed every worker inside the window's TimSort.
-    * This fold replaces that hash-agg + full sort with one 24-byte-row
-    * exchange and a linear pass; duplicate (query, neighbor) versions
-    * dedup inside [[TopK]] with max() semantics, exactly like the
-    * groupBy it replaces. Input columns must be
-    * (query_id LONG, neighbor_id LONG, score DOUBLE). */
-  def foldSurvivors(scored: DataFrame, cap: Int, scoreName: String): DataFrame = {
+  /** The post-scoring tail every top-K tier shares (round 17 — hoisted
+    * from near-verbatim copies in the four searchStores and the batch
+    * tiers' rankTopK): hash-partition the scoring partitions' survivors
+    * by query (≤ partitions·nq·cap rows of 24 bytes — at nq = 100k,
+    * cap = 32, 32 scoring partitions that is ~10⁸ rows, where a
+    * groupBy-max + window re-created the very sort the scoring fold
+    * removed; thread-dump evidence in BENCH_NOTES round 15) and fold
+    * once more. After this second-level fold each query's [[TopK]]
+    * holds its GLOBAL top-cap in drain order — (score desc, neighbor
+    * asc), the exact ranking-window ordering, with duplicate
+    * (query, neighbor) versions deduped max() like the groupBy it
+    * replaces — so the rank IS the drain position
+    * ([[TopK.drainRanked]]) and the bounded window the round-16 shape
+    * still paid (a SECOND exchange of the folded survivors plus a
+    * TimSort: mapPartitions hides the fold's partitioning from the
+    * planner, so the window could not reuse it) is deleted outright —
+    * ONE exchange end-to-end after scoring (optimization round 17).
+    * Input columns must be (query_id LONG, neighbor_id LONG,
+    * score DOUBLE); returns (query_id, neighbor_id, rank, scoreName)
+    * with rank ≤ cap. */
+  def rankSurvivors(scored: DataFrame, cap: Int, scoreName: String): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.repartition(col("query_id"))
@@ -568,22 +588,8 @@ private[graft] object StoreCommits {
       .mapPartitions { it =>
         val acc = new TopKMap(cap)
         it.foreach { case (q, nid, s) => acc.insert(q, nid, s) }
-        acc.drain()
-      }.toDF("query_id", "neighbor_id", scoreName)
-  }
-
-  /** The post-scoring tail every top-K tier shares (round 17 — hoisted
-    * from near-verbatim copies in the four searchStores and the batch
-    * tiers' rankTopK): second-level fold to ≤ nq·cap survivors, then
-    * ONE bounded ranking window. Returns
-    * (query_id, neighbor_id, rank, scoreName) with rank ≤ cap. */
-  def rankSurvivors(scored: DataFrame, cap: Int, scoreName: String): DataFrame = {
-    val folded = foldSurvivors(scored, cap, scoreName)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col(scoreName).desc, col("neighbor_id").asc)
-    folded.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= cap)
-      .select("query_id", "neighbor_id", "rank", scoreName)
+        acc.drainRanked()
+      }.toDF("query_id", "neighbor_id", "rank", scoreName)
   }
 
   /** The whole scoring tail: one typed mapPartitions pass folding a
@@ -642,11 +648,12 @@ private[graft] object StoreCommits {
       .join(vecs, Seq("neighbor_id"))
       .join(queries, Seq("query_id"))
       .withColumn("cos", graft.ops.Dedup.cosine(col("qvec"), col("cvec")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    // one deterministic row per (query, neighbor) by construction
+    // (shortlist keyed by the pair; vecs/queries one row per id), so
+    // the shared fold-ranked tail is the exact window it replaces —
+    // one exchange, no sort (optimization round 17)
+    rankSurvivors(
+      exact.select(col("query_id"), col("neighbor_id"), col("cos")), k, "cos")
   }
 
   // ======== tombstone deletes (round 16) ========

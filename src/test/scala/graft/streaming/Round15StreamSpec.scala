@@ -164,7 +164,9 @@ class Round15StreamSpec extends SparkSpec {
         store, dim = 64, nlist = 16, m = 8, seed = 37L, batchTag = s"a$c")
     }
     IvfPqStream.compactStore(spark, store)
-    IvfPqStream.compactStore(spark, store) // grace gen collected
+    // grace gen collected (gcGraceMs = 0: the expected-touches count
+    // below reads the store files RAW, so retired dirs must be gone)
+    IvfPqStream.compactStore(spark, store, gcGraceMs = 0L)
     val queries = corpus.filter(col("vec_id") < 40)
     val nprobe = 2
     val acc = spark.sparkContext.longAccumulator("adcTouches")
