@@ -710,15 +710,28 @@ object Corpus {
     val partials = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
       .orderBy(col("_pid").asc).collect()
     var acc = 0L
-    val offsets = partials.map { r =>
+    val offMap = partials.map { r =>
       val row = (r.getInt(0), acc); acc += r.getLong(1); row
-    }.toSeq
-    import spark.implicits._
-    val offDf = offsets.toDF("_opid", "_off")
-    val wLoc = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    }.toMap
+    // POSITIONAL local numbering over the already-sorted cached
+    // partitions (optimization round 17): the partition-local window
+    // this replaces could never reuse the range partitioning (a window
+    // needs hashpartitioning(_pid)), so it re-exchanged and re-sorted
+    // the whole relation and joined the offsets back in. The low 33
+    // bits of monotonically_increasing_id ARE the record position
+    // within the evaluating partition (documented layout: partition
+    // index high, record number low), evaluated directly over the
+    // cached sort order — so rank = offset(_pid) + position + 1 with
+    // ZERO additional exchange, sort, or join; the offsets ride as one
+    // n-element literal array indexed by _pid. Determinism is the
+    // window's own contract: `order` must be total, and positions are
+    // recomputed from the same sort on cache eviction.
+    val offArr = array((0 until n).map(p => lit(offMap.getOrElse(p, 0L))): _*)
     keyed
-      .join(broadcast(offDf), col("_pid") === col("_opid"))
-      .withColumn(rankCol, col("_off") + row_number().over(wLoc))
-      .drop("_pid", "_opid", "_off")
+      .withColumn(rankCol,
+        element_at(offArr, col("_pid") + 1)
+          + monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+          + lit(1L))
+      .drop("_pid")
   }
 }
