@@ -135,7 +135,9 @@ object AnnStream {
     // the occupancy monitor reads back the just-written commit — the
     // rows are already on disk, so the lazy consumer never re-touches
     // the (now-unpersisted) batch or its source files
-    spark.read.parquet(commitDir)
+    // schema supplied: a bare read pays an eager file-listing +
+    // footer-read job per tick just to re-learn the schema we wrote
+    spark.read.schema(vecSchema).parquet(commitDir)
       .groupBy("tbl", "bucket").agg(count(lit(1)).as("members"))
   }
 

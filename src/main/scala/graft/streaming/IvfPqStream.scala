@@ -309,7 +309,7 @@ object IvfPqStream {
       }
       math.sqrt(d)
     }
-    spark.read.parquet(commitDir)
+    spark.read.schema(vecSchema).parquet(commitDir)
       .groupBy("cell").agg(count(lit(1)).as("members"),
         avg(codeErr(col("cell"), col("codes"), col("cvec"))).as("mean_code_err"))
   }

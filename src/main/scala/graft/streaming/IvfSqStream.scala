@@ -289,7 +289,7 @@ object IvfSqStream {
       }
       math.sqrt(d)
     }
-    spark.read.parquet(commitDir)
+    spark.read.schema(vecSchema).parquet(commitDir)
       .groupBy("cell").agg(count(lit(1)).as("members"),
         avg(codeErr(col("cell"), col("code"), col("cvec"))).as("mean_code_err"))
   }

@@ -239,7 +239,7 @@ object IvfStream {
           while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
           math.sqrt(d)
         }
-        spark.read.parquet(commitDir)
+        spark.read.schema(vecSchema).parquet(commitDir)
           .groupBy("cell").agg(count(lit(1)).as("members"),
             avg(distTo(col("cell"), col("cvec"))).as("mean_dist"))
     }

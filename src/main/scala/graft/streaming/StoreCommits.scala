@@ -690,7 +690,8 @@ private[graft] object StoreCommits {
       .filter(col("id").isNotNull).distinct()
       .coalesce(1).write.mode("overwrite").parquet(commitDir)
     DedupStream.publishCommit(spark, root, s"batch=$batchTag")
-    spark.read.parquet(commitDir).count()
+    // schema supplied: skip the schema-inference job on the read-back
+    spark.read.schema(tombSchema).parquet(commitDir).count()
   }
 
   /** The store's visible tombstoned-id relation (column `id`, LONG;
