@@ -293,29 +293,31 @@ object AnnStream {
     val vecOf = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
     val planesFlat = SimilaritySearch.tablePlanesFlat(
       dim.toInt, planes.toInt, seed, tables.toInt)
-    // probe keys from the SAME collected snapshot (a local relation fed
-    // back through the exact writer keying expression) — a
-    // nondeterministic query source (an upstream sample/limit) must not
-    // yield probe ids absent from vecOf, which a second scan of
-    // `queries` could
-    val qLocal = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("qvec",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
-    val qKeys = qLocal.select(col("query_id"),
-      posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
-        col("qvec"), planesFlat, planes.toInt, dim.toInt)).as(Seq("tbl", "key")))
-    val probeMasks = lit(0) +: (0 until planes.toInt).map(b => shiftleft(lit(1), b))
-    val probes = qKeys.select(col("query_id"), col("tbl"),
-      explode(array(probeMasks.map(m => col("key").bitwiseXOR(m)): _*)).as("bucket"))
-    // the collected triples are nq·tables·(planes+1) ints — ~14 MB at
-    // the 100k bound
-    val probeRows = probes.collect().map(r =>
-      (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // probe keys from the SAME collected snapshot (a nondeterministic
+    // query source — an upstream sample/limit — must not yield probe
+    // ids absent from vecOf, which a second scan of `queries` could),
+    // evaluated DRIVER-side through the WRITER'S OWN keying expression
+    // (HyperplaneKeys.nullSafeEval — the arithmetic its codegen
+    // compiles): the round-16 shape round-tripped the snapshot through
+    // a local relation + posexplode/explode plan and a SECOND collect
+    // job per search for nq·tables·(planes+1) ints the driver already
+    // held (optimization round 17). One-bit multi-probe masks are the
+    // same `key ^ (1 << b)` ints.
+    val hk = graft.functions.VectorExpressions.HyperplaneKeys(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      planesFlat, planes.toInt, dim.toInt)
+    val probeRows: Array[(Long, Int, Int)] = qRows.flatMap { r =>
+      val keys = hk.nullSafeEval(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vecOf(r.getLong(0))))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray
+      val qid = r.getLong(0)
+      keys.iterator.zipWithIndex.flatMap { case (key, tbl) =>
+        Iterator.single((qid, tbl, key)) ++
+          (0 until planes.toInt).iterator.map(b => (qid, tbl, key ^ (1 << b)))
+      }
+    }
     // bounded by construction: ≤ storeParts distinct partition ints
     val partsN = StoreCommits.storePartsOf(fs, dir).toLong
     val wanted = probeRows.map { case (_, t, b) =>
