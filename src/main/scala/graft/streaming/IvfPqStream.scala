@@ -423,7 +423,7 @@ object IvfPqStream {
         // live id survives the fold (latest-wins made physical; the
         // row-per-update space leak closed); a refit re-encodes the
         // elected rows with their versions preserved
-        val all = StoreCommits.electLatest(
+        val all = StoreCommits.electLatestOne(
           StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id"),
           "neighbor_id")
         val mt = effectiveMeta(spark, storeDir, promote = true)
@@ -584,5 +584,6 @@ object IvfPqStream {
   /** The store's live vectors as a corpus relation — see
     * [[StoreCommits.liveVectors]]. */
   def liveVectors(spark: SparkSession, storeDir: String): org.apache.spark.sql.DataFrame =
-    StoreCommits.liveVectors(spark, storeDir, "pqvecs", vecSchema)
+    StoreCommits.liveVectors(spark, storeDir, "pqvecs", vecSchema,
+      multiRowPerId = false)
 }

@@ -400,7 +400,7 @@ object IvfSqStream {
         // latest-per-id election (round 17): exactly one version per
         // live id survives the fold (latest-wins made physical); a
         // refit re-encodes the elected rows, versions preserved
-        val all = StoreCommits.electLatest(
+        val all = StoreCommits.electLatestOne(
           StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id"),
           "neighbor_id")
         val mt = effectiveMeta(spark, storeDir, promote = true)
@@ -555,5 +555,6 @@ object IvfSqStream {
   /** The store's live vectors as a corpus relation — see
     * [[StoreCommits.liveVectors]]. */
   def liveVectors(spark: SparkSession, storeDir: String): org.apache.spark.sql.DataFrame =
-    StoreCommits.liveVectors(spark, storeDir, "sqvecs", vecSchema)
+    StoreCommits.liveVectors(spark, storeDir, "sqvecs", vecSchema,
+      multiRowPerId = false)
 }

@@ -379,7 +379,7 @@ object IvfStream {
         // latest-per-id election (round 17): exactly one version per
         // live id survives the fold — the latest-wins contract made
         // physical, and the row-per-update space leak closed
-        val all = StoreCommits.electLatest(
+        val all = StoreCommits.electLatestOne(
           StoreCommits.minusTombstones(all0, spark, storeDir, "neighbor_id"),
           "neighbor_id")
         val meta = effectiveMeta(spark, storeDir, promote = true)
@@ -548,5 +548,6 @@ object IvfStream {
   /** The store's live vectors as a corpus relation — see
     * [[StoreCommits.liveVectors]]. */
   def liveVectors(spark: SparkSession, storeDir: String): org.apache.spark.sql.DataFrame =
-    StoreCommits.liveVectors(spark, storeDir, "ivfvecs", vecSchema)
+    StoreCommits.liveVectors(spark, storeDir, "ivfvecs", vecSchema,
+      multiRowPerId = false)
 }

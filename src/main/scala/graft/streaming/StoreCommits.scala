@@ -337,6 +337,23 @@ private[graft] object StoreCommits {
       .drop("__latest")
   }
 
+  /** [[electLatest]] for the SINGLE-row-per-id families (IVF/IVF-PQ/
+    * IVF-SQ — everything but the multi-table LSH store): one max-struct
+    * hash aggregation instead of the agg + self-join (one exchange
+    * fewer per fold), and the fold output is guaranteed EXACTLY one row
+    * per live id — an equal-version duplicate (the same id twice in one
+    * batch) resolves by (ver, cvec, …) struct ordering, the
+    * [[latestVecs]] tie-break, instead of surviving as two rows. That
+    * guarantee is what lets [[liveVectors]] skip its election on a
+    * freshly-compacted store (optimization round 17). */
+  def electLatestOne(df: DataFrame, idCol: String): DataFrame = {
+    val others = df.columns.filter(_ != idCol).toSeq
+    val ordered = Seq("ver", "cvec").filter(others.contains) ++
+      others.filterNot(Set("ver", "cvec"))
+    df.groupBy(col(idCol)).agg(max(struct(ordered.map(col): _*)).as("__m"))
+      .select(col(idCol) +: others.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** Cell-OCCUPANCY drift signal (round 17): total-variation distance
     * between a tick's per-cell member distribution and the fit-time
     * occupancy recorded in the store marker. The reconstruction-error
@@ -624,16 +641,31 @@ private[graft] object StoreCommits {
     * election is a single hash aggregation. */
   def liveVectors(
       spark: SparkSession, storeDir: String, subdir: String,
-      schema: StructType): DataFrame = {
+      schema: StructType, multiRowPerId: Boolean = true): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(storeDir)
-    val parts = storePartsOf(fs(spark, dir), dir)
+    val f = fs(spark, dir)
+    val parts = storePartsOf(f, dir)
     val all = DedupStream.readStore(
       spark, s"$storeDir/$subdir", schema,
       excludeTag = " none ", partCol = "ab",
       wanted = (0 until parts).toSet)
-    latestVecs(minusSuperseded(
+    val masked = minusSuperseded(
       minusTombstones(all, spark, storeDir, "neighbor_id"),
-      spark, storeDir, subdir, "neighbor_id"))
+      spark, storeDir, subdir, "neighbor_id")
+    // freshly-compacted fast path (optimization round 17): when every
+    // visible commit is a fold target, the fold already elected exactly
+    // one row per live id for the single-row families
+    // ([[electLatestOne]]), so the election here is the identity — skip
+    // the full-corpus hash aggregation (which moves every vector
+    // through an exchange) and return the masked projection directly.
+    // The multi-table LSH store always elects (it collapses per-table
+    // rows); a store with delta commits always elects.
+    val root = new org.apache.hadoop.fs.Path(dir, subdir)
+    val compactedOnly = !multiRowPerId &&
+      DedupStream.readManifest(f, root).exists(v =>
+        v.nonEmpty && v.forall(isFoldTarget))
+    if (compactedOnly) masked.select(col("neighbor_id"), col("cvec"))
+    else latestVecs(masked)
   }
 
   /** The fused tiers' exact re-rank, shared by the IVF-PQ and IVF-SQ
