@@ -237,14 +237,17 @@ object Corpus {
     val counts = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
       .orderBy(col("_pid")).collect()
     var acc = 0L
-    val offsets = counts.map { r =>
+    val offMap = counts.map { r =>
       val row = (r.getInt(0), acc); acc += r.getLong(1); row
-    }.toSeq
-    import spark.implicits._
-    val offDf = offsets.toDF("_pid", "_off")
-    keyed.join(broadcast(offDf), Seq("_pid"))
-      .withColumn(rankCol, col("_off") + col("_loc"))
-      .drop("_mid", "_pid", "_loc", "_off")
+    }.toMap
+    // offsets as an n-element literal array indexed by _pid instead of
+    // a broadcast join: one BroadcastExchange + BroadcastHashJoin fewer
+    // per call, pure codegen (optimization round 17 — the globalRank
+    // shape)
+    val offArr = array((0 until n).map(p => lit(offMap.getOrElse(p, 0L))): _*)
+    keyed
+      .withColumn(rankCol, element_at(offArr, col("_pid") + 1) + col("_loc"))
+      .drop("_mid", "_pid", "_loc")
   }
 
   def shuffleShards(
