@@ -119,34 +119,48 @@ object Corpus {
     // stratum boundary; long arithmetic — no summation-order effects
     var curStratum: Any = null
     var acc = 0L
-    val offsets = partials.map { r =>
+    val offMap = partials.map { r =>
       val s = r.get(1)
       if (s != curStratum) { curStratum = s; acc = 0L }
-      val row = (r.getInt(0), s, acc)
+      val row = ((r.getInt(0), s), acc)
       acc += r.getLong(2)
       row
-    }.toSeq
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsets.map(o => Row(o._1, o._2, o._3)), 1),
-      StructType(Seq(
-        StructField("_opid", IntegerType, nullable = false),
-        keyed.schema(strataCol).copy(name = "_s"),
-        StructField("_off", LongType, nullable = false))))
-    // partition-local exclusive cumsum: the window key (_pid, stratum)
-    // is bounded by the partition size even when one stratum dominates
-    val wLoc = Window.partitionBy(col("_pid"), col(strataCol))
-      .orderBy(col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val start = col("_off") + coalesce(sum(col("_tok")).over(wLoc), lit(0L))
+    }.toMap
+    // positional per-stratum prefix sum over the cached (stratum, id)
+    // sort order (optimization round 17): the (_pid, stratum) cumsum
+    // WINDOW re-exchanged and re-sorted the whole relation (a window
+    // needs hash partitioning) and joined the offsets back in; the
+    // cached partitions are already sorted, strata contiguous within
+    // them, so one streaming mapPartitions carries the running total,
+    // re-seeding from the offsets map at each stratum boundary (the
+    // map key is (pid, stratum-value) — NULL strata are legitimate
+    // groups and Scala map equality keeps them, the `<=>` this
+    // replaces). Exact long arithmetic, bit-identical start values.
+    val offBc = spark.sparkContext.broadcast(offMap)
+    val tokIdx = keyed.schema.fieldIndex("_tok")
+    val pidIdx = keyed.schema.fieldIndex("_pid")
+    val stIdx = keyed.schema.fieldIndex(strataCol)
+    val startSchema = StructType(keyed.schema.fields :+
+      StructField("_start", LongType, nullable = false))
     keyed
-      // <=> on the stratum: NULL strata are legitimate groups (the
-      // fold above keeps them); null-unsafe === would silently drop
-      // every NULL-stratum row here
-      .join(broadcast(offDf),
-        col("_pid") === col("_opid") && col(strataCol) <=> col("_s"))
-      .withColumn("pack_id", floor(start / budgetTokens).cast("long"))
-      .withColumn("pack_offset", (start % budgetTokens).cast("long"))
-      .drop("_tok", "_pid", "_opid", "_s", "_off")
+      .mapPartitions { it =>
+        var cur: Any = null
+        var seen = false
+        var run = 0L
+        it.map { r =>
+          val st = r.get(stIdx)
+          if (!seen || st != cur) {
+            cur = st; seen = true
+            run = offBc.value.getOrElse((r.getInt(pidIdx), st), 0L)
+          }
+          val s = run
+          run += r.getLong(tokIdx)
+          Row.fromSeq(r.toSeq :+ s)
+        }
+      }(org.apache.spark.sql.Encoders.row(startSchema))
+      .withColumn("pack_id", floor(col("_start") / budgetTokens).cast("long"))
+      .withColumn("pack_offset", (col("_start") % budgetTokens).cast("long"))
+      .drop("_tok", "_pid", "_start")
   }
 
   /** Deterministic EXACT-size stratified subset: the k docs per stratum
@@ -665,18 +679,32 @@ object Corpus {
     val partials = keyed.groupBy(col("_pid")).agg(sum(col("_tok")).as("_t"))
       .orderBy(col("_pid").asc).collect()
     var acc = 0L
-    val offsets = partials.map { r =>
+    val offMap = partials.map { r =>
       val row = (r.getInt(0), acc); acc += r.getLong(1); row
-    }.toSeq
-    import spark.implicits._
-    val offDf = offsets.toDF("_opid", "_off")
-    val wLoc = Window.partitionBy(col("_pid")).orderBy(col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val start = col("_off") + coalesce(sum(col("_tok")).over(wLoc), lit(0L))
+    }.toMap
+    // positional prefix sum over the cached sort order (optimization
+    // round 17): the partition-local cumsum WINDOW could never reuse
+    // the range partitioning (it needs hashpartitioning(_pid)), so it
+    // re-exchanged and re-sorted the whole relation and joined the
+    // offsets back in. The cached partitions are already in id order —
+    // one streaming mapPartitions carries the running token total,
+    // exact long arithmetic, bit-identical _start values.
+    val offBc = spark.sparkContext.broadcast(offMap)
+    val tokIdx = keyed.schema.fieldIndex("_tok")
+    val pidIdx = keyed.schema.fieldIndex("_pid")
+    val startSchema = StructType(keyed.schema.fields :+
+      StructField("_start", LongType, nullable = false))
     val b = lit(seqTokens.toLong)
     keyed
-      .join(broadcast(offDf), col("_pid") === col("_opid"))
-      .withColumn("_start", start)
+      .mapPartitions { it =>
+        var run = -1L
+        it.map { r =>
+          if (run < 0) run = offBc.value.getOrElse(r.getInt(pidIdx), 0L)
+          val s = run
+          run += r.getLong(tokIdx)
+          Row.fromSeq(r.toSeq :+ s)
+        }
+      }(org.apache.spark.sql.Encoders.row(startSchema))
       // `div` = exact long division (Column./ is double — unsafe past 2^53)
       .withColumn("seq_id",
         explode(sequence(expr(s"_start div ${seqTokens}L"),
