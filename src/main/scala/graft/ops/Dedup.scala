@@ -289,14 +289,20 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(windowWords > 0, "windowWords must be positive")
-    val ws = split(col(textCol), " ")
+    // word array BOUND once as a column alias (optimization round 17):
+    // `ws` was referenced INSIDE the per-chunk lambda, so every chunk
+    // re-ran the split — O(words²/W) splitting per row, the exact
+    // interpreted-HOF quadratic of the round-16 q96 finding
     // ceil(size/W) chunk starts; greatest(,1) guards sequence(0,-1)
     // (Spark would count DOWN) — the lone empty span filters out below
-    val nChunks = greatest(ceil(size(ws) / lit(windowWords.toDouble)).cast("int"), lit(1))
-    val spans = df.select(
-        col(idCol).as("id"),
+    val nChunks = greatest(
+      ceil(size(col("_ws")) / lit(windowWords.toDouble)).cast("int"), lit(1))
+    val spans = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("_ws"))
+      .select(
+        col("id"),
         explode(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(ws, i * windowWords + 1, lit(windowWords)), " "))).as("span"))
+          i => array_join(slice(col("_ws"), i * windowWords + 1, lit(windowWords)), " "))).as("span"))
       .filter(length(col("span")) > 0)
       .select(col("id"), md5(col("span")).as("h"), length(col("span")).as("len"))
     val perDoc = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
@@ -329,9 +335,15 @@ object Dedup {
     else if (n == 2) array_distinct(
       filter(
         // zip_with pads the shorter (shifted) side with null; the final
-        // (last-word, null) pair filters out
-        zip_with(words, slice(words, lit(2), size(words)),
-          (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
+        // (last-word, null) pair filters out. Word array BOUND once
+        // (optimization round 17): the three `words` references in one
+        // zip_with re-ran the split 3x per row — interpreted HOFs get
+        // no CSE (the generic-branch rationale, applied here too)
+        element_at(
+          transform(array(words), ws =>
+            zip_with(ws, slice(ws, lit(2), size(ws)),
+              (a, b) => when(b.isNotNull, concat(a, lit(" "), b)))),
+          1),
         g => g.isNotNull))
     else array_distinct(
       filter(
@@ -375,8 +387,13 @@ object Dedup {
     if (n == 1) array_distinct(transform(words, w => xxhash64(w)))
     else if (n == 2) array_distinct(
       filter(
-        zip_with(words, slice(words, lit(2), size(words)),
-          (a, b) => when(b.isNotNull, xxhash64(a, b))),
+        // bound-variable form (optimization round 17) — one split per
+        // row instead of 3 interpreted re-splits, see gramArray
+        element_at(
+          transform(array(words), ws =>
+            zip_with(ws, slice(ws, lit(2), size(ws)),
+              (a, b) => when(b.isNotNull, xxhash64(a, b)))),
+          1),
         g => g.isNotNull))
     else array_distinct(
       filter(
@@ -940,14 +957,17 @@ object Dedup {
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 2): DataFrame = {
     require(n == 1 || n == 2, s"simhashPortable supports word unigrams/bigrams (got $n)")
-    val words = split(col(textCol), " ")
+    // word array BOUND once (optimization round 17): the bigram
+    // zip_with referenced the split 3x per row (no CSE in interpreted
+    // HOFs) — the fingerprint pass re-split the corpus three times
     val feats =
-      if (n == 1) array_distinct(words)
+      if (n == 1) array_distinct(col("_ws"))
       else array_distinct(filter(
-        zip_with(words, slice(words, lit(2), size(words)),
+        zip_with(col("_ws"), slice(col("_ws"), lit(2), size(col("_ws"))),
           (a, b) => when(b.isNotNull, concat_ws(" ", a, b))),
         g => g.isNotNull))
-    df.select(col(idCol).as("id"), explode(feats).as("feat"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("_ws"))
+      .select(col("id"), explode(feats).as("feat"))
       .withColumn("h", TextAnalysis.fingerprint(col("feat")))
       .groupBy("id")
       .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))

@@ -263,13 +263,18 @@ object TextAnalysis {
       lit(0L), (acc, x) => acc + x)
 
   def repetitionMetrics(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val words = split(col(textCol), " ")
-    df.select(
-      col(idCol),
-      size(words).cast("long").as("n_words"),
-      size(array_distinct(words)).cast("long").as("n_distinct_words"),
-      topWordRun(words).as("top_word_n"),
-      sumWordLen(words).as("sum_word_len"))
+    // word array BOUND once as a column alias (optimization round 17):
+    // four references in one projection re-ran the split 4x per row
+    // (the metric expressions are interpreted HOFs — no CSE);
+    // CollapseProject keeps an expensive multi-referenced alias in its
+    // own project, so the split now runs once
+    df.select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(
+        col(idCol),
+        size(col("_ws")).cast("long").as("n_words"),
+        size(array_distinct(col("_ws"))).cast("long").as("n_distinct_words"),
+        topWordRun(col("_ws")).as("top_word_n"),
+        sumWordLen(col("_ws")).as("sum_word_len"))
   }
 
   /** Gopher-style rule filter (Rae et al. 2021, Appendix A1.1,
@@ -290,14 +295,18 @@ object TextAnalysis {
       textCol: String = "text", minWords: Long = 20, maxWords: Long = 100000,
       stopwords: Seq[String] =
         Seq("the", "a", "of", "and", "to", "in", "is", "that")): DataFrame = {
-    val words = filter(split(col(textCol), " "), w => length(w) > 0)
-    val base = df.select(
+    // word array BOUND once (optimization round 17): six references
+    // in one projection re-ran split+filter 6x per row
+    val base = df
+      .select(col(idCol),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("_ws"))
+      .select(
       col(idCol),
-      size(words).cast("long").as("n_words"),
-      sumWordLen(words).as("sum_word_len"),
-      size(array_distinct(words)).cast("long").as("n_distinct_words"),
-      topWordRun(words).as("top_word_n"),
-      size(array_intersect(array_distinct(words),
+      size(col("_ws")).cast("long").as("n_words"),
+      sumWordLen(col("_ws")).as("sum_word_len"),
+      size(array_distinct(col("_ws"))).cast("long").as("n_distinct_words"),
+      topWordRun(col("_ws")).as("top_word_n"),
+      size(array_intersect(array_distinct(col("_ws")),
         typedlit(stopwords))).cast("long").as("n_stop_distinct"))
     base.select(col(idCol), col("n_words"), col("sum_word_len"),
         col("n_distinct_words"), col("top_word_n"), col("n_stop_distinct"),
@@ -490,15 +499,21 @@ object TextAnalysis {
     * Importance Resampling"), engine-portable (DuckDB replays the same
     * md5 arithmetic). One array expression per row — no shuffle, no
     * per-index allocation beyond the feature array itself. */
-  private[ops] def dsirFeatureBuckets(text: Column, nBuckets: Int): Column = {
-    val words = split(text, " ")
-    val bigrams = filter(
-      zip_with(words, slice(words, lit(2), size(words)),
-        (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
-      g => g.isNotNull)
-    transform(concat(words, bigrams), f =>
-      (conv(substring(md5(f), 1, 8), 16, 10).cast("long") % nBuckets))
-  }
+  private[ops] def dsirFeatureBuckets(text: Column, nBuckets: Int): Column =
+    // bound-variable form (the gramArray idiom): HOFs evaluate
+    // INTERPRETED with no CSE, so an unbound `words` re-evaluates the
+    // split per reference — 4 splits of the text per row here
+    // (optimization round 17: 1)
+    element_at(
+      transform(array(split(text, " ")), ws => {
+        val bigrams = filter(
+          zip_with(ws, slice(ws, lit(2), size(ws)),
+            (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
+          g => g.isNotNull)
+        transform(concat(ws, bigrams), f =>
+          (conv(substring(md5(f), 1, 8), 16, 10).cast("long") % nBuckets))
+      }),
+      1)
 
   /** DSIR importance weights: every document scored by how much more
     * likely its hashed-n-gram features are under a TARGET bag-of-
@@ -532,17 +547,26 @@ object TextAnalysis {
     require(nBuckets > 0, "nBuckets must be positive")
     val feats = df.select(col(idCol).as("id"), isTarget.as("_tgt"),
       explode(dsirFeatureBuckets(col(textCol), nBuckets)).as("b"))
-    // bucket models: instance counts over target / raw, one small agg
-    val bucketCounts = feats.groupBy(col("b")).agg(
-      sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+    // ONE feature pass (optimization round 17): the bucket models used
+    // to aggregate the raw feature explode a second time — a second
+    // full scan re-running the interpreted md5 HOF over every feature.
+    // Both models are exact sums over the per-(doc, bucket) counts, so
+    // fold per-doc first (the corpus-sized shuffle, keyed by id —
+    // balanced whatever the bucket skew), persist that bounded
+    // relation (≤ nBuckets rows per doc), and derive the models from
+    // it (module cache contract — caller clearCache after consuming).
+    val perDoc = feats.groupBy(col("id"), col("_tgt"), col("b"))
+      .agg(count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketCounts = perDoc.groupBy(col("b")).agg(
+      sum(when(col("_tgt"), col("_n")).otherwise(0L)).as("ct"),
+      sum(col("_n")).as("cr"))
     val totals = bucketCounts.agg(
       sum(col("ct")).as("_T"), sum(col("cr")).as("_R"))
     val model = bucketCounts.crossJoin(broadcast(totals))
       .select(col("b"),
         (log((col("ct") + 1.0) / (col("_T") + nBuckets.toDouble))
           - log((col("cr") + 1.0) / (col("_R") + nBuckets.toDouble))).as("_lr"))
-    val perDoc = feats.groupBy(col("id"), col("b")).agg(count(lit(1)).as("_n"))
     perDoc.join(broadcast(model), Seq("b"))
       .groupBy(col("id"))
       .agg(sum(col("_n")).as("n_feats"),
