@@ -47,6 +47,18 @@ object Dedup {
     * shuffle at 100 TB. Wide ids (e.g. xxhash64-bridged string keys)
     * return None and callers keep the generic two-key aggregate with
     * identical output and schema. */
+  /** TRUE iff `df` carries duplicate `idCol` values — the narrow probe
+    * (optimization round 17) that lets the dirty-input guards skip
+    * shuffling document TEXT in the dup-free common case: the scan
+    * prunes to the id column, only ids cross the probe's exchange, one
+    * collected row. count(lit(1)) vs count_distinct(id) also trips on
+    * NULL ids (conservative: those route to the guarded path). */
+  private[ops] def hasDuplicateIds(df: DataFrame, idCol: String): Boolean = {
+    val r = df.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("d")).collect()(0)
+    r.getLong(0) != r.getLong(1)
+  }
+
   private[ops] def pairPackBase(keyed: DataFrame, idCol: String = "id")
       : Option[(Long, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types._
@@ -439,12 +451,16 @@ object Dedup {
       blockCol: Option[String] = None,
       maxDocFrequency: Option[Int] = None,
       withSizes: Boolean = true): DataFrame = {
-    // dirty-input guard at the DOC level (one tiny shuffle of the doc
-    // relation): a repeated doc row would otherwise multiply every
-    // (id, sh) posting and inflate each pair's intersection count;
-    // per-row array_distinct in gramHashArray already guarantees one
-    // posting per (doc, shingle)
-    val clean = df.dropDuplicates(idCol)
+    // dirty-input guard at the DOC level — PROBED first (optimization
+    // round 17): dropDuplicates(id) exchanges and sort-aggregates the
+    // full document TEXT, which at corpus scale shuffles every byte of
+    // the corpus to (in the common case) remove nothing. The narrow
+    // id-column probe costs one pruned-scan aggregate; only a genuinely
+    // dirty input pays the text shuffle. A repeated doc row would
+    // otherwise multiply every (id, sh) posting and inflate each pair's
+    // intersection count; per-row array_distinct in gramHashArray
+    // already guarantees one posting per (doc, shingle)
+    val clean = if (hasDuplicateIds(df, idCol)) df.dropDuplicates(idCol) else df
     val sh = blockCol match {
       case Some(bc) => shingleHashesWithBlock(clean, n, idCol, textCol, bc)
       case None => shingleHashes(clean, n, idCol, textCol).withColumn("block", lit(0))
@@ -520,9 +536,15 @@ object Dedup {
     // row per id is DETERMINISTIC (max md5(text), same hash-agg shape
     // as dropDuplicates): conflicting duplicate ids always contribute
     // the same row's shingles, run over run.
-    val cleanCorpus = corpus.select(col(idCol), col(textCol))
-      .groupBy(col(idCol))
-      .agg(max_by(col(textCol), md5(col(textCol))).as(textCol))
+    // probed guard (optimization round 17, the ngramJaccardPairs
+    // rationale): the max-by election shuffles the full corpus text —
+    // only a genuinely dirty input pays it
+    val cleanCorpus =
+      if (hasDuplicateIds(corpus, idCol))
+        corpus.select(col(idCol), col(textCol))
+          .groupBy(col(idCol))
+          .agg(max_by(col(textCol), md5(col(textCol))).as(textCol))
+      else corpus.select(col(idCol), col(textCol))
     val c = shingleHashes(cleanCorpus, n, idCol, textCol)
       .select(col("id").as("corpus_id"), col("sh"))
     // benchmark side is tiny: full set-dedup is free and protects
