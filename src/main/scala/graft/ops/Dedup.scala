@@ -59,6 +59,30 @@ object Dedup {
     r.getLong(0) != r.getLong(1)
   }
 
+  /** [[hasDuplicateIds]] and [[pairPackBase]] fused into ONE probe
+    * aggregate (optimization round 17): ngramJaccardPairs needs both,
+    * and each costs a job of pure scheduling floor at bench scale —
+    * one pruned id-column scan answers min/max/count/distinct
+    * together. */
+  private[ops] def idProbe(df: DataFrame, idCol: String)
+      : (Option[(Long, org.apache.spark.sql.types.DataType)], Boolean) = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case t @ (ByteType | ShortType | IntegerType | LongType) =>
+        val r = df.agg(min(col(idCol).cast("long")).as("mn"),
+          max(col(idCol).cast("long")).as("mx"),
+          count(lit(1)).as("n"),
+          count_distinct(col(idCol)).as("d")).collect()(0)
+        val base =
+          if (!r.isNullAt(0) &&
+              BigInt(r.getLong(1)) - BigInt(r.getLong(0)) < (BigInt(1) << 32))
+            Some((r.getLong(0), t))
+          else None
+        (base, r.getLong(2) != r.getLong(3))
+      case _ => (None, hasDuplicateIds(df, idCol))
+    }
+  }
+
   private[ops] def pairPackBase(keyed: DataFrame, idCol: String = "id")
       : Option[(Long, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types._
@@ -460,7 +484,8 @@ object Dedup {
     // otherwise multiply every (id, sh) posting and inflate each pair's
     // intersection count; per-row array_distinct in gramHashArray
     // already guarantees one posting per (doc, shingle)
-    val clean = if (hasDuplicateIds(df, idCol)) df.dropDuplicates(idCol) else df
+    val (packBase, dirty) = idProbe(df, idCol)
+    val clean = if (dirty) df.dropDuplicates(idCol) else df
     val sh = blockCol match {
       case Some(bc) => shingleHashesWithBlock(clean, n, idCol, textCol, bc)
       case None => shingleHashes(clean, n, idCol, textCol).withColumn("block", lit(0))
@@ -501,7 +526,7 @@ object Dedup {
     // posting relation: probing `prefiltered` would materialize the
     // persist in a separate job and de-pipeline the shingle explode
     // from the join that consumes it (measured +3–4 s on q16 at sf1).
-    val pairs = countPairs(joined, pairPackBase(df, idCol), "inter_n")
+    val pairs = countPairs(joined, packBase, "inter_n")
       .filter(col("inter_n") >= minIntersect)
     if (!withSizes) return pairs
     val sizes = prefiltered.groupBy("id").agg(count(lit(1)).as("set_n"))
