@@ -480,15 +480,16 @@ object IvfPqStream {
     require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVFPQ")),
       s"not an ivf-pq store (no _IVFPQ marker): $storeDir")
     val parts = StoreCommits.storePartsOf(fs(spark, dir), dir)
-    val nq = queries.limit(maxQueries + 1).count()
-    require(nq <= maxQueries,
+    // ONE bounded collect serves the maxQueries check AND the
+    // broadcast state (the AnnStream/IvfStream shape — the separate
+    // limit-count pre-pass was a second scan of the query source)
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
       s"searchStore got more than $maxQueries query rows — the query side " +
         "must stay the bounded side; swap sides or raise maxQueries deliberately")
-    // bounded collect (≤ maxQueries): probed cells + ADC tables are
-    // inherently per-query broadcast state, the batch operator's shape
-    val qs = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .collect().map(r => (r.getLong(0), unitOf(r.getSeq[Float](1))))
+    val qs = qRows.map(r => (r.getLong(0), unitOf(r.getSeq[Float](1))))
     // CONSISTENT SNAPSHOT bracket (the IvfStream.searchStore idiom):
     // the dual quantizer and the commit list are separate files; the
     // stored codes only decode against the models that ENCODED them,
@@ -575,10 +576,15 @@ object IvfPqStream {
     // the nondeterministic first() the round-16 verdict flagged)
     val qRaw = queries.select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
-    StoreCommits.exactRerank(shortlist,
-      StoreCommits.latestVecs(
-        stored.select(col("neighbor_id"), col("ver"), col("cvec"))),
-      qRaw, k)
+    // compacted-only fast path (optimization round 17): the fold
+    // already elected one row per live id, so the election is the
+    // identity — the re-rank reads the pruned projection directly
+    val vecs =
+      if (StoreCommits.compactedOnly(spark, storeDir, "pqvecs"))
+        stored.select(col("neighbor_id"), col("cvec"))
+      else StoreCommits.latestVecs(
+        stored.select(col("neighbor_id"), col("ver"), col("cvec")))
+    StoreCommits.exactRerank(shortlist, vecs, qRaw, k)
   }
 
   /** The store's live vectors as a corpus relation — see

@@ -464,13 +464,15 @@ object IvfSqStream {
     require(fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, "_IVFSQ")),
       s"not an ivf-sq store (no _IVFSQ marker): $storeDir")
     val parts = StoreCommits.storePartsOf(fs(spark, dir), dir)
-    val nq = queries.limit(maxQueries + 1).count()
-    require(nq <= maxQueries,
+    // ONE bounded collect serves the maxQueries check AND the
+    // broadcast state (the AnnStream/IvfStream shape)
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
       s"searchStore got more than $maxQueries query rows — the query side " +
         "must stay the bounded side; swap sides or raise maxQueries deliberately")
-    val qs = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .collect().map(r => (r.getLong(0), IvfPqStream.unitOf(r.getSeq[Float](1))))
+    val qs = qRows.map(r => (r.getLong(0), IvfPqStream.unitOf(r.getSeq[Float](1))))
     var mt = effectiveMeta(spark, storeDir, promote = false)
       .getOrElse(throw new IllegalArgumentException(
         s"not an ivf-sq store (no _IVFSQ marker): $storeDir"))
@@ -546,10 +548,15 @@ object IvfSqStream {
     // flagged); vectors come from the same pruned partitions
     val qRaw = queries.select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
-    StoreCommits.exactRerank(shortlist,
-      StoreCommits.latestVecs(
-        stored.select(col("neighbor_id"), col("ver"), col("cvec"))),
-      qRaw, k)
+    // compacted-only fast path (optimization round 17): the fold
+    // already elected one row per live id, so the election is the
+    // identity — the re-rank reads the pruned projection directly
+    val vecs =
+      if (StoreCommits.compactedOnly(spark, storeDir, "sqvecs"))
+        stored.select(col("neighbor_id"), col("cvec"))
+      else StoreCommits.latestVecs(
+        stored.select(col("neighbor_id"), col("ver"), col("cvec")))
+    StoreCommits.exactRerank(shortlist, vecs, qRaw, k)
   }
 
   /** The store's live vectors as a corpus relation — see

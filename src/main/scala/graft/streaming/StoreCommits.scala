@@ -660,12 +660,22 @@ private[graft] object StoreCommits {
     // through an exchange) and return the masked projection directly.
     // The multi-table LSH store always elects (it collapses per-table
     // rows); a store with delta commits always elects.
-    val root = new org.apache.hadoop.fs.Path(dir, subdir)
-    val compactedOnly = !multiRowPerId &&
-      DedupStream.readManifest(f, root).exists(v =>
-        v.nonEmpty && v.forall(isFoldTarget))
-    if (compactedOnly) masked.select(col("neighbor_id"), col("cvec"))
+    if (!multiRowPerId && compactedOnly(spark, storeDir, subdir))
+      masked.select(col("neighbor_id"), col("cvec"))
     else latestVecs(masked)
+  }
+
+  /** TRUE when every visible commit is a fold target: the fold already
+    * elected exactly one row per live id for the single-row families
+    * ([[electLatestOne]]), so read-path elections are the identity and
+    * can be skipped (liveVectors, the fused tiers' exact re-rank). One
+    * manifest read, no job. */
+  def compactedOnly(
+      spark: SparkSession, storeDir: String, subdir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
+    val f = fs(spark, root)
+    f.exists(root) && DedupStream.readManifest(f, root).exists(v =>
+      v.nonEmpty && v.forall(isFoldTarget))
   }
 
   /** The fused tiers' exact re-rank, shared by the IVF-PQ and IVF-SQ
