@@ -16,6 +16,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object Corpus {
 
+  /** Equality-safe stratum key (round-18 ADVICE): a BinaryType stratum
+    * collects as Array[Byte], whose REFERENCE equality and identity
+    * hashCode would make every row a "new stratum" and every offsets-map
+    * lookup miss — silently corrupting pack ids. Wrap byte arrays in an
+    * element-wise-equal Seq before using them as map keys or boundary
+    * comparisons; every other type keeps its own JVM equality (the
+    * `<=>`-join semantics the driver folds replaced). */
+  private def eqKey(v: Any): Any = v match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case x => x
+  }
+
   /** Uniform per-row bucket in [0, 1000): the first 8 hex chars of
     * md5(id) read as a 32-bit integer, mod 1000. Deterministic in any
     * engine with md5 (DuckDB: `CAST('0x'||substr(md5(id),1,8) AS
@@ -118,10 +130,11 @@ object Corpus {
     // exclusive running offset per (stratum, pid), resetting at each
     // stratum boundary; long arithmetic — no summation-order effects
     var curStratum: Any = null
+    var seenAny = false
     var acc = 0L
     val offMap = partials.map { r =>
-      val s = r.get(1)
-      if (s != curStratum) { curStratum = s; acc = 0L }
+      val s = eqKey(r.get(1)) // equality-safe: binary strata compare by value
+      if (!seenAny || s != curStratum) { curStratum = s; seenAny = true; acc = 0L }
       val row = ((r.getInt(0), s), acc)
       acc += r.getLong(2)
       row
@@ -148,7 +161,7 @@ object Corpus {
         var seen = false
         var run = 0L
         it.map { r =>
-          val st = r.get(stIdx)
+          val st = eqKey(r.get(stIdx)) // value equality for binary strata
           if (!seen || st != cur) {
             cur = st; seen = true
             run = offBc.value.getOrElse((r.getInt(pidIdx), st), 0L)
@@ -453,7 +466,7 @@ object Corpus {
         var pack = 0L
         var fill = 0L
         it.map { r =>
-          val s = r.get(si)
+          val s = eqKey(r.get(si)) // value equality for binary strata
           if (first || s != stratum) { stratum = s; first = false; pack = 0L; fill = 0L }
           val n = r.getLong(ti)
           if (fill > 0 && fill + n > budgetTokens) { pack += 1; fill = 0L }
@@ -526,7 +539,7 @@ object Corpus {
         var pack = 0L
         var fill = 0L
         it.map { r =>
-          val s = r.get(si)
+          val s = eqKey(r.get(si)) // value equality for binary strata
           val c = r.getLong(ci)
           if (first || s != stratum || c != chunk) {
             stratum = s; chunk = c; first = false

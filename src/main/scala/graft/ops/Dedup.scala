@@ -52,7 +52,16 @@ object Dedup {
     * shuffling document TEXT in the dup-free common case: the scan
     * prunes to the id column, only ids cross the probe's exchange, one
     * collected row. count(lit(1)) vs count_distinct(id) also trips on
-    * NULL ids (conservative: those route to the guarded path). */
+    * NULL ids (conservative: those route to the guarded path).
+    *
+    * DETERMINISTIC-INPUT REQUIREMENT (round-18 ADVICE): the probe is a
+    * SEPARATE scan of `df` from the main pipeline, so a
+    * nondeterministic source (an upstream `sample`/keyless `limit`)
+    * could probe clean and then produce duplicate ids in the main
+    * pass, silently skipping the guard. Same contract as every
+    * deterministic-by-id operator in this module (the md5/hash algebra
+    * all assumes re-scans observe the same rows); callers with a
+    * nondeterministic source must persist it first. */
   private[ops] def hasDuplicateIds(df: DataFrame, idCol: String): Boolean = {
     val r = df.agg(count(lit(1)).as("n"),
       count_distinct(col(idCol)).as("d")).collect()(0)

@@ -326,14 +326,17 @@ object AnnStream {
     }.toSet
     // tombstoned ids and SUPERSEDED versions (a later re-upsert of the
     // same id — the global mask, see the contract above) never reach
-    // scoring
+    // scoring. ONE commit-set resolution feeds scan + mask (round-18):
+    // both observe the same generation.
+    val annRoot = new org.apache.hadoop.fs.Path(s"$storeDir/annvecs")
+    val commits = DedupStream.visibleCommits(fs, annRoot)
     val stored0 = StoreCommits.minusSuperseded(
       StoreCommits.minusTombstones(
-        DedupStream.readStore(
-          spark, s"$storeDir/annvecs", vecSchema,
-          excludeTag = " none ", partCol = "ab", wanted = wanted),
+        DedupStream.readStoreFrom(
+          spark, commits, vecSchema,
+          excludeTag = " none ", partCol = "ab", wanted = wanted, fs0 = fs),
         spark, storeDir, "neighbor_id"),
-      spark, storeDir, "annvecs", "neighbor_id")
+      spark, storeDir, "annvecs", "neighbor_id", commits = Some(commits))
     // pre-filter: scoring reads only the filtered relation
     val stored = candidateFilter.fold(stored0)(stored0.filter)
     // BUCKET-INDEXED map-side scoring (the IvfPqStream ADC shape):

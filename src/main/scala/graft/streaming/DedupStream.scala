@@ -270,7 +270,26 @@ object DedupStream {
       excludeTag: String, partCol: String, wanted: Set[Int]): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leaves: Seq[String] = visibleCommits(fs, p)
+    readStoreFrom(spark, visibleCommits(fs, p), schema, excludeTag, partCol,
+      wanted, fs)
+  }
+
+  /** [[readStore]] over an ALREADY-RESOLVED commit set — the round-18
+    * consistency thread: a search resolves its visible commits ONCE and
+    * feeds the same set to the scan, the supersede mask, and the
+    * compacted fast-path decision, so a fold landing mid-search can
+    * never split them across generations. */
+  private[streaming] def readStoreFrom(
+      spark: SparkSession,
+      commits: Seq[org.apache.hadoop.fs.FileStatus], schema: StructType,
+      excludeTag: String, partCol: String, wanted: Set[Int],
+      fs0: org.apache.hadoop.fs.FileSystem = null): DataFrame = {
+    if (commits.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val fs = Option(fs0).getOrElse(
+      commits.head.getPath.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    val leaves: Seq[String] = commits
       .filterNot(_.getPath.getName == s"batch=$excludeTag")
       .flatMap { b =>
         val subs = fs.listStatus(b.getPath).filter(_.isDirectory)

@@ -442,7 +442,10 @@ object IvfPqStream {
         StoreCommits.retireTombstones(
           spark, storeDir, applied, gcGraceMs = gcGraceMs)
       },
-      gcGraceMs = gcGraceMs)
+      gcGraceMs = gcGraceMs,
+      // electLatestOne fold: stamp the one-row-per-id marker the
+      // compacted fast paths require (round-18 ADVICE)
+      oneRowPerId = true)
   }
 
   /** Upsert-shaped DELETE: tombstone `ids` out of the store — see
@@ -500,6 +503,14 @@ object IvfPqStream {
         s"not an ivf-pq store (no _IVFPQ marker): $storeDir"))
     var stored: DataFrame = null
     var probedOf: Map[Long, Set[Int]] = Map.empty
+    // ONE commit-set resolution per search (round-18 ADVICE): the scan,
+    // the supersede mask, and the compacted fast path below must all
+    // observe the SAME generation — a fold landing between separate
+    // manifest reads could flip the fast path on while `stored` still
+    // holds a delta snapshot with per-id duplicates
+    var commits: Seq[org.apache.hadoop.fs.FileStatus] = Nil
+    val fsv = fs(spark, dir)
+    val pqRoot = new org.apache.hadoop.fs.Path(s"$storeDir/pqvecs")
     var attempt = 0
     var consistent = false
     while (!consistent) {
@@ -515,9 +526,10 @@ object IvfPqStream {
       val wanted = probedOf.values.flatten.toSet.map((c: Int) =>
         math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
           .hashLong(c.toLong, 42L), parts.toLong).toInt)
-      stored = DedupStream.readStore(
-        spark, s"$storeDir/pqvecs", vecSchema,
-        excludeTag = " none ", partCol = "ab", wanted = wanted)
+      commits = DedupStream.visibleCommits(fsv, pqRoot)
+      stored = DedupStream.readStoreFrom(
+        spark, commits, vecSchema,
+        excludeTag = " none ", partCol = "ab", wanted = wanted, fs0 = fsv)
       val after = effectiveMeta(spark, storeDir, promote = false).get
       if (after.render == mt.render) consistent = true
       else {
@@ -532,7 +544,7 @@ object IvfPqStream {
     // supersede mask is global — the AnnStream.searchStore contract)
     stored = StoreCommits.minusSuperseded(
       StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id"),
-      spark, storeDir, "pqvecs", "neighbor_id")
+      spark, storeDir, "pqvecs", "neighbor_id", commits = Some(commits))
     // pre-filter: ADC pass and re-rank both read the filtered relation
     stored = candidateFilter.fold(stored)(stored.filter)
     val m = mt.m
@@ -576,11 +588,13 @@ object IvfPqStream {
     // the nondeterministic first() the round-16 verdict flagged)
     val qRaw = queries.select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
-    // compacted-only fast path (optimization round 17): the fold
-    // already elected one row per live id, so the election is the
-    // identity — the re-rank reads the pruned projection directly
+    // compacted-only fast path (optimization round 17; gated on the
+    // SAME adopted commit set + the electLatestOne marker since round
+    // 18): the fold already elected one row per live id, so the
+    // election is the identity — the re-rank reads the pruned
+    // projection directly
     val vecs =
-      if (StoreCommits.compactedOnly(spark, storeDir, "pqvecs"))
+      if (StoreCommits.compactedOnly(fsv, commits))
         stored.select(col("neighbor_id"), col("cvec"))
       else StoreCommits.latestVecs(
         stored.select(col("neighbor_id"), col("ver"), col("cvec")))

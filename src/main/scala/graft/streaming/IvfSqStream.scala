@@ -418,7 +418,10 @@ object IvfSqStream {
         StoreCommits.retireTombstones(
           spark, storeDir, applied, gcGraceMs = gcGraceMs)
       },
-      gcGraceMs = gcGraceMs)
+      gcGraceMs = gcGraceMs,
+      // electLatestOne fold: stamp the one-row-per-id marker the
+      // compacted fast paths require (round-18 ADVICE)
+      oneRowPerId = true)
   }
 
   /** Upsert-shaped DELETE: tombstone `ids` out of the store — the
@@ -477,6 +480,12 @@ object IvfSqStream {
       .getOrElse(throw new IllegalArgumentException(
         s"not an ivf-sq store (no _IVFSQ marker): $storeDir"))
     var stored: DataFrame = null
+    // ONE commit-set resolution per search (round-18 ADVICE): scan,
+    // supersede mask, and the compacted fast path must all observe the
+    // SAME generation — see IvfPqStream.searchStore
+    var commits: Seq[org.apache.hadoop.fs.FileStatus] = Nil
+    val fsv = fs(spark, dir)
+    val sqRoot = new org.apache.hadoop.fs.Path(s"$storeDir/sqvecs")
     var attempt = 0
     var consistent = false
     while (!consistent) {
@@ -492,9 +501,10 @@ object IvfSqStream {
       val wanted = probed.map((c: Int) =>
         math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
           .hashLong(c.toLong, 42L), parts.toLong).toInt)
-      stored = DedupStream.readStore(
-        spark, s"$storeDir/sqvecs", vecSchema,
-        excludeTag = " none ", partCol = "ab", wanted = wanted)
+      commits = DedupStream.visibleCommits(fsv, sqRoot)
+      stored = DedupStream.readStoreFrom(
+        spark, commits, vecSchema,
+        excludeTag = " none ", partCol = "ab", wanted = wanted, fs0 = fsv)
       val after = effectiveMeta(spark, storeDir, promote = false).get
       if (after.render == mt.render) consistent = true
       else {
@@ -509,7 +519,7 @@ object IvfSqStream {
     // AnnStream.searchStore contract)
     stored = StoreCommits.minusSuperseded(
       StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id"),
-      spark, storeDir, "sqvecs", "neighbor_id")
+      spark, storeDir, "sqvecs", "neighbor_id", commits = Some(commits))
     // pre-filter: both the scoring pass and the re-rank read from the
     // filtered relation, so the answer is exact top-k over qualifiers
     stored = candidateFilter.fold(stored)(stored.filter)
@@ -548,11 +558,13 @@ object IvfSqStream {
     // flagged); vectors come from the same pruned partitions
     val qRaw = queries.select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
-    // compacted-only fast path (optimization round 17): the fold
-    // already elected one row per live id, so the election is the
-    // identity — the re-rank reads the pruned projection directly
+    // compacted-only fast path (optimization round 17; gated on the
+    // SAME adopted commit set + the electLatestOne marker since round
+    // 18): the fold already elected one row per live id, so the
+    // election is the identity — the re-rank reads the pruned
+    // projection directly
     val vecs =
-      if (StoreCommits.compactedOnly(spark, storeDir, "sqvecs"))
+      if (StoreCommits.compactedOnly(fsv, commits))
         stored.select(col("neighbor_id"), col("cvec"))
       else StoreCommits.latestVecs(
         stored.select(col("neighbor_id"), col("ver"), col("cvec")))

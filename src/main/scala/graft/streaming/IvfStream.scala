@@ -407,7 +407,10 @@ object IvfStream {
         StoreCommits.retireTombstones(
           spark, storeDir, applied, gcGraceMs = gcGraceMs)
       },
-      gcGraceMs = gcGraceMs)
+      gcGraceMs = gcGraceMs,
+      // electLatestOne fold: stamp the one-row-per-id marker the
+      // compacted fast paths require (round-18 ADVICE)
+      oneRowPerId = true)
   }
 
   /** Upsert-shaped DELETE: tombstone `ids` out of the store — see
@@ -474,6 +477,11 @@ object IvfStream {
         s"not an ivf store (no _IVF marker): $storeDir"))
     var stored: DataFrame = null
     var probePairs: Array[(Long, Int)] = null
+    // ONE commit-set resolution per search (round-18): the scan and the
+    // supersede mask observe the SAME generation
+    var commits: Seq[org.apache.hadoop.fs.FileStatus] = Nil
+    val fsv = fs(spark, dir)
+    val ivfRoot = new org.apache.hadoop.fs.Path(s"$storeDir/ivfvecs")
     var attempt = 0
     var consistent = false
     while (!consistent) {
@@ -484,9 +492,10 @@ object IvfStream {
       val wanted = probePairs.map(_._2).toSet.map((c: Int) =>
         math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
           .hashLong(c.toLong, 42L), parts.toLong).toInt)
-      stored = DedupStream.readStore(
-        spark, s"$storeDir/ivfvecs", vecSchema,
-        excludeTag = " none ", partCol = "ab", wanted = wanted)
+      commits = DedupStream.visibleCommits(fsv, ivfRoot)
+      stored = DedupStream.readStoreFrom(
+        spark, commits, vecSchema,
+        excludeTag = " none ", partCol = "ab", wanted = wanted, fs0 = fsv)
       val after = effectiveMeta(spark, storeDir, promote = false).get
       if (after.render == meta.render) consistent = true
       else {
@@ -501,7 +510,7 @@ object IvfStream {
     // the AnnStream.searchStore contract)
     stored = StoreCommits.minusSuperseded(
       StoreCommits.minusTombstones(stored, spark, storeDir, "neighbor_id"),
-      spark, storeDir, "ivfvecs", "neighbor_id")
+      spark, storeDir, "ivfvecs", "neighbor_id", commits = Some(commits))
     // pre-filter: scoring reads only the filtered relation
     stored = candidateFilter.fold(stored)(stored.filter)
     // CELL-INDEXED scoring (the IvfPqStream ADC shape): broadcast

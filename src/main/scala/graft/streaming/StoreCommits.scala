@@ -250,6 +250,15 @@ private[graft] object StoreCommits {
   private def isFoldTarget(name: String): Boolean =
     name.startsWith("batch=compact-") || name.startsWith("batch=refit-")
 
+  /** Marker written INSIDE a fold-target commit dir by [[foldAndSwap]]
+    * when the caller's transform guarantees exactly one row per live id
+    * ([[electLatestOne]]). The compacted fast paths trust one-row-per-id
+    * ONLY for commits carrying this marker — a fold written by the
+    * pre-round-17 [[electLatest]] (which keeps equal-version duplicate
+    * rows) or by the multi-table LSH election never has it, so those
+    * stores always pay the read-path election (round-17 ADVICE). */
+  private val OneRowMarker = "_ONE_ROW_PER_ID"
+
   /** The store's next upsert version — a monotonic `_SEQ` counter under
     * the single-writer contract. The number is BURNED before the commit
     * it stamps becomes visible, so a crash mid-upsert skips a version
@@ -277,11 +286,17 @@ private[graft] object StoreCommits {
     * size `compactEvery` accordingly at corpus scale. */
   def minusSuperseded(
       df: DataFrame, spark: SparkSession, storeDir: String, subdir: String,
-      idCol: String, broadcastDeltaBytes: Long = 1L << 30): DataFrame = {
+      idCol: String, broadcastDeltaBytes: Long = 1L << 30,
+      // the commit set the caller's scan ADOPTED (round-18 ADVICE:
+      // the mask must be computed against the SAME generation the scan
+      // reads — a fold landing between the scan's listing and a fresh
+      // listing here would hide the deltas while the scan still reads
+      // the pre-fold leaves, serving stale rows unmasked)
+      commits: Option[Seq[org.apache.hadoop.fs.FileStatus]] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
     val f = fs(spark, root)
     if (!f.exists(root)) return df
-    val deltas = DedupStream.visibleCommits(f, root)
+    val deltas = commits.getOrElse(DedupStream.visibleCommits(f, root))
       .filterNot(s => isFoldTarget(s.getPath.getName))
     if (deltas.isEmpty) return df
     // leaf enumeration mirrors readStore (explicit, no partition
@@ -645,38 +660,48 @@ private[graft] object StoreCommits {
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     val f = fs(spark, dir)
     val parts = storePartsOf(f, dir)
-    val all = DedupStream.readStore(
-      spark, s"$storeDir/$subdir", schema,
+    // ONE commit-set resolution feeds the scan, the supersede mask, and
+    // the fast-path decision — they must all observe the same
+    // generation (round-18 ADVICE: a fold landing between two separate
+    // manifest reads could flip the fast path on while the scan still
+    // holds a delta snapshot with per-id duplicates)
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
+    val commits = DedupStream.visibleCommits(f, root)
+    val all = DedupStream.readStoreFrom(spark, commits, schema,
       excludeTag = " none ", partCol = "ab",
       wanted = (0 until parts).toSet)
     val masked = minusSuperseded(
       minusTombstones(all, spark, storeDir, "neighbor_id"),
-      spark, storeDir, subdir, "neighbor_id")
+      spark, storeDir, subdir, "neighbor_id", commits = Some(commits))
     // freshly-compacted fast path (optimization round 17): when every
-    // visible commit is a fold target, the fold already elected exactly
-    // one row per live id for the single-row families
-    // ([[electLatestOne]]), so the election here is the identity — skip
-    // the full-corpus hash aggregation (which moves every vector
-    // through an exchange) and return the masked projection directly.
-    // The multi-table LSH store always elects (it collapses per-table
+    // visible commit is a fold target WRITTEN BY [[electLatestOne]]
+    // (the in-dir one-row marker — a pre-round-17 electLatest fold
+    // keeps equal-version duplicates and never qualifies), the fold
+    // already elected exactly one row per live id for the single-row
+    // families, so the election here is the identity — skip the
+    // full-corpus hash aggregation (which moves every vector through
+    // an exchange) and return the masked projection directly. The
+    // multi-table LSH store always elects (it collapses per-table
     // rows); a store with delta commits always elects.
-    if (!multiRowPerId && compactedOnly(spark, storeDir, subdir))
+    if (!multiRowPerId && compactedOnly(f, commits))
       masked.select(col("neighbor_id"), col("cvec"))
     else latestVecs(masked)
   }
 
-  /** TRUE when every visible commit is a fold target: the fold already
-    * elected exactly one row per live id for the single-row families
-    * ([[electLatestOne]]), so read-path elections are the identity and
-    * can be skipped (liveVectors, the fused tiers' exact re-rank). One
-    * manifest read, no job. */
+  /** TRUE when every commit of the ADOPTED set is a fold target
+    * carrying the one-row-per-id marker ([[foldAndSwap]] with
+    * `oneRowPerId = true` — i.e. written by [[electLatestOne]]): then
+    * read-path elections are the identity and can be skipped
+    * (liveVectors, the fused tiers' exact re-rank). Takes the SAME
+    * commit set the caller's scan resolved, never a fresh manifest
+    * read (round-18 ADVICE — see [[liveVectors]]). Bounded FS
+    * existence checks (one per visible fold target, normally one). */
   def compactedOnly(
-      spark: SparkSession, storeDir: String, subdir: String): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
-    val f = fs(spark, root)
-    f.exists(root) && DedupStream.readManifest(f, root).exists(v =>
-      v.nonEmpty && v.forall(isFoldTarget))
-  }
+      f: org.apache.hadoop.fs.FileSystem,
+      commits: Seq[org.apache.hadoop.fs.FileStatus]): Boolean =
+    commits.nonEmpty && commits.forall(s =>
+      isFoldTarget(s.getPath.getName) &&
+        f.exists(new org.apache.hadoop.fs.Path(s.getPath, OneRowMarker)))
 
   /** The fused tiers' exact re-rank, shared by the IVF-PQ and IVF-SQ
     * stores: join the approximate shortlist to one deterministic
@@ -794,6 +819,18 @@ private[graft] object StoreCommits {
     if (!f.exists(root)) return
     DedupStream.writeNameFile(spark, root, "_FOLDED",
       DedupStream.readFolded(f, root) ++ applied)
+    // stamp the applied dirs into the grace ledger BEFORE the manifest
+    // rewrite (round-18 ADVICE): ordering alone must guarantee a crash
+    // can only EXTEND a retired tombstone's grace, never skip it — a
+    // dir that is already unlisted but neither stamped nor in _FOLDED
+    // would classify as a never-visible stray and delete immediately,
+    // reopening the straddling-reader race the window exists to close.
+    // (The _FOLDED write above already protects this path; the
+    // pre-stamp makes the guarantee independent of that coupling.)
+    val now = System.currentTimeMillis()
+    writeTextFile(spark, root, "_RETIRED",
+      (readRetired(f, root) ++ applied.map(_ -> now))
+        .toSeq.sorted.map { case (n, t) => s"$n $t" }.mkString("\n"))
     val remaining =
       DedupStream.visibleCommits(f, root).map(_.getPath.getName).toSet -- applied
     DedupStream.writeManifest(spark, root, remaining)
@@ -823,14 +860,19 @@ private[graft] object StoreCommits {
     *                    must re-encode a single-commit store)
     * @param transform   visible rows → (target rows, target dir name,
     *                    optional (pendingMarkerName, pendingText))
-    * @param afterSwap   runs after the manifest swap (before GC) */
+    * @param afterSwap   runs after the manifest swap (before GC)
+    * @param oneRowPerId the caller's transform guarantees exactly one
+    *                    row per live id ([[electLatestOne]]) — stamps
+    *                    the in-dir marker the compacted fast paths
+    *                    ([[compactedOnly]]) require */
   def foldAndSwap(
       spark: SparkSession, storeDir: String, subdir: String,
       schema: StructType, abOf: Long => Column, sortCols: Seq[String],
       extraWork: Boolean,
       transform: DataFrame => (DataFrame, String, Option[(String, String)]),
       afterSwap: () => Unit = () => (),
-      gcGraceMs: Long = defaultGcGraceMs): Unit = {
+      gcGraceMs: Long = defaultGcGraceMs,
+      oneRowPerId: Boolean = false): Unit = {
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     val root = new org.apache.hadoop.fs.Path(dir, subdir)
     val f = fs(spark, root)
@@ -847,6 +889,14 @@ private[graft] object StoreCommits {
           .repartition(col("ab")).sortWithinPartitions(sortCols.map(col): _*)
           .write.partitionBy("ab")
           .mode("overwrite").parquet(s"$storeDir/$subdir/$target")
+        // one-row-per-id marker INSIDE the target dir, before the swap:
+        // the fast paths ([[compactedOnly]]) trust the guarantee only
+        // for folds that carry it (underscore-prefixed → invisible to
+        // the parquet reader and the leaf enumeration)
+        if (oneRowPerId)
+          writeTextFile(spark,
+            new org.apache.hadoop.fs.Path(s"$storeDir/$subdir/$target"),
+            OneRowMarker, "1")
         pending.foreach { case (name, text) => writeTextFile(spark, dir, name, text) }
         DedupStream.writeNameFile(spark, root, "_FOLDED",
           DedupStream.readFolded(f, root) ++ visible.map(_.getPath.getName).toSet)
