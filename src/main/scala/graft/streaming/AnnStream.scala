@@ -93,43 +93,50 @@ object AnnStream {
     StoreCommits.ensureManifestClaimed(spark, root)
     val parts = lit(storeParts.toLong)
     val planesFlat = SimilaritySearch.tablePlanesFlat(dim, planes, seed, tables)
-    // ONE source scan per upsert: the projected batch is persisted,
-    // the full count both materializes the cache and routes the commit
-    // layout, and the keyed write reads the cached rows (the old
-    // limit-count pre-pass re-read the tick's files — inside
-    // foreachBatch that is a second scan of every input file).
+    // ONE source scan AND ONE job per upsert (optimization round 18):
+    // the batch count rides the keyed write as an observed metric
+    // instead of a separate persist + count() materialization pass —
+    // the count only ROUTES the commit layout, so it can be read after
+    // the write and the rare bulk batch re-laid out from the commit's
+    // own columnar files (a local re-layout, the price the old shape
+    // paid as the extra cached pass). Tick-path L0 commits are now
+    // written at the SOURCE's parallelism (a handful of part files per
+    // commit instead of exactly one — readStore treats the subdir-less
+    // commit as an always-read leaf either way, and compaction folds
+    // them back into the hash layout).
     val b = batch
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val commitDir = s"$storeDir/annvecs/batch=$batchTag"
     // one monotonic version per upsert commit (burned BEFORE the commit
     // is visible — see StoreCommits.nextVersion): the per-id election
     // that makes re-upsert mean replace, not accrete
     val ver = StoreCommits.nextVersion(spark, storeDir)
-    try {
-      val nVecs = b.count()
-      val keyed = b
-        .select(col("neighbor_id"), col("cvec"),
-          posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
-            col("cvec"), planesFlat, planes, dim)).as(Seq("tbl", "bucket")))
-        .select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec"),
-          lit(ver).as("ver"))
-      // L0 commits, the foldLabels idiom (measured 2.2× cheaper at tick
-      // scale there): a tick-sized batch writes ONE unpartitioned file
-      // instead of a shuffled ≤ storeParts dynamic-partition write.
-      // readStore treats a subdir-less commit as an always-read leaf —
-      // right for a small L0 — and [[compactStore]] folds accumulated
-      // L0s back into the hash-partitioned layout, so the pruned search
-      // path degrades by at most the commits since the last compaction.
-      val vecBound = l0Bound / math.max(1, tables)
-      if (nVecs <= vecBound)
-        keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
-      else
-        keyed
-          .withColumn("ab", abCol(parts))
-          .repartition(col("ab")).write.partitionBy("ab")
-          .mode("overwrite").parquet(commitDir)
-    } finally { b.unpersist(blocking = false); () }
+    val obs = org.apache.spark.sql.Observation()
+    val keyed = b.observe(obs, count(lit(1)).as("n"))
+      .select(col("neighbor_id"), col("cvec"),
+        posexplode(graft.functions.VectorExpressions.hyperplaneKeys(
+          col("cvec"), planesFlat, planes, dim)).as(Seq("tbl", "bucket")))
+      .select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec"),
+        lit(ver).as("ver"))
+    // L0 commits, the foldLabels idiom (measured 2.2× cheaper at tick
+    // scale there): a tick-sized batch writes a flat unpartitioned
+    // commit instead of a shuffled ≤ storeParts dynamic-partition
+    // write; [[compactStore]] folds accumulated L0s back into the
+    // hash-partitioned layout, so the pruned search path degrades by
+    // at most the commits since the last compaction.
+    val vecBound = l0Bound / math.max(1, tables)
+    if (vecBound <= 0)
+      keyed
+        .withColumn("ab", abCol(parts))
+        .repartition(col("ab")).write.partitionBy("ab")
+        .mode("overwrite").parquet(commitDir)
+    else {
+      keyed.write.mode("overwrite").parquet(commitDir)
+      val nVecs = obs.get("n").asInstanceOf[Long]
+      if (nVecs > vecBound)
+        StoreCommits.relayout(spark, commitDir, vecSchema,
+          _.withColumn("ab", abCol(parts)))
+    }
     DedupStream.publishCommit(spark,
       new org.apache.hadoop.fs.Path(s"$storeDir/annvecs"), s"batch=$batchTag")
     // the occupancy monitor reads back the just-written commit — the
@@ -330,12 +337,14 @@ object AnnStream {
     // both observe the same generation.
     val annRoot = new org.apache.hadoop.fs.Path(s"$storeDir/annvecs")
     val commits = DedupStream.visibleCommits(fs, annRoot)
+    val scan = DedupStream.readStoreFrom(
+      spark, commits, vecSchema,
+      excludeTag = " none ", partCol = "ab", wanted = wanted, fs0 = fs)
+    // scan parallelism probed on the BARE scan (no exchange → no AQE
+    // stage materialization; see StoreCommits.rebalanceBy)
+    val scanParts = scan.rdd.getNumPartitions
     val stored0 = StoreCommits.minusSuperseded(
-      StoreCommits.minusTombstones(
-        DedupStream.readStoreFrom(
-          spark, commits, vecSchema,
-          excludeTag = " none ", partCol = "ab", wanted = wanted, fs0 = fs),
-        spark, storeDir, "neighbor_id"),
+      StoreCommits.minusTombstones(scan, spark, storeDir, "neighbor_id"),
       spark, storeDir, "annvecs", "neighbor_id", commits = Some(commits))
     // pre-filter: scoring reads only the filtered relation
     val stored = candidateFilter.fold(stored0)(stored0.filter)
@@ -364,8 +373,9 @@ object AnnStream {
     // ever allocates, and only ≤ nq·k survivors per partition reach
     // the exchange
     StoreCommits.scoreAndRank(
-      StoreCommits.rebalance(
-          stored.select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec")))
+      StoreCommits.rebalanceBy(
+          stored.select(col("neighbor_id"), col("tbl"), col("bucket"), col("cvec")),
+          scanParts)
         .as[(Long, Int, Int, Array[Float])],
       k, "cos") { (it, acc) =>
       val qc = qBc.value

@@ -236,34 +236,65 @@ object IvfSqStream {
     DedupStream.ensureStoreMeta(spark, storeDir, storeParts, family = 0)
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/sqvecs")
     StoreCommits.ensureManifestClaimed(spark, root)
-    val b = batch
-      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val commitDir = s"$storeDir/sqvecs/batch=$batchTag"
     // one monotonic version per upsert commit (burned before visibility
     // — StoreCommits.nextVersion): the per-id latest-wins election
     val ver = StoreCommits.nextVersion(spark, storeDir)
-    val wrote = try {
-      val nVecs = b.count() // ONE source scan: cache + layout routing
-      if (nVecs == 0L) false else {
-      val mt = effectiveMeta(spark, storeDir, promote = true) match {
-        case Some(x) => requireConfig(x, dim, nlist, seed, storeDir); x
-        case None =>
-          val x = fitMeta(b, dim, nlist, seed)
-          StoreCommits.writeTextFile(spark,
-            new org.apache.hadoop.fs.Path(storeDir), "_IVFSQ", x.render)
-          x
-      }
-      val keyed = encodeRows(b.withColumn("ver", lit(ver)), mt)
-      if (nVecs <= l0Bound)
-        keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
-      else
-        keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
-          .repartition(col("ab")).write.partitionBy("ab")
-          .mode("overwrite").parquet(commitDir)
-      true
-      }
-    } finally { b.unpersist(blocking = false); () }
+    val wrote = effectiveMeta(spark, storeDir, promote = true) match {
+      case Some(mt) =>
+        // PINNED store — the steady tick path: ONE source scan and ONE
+        // job (optimization round 18, the IvfStream shape): the batch
+        // count rides the encoded write as an observed metric instead
+        // of a separate persist + count() pass; layout routing and the
+        // empty-tick bail read it AFTER the write
+        requireConfig(mt, dim, nlist, seed, storeDir)
+        val obs = org.apache.spark.sql.Observation()
+        val keyed = encodeRows(
+          batch.select(col(idCol).cast("long").as("neighbor_id"),
+              col(vecCol).as("cvec"))
+            .observe(obs, count(lit(1)).as("n"))
+            .withColumn("ver", lit(ver)), mt)
+        if (l0Bound <= 0) {
+          keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
+            .repartition(col("ab")).write.partitionBy("ab")
+            .mode("overwrite").parquet(commitDir)
+        } else
+          keyed.write.mode("overwrite").parquet(commitDir)
+        val nVecs = obs.get("n").asInstanceOf[Long]
+        if (nVecs == 0L) {
+          fs(spark, new org.apache.hadoop.fs.Path(commitDir))
+            .delete(new org.apache.hadoop.fs.Path(commitDir), true)
+          false
+        } else {
+          if (l0Bound > 0 && nVecs > l0Bound)
+            StoreCommits.relayout(spark, commitDir, vecSchema,
+              _.withColumn("ab", abCol(lit(storeParts.toLong))))
+          true
+        }
+      case None =>
+        // FIRST CONTACT — fit-and-pin needs the batch twice (bounds
+        // sample + encode), so this one-time path keeps the
+        // persist + count materialization
+        val b = batch
+          .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nVecs = b.count()
+          if (nVecs == 0L) false else {
+            val x = fitMeta(b, dim, nlist, seed)
+            StoreCommits.writeTextFile(spark,
+              new org.apache.hadoop.fs.Path(storeDir), "_IVFSQ", x.render)
+            val keyed = encodeRows(b.withColumn("ver", lit(ver)), x)
+            if (nVecs <= l0Bound)
+              keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
+            else
+              keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
+                .repartition(col("ab")).write.partitionBy("ab")
+                .mode("overwrite").parquet(commitDir)
+            true
+          }
+        } finally { b.unpersist(blocking = false); () }
+    }
     if (!wrote)
       // EMPTY micro-batch: no commit, no fit — an unpinned store stays
       // unpinned until the first non-empty tick (the sibling contract)
@@ -514,6 +545,9 @@ object IvfSqStream {
           "during search planning — is a writer refitting in a loop?")
       }
     }
+    // scan parallelism probed on the BARE scan, before the masks (no
+    // exchange → no AQE stage materialization; StoreCommits.rebalanceBy)
+    val scanParts = stored.rdd.getNumPartitions
     // tombstoned ids and superseded versions never reach scoring nor
     // the re-rank (the supersede mask is global — the
     // AnnStream.searchStore contract)
@@ -531,8 +565,9 @@ object IvfSqStream {
     val cap = math.max(rerank, k)
     // fold + bounded-window tail: the shared StoreCommits.scoreAndRank
     val shortlist = StoreCommits.scoreAndRank(
-      StoreCommits.rebalance(
-          stored.select(col("neighbor_id"), col("cell"), col("code")))
+      StoreCommits.rebalanceBy(
+          stored.select(col("neighbor_id"), col("cell"), col("code")),
+          scanParts)
         .as[(Long, Int, Array[Byte])],
       cap, "adc") { (it, acc) =>
       val qc = qBc.value
@@ -555,9 +590,14 @@ object IvfSqStream {
     // exact re-rank (shared StoreCommits.exactRerank) from one
     // DETERMINISTIC latest vector per id (StoreCommits.latestVecs —
     // replacing the nondeterministic first() the round-16 verdict
-    // flagged); vectors come from the same pruned partitions
-    val qRaw = queries.select(
-      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+    // flagged); vectors come from the same pruned partitions. Queries
+    // come from the ALREADY-COLLECTED bounded snapshot as a local
+    // relation (round 18 — the IvfPqStream rationale): no re-scan of
+    // the query source per search, and the re-rank provably sees the
+    // same query rows the probes derived from
+    val qRaw = spark.createDataFrame(
+      qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1))))
+      .toDF("query_id", "qvec")
     // compacted-only fast path (optimization round 17; gated on the
     // SAME adopted commit set + the electLatestOne marker since round
     // 18): the fold already elected one row per live id, so the

@@ -182,42 +182,83 @@ object IvfStream {
     // manifest-gated from birth (the AnnStream contract): readers never
     // see a half-written dir through the listing fallback
     StoreCommits.ensureManifestClaimed(spark, root)
-    // ONE source scan: project + persist, count to materialize (and
-    // route the commit layout), fit-if-first from the cache, assign and
-    // write from the cache
-    val b = batch
-      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val commitDir = s"$storeDir/ivfvecs/batch=$batchTag"
     // one monotonic version per upsert commit (burned before visibility
     // — StoreCommits.nextVersion): the per-id latest-wins election
     val ver = StoreCommits.nextVersion(spark, storeDir)
-    val centroidsOpt = try {
-      val nVecs = b.count()
-      if (nVecs == 0L) None else {
-      val meta = effectiveMeta(spark, storeDir, promote = true) match {
-        case Some(m) => requireConfig(m, dim, nlist, seed, storeDir); m
-        case None =>
-          val (cs, base, occ) = fitCentroids(b, nlist, seed)
-          val m = IvfMeta(dim, nlist, seed, cs, None, Some(base), Some(occ))
-          StoreCommits.writeTextFile(
-            spark, new org.apache.hadoop.fs.Path(storeDir), "_IVF", m.render)
-          m
-      }
-      val bc = spark.sparkContext.broadcast(meta.centroids)
-      val assignCell = udf { (v: Seq[Float]) =>
-        SimilaritySearch.nearestCellsOf(bc.value, v, 1).head }
-      val keyed = b.select(col("neighbor_id"),
-        assignCell(col("cvec")).as("cell"), col("cvec"), lit(ver).as("ver"))
-      if (nVecs <= l0Bound)
-        keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
-      else
-        keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
-          .repartition(col("ab")).write.partitionBy("ab")
-          .mode("overwrite").parquet(commitDir)
-      Some(bc)
-      }
-    } finally { b.unpersist(blocking = false); () }
+    val centroidsOpt = effectiveMeta(spark, storeDir, promote = true) match {
+      case Some(meta) =>
+        // PINNED store — the steady tick path: ONE source scan and ONE
+        // job (optimization round 18). The batch count rides the keyed
+        // write as an observed metric instead of a separate
+        // persist + count() materialization pass; it only routes the
+        // commit layout (and the empty-tick bail), both of which can be
+        // decided AFTER the write — the rare bulk batch re-lays out
+        // from the commit's own files (StoreCommits.relayout), an empty
+        // batch deletes its unpublished dir.
+        requireConfig(meta, dim, nlist, seed, storeDir)
+        val bc = spark.sparkContext.broadcast(meta.centroids)
+        val assignCell = udf { (v: Seq[Float]) =>
+          SimilaritySearch.nearestCellsOf(bc.value, v, 1).head }
+        val obs = org.apache.spark.sql.Observation()
+        val keyed = batch
+          .select(col(idCol).cast("long").as("neighbor_id"),
+            col(vecCol).as("cvec"))
+          .observe(obs, count(lit(1)).as("n"))
+          .select(col("neighbor_id"),
+            assignCell(col("cvec")).as("cell"), col("cvec"), lit(ver).as("ver"))
+        if (l0Bound <= 0) {
+          keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
+            .repartition(col("ab")).write.partitionBy("ab")
+            .mode("overwrite").parquet(commitDir)
+          if (obs.get("n").asInstanceOf[Long] == 0L) {
+            fs(spark, new org.apache.hadoop.fs.Path(commitDir))
+              .delete(new org.apache.hadoop.fs.Path(commitDir), true)
+            None
+          } else Some(bc)
+        } else {
+          keyed.write.mode("overwrite").parquet(commitDir)
+          val nVecs = obs.get("n").asInstanceOf[Long]
+          if (nVecs == 0L) {
+            fs(spark, new org.apache.hadoop.fs.Path(commitDir))
+              .delete(new org.apache.hadoop.fs.Path(commitDir), true)
+            None
+          } else {
+            if (nVecs > l0Bound)
+              StoreCommits.relayout(spark, commitDir, vecSchema,
+                _.withColumn("ab", abCol(lit(storeParts.toLong))))
+            Some(bc)
+          }
+        }
+      case None =>
+        // FIRST CONTACT — fit-and-pin: the quantizer sample needs the
+        // batch twice (fit + assign), so this one-time path keeps the
+        // persist + count materialization
+        val b = batch
+          .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nVecs = b.count()
+          if (nVecs == 0L) None else {
+            val (cs, base, occ) = fitCentroids(b, nlist, seed)
+            val m = IvfMeta(dim, nlist, seed, cs, None, Some(base), Some(occ))
+            StoreCommits.writeTextFile(
+              spark, new org.apache.hadoop.fs.Path(storeDir), "_IVF", m.render)
+            val bc = spark.sparkContext.broadcast(m.centroids)
+            val assignCell = udf { (v: Seq[Float]) =>
+              SimilaritySearch.nearestCellsOf(bc.value, v, 1).head }
+            val keyed = b.select(col("neighbor_id"),
+              assignCell(col("cvec")).as("cell"), col("cvec"), lit(ver).as("ver"))
+            if (nVecs <= l0Bound)
+              keyed.coalesce(1).write.mode("overwrite").parquet(commitDir)
+            else
+              keyed.withColumn("ab", abCol(lit(storeParts.toLong)))
+                .repartition(col("ab")).write.partitionBy("ab")
+                .mode("overwrite").parquet(commitDir)
+            Some(bc)
+          }
+        } finally { b.unpersist(blocking = false); () }
+    }
     centroidsOpt match {
       case None =>
         // EMPTY micro-batch (a replay edge can deliver one first): no
@@ -505,6 +546,9 @@ object IvfStream {
           "during search planning — is a writer refitting in a loop?")
       }
     }
+    // scan parallelism probed on the BARE scan, before the masks (no
+    // exchange → no AQE stage materialization; StoreCommits.rebalanceBy)
+    val scanParts = stored.rdd.getNumPartitions
     // tombstoned ids and superseded versions never reach scoring
     // (delete masks until compaction; the supersede mask is global —
     // the AnnStream.searchStore contract)
@@ -535,8 +579,9 @@ object IvfStream {
     // per-pair tuple, survivors ≤ nq·k rows per partition, one bounded
     // ranking window
     StoreCommits.scoreAndRank(
-      StoreCommits.rebalance(
-          stored.select(col("neighbor_id"), col("cell"), col("cvec")))
+      StoreCommits.rebalanceBy(
+          stored.select(col("neighbor_id"), col("cell"), col("cvec")),
+          scanParts)
         .as[(Long, Int, Array[Float])],
       k, "cos") { (it, acc) =>
       val qc = qBc.value

@@ -369,6 +369,34 @@ private[graft] object StoreCommits {
       .select(col(idCol) +: others.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** Re-layout a just-written (still UNPUBLISHED) flat commit into the
+    * hash-partitioned layout — the rare BULK branch of the observe-fused
+    * upsert (optimization round 18): the batch count now rides the
+    * commit write as an observed metric instead of a separate
+    * persist + count() pass, so the layout decision lands AFTER the
+    * write; a batch over the L0 bound re-lays out from the commit's own
+    * columnar files (replacing the extra cached pass the old shape
+    * paid). The temp dir `batch=<tag>.tmp-<uuid>` is never
+    * manifest-listed → invisible to every reader; a crash mid-relayout
+    * leaves either the flat commit (correct, merely unpruned until the
+    * next fold) or a stray dir the next compaction sweep deletes. */
+  def relayout(
+      spark: SparkSession, commitDir: String, schema: StructType,
+      withAb: DataFrame => DataFrame): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(commitDir)
+    val f = fs(spark, dirP)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$commitDir.tmp-${java.util.UUID.randomUUID()}")
+    withAb(spark.read.schema(schema).parquet(commitDir))
+      .repartition(col("ab")).write.partitionBy("ab")
+      .mode("overwrite").parquet(tmp.toString)
+    f.delete(dirP, true)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dirP.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dirP)
+    ()
+  }
+
   /** Cell-OCCUPANCY drift signal (round 17): total-variation distance
     * between a tick's per-cell member distribution and the fit-time
     * occupancy recorded in the store marker. The reconstruction-error
@@ -444,9 +472,22 @@ private[graft] object StoreCommits {
     * the session parallelism when the scan plans fewer than half that
     * many tasks; a corpus-scale store plans thousands of scan tasks and
     * passes through untouched. */
-  def rebalance(df: DataFrame): DataFrame = {
+  def rebalance(df: DataFrame): DataFrame =
+    rebalanceBy(df, df.rdd.getNumPartitions)
+
+  /** [[rebalance]] with the partition count SUPPLIED by the caller —
+    * taken from the bare pruned scan, before the tombstone/supersede
+    * masks (optimization round 18): `df.rdd.getNumPartitions` on a
+    * masked relation materializes every exchange under AQE (the
+    * supersede mask's aggregation + broadcast ran as a whole extra job
+    * per search, then re-ran in the real query — exchange reuse does
+    * not span QueryExecutions). The masks are partition-preserving
+    * broadcast joins, so the scan's count IS the masked relation's
+    * count on every bounded-delta store; the one divergence (a
+    * shuffle-join mask on TBs of never-compacted deltas) at worst adds
+    * one redundant repartition of an already-parallel relation. */
+  def rebalanceBy(df: DataFrame, have: Int): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    val have = df.rdd.getNumPartitions
     if (have * 2 < want) df.repartition(want)
     // the OVER-split side matters as much for the TopKMap fold: the
     // drained survivor volume is PARTITIONS × nq × cap, so a many-file
@@ -753,12 +794,16 @@ private[graft] object StoreCommits {
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/$subdir")
     ensureManifestClaimed(spark, root)
     val commitDir = s"$storeDir/$subdir/batch=$batchTag"
+    // the distinct-id count rides the write as an observed metric
+    // (optimization round 18): the read-back count was a whole extra
+    // job per delete just to re-count rows this write produced
+    val obs = org.apache.spark.sql.Observation()
     ids.select(col(idColName).cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
+      .observe(obs, count(lit(1)).as("n"))
       .coalesce(1).write.mode("overwrite").parquet(commitDir)
     DedupStream.publishCommit(spark, root, s"batch=$batchTag")
-    // schema supplied: skip the schema-inference job on the read-back
-    spark.read.schema(tombSchema).parquet(commitDir).count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** The store's visible tombstoned-id relation (column `id`, LONG;

@@ -27,6 +27,7 @@ object QueryProfile {
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     @volatile var echo = false
+    @volatile var runT0 = 0L
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.put(j.jobId, (System.nanoTime(),
@@ -36,7 +37,7 @@ object QueryProfile {
         val sec = (System.nanoTime() - t0) / 1e9
         if (echo) { jobCount.incrementAndGet(); jobNanos.addAndGet(System.nanoTime() - t0); () }
         if (echo && sec >= minSec)
-          println(f"JOB ${j.jobId}%4d $sec%7.3f s  ${d.take(110)}")
+          println(f"JOB ${j.jobId}%4d at ${(t0 - runT0) / 1e9}%7.3f dur $sec%7.3f s  ${d.take(100)}")
       }
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -55,6 +56,7 @@ object QueryProfile {
         echo = true
         jobCount.set(0); jobNanos.set(0L)
         val t0 = System.nanoTime()
+        runT0 = t0
         val n = graft.SparkEntry.queries(q)(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         echo = false
