@@ -153,24 +153,33 @@ object Corpus {
     val tokIdx = keyed.schema.fieldIndex("_tok")
     val pidIdx = keyed.schema.fieldIndex("_pid")
     val stIdx = keyed.schema.fieldIndex(strataCol)
-    val startSchema = StructType(keyed.schema.fields :+
-      StructField("_start", LongType, nullable = false))
-    keyed
-      .mapPartitions { it =>
-        var cur: Any = null
-        var seen = false
-        var run = 0L
-        it.map { r =>
-          val st = eqKey(r.get(stIdx)) // value equality for binary strata
-          if (!seen || st != cur) {
-            cur = st; seen = true
-            run = offBc.value.getOrElse((r.getInt(pidIdx), st), 0L)
-          }
-          val s = run
-          run += r.getLong(tokIdx)
-          Row.fromSeq(r.toSeq :+ s)
+    val stType = keyed.schema(strataCol).dataType
+    // INTERNAL-ROW pass (optimization round 18): the external-Row
+    // mapPartitions paid a full deserialize/serialize of EVERY column
+    // (text payload included) per row just to append the running
+    // start; InternalRowOps.appendLongs streams the cached internal
+    // rows and appends the long with one UnsafeProjection. The carried
+    // stratum key converts to its external Scala value (a copy — safe
+    // across reused row buffers, and the exact key type of the
+    // driver-collected offsets map), eqKey-wrapped for binary strata.
+    org.apache.spark.sql.graft.InternalRowOps.appendLongs(keyed, Seq("_start")) { () =>
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(stType)
+      var cur: Any = null
+      var seen = false
+      var run = 0L
+      val out = new Array[Long](1)
+      (r: org.apache.spark.sql.catalyst.InternalRow) => {
+        val st = eqKey(conv(r.get(stIdx, stType)))
+        if (!seen || st != cur) {
+          cur = st; seen = true
+          run = offBc.value.getOrElse((r.getInt(pidIdx), st), 0L)
         }
-      }(org.apache.spark.sql.Encoders.row(startSchema))
+        out(0) = run
+        run += r.getLong(tokIdx)
+        out
+      }
+    }
       .withColumn("pack_id", floor(col("_start") / budgetTokens).cast("long"))
       .withColumn("pack_offset", (col("_start") % budgetTokens).cast("long"))
       .drop("_tok", "_pid", "_start")
@@ -452,29 +461,33 @@ object Corpus {
       idCol: String = "doc_id"): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val withTok = df.withColumn("_n_tok", tokensCol.cast("long"))
-    val schema = StructType(withTok.schema.fields ++ Seq(
-      StructField("pack_id", LongType, nullable = false),
-      StructField("pack_offset", LongType, nullable = false)))
     val si = withTok.schema.fieldIndex(strataCol)
+    val stType = withTok.schema(strataCol).dataType
     val ti = withTok.schema.fieldIndex("_n_tok")
-    withTok
-      .repartition(col(strataCol))
-      .sortWithinPartitions(col(strataCol), col(idCol))
-      .mapPartitions { it =>
-        var stratum: Any = null
-        var first = true
-        var pack = 0L
-        var fill = 0L
-        it.map { r =>
-          val s = eqKey(r.get(si)) // value equality for binary strata
-          if (first || s != stratum) { stratum = s; first = false; pack = 0L; fill = 0L }
-          val n = r.getLong(ti)
-          if (fill > 0 && fill + n > budgetTokens) { pack += 1; fill = 0L }
-          val out = Row.fromSeq(r.toSeq :+ pack :+ fill)
-          fill += n
-          out
-        }
-      }(Encoders.row(schema))
+    // INTERNAL-ROW pass (optimization round 18) — see quotaPack
+    org.apache.spark.sql.graft.InternalRowOps.appendLongs(
+      withTok
+        .repartition(col(strataCol))
+        .sortWithinPartitions(col(strataCol), col(idCol)),
+      Seq("pack_id", "pack_offset")) { () =>
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(stType)
+      var stratum: Any = null
+      var first = true
+      var pack = 0L
+      var fill = 0L
+      val out = new Array[Long](2)
+      (r: org.apache.spark.sql.catalyst.InternalRow) => {
+        val s = eqKey(conv(r.get(si, stType))) // value equality for binary strata
+        if (first || s != stratum) { stratum = s; first = false; pack = 0L; fill = 0L }
+        val n = r.getLong(ti)
+        if (fill > 0 && fill + n > budgetTokens) { pack += 1; fill = 0L }
+        out(0) = pack
+        out(1) = fill
+        fill += n
+        out
+      }
+    }
       .drop("_n_tok")
   }
 
@@ -523,35 +536,39 @@ object Corpus {
       .join(broadcast(firstPerStratum), col(strataCol) <=> col("_s0"))
       .withColumn("_chunk", ((col("_gr") - col("_g0")) / chunkRows).cast("long"))
       .drop("_gr", "_g0", "_s0")
-    val schema = StructType(chunked.schema.fields ++ Seq(
-      StructField("pack_id", LongType, nullable = false),
-      StructField("pack_offset", LongType, nullable = false)))
     val si = chunked.schema.fieldIndex(strataCol)
+    val stType = chunked.schema(strataCol).dataType
     val ci = chunked.schema.fieldIndex("_chunk")
     val ti = chunked.schema.fieldIndex("_n_tok")
-    chunked
-      .repartition(col(strataCol), col("_chunk"))
-      .sortWithinPartitions(col(strataCol), col("_chunk"), col(idCol))
-      .mapPartitions { it =>
-        var stratum: Any = null
-        var chunk = -1L
-        var first = true
-        var pack = 0L
-        var fill = 0L
-        it.map { r =>
-          val s = eqKey(r.get(si)) // value equality for binary strata
-          val c = r.getLong(ci)
-          if (first || s != stratum || c != chunk) {
-            stratum = s; chunk = c; first = false
-            pack = c * chunkRows; fill = 0L
-          }
-          val n = r.getLong(ti)
-          if (fill > 0 && fill + n > budgetTokens) { pack += 1; fill = 0L }
-          val out = Row.fromSeq(r.toSeq :+ pack :+ fill)
-          fill += n
-          out
+    // INTERNAL-ROW pass (optimization round 18) — see quotaPack
+    org.apache.spark.sql.graft.InternalRowOps.appendLongs(
+      chunked
+        .repartition(col(strataCol), col("_chunk"))
+        .sortWithinPartitions(col(strataCol), col("_chunk"), col(idCol)),
+      Seq("pack_id", "pack_offset")) { () =>
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(stType)
+      var stratum: Any = null
+      var chunk = -1L
+      var first = true
+      var pack = 0L
+      var fill = 0L
+      val out = new Array[Long](2)
+      (r: org.apache.spark.sql.catalyst.InternalRow) => {
+        val s = eqKey(conv(r.get(si, stType))) // value equality for binary strata
+        val c = r.getLong(ci)
+        if (first || s != stratum || c != chunk) {
+          stratum = s; chunk = c; first = false
+          pack = c * chunkRows; fill = 0L
         }
-      }(Encoders.row(schema))
+        val n = r.getLong(ti)
+        if (fill > 0 && fill + n > budgetTokens) { pack += 1; fill = 0L }
+        out(0) = pack
+        out(1) = fill
+        fill += n
+        out
+      }
+    }
       .drop("_n_tok", "_chunk")
   }
 
@@ -705,19 +722,19 @@ object Corpus {
     val offBc = spark.sparkContext.broadcast(offMap)
     val tokIdx = keyed.schema.fieldIndex("_tok")
     val pidIdx = keyed.schema.fieldIndex("_pid")
-    val startSchema = StructType(keyed.schema.fields :+
-      StructField("_start", LongType, nullable = false))
     val b = lit(seqTokens.toLong)
-    keyed
-      .mapPartitions { it =>
-        var run = -1L
-        it.map { r =>
-          if (run < 0) run = offBc.value.getOrElse(r.getInt(pidIdx), 0L)
-          val s = run
-          run += r.getLong(tokIdx)
-          Row.fromSeq(r.toSeq :+ s)
-        }
-      }(org.apache.spark.sql.Encoders.row(startSchema))
+    // INTERNAL-ROW pass (optimization round 18) — see quotaPack: no
+    // external-Row codec over the text payload, one UnsafeProjection
+    org.apache.spark.sql.graft.InternalRowOps.appendLongs(keyed, Seq("_start")) { () =>
+      var run = -1L
+      val out = new Array[Long](1)
+      (r: org.apache.spark.sql.catalyst.InternalRow) => {
+        if (run < 0) run = offBc.value.getOrElse(r.getInt(pidIdx), 0L)
+        out(0) = run
+        run += r.getLong(tokIdx)
+        out
+      }
+    }
       // `div` = exact long division (Column./ is double — unsafe past 2^53)
       .withColumn("seq_id",
         explode(sequence(expr(s"_start div ${seqTokens}L"),

@@ -173,17 +173,44 @@ object TextAnalysis {
               element_at(ws, i + lit(3)).as("w3"))))), 1),
       t => t.isNotNull)).as("t"))
       .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
-    val tri3 = trigramCounts(ref, textCol)
-    val refWords = ref.select(explode(split(col(textCol), " ")).as("w"))
-    val bigr = ref.select(explode(filter(element_at(
-        transform(array(words), ws => transform(ws, (w, i) =>
-          when(i < size(ws) - 1,
-            struct(w.as("w2"), element_at(ws, i + lit(2)).as("w3"))))), 1),
-      t => t.isNotNull)).as("t"))
+    // ONE scan + split of `ref` (optimization round 18): the reference
+    // statistics needed four separate passes over the reference text —
+    // trigram counts, bigram counts, unigram counts, and the N scalar —
+    // each re-reading and re-splitting every document. The split word
+    // arrays are persisted once; all four statistics derive from the
+    // cached arrays (plain column references inside the HOFs — the
+    // array is materialized, so repeated references are attribute
+    // reads, not re-splits). The N job doubles as the cache
+    // materialization. Module cache contract: caller clearCache after
+    // consuming.
+    val refWs = ref.select(split(col(textCol), " ").as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigN = refWs.agg(coalesce(sum(size(col("ws"))), lit(0L)).as("n"))
+      .collect()(0).getLong(0).toDouble
+    val triRef = refWs.select(explode(filter(
+        transform(col("ws"), (w, i) =>
+          when(i < size(col("ws")) - 2,
+            struct(w.as("w1"),
+              element_at(col("ws"), i + lit(2)).as("w2"),
+              element_at(col("ws"), i + lit(3)).as("w3")))),
+        t => t.isNotNull)).as("t"))
+      .select(col("t.w1"), col("t.w2"), col("t.w3"))
+    val c3 = triRef.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+    // context totals over the compact trigram relation — the
+    // trigramCounts shape (one exchange + sort on (w1, w2))
+    val tri3 = c3.withColumn("ctx_n",
+      sum(col("n3")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")))
+      .select(col("w1"), col("w2"), col("w3"), col("n3"), col("ctx_n"))
+    val bigr = refWs.select(explode(filter(
+        transform(col("ws"), (w, i) =>
+          when(i < size(col("ws")) - 1,
+            struct(w.as("w2"), element_at(col("ws"), i + lit(2)).as("w3")))),
+        t => t.isNotNull)).as("t"))
       .select(col("t.w2"), col("t.w3"))
       .groupBy("w2", "w3").agg(count(lit(1)).as("n2"))
-    val uni = refWords.groupBy("w").agg(count(lit(1)).as("n1"))
-    val bigN = refWords.count().toDouble
+    val uni = refWs.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n1"))
     val scored = docTris
       .join(tri3, Seq("w1", "w2", "w3"), "left")
       .join(bigr, Seq("w2", "w3"), "left")
@@ -499,7 +526,15 @@ object TextAnalysis {
     * Importance Resampling"), engine-portable (DuckDB replays the same
     * md5 arithmetic). One array expression per row — no shuffle, no
     * per-index allocation beyond the feature array itself. */
-  private[ops] def dsirFeatureBuckets(text: Column, nBuckets: Int): Column =
+  /** The raw unigram+bigram FEATURE STRINGS of a document — the md5
+    * bucketing deliberately does NOT happen in here (optimization
+    * round 18): higher-order-function lambdas evaluate INTERPRETED, so
+    * an md5-per-feature inside the transform paid the interpreted
+    * expression path on every feature instance; callers explode this
+    * array and bucket the exploded column with a plain (whole-stage
+    * codegen) md5 expression instead — same strings, same buckets,
+    * bit-identical weights. */
+  private[ops] def dsirFeatureStrings(text: Column): Column =
     // bound-variable form (the gramArray idiom): HOFs evaluate
     // INTERPRETED with no CSE, so an unbound `words` re-evaluates the
     // split per reference — 4 splits of the text per row here
@@ -510,10 +545,18 @@ object TextAnalysis {
           zip_with(ws, slice(ws, lit(2), size(ws)),
             (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
           g => g.isNotNull)
-        transform(concat(ws, bigrams), f =>
-          (conv(substring(md5(f), 1, 8), 16, 10).cast("long") % nBuckets))
+        concat(ws, bigrams)
       }),
       1)
+
+  /** md5-hash bucket of one feature string — the DSIR bucketing
+    * arithmetic as a flat (codegen-friendly) expression over an
+    * exploded feature column. */
+  private[ops] def dsirBucketOf(feature: Column, nBuckets: Int): Column =
+    conv(substring(md5(feature), 1, 8), 16, 10).cast("long") % nBuckets
+
+  private[ops] def dsirFeatureBuckets(text: Column, nBuckets: Int): Column =
+    transform(dsirFeatureStrings(text), f => dsirBucketOf(f, nBuckets))
 
   /** DSIR importance weights: every document scored by how much more
     * likely its hashed-n-gram features are under a TARGET bag-of-
@@ -545,8 +588,15 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val feats = df.select(col(idCol).as("id"), isTarget.as("_tgt"),
-      explode(dsirFeatureBuckets(col(textCol), nBuckets)).as("b"))
+    // explode the feature STRINGS, bucket the exploded column: the md5
+    // runs as a flat codegen expression per feature row instead of an
+    // interpreted per-element lambda (optimization round 18 — guide §4;
+    // same strings, same buckets). The bucket projection evaluates
+    // BEFORE any exchange, so nothing wider than (id, bucket) ever
+    // shuffles.
+    def feats(cols: Column*): DataFrame =
+      df.select(cols :+ explode(dsirFeatureStrings(col(textCol))).as("f"): _*)
+        .withColumn("b", dsirBucketOf(col("f"), nBuckets)).drop("f")
     // ONE feature pass (optimization round 17): the bucket models used
     // to aggregate the raw feature explode a second time — a second
     // full scan re-running the interpreted md5 HOF over every feature.
@@ -555,22 +605,41 @@ object TextAnalysis {
     // balanced whatever the bucket skew), persist that bounded
     // relation (≤ nBuckets rows per doc), and derive the models from
     // it (module cache contract — caller clearCache after consuming).
-    val perDoc = feats.groupBy(col("id"), col("_tgt"), col("b"))
-      .agg(count(lit(1)).as("_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucketCounts = perDoc.groupBy(col("b")).agg(
-      sum(when(col("_tgt"), col("_n")).otherwise(0L)).as("ct"),
-      sum(col("_n")).as("cr"))
-    val totals = bucketCounts.agg(
-      sum(col("ct")).as("_T"), sum(col("cr")).as("_R"))
-    val model = bucketCounts.crossJoin(broadcast(totals))
-      .select(col("b"),
-        (log((col("ct") + 1.0) / (col("_T") + nBuckets.toDouble))
-          - log((col("cr") + 1.0) / (col("_R") + nBuckets.toDouble))).as("_lr"))
-    perDoc.join(broadcast(model), Seq("b"))
-      .groupBy(col("id"))
-      .agg(sum(col("_n")).as("n_feats"),
-        sum(col("_n") * col("_lr")).as("dsir_weight"))
+    // DRIVER-SIDE bucket models from one bounded collect (optimization
+    // round 18): the models are ≤ nBuckets rows, yet the round-17 shape
+    // derived them through a persisted per-(doc, bucket) relation (a
+    // corpus-sized shuffle + cache — the driver-measured q72
+    // regression), a totals broadcast, a model broadcast, and a
+    // broadcast join. Pass 1 now map-side-aggregates the exploded
+    // features straight to ≤ nBuckets rows (the shuffle carries
+    // ≤ nBuckets × partitions tiny rows) and folds the log-ratios
+    // driver-side with StrictMath.log — the exact function Spark's
+    // `log` expression evaluates. Pass 2 re-explodes and aggregates by
+    // doc with the ratios as a literal array: map-side combine emits
+    // ~one row per doc per partition, so neither pass shuffles
+    // anything corpus-shaped and nothing persists. Two text scans
+    // instead of one scan + corpus-wide (id, bucket) shuffle + cache —
+    // strictly fewer bytes moved once the bucketing is flat codegen
+    // (a feature row shuffled as (id, tgt, bucket) outweighs the
+    // second read of the text it came from). Per-doc weights sum the
+    // same per-instance terms; ROUND(,6) on the caller side absorbs
+    // summation-order last bits (the documented q61/q64 contract).
+    val bc = feats(isTarget.as("_tgt")).groupBy(col("b")).agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr")).collect()
+    var tT = 0L; var tR = 0L
+    bc.foreach { r => tT += r.getLong(1); tR += r.getLong(2) }
+    val lr = new Array[Double](nBuckets)
+    bc.foreach { r =>
+      lr(r.getLong(0).toInt) =
+        StrictMath.log((r.getLong(1) + 1.0) / (tT + nBuckets.toDouble)) -
+          StrictMath.log((r.getLong(2) + 1.0) / (tR + nBuckets.toDouble))
+    }
+    val lrArr = array(lr.toIndexedSeq.map(lit(_)): _*)
+    feats(col(idCol).as("id")).groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(element_at(lrArr, (col("b") + 1).cast("int")))
+          .as("dsir_weight"))
       .withColumnRenamed("id", idCol)
   }
 }
