@@ -325,7 +325,8 @@ object DedupStream {
     * every compact() call. SINGLE-WRITER contract, same as the stream
     * itself: run between ticks (or from the stream's own driver),
     * never concurrently with a step on the same store. */
-  def compact(spark: SparkSession, storeDir: String): Unit = {
+  def compact(spark: SparkSession, storeDir: String,
+      gcGraceMs: Long = StoreCommits.defaultGcGraceMs): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     // NOTE: annvecs (AnnStream) is NOT in this list — its commits may
     // be L0 single files (no ab= subdirs), which this generic fold
@@ -360,6 +361,7 @@ object DedupStream {
           }
           // fold only when there is something to fold (a compacted
           // store is a single commit); GC runs either way below
+          var justReplaced = Set.empty[String]
           if (visible.size >= 2) {
             val srcNames = visible.map(_.getPath.getName).toSet
             // adopt BEFORE writing anything: from here on readers gate
@@ -386,23 +388,25 @@ object DedupStream {
               // set, so this has no reader-facing effect yet
               writeNameFile(spark, root, "_FOLDED", readFolded(fs, root) ++ srcNames)
               writeManifest(spark, root, Set(target)) // THE commit point
+              justReplaced = srcNames
             }
           }
-          // GC sweep: with a manifest in authority, every batch= dir it
-          // does not list is garbage (replaced sources, orphan targets
-          // from earlier crashes, folded-then-rewritten replays).
-          // Deletion is IMMEDIATE here — these sub-stores are read only
-          // by the stream's own tick (single process, never concurrent
-          // with compact per the single-writer contract). The ANN-side
-          // stores, whose searchStore IS advertised concurrent, use a
-          // one-generation GC grace instead (AnnStream/IvfStream/
-          // IvfPqStream.compactStore).
-          readManifest(fs, root).foreach { nowVisible =>
-            fs.listStatus(root).filter(_.isDirectory)
-              .filter(_.getPath.getName.startsWith("batch="))
-              .filterNot(s => nowVisible.contains(s.getPath.getName))
-              .foreach(s => fs.delete(s.getPath, true))
-          }
+          // GC sweep on the SHARED time-based grace ledger (round 18,
+          // unified with the ANN stores — StoreCommits.gcUnlisted):
+          // replaced generations are stamped into `_RETIRED` and
+          // deleted only once older than the grace window. These
+          // sub-stores are read by the stream's own tick under the
+          // single-writer contract, but batch-mode callers CAN read
+          // them concurrently with an offline compact — the same
+          // straddling-reader race the ANN stores closed in round 17;
+          // the grace costs nothing per tick (specs pinning immediate
+          // deletion pass gcGraceMs = 0, the prior behavior: replaced
+          // sources are already in _FOLDED, so with no stampNow
+          // privilege they age out the moment the grace is zero).
+          // Never-visible strays (crashed partial writes) still delete
+          // immediately.
+          StoreCommits.gcUnlisted(spark, root, gcGraceMs,
+            stampNow = if (gcGraceMs <= 0) Set.empty else justReplaced)
         }
     }
   }
@@ -1055,7 +1059,8 @@ object DedupStream {
     * resolved labelling — run this unconditionally on any restart that
     * does not replay the interrupted tag. SINGLE-WRITER contract: run
     * between ticks. */
-  def compactLabels(spark: SparkSession, storeDir: String): Unit = {
+  def compactLabels(spark: SparkSession, storeDir: String,
+      gcGraceMs: Long = StoreCommits.defaultGcGraceMs): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val roots = Seq("byId" -> "li", "byComp" -> "lc").map { case (sub, pc) =>
       (sub, pc, new org.apache.hadoop.fs.Path(s"$storeDir/labels/$sub"))
@@ -1104,6 +1109,7 @@ object DedupStream {
     val needsFold =
       haveById && (diverged || appliedTombs.nonEmpty ||
         commitSets.valuesIterator.exists(_.size >= 2))
+    var justReplaced = Map.empty[String, Set[String]]
     if (needsFold) {
       val target = s"batch=compact-${java.util.UUID.randomUUID()}"
       val parts = lit(storeMetaParts(spark, storeDir).toLong)
@@ -1131,21 +1137,23 @@ object DedupStream {
         val srcNames = visibleCommits(fs, root).map(_.getPath.getName).toSet
         writeNameFile(spark, root, "_FOLDED", readFolded(fs, root) ++ srcNames)
         writeManifest(spark, root, Set(target)) // THE commit point per sub-store
+        justReplaced += root.toString -> srcNames
       }
       // applied deletes retire AFTER both swaps — a crash in between
       // leaves dropped rows + standing tombstones, which re-filter to
       // the same answer until the next compaction (idempotent)
       StoreCommits.retireTombstones(spark, storeDir, appliedTombs, LabelTombs)
     }
-    // GC: with manifests in authority, unlisted batch= dirs are garbage
+    // GC on the shared time-based grace ledger (round 18 — see
+    // [[compact]]): just-replaced generations are stamped, age out past
+    // the grace window; never-visible strays delete immediately; grace
+    // 0 pins the prior immediate-deletion layout (sources are in
+    // _FOLDED, so dropping the stampNow privilege ages them out now)
     active.foreach { case (_, _, root) =>
-      val fs = root.getFileSystem(conf)
-      readManifest(fs, root).foreach { nowVisible =>
-        fs.listStatus(root).filter(_.isDirectory)
-          .filter(_.getPath.getName.startsWith("batch="))
-          .filterNot(s => nowVisible.contains(s.getPath.getName))
-          .foreach(s => fs.delete(s.getPath, true))
-      }
+      StoreCommits.gcUnlisted(spark, root, gcGraceMs,
+        stampNow =
+          if (gcGraceMs <= 0) Set.empty
+          else justReplaced.getOrElse(root.toString, Set.empty))
     }
   }
 

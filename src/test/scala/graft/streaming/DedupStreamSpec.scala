@@ -260,7 +260,7 @@ class DedupStreamSpec extends SparkSpec {
     DedupStream.step(b1, store, batchTag = "b1").unpersist()
     DedupStream.step(b2, store, batchTag = "b2").unpersist()
 
-    DedupStream.compact(spark, store)
+    DedupStream.compact(spark, store, gcGraceMs = 0L)
     Seq("buckets", "sigs").foreach { sub =>
       val commits = new java.io.File(s"$store/$sub").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("batch="))
@@ -297,7 +297,7 @@ class DedupStreamSpec extends SparkSpec {
     }
     // a second compaction folds the post-compaction commit in too,
     // and its GC sweep collects the un-manifested stray dir
-    DedupStream.compact(spark, store)
+    DedupStream.compact(spark, store, gcGraceMs = 0L)
     val after = new java.io.File(s"$store/buckets").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
     assert(after.length == 1)
@@ -614,8 +614,9 @@ class DedupStreamSpec extends SparkSpec {
     assert(byIdDirs == dirsBefore, "replay must not add a commit")
 
     // compaction: both sub-stores fold to one resolved commit each
-    // (stale pre-merge rows dropped); labels unchanged
-    DedupStream.compactLabels(spark, store)
+    // (stale pre-merge rows dropped); labels unchanged — grace 0 pins
+    // the physical single-commit layout (the pre-round-18 behavior)
+    DedupStream.compactLabels(spark, store, gcGraceMs = 0L)
     val dirs = byIdDirs
     assert(dirs.size == 1 && dirs.head.startsWith("batch=compact-"), dirs.toString)
     val after = labelMap(DedupStream.latestLabels(spark, store))

@@ -146,7 +146,9 @@ class Round16TombstoneSpec extends SparkSpec {
     assert(DedupStream.deleteLabels(Seq(2L, 11L).toDF("doc_id"), store, "d0") == 2L)
     assert(ids() == Set(1L, 3L, 10L), "deleted ids returned pre-compaction")
 
-    DedupStream.compactLabels(spark, store)
+    // grace 0 pins the physical-drop layout this test reads by raw
+    // directory discovery (the pre-round-18 behavior)
+    DedupStream.compactLabels(spark, store, gcGraceMs = 0L)
     assert(ids() == Set(1L, 3L, 10L), "deleted ids returned post-compaction")
     assert(StoreCommits.tombstoneCommits(spark, store, "labels/tombstones").isEmpty,
       "applied label tombstones must retire")

@@ -114,6 +114,41 @@ class Round18FastPathSpec extends SparkSpec {
       "graced tombstone dir must still exist")
   }
 
+  test("dedup-store compaction keeps replaced generations under the default grace") {
+    import spark.implicits._
+    def doc(id: Long, ws: Seq[String]) = (id, ws.mkString(" "))
+    val store = java.nio.file.Files.createTempDirectory("r18dgrace").toString
+    val b1 = Seq(doc(1L, (0 until 60).map(i => s"w$i"))).toDF("doc_id", "text")
+    val b2 = Seq(doc(2L, (0 until 60).map(i => s"w$i"))).toDF("doc_id", "text")
+    DedupStream.step(b1, store, batchTag = "g1").unpersist()
+    DedupStream.step(b2, store, batchTag = "g2").unpersist()
+    def dirs(sub: String): Set[String] =
+      new java.io.File(s"$store/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet
+    val gen0 = dirs("buckets")
+    assert(gen0 == Set("batch=g1", "batch=g2"))
+    // default grace: replaced dirs are stamped into _RETIRED and KEPT —
+    // a concurrent batch-mode reader mid-scan finishes its lazy read
+    // (the ANN stores' round-17 contract, unified here in round 18)
+    DedupStream.compact(spark, store)
+    assert(gen0.subsetOf(dirs("buckets")),
+      "replaced dedup generation must survive under the default grace")
+    val root = new org.apache.hadoop.fs.Path(s"$store/buckets")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val visible = DedupStream.readManifest(fs, root).get
+    assert(visible.size == 1 && visible.head.startsWith("batch=compact-"),
+      s"manifest must hide retired dirs: $visible")
+    val ledger = DedupStream.readSmallText(fs,
+      new org.apache.hadoop.fs.Path(root, "_RETIRED")).getOrElse("")
+    assert(ledger.contains("batch=g1") && ledger.contains("batch=g2"),
+      s"replaced dirs must be stamped: '$ledger'")
+    // grace elapsed (0): the next compact collects them
+    DedupStream.compact(spark, store, gcGraceMs = 0L)
+    assert(gen0.intersect(dirs("buckets")).isEmpty,
+      "aged-out dedup generations must be collected")
+  }
+
   test("quotaPack handles BinaryType strata by value equality") {
     import spark.implicits._
     // two binary strata, values meaningful only by content
