@@ -939,14 +939,19 @@ object DedupStream {
       (singlesLocal, membersLocal) match {
         case (Some(sl), Some(ml))
             if contractedLocal.length + sl.length + ml.length <= l0Bound =>
-          // ---- fully-local tick → L0 single-file commits
-          (contractedLocal ++ ml ++ sl).toSeq.toDF("id", "component")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$byIdDir/batch=$batchTag")
+          // ---- fully-local tick → L0 single-file commits, written
+          // DRIVER-SIDE (optimization round 18): the rows are already
+          // driver-resident arrays, yet the Spark write path paid a
+          // full Catalyst analysis + a one-task job per sub-store just
+          // to serialize them — two jobs per tick of pure floor. A
+          // direct parquet write produces the same single-file commit
+          // (same columns, same row order, `_SUCCESS` marker for the
+          // compaction adoption gate) with zero jobs.
+          writeLocalLabelL0(spark, s"$byIdDir/batch=$batchTag",
+            contractedLocal ++ ml ++ sl)
           mark("byId write (L0)")
-          (contractedLocal ++ ml).toSeq.toDF("id", "component")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$byCompDir/batch=$batchTag")
+          writeLocalLabelL0(spark, s"$byCompDir/batch=$batchTag",
+            contractedLocal ++ ml)
           mark("byComp write (L0)")
         case _ =>
           val movedDF = contractedLocal.toSeq.toDF("id", "component")
@@ -1024,6 +1029,46 @@ object DedupStream {
     toRelease.foreach(_.unpersist())
     mark("publish+unpersist")
     latestLabels(spark, storeDir)
+  }
+
+  /** Driver-side single-file L0 label commit (optimization round 18):
+    * writes the (id, component) rows as one snappy parquet file plus
+    * the `_SUCCESS` marker the compaction adoption gate requires —
+    * byte-compatible with the Spark write it replaces (same required
+    * int64 columns, same row order), but with no Spark job and no
+    * Catalyst analysis. Bounded by construction: only the fully-local
+    * tick path (≤ l0Bound driver-resident rows) calls it; oversized
+    * ticks keep the distributed write. Overwrite semantics match the
+    * replay contract (the dir is replaced atomically enough for the
+    * single-writer tick: delete + rewrite of a dir no reader can see
+    * until publishCommit). */
+  private def writeLocalLabelL0(
+      spark: SparkSession, dir: String, rows: Array[(Long, Long)]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message labels { required int64 id; required int64 component; }")
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p, "part-00000.snappy.parquet"), conf))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    try rows.foreach { case (id, c) =>
+      val g = factory.newGroup()
+      g.add("id", id)
+      g.add("component", c)
+      writer.write(g)
+    } finally writer.close()
+    fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 
   /** Every visible labels/byId commit, optionally tag-excluded — no
