@@ -555,8 +555,6 @@ object TextAnalysis {
   private[ops] def dsirBucketOf(feature: Column, nBuckets: Int): Column =
     conv(substring(md5(feature), 1, 8), 16, 10).cast("long") % nBuckets
 
-  private[ops] def dsirFeatureBuckets(text: Column, nBuckets: Int): Column =
-    transform(dsirFeatureStrings(text), f => dsirBucketOf(f, nBuckets))
 
   /** DSIR importance weights: every document scored by how much more
     * likely its hashed-n-gram features are under a TARGET bag-of-
