@@ -1057,12 +1057,19 @@ object Dedup {
   /** [[simhashPairs]] over the [[balancedBitBlocks]] partition: same
     * exact Hamming-≤-maxDist output, candidate volume sized by the
     * corpus's actual bit entropy instead of by bit adjacency. Costs one
-    * extra bounded aggregate over the fingerprint relation. */
+    * extra bounded aggregate over the fingerprint relation — and ONLY
+    * one (optimization round 18): the balance probe's collect also
+    * carries the pair-pack base (min/max id) and the fingerprint
+    * count, so the separate [[pairPackBase]] job disappears and the
+    * hot-chunk drop accounting is skipped outright when the count
+    * proves no bucket can exceed the cap (n ≤ cap ⇒ nothing to drop). */
   def simhashPairsBalanced(fps: DataFrame, maxDist: Int = 3,
       hotChunkCap: Int = 100000,
-      onDrop: (Long, Long) => Unit = null): DataFrame =
+      onDrop: (Long, Long) => Unit = null): DataFrame = {
+    val (blocks, pack, n) = balancedBlocksProbe(fps, maxDist + 1)
     simhashPairsWithRelease(fps, maxDist, hotChunkCap, onDrop,
-      balancedBitBlocks(fps, maxDist + 1))._1
+      blocks, packIn = Some(pack), knownFpCount = Some(n))._1
+  }
 
   /** [[simhashPairs]] plus an explicit RELEASE HANDLE for the bucketed
     * relation it persists — same contract as
@@ -1073,7 +1080,16 @@ object Dedup {
   def simhashPairsWithRelease(fps: DataFrame, maxDist: Int = 3,
       hotChunkCap: Int = 100000,
       onDrop: (Long, Long) => Unit = null,
-      bitBlocks: Seq[Seq[Int]] = contiguousBitBlocks): (DataFrame, () => Unit) = {
+      bitBlocks: Seq[Seq[Int]] = contiguousBitBlocks,
+      // pre-probed pair-pack base and fingerprint count (optimization
+      // round 18): [[simhashPairsBalanced]] already paid one bounded
+      // collect over fps for the bit balance — the same row carries
+      // min/max id and count, so callers that have them skip the
+      // separate pairPackBase job, and a count ≤ hotChunkCap proves the
+      // drop-accounting pass has nothing to account (no bucket can
+      // exceed the cap when the whole corpus doesn't)
+      packIn: Option[Option[(Long, org.apache.spark.sql.types.DataType)]] = None,
+      knownFpCount: Option[Long] = None): (DataFrame, () => Unit) = {
     // pigeonhole soundness: k disjoint chunks covering all 64 bits
     // guarantee a shared chunk only for Hamming distance <= k-1 (the
     // default 4 cover maxDist <= 3). Larger distances need more
@@ -1095,7 +1111,9 @@ object Dedup {
     // drop accounting from the SAME sizes relation the cold filter
     // reads (not a second simhashChunkKeys pass); skipped when the cap
     // cannot bite and no metrics hook is wired
-    if (hotChunkCap != Int.MaxValue || onDrop != null) {
+    val capCannotBite = onDrop == null &&
+      knownFpCount.exists(_ <= hotChunkCap)
+    if ((hotChunkCap != Int.MaxValue || onDrop != null) && !capCannotBite) {
       val d = sizes.filter(col("n") > hotChunkCap)
         .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()(0)
       if (d.getLong(0) > 0)
@@ -1121,7 +1139,7 @@ object Dedup {
     // keys, to keep `filtered`'s persist pipelined into the pair join.
     val cand = distinctPairs(
       a.join(b, Seq("chunk", "key")).filter(col("id1") < col("id2")),
-      pairPackBase(fps))
+      packIn.getOrElse(pairPackBase(fps)))
     val f1 = fps.select(col("id").as("id1"), col("simhash").as("fp1"))
     val f2 = fps.select(col("id").as("id2"), col("simhash").as("fp2"))
     val pairs = cand.join(f1, "id1").join(f2, "id2")
@@ -1169,15 +1187,39 @@ object Dedup {
     * OUTPUT is not: blocking only decides which candidates get
     * verified, and every Hamming-≤-maxDist pair survives under any
     * partition. Deterministic: ties in balance break on bit index. */
-  def balancedBitBlocks(fps: DataFrame, nBlocks: Int = 4): Seq[Seq[Int]] = {
+  def balancedBitBlocks(fps: DataFrame, nBlocks: Int = 4): Seq[Seq[Int]] =
+    balancedBlocksProbe(fps, nBlocks)._1
+
+  /** [[balancedBitBlocks]] plus the pair-pack base ([[pairPackBase]])
+    * and the fingerprint count, all from the SAME single-row collect
+    * (optimization round 18): the balance aggregate already scans the
+    * fingerprint relation — min/max id and count ride the same row
+    * instead of costing the pack probe a second job per pair sweep. */
+  private[ops] def balancedBlocksProbe(fps: DataFrame, nBlocks: Int)
+      : (Seq[Seq[Int]], Option[(Long, org.apache.spark.sql.types.DataType)], Long) = {
+    import org.apache.spark.sql.types._
+    val idType = fps.schema("id").dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val ones = (0 until 64).map(b =>
       sum(shiftright(col("simhash"), b).bitwiseAND(lit(1L))).as(s"o$b"))
-    val row = fps.agg(count(lit(1)).as("n"), ones: _*).collect()(0)
+    val extra =
+      if (integral) Seq(min(col("id").cast("long")).as("_mn"),
+        max(col("id").cast("long")).as("_mx"))
+      else Nil
+    val row = fps.agg(count(lit(1)).as("n"), ones ++ extra: _*).collect()(0)
     val n = row.getLong(0)
     val ranked = (0 until 64).sortBy(b => (math.abs(n / 2.0 - row.getLong(b + 1)), b))
     val blocks = Array.fill(nBlocks)(Vector.newBuilder[Int])
     ranked.zipWithIndex.foreach { case (b, j) => blocks(j % nBlocks) += b }
-    blocks.toSeq.map(_.result())
+    val pack =
+      if (integral && !row.isNullAt(65) &&
+          BigInt(row.getLong(66)) - BigInt(row.getLong(65)) < (BigInt(1) << 32))
+        Some((row.getLong(65), idType))
+      else None
+    (blocks.toSeq.map(_.result()), pack, n)
   }
 
   /** The exploded (id, chunk, key) pigeonhole relation shared by the

@@ -744,6 +744,22 @@ class OpsSpec extends SparkSpec {
     assert(blocks.size == 4)
   }
 
+  test("balancedBlocksProbe: fused collect equals its unfused parts") {
+    // the round-18 one-collect fusion must return exactly what the
+    // separate probes would: same blocks, same pack base, exact count
+    val fps = Dedup.simhashPortable(docs).persist()
+    val (blocks, pack, n) = Dedup.balancedBlocksProbe(fps, 4)
+    assert(blocks == Dedup.balancedBitBlocks(fps, 4))
+    assert(pack == Dedup.pairPackBase(fps))
+    assert(n == fps.count())
+    fps.unpersist()
+    // wide ids (span >= 2^32) must still refuse the pack in the fused
+    // form — the packed single-long distinct would sign-bleed otherwise
+    val wide = Seq((0L, 1L), (1L << 33, 2L)).toDF("id", "simhash")
+    assert(Dedup.balancedBlocksProbe(wide, 4)._2.isEmpty)
+    assert(Dedup.pairPackBase(wide).isEmpty)
+  }
+
   test("windowChunks: hand-computed geometry, overlap, short tail") {
     // 10 words, window 4, stride 3 -> starts 0,3,6,9
     val tiny = Seq((1L, (0 until 10).map(i => s"w$i").mkString(" ")))
