@@ -795,4 +795,24 @@ object Corpus {
           + lit(1L))
       .drop("_pid")
   }
+
+  /** The BOUNDED head of [[globalRank]]: the top-`k` rows under a total
+    * `order`, each with its exact global row_number (optimization
+    * round 18). When a caller keeps only `rank <= k`, ranking the whole
+    * relation pays a corpus-wide range exchange + sort + cache + a
+    * per-partition-counts collect for rows the filter then throws away;
+    * `orderBy().limit(k)` instead plans `TakeOrderedAndProject` — every
+    * scan task keeps a k-row heap, the driver merges O(k·partitions)
+    * rows, nothing corpus-shaped shuffles or persists — and the
+    * row_number window then runs over ≤ k rows, where its
+    * SinglePartition exchange (the very thing [[globalRank]] exists to
+    * avoid on corpus-sized input) is exactly right. Bit-identical to
+    * `globalRank(df, order).filter(rank <= k)` under a total order. */
+  def rankedHead(df: DataFrame, order: Seq[Column], k: Int,
+      rankCol: String = "rank"): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn(rankCol,
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+          .cast("long"))
 }

@@ -1489,11 +1489,12 @@ object OpsQueries {
     val lex = graft.ops.TextAnalysis.bm25(docs,
         queryTerms = Seq("spark", "hash", "window"))
       .select(col("id").as("doc_id"), round(col("score"), 6).as("ls"))
-    // all three rankings through Corpus.globalRank — exact global
-    // row_number at full parallelism (a bare Window.orderBy funnels
-    // the corpus through ONE task; the two-phase range-partitioned
-    // shape is the 100 TB formulation and bit-identical under the
-    // id tie-break)
+    // the two corpus-wide leg rankings through Corpus.globalRank —
+    // exact global row_number at full parallelism (a bare
+    // Window.orderBy funnels the corpus through ONE task; the
+    // two-phase range-partitioned shape is the 100 TB formulation and
+    // bit-identical under the id tie-break); the BOUNDED fused rank
+    // below takes Corpus.rankedHead instead
     val lexRank = graft.ops.Corpus.globalRank(lex,
         Seq(col("ls").desc, col("doc_id").asc), "lex_rank")
       .select("doc_id", "lex_rank")
@@ -1511,9 +1512,12 @@ object OpsQueries {
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
           + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
-    graft.ops.Corpus.globalRank(fused,
-        Seq(col("rrf").desc, col("doc_id").asc), "rank")
-      .filter(col("rank") <= 20)
+    // the fused rank is CONSUMED bounded (top-20), so it takes the
+    // rankedHead form — TakeOrdered + a ≤ 20-row window — instead of a
+    // third corpus-wide range sort (optimization round 18; bit-equal
+    // under the total (rrf, doc_id) order, hash-gated)
+    graft.ops.Corpus.rankedHead(fused,
+        Seq(col("rrf").desc, col("doc_id").asc), 20, "rank")
       .select(col("doc_id"),
         coalesce(col("lex_rank").cast("long"), lit(-1L)).as("lex_rank"),
         coalesce(col("vec_rank").cast("long"), lit(-1L)).as("vec_rank"),

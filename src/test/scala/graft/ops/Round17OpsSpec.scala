@@ -82,6 +82,29 @@ class Round17OpsSpec extends SparkSpec {
       "globalRank's sort must be a distributed range partitioning")
   }
 
+  test("rankedHead = globalRank + filter(rank <= k), as a TakeOrdered plan") {
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("score", pmod(col("id") * 37 % 101, lit(101)).cast("double"))
+      .repartition(16)
+    val order = Seq(col("score").desc, col("id").asc)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows(Corpus.globalRank(df, order, "rank")
+      .filter(col("rank") <= 20))
+    val got = rows(Corpus.rankedHead(df, order, 20, "rank"))
+    assert(got == want && got.size == 20)
+    // the bounded head must never range-sort/cache the whole relation:
+    // the plan is a TakeOrdered (per-task k-heap + driver merge)
+    val plan = Corpus.rankedHead(df, order, 20, "rank")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "rankedHead must plan TakeOrderedAndProject, not a global sort")
+    // k larger than the relation degrades to the full exact ranking
+    val all = rows(Corpus.rankedHead(df, order, 10000, "rank"))
+    assert(all == rows(Corpus.globalRank(df, order, "rank")))
+  }
+
   test("q114 pipeline: AIFF decode over synthesized assets equals the arithmetic oracle") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
